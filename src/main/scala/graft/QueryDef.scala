@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verified query: a Spark implementation plus (when SQL-expressible) a
+  * DuckDB oracle over the same parquet tables. Column names MUST match
+  * between the two — the driver sorts columns by name before hashing.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table loader for the driver-provided testdata directory.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native type
+  * for; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
+  * loader converts ns→µs here (integer DIV — a double division would lose
+  * precision above 2^53) so every query sees a real TimestampType column
+  * with the same truncation DuckDB applies at µs precision.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      else acc
+    }
+  }
+}

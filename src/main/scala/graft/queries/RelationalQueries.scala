@@ -1,0 +1,495 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator-family parity queries over the driver testdata tables.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2 (IDs in the
+  * query names) on the TPC-H-ish tables, with a DuckDB oracle. Determinism
+  * rules shared by both sides:
+  *   - double sums go through DECIMAL(18,2) (exact) then CAST AS DOUBLE;
+  *   - ratios are computed with the identical expression text and rounded;
+  *   - timestamps are emitted as DATE (parquet is ns; Spark truncates to µs,
+  *     so the oracle truncates too before ordering);
+  *   - every window/top-N has a total tie-break.
+  */
+object RelationalQueries {
+
+  private def sumDec(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  /** DuckDB-side: hex string (first `n` chars of an md5) to BIGINT.
+    * DuckDB has no conv(); build the positional sum explicitly. */
+  private def duckHexToLong(hexExpr: String, n: Int): String = {
+    val terms = (0 until n).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(n - 1 - i)
+      s"(CAST(strpos('0123456789abcdef', substr($hexExpr, ${i + 1}, 1)) AS BIGINT) - 1) * $pow"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S2/S15: filtered projected scan (predicate + projection pushdown)
+    QueryDef(
+      "s2_pushdown_filter",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("event_id", "user_id", "value"),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'purchase' AND value > 100""".stripMargin)),
+
+    // ---- A1: groupBy + COUNT/SUM (TPC-H Q1 shape; funnel aggregate analog)
+    QueryDef(
+      "a1_groupby_agg",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec("l_quantity").as("sum_qty"),
+          sumDec("l_extendedprice").as("sum_base_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A2: filtered aggregates (COUNT/SUM FILTER)
+    QueryDef(
+      "a2_filtered_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .cast("decimal(18,2)")).cast("double").as("rev_finished")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_total,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- A3: ratio with NULLIF guard (win-rate shape)
+    QueryDef(
+      "a3_ratio_nullif",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
+          .select(
+            col("c_mktsegment"),
+            col("n_total"),
+            col("n_finished"),
+            round(lit(100.0) * col("n_finished").cast("double") /
+              nullif(col("n_total"), lit(0)), 2).as("finish_rate"))
+      },
+      Some("""SELECT c_mktsegment, n_total, n_finished,
+             |  ROUND(CAST(100.0 AS DOUBLE) * CAST(n_finished AS DOUBLE)
+             |        / NULLIF(n_total, 0), 2) AS finish_rate
+             |FROM (
+             |  SELECT c_mktsegment, COUNT(*) AS n_total,
+             |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1
+             |)""".stripMargin)),
+
+    // ---- A5: exact COUNT DISTINCT
+    QueryDef(
+      "a5_count_distinct",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- A6: time-bucketed rollup (date_trunc month)
+    QueryDef(
+      "a6_time_bucket",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(
+          date_trunc("month", col("ts")).cast("date").as("month"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec("value").as("sum_value")),
+      Some("""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A7: MIN/MAX freshness
+    QueryDef(
+      "a7_minmax_freshness",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          min(col("ts").cast("date")).as("first_day"),
+          max(col("ts").cast("date")).as("last_day"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id")),
+      Some("""SELECT event_type, MIN(CAST(ts AS DATE)) AS first_day,
+             |  MAX(CAST(ts AS DATE)) AS last_day,
+             |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- A8: HAVING
+    QueryDef(
+      "a8_having",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10),
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+             |GROUP BY 1 HAVING COUNT(*) > 10""".stripMargin)),
+
+    // ---- A9: CASE-bucketed dimension aggregate
+    QueryDef(
+      "a9_case_bucket",
+      (s, dir) => Tables(s, dir, "orders")
+        .withColumn("price_band",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("high"))
+        .groupBy("price_band")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_orderkey"),
+          max("o_orderkey").as("max_orderkey")),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+             |            WHEN o_totalprice < 200000 THEN 'mid'
+             |            ELSE 'high' END AS price_band,
+             |  COUNT(*) AS n, MIN(o_orderkey) AS min_orderkey,
+             |  MAX(o_orderkey) AS max_orderkey
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- A10: duration math aggregate (avg days order -> ship)
+    QueryDef(
+      "a10_duration",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date"))).as("total_days"),
+            count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            round(col("total_days").cast("double") / col("n") , 4)
+              .as("avg_ship_days"))
+      },
+      Some("""SELECT l_returnflag, n,
+             |  ROUND(CAST(total_days AS DOUBLE) / n, 4) AS avg_ship_days
+             |FROM (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+             |                       CAST(l_shipdate AS DATE))) AS BIGINT) AS total_days,
+             |    COUNT(*) AS n
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1
+             |)""".stripMargin)),
+
+    // ---- J1: multi-way broadcast dim join + aggregate (funnel view shape)
+    QueryDef(
+      "j1_funnel_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_customers"), sumDec("c_acctbal").as("sum_acctbal"))
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- J3: LEFT JOIN star enrichment with null-handling
+    QueryDef(
+      "j3_left_enrich",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .groupBy(
+            coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sumDec("o_totalprice").as("revenue"))
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, o_orderstatus,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- J4: equi-join on a computed key (fuzzy-key join shape)
+    QueryDef(
+      "j4_computed_key_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer").withColumn("k", col("c_custkey") % 100)
+        val su = Tables(s, dir, "supplier").withColumn("k", col("s_suppkey") % 100)
+        c.join(su, "k")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("s_suppkey").as("n_suppliers"))
+      },
+      Some("""SELECT c_custkey % 100 AS k, COUNT(*) AS n_pairs,
+             |  COUNT(DISTINCT s_suppkey) AS n_suppliers
+             |FROM customer JOIN supplier ON c_custkey % 100 = s_suppkey % 100
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- J5: semi join (customers that have orders; retention shape)
+    QueryDef(
+      "j5_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- anti join (customers without orders)
+    QueryDef(
+      "j6_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- D1: window dedup, latest-wins (THE reference pattern, 13 call sites)
+    QueryDef(
+      "d1_dedup_latest",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts").cast("date").as("event_date"))
+      },
+      // Spark timestamps are µs (parquet ns gets truncated); truncate in the
+      // oracle too so the two engines order ties identically.
+      Some("""SELECT user_id, event_id, event_type, value,
+             |  CAST(ts AS DATE) AS event_date
+             |FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id
+             |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+             |  FROM events
+             |) WHERE rn = 1""".stripMargin)),
+
+    // ---- D4: DISTINCT projection
+    QueryDef(
+      "d4_distinct",
+      (s, dir) => Tables(s, dir, "events")
+        .select("user_id", "event_type").distinct(),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // ---- W1: ranked window beyond rn=1 (top-3 per group, total tie-break)
+    QueryDef(
+      "w1_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (
+             |    PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+             |  FROM customer
+             |) WHERE rn <= 3""".stripMargin)),
+
+    // ---- O3: top-N with deterministic tie-break
+    QueryDef(
+      "o3_topn",
+      (s, dir) => Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- U1: UNION ALL count-summary stitching
+    QueryDef(
+      "u1_union_counts",
+      (s, dir) => {
+        def cnt(n: String) = Tables(s, dir, n)
+          .agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
+        cnt("customer").unionByName(cnt("orders")).unionByName(cnt("lineitem"))
+      },
+      Some("""SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+             |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+             |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem""".stripMargin)),
+
+    // ---- P1: JSON field projection + cast (the gold-layer SELECT shape)
+    QueryDef(
+      "p1_json_extract",
+      (s, dir) => Tables(s, dir, "events")
+        .select(
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+          col("value"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), sumDec("value").as("sum_value")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- P2: COALESCE / NULLIF fallback chain
+    QueryDef(
+      "p2_coalesce_fallback",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_label"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+             |  COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- P4/O4: first-match element of an ordered array (correlated LIMIT 1)
+    QueryDef(
+      "p4_first_match",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_partkey"), col("l_returnflag"))))
+          .as("items"))
+        .select(col("l_orderkey"),
+          expr("get(filter(items, x -> x.l_returnflag = 'R'), 0).l_partkey")
+            .as("first_r_partkey")),
+      // l_linenumber is NOT unique per order in the synthetic data, so the
+      // ordering must be total: (l_linenumber, l_partkey) on both sides.
+      Some("""SELECT o.l_orderkey, r.first_r_partkey
+             |FROM (SELECT DISTINCT l_orderkey FROM lineitem) o
+             |LEFT JOIN (
+             |  SELECT l_orderkey, l_partkey AS first_r_partkey, row_number()
+             |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+             |  FROM lineitem WHERE l_returnflag = 'R'
+             |) r ON o.l_orderkey = r.l_orderkey AND r.rn = 1""".stripMargin)),
+
+    // ---- P9: concat + trim (generated full_name shape)
+    QueryDef(
+      "p9_concat_trim",
+      (s, dir) => Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          trim(concat_ws(" ", col("c_name"), col("c_mktsegment"))).as("label")),
+      Some("""SELECT c_custkey,
+             |  TRIM(CONCAT_WS(' ', c_name, c_mktsegment)) AS label
+             |FROM customer""".stripMargin)),
+
+    // ---- K5: skip-null-key filter
+    QueryDef(
+      "k5_null_filter",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy("event_type").agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- K6: deterministic MD5 surrogate key (int(md5[:15],16) % 10^15)
+    QueryDef(
+      "k6_entry_key",
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_id"),
+          pmod(
+            conv(substring(md5(concat_ws("|",
+              col("ts").cast("date").cast("string"),
+              col("user_id").cast("string"),
+              col("event_type"))), 1, 15), 16, 10).cast("long"),
+            lit(1000000000000000L)).as("entry_key")),
+      Some {
+        val md5e = "md5(concat_ws('|', CAST(CAST(ts AS DATE) AS VARCHAR), " +
+          "CAST(user_id AS VARCHAR), event_type))"
+        s"""SELECT event_id,
+           |  ${duckHexToLong(md5e, 15)} % 1000000000000000 AS entry_key
+           |FROM events""".stripMargin
+      }),
+
+    // ---- E1/E5: explode (unnest) of a derived array + aggregate
+    QueryDef(
+      "e1_explode_tokens",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n")),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+             |) GROUP BY 1""".stripMargin)),
+
+    // ---- V2: lineage-key duplicate scan (HAVING count > 1)
+    QueryDef(
+      "v2_dup_scan",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1),
+      Some("""SELECT user_id, event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+             |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1""".stripMargin)),
+
+    // ---- V3: payload-id uniqueness delta
+    QueryDef(
+      "v3_uniqueness_delta",
+      (s, dir) => Tables(s, dir, "events")
+        .agg((count(lit(1)) - countDistinct("event_id")).as("dup_delta"),
+          count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) - COUNT(DISTINCT event_id) AS dup_delta,
+             |  COUNT(*) AS n FROM events""".stripMargin)),
+
+    // ---- V5: date-sanity anomaly scan (shipped before ordered)
+    QueryDef(
+      "v5_date_anomaly",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate"))
+          .agg(count(lit(1)).as("n_anomalies"))
+      },
+      Some("""SELECT COUNT(*) AS n_anomalies
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate < o_orderdate""".stripMargin)),
+
+    // ---- V9: extraction gap analysis (missing days vs calendar range)
+    QueryDef(
+      "v9_gap_analysis",
+      (s, dir) => {
+        val days = Tables(s, dir, "events")
+          .agg(min(col("ts").cast("date")).as("lo"),
+            max(col("ts").cast("date")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        val present = Tables(s, dir, "events")
+          .select(col("ts").cast("date").as("d")).distinct()
+        days.join(present, Seq("d"), "left_anti")
+          .agg(count(lit(1)).as("missing_days"))
+      },
+      Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+             |                  MAX(CAST(ts AS DATE)) AS hi FROM events),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |                 INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+             |SELECT COUNT(*) AS missing_days FROM days
+             |WHERE d NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)"""
+        .stripMargin)),
+  )
+}
