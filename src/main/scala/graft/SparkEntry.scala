@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.RelationalQueries.defs
+    _root_.graft.queries.RelationalQueries.defs ++
+      _root_.graft.queries.TrainingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

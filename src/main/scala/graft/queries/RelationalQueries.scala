@@ -21,16 +21,6 @@ object RelationalQueries {
   private def sumDec(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
-  /** DuckDB-side: hex string (first `n` chars of an md5) to BIGINT.
-    * DuckDB has no conv(); build the positional sum explicitly. */
-  private def duckHexToLong(hexExpr: String, n: Int): String = {
-    val terms = (0 until n).map { i =>
-      val pow = java.math.BigInteger.valueOf(16L).pow(n - 1 - i)
-      s"(CAST(strpos('0123456789abcdef', substr($hexExpr, ${i + 1}, 1)) AS BIGINT) - 1) * $pow"
-    }
-    terms.mkString("(", " + ", ")")
-  }
-
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S2/S15: filtered projected scan (predicate + projection pushdown)
@@ -423,7 +413,7 @@ object RelationalQueries {
         val md5e = "md5(concat_ws('|', CAST(CAST(ts AS DATE) AS VARCHAR), " +
           "CAST(user_id AS VARCHAR), event_type))"
         s"""SELECT event_id,
-           |  ${duckHexToLong(md5e, 15)} % 1000000000000000 AS entry_key
+           |  ${DuckSql.hexToLong(md5e, 15)} % 1000000000000000 AS entry_key
            |FROM events""".stripMargin
       }),
 

@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY.md §7.2.8 "llm" extension):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force cosine + LSH-bucketed scale path), and text
+  * analysis (tokens, quality, lang-id, fingerprints).
+  *
+  * Oracle parity notes: every float reduction is a sequential fold on
+  * both engines (DuckDB side generated as left-assoc addition chains by
+  * DuckSql), md5-derived hashes use DuckSql.hexToLong to mirror
+  * conv(hex), and similarity scores are rounded before ordering with id
+  * tie-breaks.
+  */
+object TrainingQueries {
+
+  private val Dims = 64
+  private val MinhashK = 12 // 4 bands x 3 rows
+  private val Bands = 4
+  private val SimhashBits = 32
+  private val LshPlanes = 16
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** The testdata tables are single parquet files (one input split); hash
+    * pipelines are compute-bound per row, so spread rows across cores
+    * before the expensive projection. At 100TB inputs arrive pre-split,
+    * but the principle is the same: partition for the compute. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  private def toksSql = "string_split(text, ' ')"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // Spark-side shingle frame reused by several queries. Tokens are
+  // materialized before shingling (see TextOps.shingles3 PERF note).
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    spread(s, docs(s, dir))
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.shingles3(col("tk")).as("sh"))
+
+  /** Signature frame: shingles hashed ONCE (md5 per shingle), then k
+    * affine-permutation mins; bands derived by a single explode so the
+    * signature is never recomputed per band. */
+  private def minhashBandsDf(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingleDf(s, dir)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), x => TextOps.tokenHash32(x)))
+      .select(col("doc_id") +:
+        (0 until MinhashK).map(k => TextOps.affineMin(col("hs"), k).as(s"h$k")): _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until 3).map(r => col(s"h${3 * b + r}").cast("string"))
+      struct(lit(b).as("band_id"), md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
+  private def minhashBandsSql: String = {
+    val sigCols = (0 until MinhashK).map { k =>
+      s"list_min(list_transform(hs, h -> (${TextOps.minhashA(k)} * h + ${TextOps.minhashB(k)}) % ${TextOps.MinhashP})) AS h$k"
+    }.mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until 3).map(r => s"CAST(h${3 * b + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_id, md5(${parts.mkString(" || ',' || ")}) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |shing AS (SELECT doc_id, ${DuckSql.shingles3("tk")} AS sh FROM toks),
+       |hashed AS (SELECT doc_id,
+       |  list_transform(sh, x -> ${DuckSql.hexToLong("md5(x)", 8)}) AS hs
+       |  FROM shing WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, $sigCols FROM hashed)
+       |$bandSelects""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup by content hash (hash-groupBy; at 100TB this is a
+    // single shuffle on the hash, with the text column pruned away)
+    QueryDef(
+      "t01_dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy(TextOps.fingerprint(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n")),
+      Some("""SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS n FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- per-document fingerprint (lineage / idempotency key)
+    QueryDef(
+      "t02_fingerprint",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents")),
+
+    // ---- token counting: whitespace + BPE-ish regex
+    QueryDef(
+      "t03_token_stats",
+      (s, dir) => docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("total_tokens"),
+          sum(TextOps.bpeishTokenCount(col("text"))).as("total_bpeish"),
+          sum("n_chars").as("total_chars")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpeish,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- quality scoring: length / stopword-ratio / token stats
+    QueryDef(
+      "t04_quality_score",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          TextOps.stopwordRatio(col("toks"), TextOps.StopwordsEn).as("stop_ratio"),
+          TextOps.avgTokenLen(col("toks")).as("avg_token_len")),
+      Some(s"""SELECT doc_id, len(tk) AS n_tokens,
+              |  ROUND(CAST(len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)})) AS DOUBLE)
+              |        / len(tk), 4) AS stop_ratio,
+              |  ROUND(CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+              |        / len(tk), 4) AS avg_token_len
+              |FROM (SELECT doc_id, $toksSql AS tk FROM documents)""".stripMargin)),
+
+    // ---- language-ID: n-gram/stopword-profile heuristic vs labeled lang
+    QueryDef(
+      "t05_langid",
+      (s, dir) => {
+        val en = size(filter(col("tk"),
+          t => t.isin(TextOps.StopwordsEn.map(x => x: Any): _*)))
+        val es = size(filter(col("tk"),
+          t => t.isin(TextOps.StopwordsEs.map(x => x: Any): _*)))
+        docs(s, dir)
+          .withColumn("tk", TextOps.tokens(col("text")))
+          .withColumn("predicted",
+            when(en > es, "en").when(es > en, "es").otherwise("und"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT lang,
+              |  CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es'
+              |       ELSE 'und' END AS predicted,
+              |  COUNT(*) AS n
+              |FROM (SELECT lang,
+              |    len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)})) AS en,
+              |    len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEs)})) AS es
+              |  FROM (SELECT lang, $toksSql AS tk FROM documents))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- shingling stats (the MinHash input unit)
+    QueryDef(
+      "t06_shingle_stats",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(TextOps.shingles3(col("toks"))).as("n_shingles")),
+      Some(s"""SELECT doc_id, len(tk) AS n_tokens,
+              |  len(${DuckSql.shingles3("tk")}) AS n_shingles
+              |FROM (SELECT doc_id, $toksSql AS tk FROM documents)""".stripMargin)),
+
+    // ---- MinHash signatures banded for LSH (shingle -> minhash -> band).
+    // At 100TB: narrow (doc_id, band_id, band_hash) rows, shuffled by
+    // (band_id, band_hash) — the classic scalable near-dup layout.
+    QueryDef(
+      "t07_minhash_bands",
+      (s, dir) => minhashBandsDf(s, dir),
+      Some(minhashBandsSql)),
+
+    // ---- LSH candidate pairs (bucket-join on band hash, then distinct)
+    QueryDef(
+      "t08_minhash_pairs",
+      (s, dir) => {
+        // persist: the signature (md5-per-shingle) must compute once, not
+        // once per self-join side — same reason a 100TB pipeline would
+        // materialize the band table before the bucket join.
+        val b = minhashBandsDf(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = b.select(col("doc_id").as("d1"), col("band_id"), col("band_hash"))
+        val c = b.select(col("doc_id").as("d2"), col("band_id"), col("band_hash"))
+        a.join(c, Seq("band_id", "band_hash"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .agg(count(lit(1)).as("n_candidate_pairs"))
+      },
+      Some(s"""WITH bands AS ($minhashBandsSql)
+              |SELECT COUNT(*) AS n_candidate_pairs FROM (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b
+              |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              |   AND a.doc_id < b.doc_id)""".stripMargin)),
+
+    // ---- SimHash (32-bit): per-token hash bit votes -> sign bits
+    QueryDef(
+      "t09_simhash",
+      (s, dir) => {
+        val toks = spread(s, docs(s, dir)).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        val h = toks.withColumn("hv", TextOps.tokenHash32(col("tok")))
+        val bitAggs = (0 until SimhashBits).map(j =>
+          sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"b$j"))
+        val b = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val sim = (0 until SimhashBits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        b.select(col("doc_id"), sim.as("simhash"))
+      },
+      Some {
+        val bitSums = (0 until SimhashBits).map(j =>
+          s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val assemble = (0 until SimhashBits).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           |h AS (SELECT doc_id, ${DuckSql.hexToLong("md5(tok)", 8)} AS hv FROM t),
+           |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+           |SELECT doc_id, $assemble AS simhash FROM b""".stripMargin
+      }),
+
+    // ---- brute-force cosine top-k (ANN baseline; probes broadcast so the
+    // candidate scan streams without a shuffle)
+    QueryDef(
+      "t10_ann_cosine_topk",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val p = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pn"))
+        val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val pairs = c.crossJoin(broadcast(p))
+          .filter(col("p_id") =!= col("c_id"))
+          .select(col("p_id"), col("c_id"),
+            VectorOps.cosine(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
+        val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("c_id").asc)
+        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("p_id", "rn", "c_id", "cos")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+              |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+              |  FROM embeddings),
+              |p AS (SELECT * FROM n WHERE vec_id < 50),
+              |pairs AS (SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+              |    round(${DuckSql.dot("p.embedding", "c.embedding", Dims)}
+              |          / (p.nrm * c.nrm), 6) AS cos
+              |  FROM p, n c WHERE p.vec_id <> c.vec_id)
+              |SELECT p_id, rn, c_id, cos FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY p_id ORDER BY cos DESC, c_id ASC) AS rn
+              |  FROM pairs) WHERE rn <= 5""".stripMargin)),
+
+    // ---- LSH bucket histogram (sign-random-projection; the scale path:
+    // probe only its own bucket instead of all candidates)
+    QueryDef(
+      "t11_ann_lsh_buckets",
+      (s, dir) => spread(s, Tables(s, dir, "embeddings"))
+        .select(VectorOps.lshSignature(
+          VectorOps.asDouble(col("embedding")), LshPlanes, Dims).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      Some {
+        val sig = (0 until LshPlanes).map { p =>
+          val w = (0 until Dims).map(i => VectorOps.lshWeight(p, i))
+          s"(CASE WHEN ${DuckSql.dotWeights("embedding", w)} > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT bucket, COUNT(*) AS n FROM (
+           |  SELECT $sig AS bucket FROM embeddings) GROUP BY 1""".stripMargin
+      }),
+
+    // ---- n-gram Jaccard near-dup summary over a probe window
+    QueryDef(
+      "t12_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleDf(s, dir).filter(col("doc_id") < 100)
+        val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+        val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+        val j = round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 4)
+        a.join(b, col("d1") < col("d2"))
+          .select(j.as("j"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("j") > 0, 1)).as("n_overlapping"),
+            max(col("j")).as("max_j"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS sh
+              |  FROM documents WHERE doc_id < 100),
+              |p AS (SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |SELECT COUNT(*) AS n_pairs,
+              |  COUNT(CASE WHEN j > 0 THEN 1 END) AS n_overlapping,
+              |  MAX(j) AS max_j FROM p""".stripMargin)),
+
+    // ---- embedding stats per label (centroid-norm shape; decimal-exact sum)
+    QueryDef(
+      "t13_embedding_stats",
+      (s, dir) => Tables(s, dir, "embeddings")
+        .select(col("label"),
+          VectorOps.norm2(VectorOps.asDouble(col("embedding")))
+            .cast("decimal(18,6)").as("norm2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("norm2").cast("double").as("sum_norm2")),
+      Some(s"""SELECT label, COUNT(*) AS n,
+              |  CAST(SUM(CAST(${DuckSql.dot("embedding", "embedding", Dims)}
+              |       AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm2
+              |FROM embeddings GROUP BY 1""".stripMargin)),
+  )
+}
