@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic surrogate keys (SURVEY.md §2 K6, ADR-004).
+  *
+  * Mirrors the reference's entry-id recipe bit-for-bit
+  * (load_evo_entries_stg_fast_v2.py:210-223):
+  *   key = "|".join(str(field) or "" for 7 fields)
+  *   id  = int(md5(key)[:15], 16) % 10**15
+  *
+  * 15 hex digits = 60 bits, so the conv() result fits a signed long with
+  * headroom; spec asserts exact equality against Python-computed
+  * constants (KeysSpec).
+  */
+object Keys {
+
+  /** Pipe-joined key with nulls as empty string. concat_ws alone would
+    * *skip* nulls ("a|b" instead of "a||b"), silently changing every
+    * hash — hence the explicit per-field coalesce. */
+  def pipeKey(fields: Column*): Column =
+    concat_ws("|", fields.map(f => coalesce(f.cast("string"), lit(""))): _*)
+
+  /** int(md5(key)[:15], 16) % 10^15 as LongType. */
+  def md5Key15(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"),
+      lit(1000000000000000L))
+
+  /** The EVO entries surrogate id over its 7 natural-key fields. */
+  def entryId(date: Column, idMember: Column, idProspect: Column,
+      idEmployee: Column, idBranch: Column, device: Column,
+      entryAction: Column): Column =
+    md5Key15(pipeKey(date, idMember, idProspect, idEmployee, idBranch,
+      device, entryAction))
+}

@@ -1,0 +1,177 @@
+package graft.gold
+
+import graft.functions.{SafeCasts => SC}
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Zendesk gold transformers (04_core_zendesk.sql shapes): dims, the
+  * tickets fact, and the four exploded bridge tables (E5/E6).
+  * Silver is versioned without scope (02_stg_zendesk.sql:23).
+  */
+object Zendesk {
+
+  def dedupLatest(silver: DataFrame): DataFrame =
+    Dedup.keepLatest(
+      silver.withColumn("id",
+        SC.safeLong(get_json_object(col("raw_data"), "$.id"))),
+      Seq("id"),
+      Seq(col("loaded_at"), col("source_blob_path"), col("source_line_no")))
+
+  private def audit: Seq[Column] = Seq(
+    col("run_id").as("_source_run_id"),
+    col("loaded_at").as("_loaded_at"), col("loaded_at").as("_updated_at"))
+
+  private def j(field: String): Column =
+    get_json_object(col("raw_data"), s"$$.$field")
+
+  /** core.zd_organizations (:10-29). */
+  def organizations(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("org_id"),
+      SC.safeText(j("name")).as("name"),
+      get_json_object(col("raw_data"), "$.domain_names").as("domain_names"),
+      SC.safeText(j("details")).as("details"),
+      SC.safeText(j("notes")).as("notes"),
+      SC.safeLong(j("group_id")).as("group_id"),
+      SC.safeBool(j("shared_tickets")).as("shared_tickets"),
+      SC.safeBool(j("shared_comments")).as("shared_comments"),
+      SC.safeText(j("external_id")).as("external_id"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_users (:39-71). */
+  def users(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("user_id"),
+      SC.safeText(j("name")).as("name"),
+      SC.safeText(j("email")).as("email"),
+      SC.safeText(j("phone")).as("phone"),
+      SC.safeText(j("role")).as("role"),
+      SC.safeBool(j("active")).as("active"),
+      SC.safeBool(j("verified")).as("verified"),
+      SC.safeBool(j("suspended")).as("suspended"),
+      SC.safeLong(j("organization_id")).as("organization_id"),
+      SC.safeLong(j("default_group_id")).as("default_group_id"),
+      SC.safeText(j("time_zone")).as("time_zone"),
+      SC.safeText(j("locale")).as("locale"),
+      SC.safeTimestamp(j("last_login_at")).as("last_login_at"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_groups (:83-95). */
+  def groups(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("group_id"),
+      SC.safeText(j("name")).as("name"),
+      SC.safeText(j("description")).as("description"),
+      SC.safeBool(j("default")).as("is_default"),
+      SC.safeBool(j("deleted")).as("deleted"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_ticket_fields (:102-126). */
+  def ticketFields(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("field_id"),
+      SC.safeText(j("type")).as("type"),
+      SC.safeText(j("title")).as("title"),
+      SC.safeText(j("description")).as("description"),
+      SC.safeInt(j("position")).as("position"),
+      SC.safeBool(j("active")).as("active"),
+      SC.safeBool(j("required")).as("required"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_ticket_forms (:133-151). */
+  def ticketForms(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("form_id"),
+      SC.safeText(j("name")).as("name"),
+      SC.safeText(j("display_name")).as("display_name"),
+      SC.safeInt(j("position")).as("position"),
+      SC.safeBool(j("active")).as("active"),
+      SC.safeBool(j("default")).as("is_default"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_tickets (:158-210): nested via.channel / via.source (P3). */
+  def tickets(silver: DataFrame): DataFrame =
+    dedupLatest(silver).select(Seq(
+      col("id").as("ticket_id"),
+      SC.safeText(j("subject")).as("subject"),
+      SC.safeText(j("description")).as("description"),
+      SC.safeText(j("status")).as("status"),
+      SC.safeText(j("priority")).as("priority"),
+      SC.safeText(j("type")).as("type"),
+      SC.safeLong(j("requester_id")).as("requester_id"),
+      SC.safeLong(j("submitter_id")).as("submitter_id"),
+      SC.safeLong(j("assignee_id")).as("assignee_id"),
+      SC.safeLong(j("organization_id")).as("organization_id"),
+      SC.safeLong(j("group_id")).as("group_id"),
+      SC.safeLong(j("brand_id")).as("brand_id"),
+      SC.safeLong(j("ticket_form_id")).as("ticket_form_id"),
+      SC.safeText(j("external_id")).as("external_id"),
+      SC.safeText(get_json_object(col("raw_data"), "$.via.channel"))
+        .as("via_channel"),
+      get_json_object(col("raw_data"), "$.via.source").as("via_source"),
+      SC.safeBool(j("is_public")).as("is_public"),
+      SC.safeBool(j("has_incidents")).as("has_incidents"),
+      SC.safeBool(j("allow_channelback")).as("allow_channelback"),
+      SC.safeBool(j("allow_attachments")).as("allow_attachments"),
+      SC.safeTimestamp(j("created_at")).as("created_at"),
+      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+
+  /** core.zd_ticket_tags (E5 + D4: explode text array, DISTINCT —
+    * normalize_zendesk.py:705-762). */
+  def ticketTags(silver: DataFrame): DataFrame =
+    dedupLatest(silver)
+      .withColumn("tags",
+        graft.functions.JsonOps.parse(get_json_object(col("raw_data"), "$.tags"), "ARRAY<STRING>"))
+      .filter(col("tags").isNotNull && size(col("tags")) > 0)
+      .select(col("id").as("ticket_id"), explode(col("tags")).as("tag"))
+      .distinct()
+
+  /** core.zd_ticket_custom_fields (E6 + D5: explode struct array, drop
+    * empty values, keep latest per (ticket_id, field_id) —
+    * normalize_zendesk.py:764-829). Runs on the FULL versioned silver
+    * (not dedupLatest) exactly like the reference: the latest non-empty
+    * value per field wins by loaded_at. */
+  def ticketCustomFields(silver: DataFrame): DataFrame = {
+    val exploded = silver
+      .withColumn("ticket_id",
+        SC.safeLong(get_json_object(col("raw_data"), "$.id")))
+      .withColumn("cf",
+        graft.functions.JsonOps.parse(get_json_object(col("raw_data"), "$.custom_fields"), "ARRAY<STRUCT<id: STRING, value: STRING>>"))
+      .filter(col("cf").isNotNull)
+      .select(col("ticket_id"), explode(col("cf")).as("f"),
+        col("loaded_at"), col("source_blob_path"), col("source_line_no"))
+      .select(col("ticket_id"),
+        SC.safeLong(col("f.id")).as("field_id"),
+        SC.safeText(col("f.value")).as("value"),
+        col("loaded_at"), col("source_blob_path"), col("source_line_no"))
+      .filter(col("value").isNotNull) // empty-string values cleaned to NULL
+    Dedup.keepLatest(exploded, Seq("ticket_id", "field_id"),
+      Seq(col("loaded_at"), col("source_blob_path"), col("source_line_no")))
+      .select("ticket_id", "field_id", "value")
+  }
+
+  /** core.zd_ticket_collaborators / followers (:245-268): id arrays. */
+  private def idArrayBridge(silver: DataFrame, field: String,
+      outCol: String): DataFrame =
+    dedupLatest(silver)
+      .withColumn("ids",
+        graft.functions.JsonOps.parse(
+          get_json_object(col("raw_data"), s"$$.$field"), "ARRAY<STRING>"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 0)
+      .select(col("id").as("ticket_id"),
+        explode(col("ids")).as("__v"))
+      .select(col("ticket_id"), SC.safeLong(col("__v")).as(outCol))
+      .distinct()
+
+  def ticketCollaborators(silver: DataFrame): DataFrame =
+    idArrayBridge(silver, "collaborator_ids", "user_id")
+
+  def ticketFollowers(silver: DataFrame): DataFrame =
+    idArrayBridge(silver, "follower_ids", "user_id")
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.gold.{Evo, Pipedrive, Zendesk}
+import graft.operators.MergeOps
+import graft.silver.SilverLoader
+import graft.sources.Bronze
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration: bronze JSONL → silver parquet → gold
+  * parquet, per source system — the Spark re-expression of
+  * daily_pipeline.ps1 (SURVEY.md §3.1) with the reference's stage
+  * ordering (dimensions before facts, normalize_pipedrive.py:924-939).
+  *
+  * Layout under `root`:
+  *   bronze/{source}/...           raw gzip JSONL (Bronze layout)
+  *   silver/{source}/{entity}      lineage + raw_data parquet
+  *   gold/{table}                  typed star-schema parquet
+  *
+  * Write modes per table mirror §2 K7–K10: keyed upsert for normal
+  * increments, full refresh when the caller knows most rows changed,
+  * partition replace for the year-partitioned entries table.
+  */
+class MedallionPipeline(spark: SparkSession, root: String) {
+
+  def silverPath(source: String, entity: String) =
+    s"$root/silver/$source/$entity"
+  def goldPath(table: String) = s"$root/gold/$table"
+
+  private def silver(source: String, entity: String): DataFrame =
+    spark.read.parquet(silverPath(source, entity))
+
+  /** A run may carry only a subset of entities (e.g. members-only
+    * increment); transforms skip sources that were never loaded. */
+  private def withSilver(source: String, entity: String)(
+      f: DataFrame => Unit): Unit =
+    if (MergeOps.exists(spark, silverPath(source, entity)))
+      f(silver(source, entity))
+
+  // ------------------------------------------------------------------ EVO
+
+  /** Bronze→silver for one EVO entity (replacing mode, natural key). */
+  def loadEvoSilver(entity: String, keyField: String, runId: String,
+      loadedAt: java.sql.Timestamp): Unit = {
+    val bronze = Bronze.readRun(spark, s"$root/bronze", "evo", entity, runId)
+    SilverLoader.loadReplacing(spark, bronze,
+      silverPath("evo", entity),
+      Map(s"${keyField}_key" -> SilverLoader.jsonLongKey(keyField)),
+      runId, loadedAt)
+  }
+
+  /** EVO entries use the deterministic MD5 surrogate (K6) as silver key
+    * and require a date (K5). */
+  def loadEvoEntriesSilver(runId: String,
+      loadedAt: java.sql.Timestamp): Unit = {
+    val bronze = Bronze.readRun(spark, s"$root/bronze", "evo", "entries", runId)
+    val keyed = bronze.filter(
+      get_json_object(col("raw_line"), "$.date").isNotNull)
+    SilverLoader.loadReplacing(spark, keyed,
+      silverPath("evo", "entries"),
+      Map("entry_key" -> graft.functions.Keys.md5Key15(
+        graft.functions.Keys.pipeKey(
+          get_json_object(col("raw_data"), "$.date"),
+          get_json_object(col("raw_data"), "$.idMember"),
+          get_json_object(col("raw_data"), "$.idProspect"),
+          get_json_object(col("raw_data"), "$.idEmployee"),
+          get_json_object(col("raw_data"), "$.idBranch"),
+          get_json_object(col("raw_data"), "$.device"),
+          get_json_object(col("raw_data"), "$.entryAction")))),
+      runId, loadedAt)
+  }
+
+  /** Silver→gold for the whole EVO star. `fullRefresh` mirrors the
+    * reference's TRUNCATE+INSERT fast path (K9). */
+  def transformEvo(fullRefresh: Boolean = false): Unit = {
+    def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      if (fullRefresh) MergeOps.fullRefresh(spark, df, goldPath(table))
+      else MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+        preserveOnUpdate = Seq("_loaded_at"))
+
+    withSilver("evo", "members") { members =>
+      write(Evo.members(members), "evo_members", Seq("member_id"))
+      write(Evo.memberMemberships(members), "evo_member_memberships",
+        Seq("membership_id"))
+      write(Evo.memberContacts(members), "evo_member_contacts",
+        Seq("phone_id", "member_id"))
+    }
+    withSilver("evo", "sales") { sales =>
+      write(Evo.sales(sales), "evo_sales", Seq("sale_id"))
+      write(Evo.saleItems(sales), "evo_sale_items", Seq("sale_item_id"))
+      write(Evo.receivables(sales), "evo_receivables", Seq("receivable_id"))
+    }
+    withSilver("evo", "prospects") { prospects =>
+      write(Evo.prospects(prospects), "evo_prospects", Seq("prospect_id"))
+    }
+    // entries: year-partition replace (K10) — only touched years rewrite
+    withSilver("evo", "entries") { entries =>
+      MergeOps.replacePartitions(spark, Evo.entries(entries),
+        goldPath("evo_entries"), "entry_year")
+    }
+  }
+
+  // ------------------------------------------------------- Pipedrive / Zendesk
+
+  def loadVersionedSilver(source: String, entity: String, runId: String,
+      loadedAt: java.sql.Timestamp, scope: Option[String] = None): Unit = {
+    val bronze = Bronze.readRun(spark, s"$root/bronze", source, entity,
+      runId, scope)
+    SilverLoader.loadVersioned(spark, bronze,
+      silverPath(source, entity), runId, loadedAt,
+      scoped = bronze.columns.contains("scope"))
+  }
+
+  /** Dimension-before-fact ordering per the reference's normalize_all. */
+  def transformPipedrive(): Unit = {
+    def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+        preserveOnUpdate = Seq("_loaded_at"))
+    withSilver("pipedrive", "pipelines")(df =>
+      write(Pipedrive.pipelines(df), "pd_pipelines",
+        Seq("pipeline_id", "scope")))
+    withSilver("pipedrive", "stages")(df =>
+      write(Pipedrive.stages(df), "pd_stages", Seq("stage_id", "scope")))
+    withSilver("pipedrive", "users")(df =>
+      write(Pipedrive.users(df), "pd_users", Seq("user_id", "scope")))
+    withSilver("pipedrive", "organizations")(df =>
+      write(Pipedrive.organizations(df), "pd_organizations",
+        Seq("org_id", "scope")))
+    withSilver("pipedrive", "persons")(df =>
+      write(Pipedrive.persons(df), "pd_persons", Seq("person_id", "scope")))
+    withSilver("pipedrive", "deals")(df =>
+      write(Pipedrive.deals(df), "pd_deals", Seq("deal_id", "scope")))
+    withSilver("pipedrive", "activities")(df =>
+      write(Pipedrive.activities(df), "pd_activities",
+        Seq("activity_id", "scope")))
+  }
+
+  def transformZendesk(): Unit = {
+    def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+        preserveOnUpdate = Seq("_loaded_at"))
+    withSilver("zendesk", "organizations")(df =>
+      write(Zendesk.organizations(df), "zd_organizations", Seq("org_id")))
+    withSilver("zendesk", "users")(df =>
+      write(Zendesk.users(df), "zd_users", Seq("user_id")))
+    withSilver("zendesk", "groups")(df =>
+      write(Zendesk.groups(df), "zd_groups", Seq("group_id")))
+    withSilver("zendesk", "ticket_fields")(df =>
+      write(Zendesk.ticketFields(df), "zd_ticket_fields", Seq("field_id")))
+    withSilver("zendesk", "ticket_forms")(df =>
+      write(Zendesk.ticketForms(df), "zd_ticket_forms", Seq("form_id")))
+    withSilver("zendesk", "tickets") { tickets =>
+      write(Zendesk.tickets(tickets), "zd_tickets", Seq("ticket_id"))
+      // bridges: insert-ignore for tags (K8), keep-latest for custom fields
+      MergeOps.insertIgnore(spark, Zendesk.ticketTags(tickets),
+        goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
+      MergeOps.fullRefresh(spark, Zendesk.ticketCustomFields(tickets),
+        goldPath("zd_ticket_custom_fields"))
+    }
+  }
+
+  def gold(table: String): DataFrame = spark.read.parquet(goldPath(table))
+}

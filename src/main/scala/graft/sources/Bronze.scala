@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bronze layer: immutable JSONL files under hive-style partition paths
+  *   bronze/{source}/[scope={s}/]entity={e}/ingestion_date={d}/run_id={r}/
+  * (reference layout: src/common/lake.py:143-169,
+  * src/extractors/pipedrive_bronze.py:145-146).
+  *
+  * Reading returns one row per raw line with full lineage — the raw
+  * text is preserved verbatim (ADR-002: schema drift must never lose
+  * fields; parsing to a struct happens later, alongside the raw string).
+  */
+object Bronze {
+
+  def entityPath(base: String, source: String, entity: String,
+      scope: Option[String] = None): String = {
+    val scopePart = scope.map(s => s"scope=$s/").getOrElse("")
+    s"$base/$source/${scopePart}entity=$entity"
+  }
+
+  /** Write a batch of raw JSON lines (column `line`, plus partition
+    * columns) as gzip JSONL-like text under the layout. `parts` controls
+    * small-file compaction (reference buffers pages for the same
+    * reason, K1). */
+  def write(df: DataFrame, base: String, source: String,
+      parts: Int = 1): Unit = {
+    val partitionCols =
+      Seq("scope", "entity", "ingestion_date", "run_id")
+        .filter(df.columns.contains)
+    df.repartition(parts)
+      .write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .option("compression", "gzip")
+      .text(s"$base/$source")
+  }
+
+  /** Read raw lines with lineage: source_blob_path + per-file line
+    * number + partition columns. Line numbers rely on
+    * monotonically_increasing_id being ordered within an input
+    * partition; gzip text files are unsplittable (one partition per
+    * file) so numbering is stable — exactly the (blob, line) dedup key
+    * the reference uses (01_stg_pipedrive.sql:24). */
+  def read(spark: SparkSession, base: String, source: String,
+      entity: String, scope: Option[String] = None): DataFrame = {
+    // scoped sources nest scope=*/entity=*; detect which layout exists so
+    // callers can read all scopes at once (scope=None on a scoped source)
+    val direct = new org.apache.hadoop.fs.Path(
+      entityPath(base, source, entity, scope = None))
+    val fs = direct.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = scope match {
+      case Some(_) => entityPath(base, source, entity, scope)
+      case None if fs.exists(direct) => direct.toString
+      case None => s"$base/$source/scope=*/entity=$entity"
+    }
+    val w = Window.partitionBy(col("source_blob_path"))
+      .orderBy(col("__mid"))
+    spark.read
+      .option("basePath", s"$base/$source")
+      .text(path + "/*/*/*")
+      .withColumn("source_blob_path", input_file_name())
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("source_line_no", row_number().over(w))
+      .drop("__mid")
+      .withColumnRenamed("value", "raw_line")
+  }
+
+  /** Prune to one run (the reference's latest-run discovery,
+    * load_pipedrive_stg.py:104-137): partition filters prune at the
+    * file listing, no data read for other runs. */
+  def readRun(spark: SparkSession, base: String, source: String,
+      entity: String, runId: String, scope: Option[String] = None): DataFrame =
+    read(spark, base, source, entity, scope).filter(col("run_id") === runId)
+
+  def latestRunId(spark: SparkSession, base: String, source: String,
+      entity: String, scope: Option[String] = None): Option[String] =
+    read(spark, base, source, entity, scope)
+      .agg(max(col("run_id").cast("string")))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+}
+
+/** Watermark documents (SURVEY.md §2 S13): one small JSON per
+  * scope+entity holding the last successful cursor, with the 5-minute
+  * overlap applied on read (pipedrive_bronze.py:236-240). Stored via the
+  * Hadoop FS API so the same code targets local disk or object storage.
+  */
+class WatermarkStore(spark: SparkSession, base: String) {
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  private def path(source: String, scope: String, entity: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$base/_meta/$source/watermarks/scope=$scope/entity=$entity.json")
+
+  def save(source: String, scope: String, entity: String,
+      lastSuccessfulUntil: java.time.Instant): Unit = {
+    val p = path(source, scope, entity)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"last_successful_until": "$lastSuccessfulUntil"}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def load(source: String, scope: String, entity: String,
+      overlap: java.time.Duration = java.time.Duration.ofMinutes(5))
+      : Option[java.time.Instant] = {
+    val p = path(source, scope, entity)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"last_successful_until"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(text)
+        .map(m => java.time.Instant.parse(m.group(1)).minus(overlap))
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.MergeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * batch contract (SURVEY.md §2.9): watermark/cursor extraction with
+  * overlap, at-least-once delivery, keyed-upsert idempotency.
+  *
+  * Bronze files are the stream source; `Trigger.AvailableNow` drains
+  * whatever is present and stops — the exact semantics of "next run
+  * catches up everything since the watermark" (OPERATIONS_GUIDE.md:
+  * 86-94), with the checkpoint replacing the watermark doc. Each
+  * micro-batch MERGEs by business key, so late/duplicate records
+  * overwrite older versions instead of duplicating — the same
+  * invariant the reference's ON CONFLICT upsert provides.
+  */
+object Incremental {
+
+  /** Stream bronze JSONL text into a silver parquet table with keyed
+    * upsert per micro-batch. Returns after draining (AvailableNow). */
+  def bronzeToSilver(spark: SparkSession, bronzeGlob: String,
+      silverPath: String, checkpoint: String,
+      keyExpr: String): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch
+          .withColumn("natural_key", expr(keyExpr))
+          .filter(col("natural_key").isNotNull)
+          .withColumn("_loaded_at", current_timestamp())
+          .withColumn("_updated_at", current_timestamp())
+          .withColumn("_batch_id", lit(batchId))
+        MergeOps.upsert(batch.sparkSession, keyed, silverPath,
+          Seq("natural_key"), "_updated_at",
+          preserveOnUpdate = Seq("_loaded_at"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed rollup with a watermark — the streaming form
+    * of the daily-entries materialized view (A11): tumbling 1-day
+    * windows, late data within `lateness` still lands in its window. */
+  def dailyRollup(events: DataFrame, tsCol: String,
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 day").as("day"), col("branch_id"))
+      .agg(count(lit(1)).as("n_entries"))
+      .select(col("day.start").cast("date").as("entry_day"),
+        col("branch_id"), col("n_entries"))
+}

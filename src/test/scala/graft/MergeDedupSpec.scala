@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, MergeOps}
+import org.apache.spark.sql.functions._
+
+/** Upsert/dedup semantics: idempotency (load∘load ≡ load), last-write-
+  * wins, _loaded_at preservation, insert-ignore, partition replace —
+  * the reference's core invariants (SURVEY.md §5.2).
+  */
+class MergeDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepLatest: latest per key with total tie-break") {
+    val df = Seq(
+      (1L, "v1", "2026-01-01T00:00:00Z", 1),
+      (1L, "v2", "2026-01-02T00:00:00Z", 2),
+      (1L, "v2-tie", "2026-01-02T00:00:00Z", 3),
+      (2L, "only", "2026-01-01T00:00:00Z", 1))
+      .toDF("id", "payload", "at", "line")
+      .withColumn("at", to_timestamp(col("at")))
+    val got = Dedup.keepLatest(df, Seq("id"), Seq(col("at"), col("line")))
+      .orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("v2-tie", "only"))
+  }
+
+  test("upsert: insert, update, idempotent replay, _loaded_at preserved") {
+    val path = tmpDir("merge") + "/t"
+    def batch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "payload", "at")
+        .withColumn("_updated_at", to_timestamp(col("at"))).drop("at")
+        .withColumn("_loaded_at", col("_updated_at"))
+
+    val b1 = batch(Seq((1L, "a", "2026-01-01T00:00:00Z"),
+      (2L, "b", "2026-01-01T00:00:00Z")))
+    MergeOps.upsert(spark, b1, path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"))
+
+    val b2 = batch(Seq((2L, "b2", "2026-01-05T00:00:00Z"),
+      (3L, "c", "2026-01-05T00:00:00Z")))
+    MergeOps.upsert(spark, b2, path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"))
+
+    val got = spark.read.parquet(path).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // id=2 updated: payload new, _loaded_at preserved from first load
+    val r2 = got(1)
+    assert(r2.getTimestamp(r2.fieldIndex("_loaded_at")) ==
+      ts("2026-01-01T00:00:00Z"))
+    assert(r2.getTimestamp(r2.fieldIndex("_updated_at")) ==
+      ts("2026-01-05T00:00:00Z"))
+
+    // replay the same batch: nothing changes (idempotency)
+    MergeOps.upsert(spark, b2, path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"))
+    val again = spark.read.parquet(path).orderBy("id").collect()
+    assert(again.map(_.toString).toSeq == got.map(_.toString).toSeq)
+  }
+
+  test("upsert: older version does not overwrite newer (last-write-wins)") {
+    val path = tmpDir("merge-lww") + "/t"
+    def row(id: Long, p: String, at: String) =
+      Seq((id, p)).toDF("id", "payload")
+        .withColumn("_updated_at", to_timestamp(lit(at)))
+    MergeOps.upsert(spark, row(1, "new", "2026-02-01T00:00:00Z"), path,
+      Seq("id"), "_updated_at")
+    MergeOps.upsert(spark, row(1, "stale", "2026-01-01T00:00:00Z"), path,
+      Seq("id"), "_updated_at")
+    assert(spark.read.parquet(path).collect()(0).getString(1) == "new")
+  }
+
+  test("insertIgnore: existing keys untouched, new keys added") {
+    val path = tmpDir("ignore") + "/t"
+    MergeOps.insertIgnore(spark,
+      Seq((1L, "tagA"), (1L, "tagB")).toDF("ticket_id", "tag"),
+      path, Seq("ticket_id", "tag"))
+    MergeOps.insertIgnore(spark,
+      Seq((1L, "tagA"), (2L, "tagC")).toDF("ticket_id", "tag"),
+      path, Seq("ticket_id", "tag"))
+    val got = spark.read.parquet(path).orderBy("ticket_id", "tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "tagA"), (1L, "tagB"), (2L, "tagC")))
+  }
+
+  test("replacePartitions rewrites only touched partitions") {
+    val path = tmpDir("parts") + "/t"
+    MergeOps.replacePartitions(spark,
+      Seq((1L, 2023), (2L, 2024)).toDF("id", "entry_year"), path,
+      "entry_year")
+    // replace 2024 only; 2023 must survive
+    MergeOps.replacePartitions(spark,
+      Seq((99L, 2024)).toDF("id", "entry_year"), path, "entry_year")
+    val got = spark.read.parquet(path).orderBy("entry_year")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 2023), (99L, 2024)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.Incremental
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental contract (§2.9) + multimodal plumbing. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bronzeToSilver: AvailableNow drain, keyed upsert, incremental") {
+    val root = tmpDir("stream")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/part-1.jsonl"),
+      Seq("""{"idMember": 1, "v": "a"}""",
+        """{"idMember": 1, "v": "a-dup"}""",
+        """{"idMember": 2, "v": "b"}""",
+        """{"v": "no-key"}""").mkString("\n").getBytes)
+
+    val keyExpr = "CAST(get_json_object(raw_data, '$.idMember') AS LONG)"
+    Incremental.bronzeToSilver(spark, bronzeDir, s"$root/silver",
+      s"$root/ckpt", keyExpr)
+    val first = spark.read.parquet(s"$root/silver")
+    assert(first.count() == 2) // dup collapsed, null key dropped
+
+    // second file arrives: only the new data is processed (checkpoint),
+    // existing key 1 is updated, key 3 inserted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/part-2.jsonl"),
+      Seq("""{"idMember": 1, "v": "a2"}""",
+        """{"idMember": 3, "v": "c"}""").mkString("\n").getBytes)
+    Incremental.bronzeToSilver(spark, bronzeDir, s"$root/silver",
+      s"$root/ckpt", keyExpr)
+    val second = spark.read.parquet(s"$root/silver")
+    assert(second.count() == 3)
+    assert(second.filter(col("natural_key") === 1)
+      .select(get_json_object(col("raw_data"), "$.v")).collect()(0)
+      .getString(0) == "a2")
+  }
+
+  test("dailyRollup: watermarked tumbling window over event-time") {
+    val events = Seq(
+      ("2026-01-01T10:00:00Z", 3L), ("2026-01-01T23:59:00Z", 3L),
+      ("2026-01-02T00:01:00Z", 3L), ("2026-01-01T12:00:00Z", 4L))
+      .toDF("ts", "branch_id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    // batch evaluation of the same streaming plan shape
+    val got = Incremental.dailyRollup(events, "ts")
+      .orderBy("entry_day", "branch_id").collect()
+    assert(got.map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("2026-01-01", 3L, 2L), ("2026-01-01", 4L, 1L),
+        ("2026-01-02", 3L, 1L)))
+  }
+
+  test("multimodal: partition-local features, metadata-only pruning") {
+    import Multimodal._
+    val media = Seq(
+      MediaRecord(1L, "image", "image/png", 64, 64, 0L,
+        Array[Byte](1, 2, 3, 4)),
+      MediaRecord(2L, "audio", "audio/wav", 0, 0, 1500L,
+        Array[Byte](9, 8, 7))).toDS()
+
+    val feats = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 4L)
+    // deterministic fake decode: byte/255 accumulated round-robin
+    assert(math.abs(feats(0).feature(0) - 1 / 255.0f) < 1e-6)
+    assert(feats(0).checksum ==
+      ((((1L * 31 + 2) * 31 + 3) * 31) + 4))
+
+    // metadata-only plan must prune the binary column at the parquet scan
+    val path = tmpDir("media") + "/t"
+    write(media, path)
+    val stats = metadataStats(spark.read.parquet(path))
+    val scanSchema = stats.queryExecution.executedPlan.toString()
+    assert(scanSchema.contains("ReadSchema"))
+    assert(!scanSchema.contains("data#") ||
+      !scanSchema.split("ReadSchema")(1).contains("data"))
+    assert(stats.count() == 2)
+  }
+}
