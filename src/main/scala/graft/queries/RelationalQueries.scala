@@ -460,6 +460,97 @@ object RelationalQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate < o_orderdate""".stripMargin)),
 
+    // ---- S4: deleted-record filter at ingest (drop flagged rows)
+    QueryDef(
+      "s4_deleted_filter",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(!coalesce(get_json_object(col("props"), "$.deleted")
+          .cast("boolean"), lit(false)))
+        .groupBy("event_type").agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |WHERE NOT COALESCE(CAST(json_extract_string(props, '$.deleted')
+             |  AS BOOLEAN), false)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- A4: conditional-sum pivot (status columns per group)
+    QueryDef(
+      "a4_pivot",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- D2: dedup by natural key via single-pass max_by aggregate
+    // (shuffle-light alternative to the D1 window for wide rows)
+    QueryDef(
+      "d2_dedup_maxby",
+      // version key = fixed-width (epoch_us, event_id) string: totally
+      // ordered, and arg_max/max_by support VARCHAR in both engines
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"),
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 10, "0"))).as("latest_type"),
+          max("event_id").as("max_event_id")),
+      Some("""SELECT user_id,
+             |  arg_max(event_type,
+             |    lpad(CAST(epoch_us(date_trunc('microseconds', ts)) AS VARCHAR), 20, '0')
+             |    || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS latest_type,
+             |  MAX(event_id) AS max_event_id
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- E6/D5: explode a derived struct array then keep-latest per key
+    // (the zendesk custom-fields shape on relational data: per customer,
+    // latest order per priority bucket)
+    QueryDef(
+      "e6_explode_keep_latest",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sort_array(collect_list(struct(col("o_orderkey"),
+            col("o_orderpriority"), col("o_orderdate")))).as("items"))
+        val exploded = orders
+          .select(col("o_custkey"), explode(col("items")).as("i"))
+          .select(col("o_custkey"), col("i.o_orderkey").as("o_orderkey"),
+            col("i.o_orderpriority").as("o_orderpriority"),
+            col("i.o_orderdate").as("o_orderdate"))
+        val w = Window.partitionBy("o_custkey", "o_orderpriority")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        exploded.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderpriority"),
+            col("o_orderkey").as("latest_orderkey"),
+            col("o_orderdate").cast("date").as("latest_orderdate"))
+      },
+      Some("""SELECT o_custkey, o_orderpriority,
+             |  o_orderkey AS latest_orderkey,
+             |  CAST(o_orderdate AS DATE) AS latest_orderdate
+             |FROM (
+             |  SELECT o_custkey, o_orderpriority, o_orderkey, o_orderdate,
+             |    row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders
+             |) WHERE rn = 1""".stripMargin)),
+
+    // ---- O1: multi-column deterministic ORDER BY projection
+    QueryDef(
+      "o1_order_by",
+      (s, dir) => Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("n_nationkey"))
+        .orderBy(col("r_name").asc, col("n_name").desc),
+      Some("""SELECT r_name, n_name, n_nationkey
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY r_name ASC, n_name DESC""".stripMargin)),
+
     // ---- V9: extraction gap analysis (missing days vs calendar range)
     QueryDef(
       "v9_gap_analysis",
