@@ -401,14 +401,14 @@ object RelationalQueries {
     // ---- K6: deterministic MD5 surrogate key (int(md5[:15],16) % 10^15)
     QueryDef(
       "k6_entry_key",
+      // exercised through the NATIVE Md5Key15 expression so the DuckDB
+      // compare also gates the custom-codegen path
       (s, dir) => Tables(s, dir, "events")
         .select(col("event_id"),
-          pmod(
-            conv(substring(md5(concat_ws("|",
-              col("ts").cast("date").cast("string"),
-              col("user_id").cast("string"),
-              col("event_type"))), 1, 15), 16, 10).cast("long"),
-            lit(1000000000000000L)).as("entry_key")),
+          graft.functions.Keys.md5Key15Native(concat_ws("|",
+            col("ts").cast("date").cast("string"),
+            col("user_id").cast("string"),
+            col("event_type"))).as("entry_key")),
       Some {
         val md5e = "md5(concat_ws('|', CAST(CAST(ts AS DATE) AS VARCHAR), " +
           "CAST(user_id AS VARCHAR), event_type))"

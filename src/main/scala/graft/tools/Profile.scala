@@ -49,6 +49,19 @@ object Profile {
     val sig = hs.select(col("doc_id") +:
       (0 until 12).map(k => TextOps.affineMin(col("hs"), k).as(s"h$k")): _*)
     time("12 affine mins")(sig.select(sum(col("h0"))).collect())
+
+    // native vs composed surrogate-key expression on the events table
+    import graft.functions.Keys
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(32)
+      .withColumn("k", concat_ws("|", col("event_id"), col("user_id"),
+        col("event_type"), col("props")))
+    for (_ <- 1 to 2) {
+      time("md5Key15 composed")(
+        ev.select(sum(Keys.md5Key15(col("k")) % 1000)).collect())
+      time("md5Key15 native expr")(
+        ev.select(sum(Keys.md5Key15Native(col("k")) % 1000)).collect())
+    }
     spark.stop()
   }
 }

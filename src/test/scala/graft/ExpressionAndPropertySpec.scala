@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Keys
+import graft.operators.MergeOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Native Md5Key15 expression parity + ScalaCheck idempotency
+  * properties (SURVEY.md §5.2 property tests). Raw ScalaCheck with
+  * fixed seeds (no scalatestplus bridge in the offline dep set) —
+  * deterministic yet property-shaped.
+  */
+class ExpressionAndPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression == composed md5Key15, incl. Python constants") {
+    val keys = Seq(
+      "2024-03-05T07:45:00Z|101|||3|Turnstile-01|Entry",
+      "2023-01-01T00:00:00Z||5||1||Exit",
+      "||||||", "", "unicode-ü-日本語")
+    val df = keys.toDF("k").select(
+      Keys.md5Key15(col("k")).as("composed"),
+      Keys.md5Key15Native(col("k")).as("native"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val byKey = keys.zip(rows.map(_.getLong(1))).toMap
+    assert(byKey("2024-03-05T07:45:00Z|101|||3|Turnstile-01|Entry")
+      == 666922933622125L)
+    assert(byKey("2023-01-01T00:00:00Z||5||1||Exit") == 930635880053884L)
+    assert(byKey("||||||") == 214332784082451L)
+  }
+
+  test("native expression null handling and SQL registration") {
+    val df = Seq(Some("abc"), None).toDF("k")
+      .select(Keys.md5Key15Native(col("k")).as("v"))
+    val got = df.collect().map(r => Option(r.get(0)))
+    assert(got(0).isDefined && got(1).isEmpty)
+
+    Keys.registerSqlFunctions(spark)
+    Seq("abc").toDF("k").createOrReplaceTempView("kv")
+    val sql = spark.sql("SELECT md5_key15(k) AS v FROM kv").collect()(0)
+    assert(sql.getLong(0) == got(0).get.asInstanceOf[Long])
+  }
+
+  test("property: keepLatest-upsert is idempotent and last-write-wins") {
+    val batchGen = Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 8L)
+      version <- Gen.choose(1L, 1000L)
+      payload <- Gen.alphaStr.map(_.take(6))
+    } yield (id, version, payload))
+
+    for (seed <- 1 to 8) {
+      val rows: List[(Long, Long, String)] =
+        batchGen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+      locally {
+        val path = tmpDir("prop") + "/t"
+        val df = rows.toDF("id", "version", "payload")
+          // tie-break so equal versions pick deterministically
+          .withColumn("version",
+            concat(lpad(col("version").cast("string"), 6, "0"),
+              col("payload")))
+        MergeOps.upsert(spark, df, path, Seq("id"), "version")
+        val once = spark.read.parquet(path).orderBy("id")
+          .collect().map(_.toString).toSeq
+        // replaying the identical batch changes nothing
+        MergeOps.upsert(spark, df, path, Seq("id"), "version")
+        val twice = spark.read.parquet(path).orderBy("id")
+          .collect().map(_.toString).toSeq
+        assert(once == twice)
+        // result = exactly max-version row per id
+        val expect = rows.map { case (id, v, p) =>
+          (id, f"$v%06d$p")
+        }.groupBy(_._1).map { case (id, vs) => (id, vs.map(_._2).max) }
+        val got = spark.read.parquet(path)
+          .select("id", "version").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toMap
+        assert(got == expect)
+      }
+    }
+  }
+}
