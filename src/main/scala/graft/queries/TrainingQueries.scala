@@ -47,15 +47,24 @@ object TrainingQueries {
       .withColumn("tk", TextOps.tokens(col("text")))
       .select(col("doc_id"), TextOps.shingles3(col("tk")).as("sh"))
 
-  /** Signature frame: shingles hashed ONCE (md5 per shingle), then k
-    * affine-permutation mins; bands derived by a single explode so the
-    * signature is never recomputed per band. */
+  /** Signature frame: shingles hashed ONCE (md5 per shingle), then ALL
+    * k affine-permutation mins in ONE sequential fold with a k-slot
+    * accumulator — measured 0.47s vs 0.68s (12 per-k array transforms)
+    * vs 7.97s (explode + 12 min aggregates) on sf0.1. Row-local, no
+    * wide arrays cross any shuffle; bands derive by one explode. */
   private def minhashBandsDf(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingleDf(s, dir)
+    val hs = shingleDf(s, dir)
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), x => TextOps.tokenHash32(x)))
+    val sig = hs.withColumn("mins",
+      aggregate(col("hs"),
+        array_repeat(lit(Long.MaxValue), MinhashK),
+        (acc, h) => array((0 until MinhashK).map(k =>
+          least(get(acc, lit(k)),
+            (lit(TextOps.minhashA(k)) * h + lit(TextOps.minhashB(k)))
+              % lit(TextOps.MinhashP))): _*)))
       .select(col("doc_id") +:
-        (0 until MinhashK).map(k => TextOps.affineMin(col("hs"), k).as(s"h$k")): _*)
+        (0 until MinhashK).map(k => get(col("mins"), lit(k)).as(s"h$k")): _*)
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until 3).map(r => col(s"h${3 * b + r}").cast("string"))
       struct(lit(b).as("band_id"), md5(concat_ws(",", cols: _*)).as("band_hash"))

@@ -46,9 +46,39 @@ object Profile {
     time("md5+conv per shingle")(hs.selectExpr("sum(size(hs))").collect())
     time("md5 only")(sh.withColumn("hs",
       transform(col("sh"), x => md5(x))).selectExpr("sum(size(hs))").collect())
-    val sig = hs.select(col("doc_id") +:
-      (0 until 12).map(k => TextOps.affineMin(col("hs"), k).as(s"h$k")): _*)
-    time("12 affine mins")(sig.select(sum(col("h0"))).collect())
+    val K = 12
+    // (a) 12 per-k array transforms
+    val sigA = hs.select(col("doc_id") +:
+      (0 until K).map(k => TextOps.affineMin(col("hs"), k).as(s"h$k")): _*)
+    time("sig: 12 transforms")(
+      sigA.select((0 until K).map(k => sum(col(s"h$k") % 97)).reduce(_ + _))
+        .collect())
+    // (b) explode + 12 min aggregates
+    val hashedE = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      .withColumn("h", TextOps.tokenHash32(col("x")))
+    val sigB = hashedE.groupBy("doc_id").agg(
+      min((lit(TextOps.minhashA(0)) * col("h") + lit(TextOps.minhashB(0)))
+        % lit(TextOps.MinhashP)).as("h0"),
+      (1 until K).map(k =>
+        min((lit(TextOps.minhashA(k)) * col("h") + lit(TextOps.minhashB(k)))
+          % lit(TextOps.MinhashP)).as(s"h$k")): _*)
+    time("sig: explode+groupBy")(
+      sigB.select((0 until K).map(k => sum(col(s"h$k") % 97)).reduce(_ + _))
+        .collect())
+    // (c) one aggregate fold with a K-slot accumulator
+    val maxL = Long.MaxValue
+    val sigC = hs.withColumn("mins",
+      aggregate(col("hs"),
+        array_repeat(lit(maxL), K),
+        (acc, h) => array((0 until K).map(k =>
+          least(get(acc, lit(k)),
+            (lit(TextOps.minhashA(k)) * h + lit(TextOps.minhashB(k)))
+              % lit(TextOps.MinhashP))): _*)))
+      .select(col("doc_id") +:
+        (0 until K).map(k => get(col("mins"), lit(k)).as(s"h$k")): _*)
+    time("sig: single fold")(
+      sigC.select((0 until K).map(k => sum(col(s"h$k") % 97)).reduce(_ + _))
+        .collect())
 
     // native vs composed surrogate-key expression on the events table
     import graft.functions.Keys
