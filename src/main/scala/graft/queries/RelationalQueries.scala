@@ -551,6 +551,26 @@ object RelationalQueries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |ORDER BY r_name ASC, n_name DESC""".stripMargin)),
 
+    // ---- grouping sets: ROLLUP totals (free in Spark per SURVEY §2.7,
+    // exposed for the materialized-rollup A11 family)
+    QueryDef(
+      "a11_rollup",
+      (s, dir) => Tables(s, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("revenue")),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             |  COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+        .stripMargin)),
+
     // ---- V9: extraction gap analysis (missing days vs calendar range)
     QueryDef(
       "v9_gap_analysis",

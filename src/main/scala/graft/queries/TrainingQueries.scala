@@ -308,6 +308,82 @@ object TrainingQueries {
               |  COUNT(CASE WHEN j > 0 THEN 1 END) AS n_overlapping,
               |  MAX(j) AS max_j FROM p""".stripMargin)),
 
+    // ---- embedding-cosine near-dup: pairs above threshold -> keep-min-id
+    // dedup decision (the embedding flavor of the dedup family). The
+    // probe window keeps the pair count bounded; at scale the LSH
+    // buckets (t11) pre-filter candidates before this exact check.
+    QueryDef(
+      "t14_embedding_neardup",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+          col("nrm").as("n1"))
+        val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+          col("nrm").as("n2"))
+        val pairs = a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            VectorOps.cosine(col("v1"), col("v2"), col("n1"), col("n2"))
+              .as("cos"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          count(when(col("cos") >= 0.9, 1)).as("n_neardup"),
+          count(when(col("cos") >= 0.5, 1)).as("n_similar"),
+          max("cos").as("max_cos"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+              |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+              |  FROM embeddings WHERE vec_id < 300),
+              |p AS (SELECT round(${DuckSql.dot("a.embedding", "b.embedding", Dims)}
+              |        / (a.nrm * b.nrm), 6) AS cos
+              |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              |SELECT COUNT(*) AS n_pairs,
+              |  COUNT(CASE WHEN cos >= 0.9 THEN 1 END) AS n_neardup,
+              |  COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS n_similar,
+              |  MAX(cos) AS max_cos FROM p""".stripMargin)),
+
+    // ---- IVF-style ANN (scale path beside LSH): coarse quantizer =
+    // deterministic seed centroids (first nlist vectors by id), each
+    // vector assigned to nearest centroid; queries probe only their
+    // cell. Here: cell histogram + per-cell mean distance-to-centroid.
+    QueryDef(
+      "t15_ann_ivf_cells",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"),
+            VectorOps.asDouble(col("embedding")).as("cv"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("dist2",
+            VectorOps.norm2(zip_with(col("v"), col("cv"), (x, y) => x - y)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("dist2").asc, col("cent_id").asc)))
+          .filter(col("rn") === 1)
+        assigned.groupBy("cent_id")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(sum(col("dist2").cast("decimal(18,6)")).cast("double"), 4)
+              .as("sum_dist2"))
+      },
+      Some {
+        val diff = (1 to Dims).map(i =>
+          "(CAST(e.embedding[" + i + "] AS DOUBLE) - CAST(c.embedding[" +
+            i + "] AS DOUBLE))").map(d => s"$d * $d")
+          .mkString("(", " + ", ")")
+        s"""WITH assigned AS (
+           |  SELECT e.vec_id, c.vec_id AS cent_id, $diff AS dist2,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $diff ASC, c.vec_id ASC) AS rn
+           |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) c)
+           |SELECT cent_id, COUNT(*) AS n_vectors,
+           |  ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(18,6))) AS DOUBLE), 4)
+           |    AS sum_dist2
+           |FROM assigned WHERE rn = 1 GROUP BY 1""".stripMargin
+      }),
+
     // ---- embedding stats per label (centroid-norm shape; decimal-exact sum)
     QueryDef(
       "t13_embedding_stats",
