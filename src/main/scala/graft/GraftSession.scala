@@ -8,8 +8,18 @@ import org.apache.spark.sql.SparkSession
   * local-sized shuffle partitioning.
   */
 object GraftSession {
+  // Catalog tables (bucketing) need a warehouse + embedded metastore;
+  // isolate both per-JVM so parallel test JVMs never share Derby locks.
+  private lazy val warehouse: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warehouse").toString
+    System.setProperty("derby.system.home", dir)
+    dir
+  }
+
   def builder(cores: Int = 4): SparkSession.Builder =
     SparkSession.builder()
+      .config("spark.sql.warehouse.dir", warehouse)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** Skew-salting correctness + bucketed co-located join (shuffle-free,
+  * asserted on the physical plan). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: identical results to plain join under heavy skew") {
+    // 10k rows of hot key 1, a few of others
+    val fact = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      Seq((2L, -1L), (3L, -2L))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (3L, "cold"), (4L, "unused"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Scale.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedSumCount equals direct aggregate") {
+    val df = ((1 to 5000).map(_ => ("hot", 2.0)) ++
+      Seq(("cold", 1.5))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val salted = Scale.saltedSumCount(df, Seq("k"), "v", 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(salted == direct)
+  }
+
+  test("bucketed join runs with zero shuffle exchanges") {
+    val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 2000L).map(i => (i, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "bkt_a", "k", 8)
+    Scale.writeBucketed(b, "bkt_b", "k", 8)
+    // force SMJ (no broadcast) so the exchange-free property is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 2000)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
