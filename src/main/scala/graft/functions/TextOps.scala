@@ -36,9 +36,17 @@ object TextOps {
     * (measured 3× slowdown on the shingle stage). */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
-      array_distinct(transform(
+      array_distinct(shingles3Raw(toks)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Positional (non-distinct) 3-gram shingles. MinHash only needs
+    * these: min over a multiset equals min over its set, so skipping
+    * the distinct saves the dedup pass on the signature path. */
+  def shingles3Raw(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(
         sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))))
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
   /** MinHash via affine permutations over ONE base hash per shingle:

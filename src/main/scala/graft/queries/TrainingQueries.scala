@@ -53,7 +53,11 @@ object TrainingQueries {
     * vs 7.97s (explode + 12 min aggregates) on sf0.1. Row-local, no
     * wide arrays cross any shuffle; bands derive by one explode. */
   private def minhashBandsDf(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleDf(s, dir)
+    // raw (non-distinct) shingles: min is duplicate-invariant, so the
+    // signature skips the array_distinct pass entirely
+    val hs = spread(s, docs(s, dir))
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.shingles3Raw(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), x => TextOps.tokenHash32(x)))
     val sig = hs.withColumn("mins",
