@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance (SURVEY.md §4): the parquet analog of the
+  * reference's VACUUM/REINDEX and of Delta OPTIMIZE/Z-ORDER —
+  * small-file compaction plus optional clustering sort so parquet
+  * min/max stats actually skip row groups on the clustered keys.
+  */
+object Maintenance {
+
+  /** Rewrite a table into ~`targetFiles` files, optionally sorted by
+    * clustering keys (Z-ORDER-lite: linear clustering gives the same
+    * row-group skipping benefit on the leading key). Atomic via the
+    * same tmp-swap as MergeOps writes. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+      clusterBy: Seq[String] = Nil): Unit = {
+    val df0 = spark.read.parquet(path)
+    val df =
+      if (clusterBy.isEmpty) df0.repartition(targetFiles)
+      else df0.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val tmp = path + "__tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  /** Remove orphaned `__tmp` directories left by an interrupted
+    * upsert/compact (the VACUUM half). Returns removed paths. */
+  def vacuumTmp(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val dirs = scala.collection.mutable.Set[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val parts = f.getPath.toString.split("/")
+      parts.zipWithIndex.collect {
+        case (seg, i) if seg.endsWith("__tmp") =>
+          parts.take(i + 1).mkString("/")
+      }.foreach(dirs += _)
+    }
+    dirs.toSeq.sorted.map { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      d
+    }
+  }
+
+  /** File-count + size stats for a table (the health-check side). */
+  def tableStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0L
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1
+        bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+}

@@ -551,6 +551,39 @@ object RelationalQueries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |ORDER BY r_name ASC, n_name DESC""".stripMargin)),
 
+    // ---- W2: lag-window sessionization (gap > 1h starts a session) —
+    // window-family depth beyond row_number; total order via (µs ts, id)
+    QueryDef(
+      "w2_lag_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600,
+              1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL
+             |           OR date_diff('second', prev_ts, date_trunc('microseconds', ts)) > 3600
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT user_id, ts, lag(date_trunc('microseconds', ts)) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+             |      AS prev_ts
+             |    FROM events)
+             |) GROUP BY 1""".stripMargin)),
+
     // ---- grouping sets: ROLLUP totals (free in Spark per SURVEY §2.7,
     // exposed for the materialized-rollup A11 family)
     QueryDef(
