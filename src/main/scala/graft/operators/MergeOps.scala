@@ -64,20 +64,30 @@ object MergeOps {
         overwrite(spark,
           Dedup.keepLatest(source, keys, Seq(col(versionCol))), path)
       case Some(target) =>
-        val cols = target.columns.toSeq
-        val src = source.select(cols.map(col): _*)
+        // Schema evolution, two-sided and wedge-free (case-insensitive
+        // name matching like Spark's resolver):
+        //  - source-only columns widen the table (NULL for old rows) —
+        //    silently dropping them would lose data on every merge;
+        //  - target-only columns are auto-preserved: updated rows keep
+        //    their existing value (a transient extra column in one batch
+        //    must not null-out history or wedge later normal batches).
+        val srcNames = source.columns.map(_.toLowerCase).toSet
+        val missing = target.columns.toSeq
+          .filterNot(c => srcNames.contains(c.toLowerCase))
         val merged = Dedup.keepLatest(
-          src.withColumn("__is_new", lit(1))
-            .unionByName(target.withColumn("__is_new", lit(0))),
+          source.withColumn("__is_new", lit(1))
+            .unionByName(target.withColumn("__is_new", lit(0)),
+              allowMissingColumns = true),
           keys, Seq(col(versionCol), col("__is_new")))
+        val preserve = (preserveOnUpdate ++ missing).distinct
         val restored =
-          if (preserveOnUpdate.isEmpty) merged.drop("__is_new")
+          if (preserve.isEmpty) merged.drop("__is_new")
           else {
             // keep target's value for preserved columns when the key existed
             val old = target.select(
-              (keys.map(col) ++ preserveOnUpdate.map(c =>
+              (keys.map(col) ++ preserve.map(c =>
                 col(c).as(s"__old_$c"))): _*)
-            preserveOnUpdate.foldLeft(
+            preserve.foldLeft(
               merged.drop("__is_new").join(old, keys, "left")) { (acc, c) =>
                 acc.withColumn(c, coalesce(col(s"__old_$c"), col(c)))
                   .drop(s"__old_$c")

@@ -69,6 +69,34 @@ class MergeDedupSpec extends SparkSpec {
     assert(spark.read.parquet(path).collect()(0).getString(1) == "new")
   }
 
+  test("upsert schema evolution: new source column widens target with nulls") {
+    val path = tmpDir("evolve") + "/t"
+    def base(id: Long, p: String, at: String) =
+      Seq((id, p)).toDF("id", "payload")
+        .withColumn("_updated_at", to_timestamp(lit(at)))
+    MergeOps.upsert(spark, base(1, "a", "2026-01-01T00:00:00Z"), path,
+      Seq("id"), "_updated_at")
+    // next batch carries a new column
+    val grown = base(2, "b", "2026-01-02T00:00:00Z")
+      .withColumn("new_field", lit("fresh"))
+    MergeOps.upsert(spark, grown, path, Seq("id"), "_updated_at")
+    val got = spark.read.parquet(path).orderBy("id").collect()
+    assert(got.map(r => Option(r.getAs[String]("new_field"))).toSeq ==
+      Seq(None, Some("fresh")))
+    // a batch MISSING target columns must not null-out history: the
+    // update to id=2 keeps its payload, id=3 inserts with null payload
+    val narrow = Seq((2L, "2026-01-03T00:00:00Z"), (3L, "2026-01-03T00:00:00Z"))
+      .toDF("id", "at")
+      .withColumn("_updated_at", to_timestamp(col("at"))).drop("at")
+      .withColumn("new_field", lit("narrow"))
+    MergeOps.upsert(spark, narrow, path, Seq("id"), "_updated_at")
+    val after = spark.read.parquet(path).orderBy("id").collect()
+    assert(after.length == 3)
+    assert(after.map(r => Option(r.getAs[String]("payload"))).toSeq ==
+      Seq(Some("a"), Some("b"), None)) // id=2 history preserved
+    assert(after(1).getAs[String]("new_field") == "narrow") // update applied
+  }
+
   test("insertIgnore: existing keys untouched, new keys added") {
     val path = tmpDir("ignore") + "/t"
     MergeOps.insertIgnore(spark,
