@@ -70,33 +70,57 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       runId, loadedAt)
   }
 
-  /** Silver→gold for the whole EVO star. `fullRefresh` mirrors the
-    * reference's TRUNCATE+INSERT fast path (K9). */
-  def transformEvo(fullRefresh: Boolean = false): Unit = {
+  /** Silver→gold for the whole EVO star.
+    *
+    * Modes (SURVEY.md §2 K7/K9/K10 + incremental contract §2.9):
+    *  - default: derive from FULL silver, keyed upsert — correct
+    *    always, cost ∝ table size;
+    *  - `fullRefresh`: TRUNCATE+INSERT fast path when most rows changed;
+    *  - `onlyRun = Some(r)`: incremental — transform only the silver
+    *    rows last written by run `r` and upsert that delta. This is the
+    *    daily mode at 100TB: cost ∝ delta, not ∝ 110M-row history.
+    *    Entries switch from year-partition replace to keyed upsert here
+    *    (replacing a year with only the delta's rows would drop the
+    *    rest of the year). */
+  def transformEvo(fullRefresh: Boolean = false,
+      onlyRun: Option[String] = None): Unit = {
+    require(!(fullRefresh && onlyRun.nonEmpty),
+      "fullRefresh and onlyRun are mutually exclusive")
+    def slice(df: DataFrame): DataFrame =
+      onlyRun.map(r => df.filter(col("run_id") === r)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
       if (fullRefresh) MergeOps.fullRefresh(spark, df, goldPath(table))
       else MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
 
-    withSilver("evo", "members") { members =>
+    withSilver("evo", "members") { members0 =>
+      val members = slice(members0)
       write(Evo.members(members), "evo_members", Seq("member_id"))
       write(Evo.memberMemberships(members), "evo_member_memberships",
         Seq("membership_id"))
       write(Evo.memberContacts(members), "evo_member_contacts",
         Seq("phone_id", "member_id"))
     }
-    withSilver("evo", "sales") { sales =>
+    withSilver("evo", "sales") { sales0 =>
+      val sales = slice(sales0)
       write(Evo.sales(sales), "evo_sales", Seq("sale_id"))
       write(Evo.saleItems(sales), "evo_sale_items", Seq("sale_item_id"))
       write(Evo.receivables(sales), "evo_receivables", Seq("receivable_id"))
     }
-    withSilver("evo", "prospects") { prospects =>
-      write(Evo.prospects(prospects), "evo_prospects", Seq("prospect_id"))
+    withSilver("evo", "prospects") { prospects0 =>
+      write(Evo.prospects(slice(prospects0)), "evo_prospects",
+        Seq("prospect_id"))
     }
-    // entries: year-partition replace (K10) — only touched years rewrite
     withSilver("evo", "entries") { entries =>
-      MergeOps.replacePartitions(spark, Evo.entries(entries),
-        goldPath("evo_entries"), "entry_year")
+      if (onlyRun.isEmpty)
+        // full: year-partition replace (K10) — touched years rewrite
+        MergeOps.replacePartitions(spark, Evo.entries(entries),
+          goldPath("evo_entries"), "entry_year")
+      else
+        // incremental: keyed upsert of the delta only
+        MergeOps.upsert(spark, Evo.entries(slice(entries)),
+          goldPath("evo_entries"), Seq("entry_id"), "_updated_at",
+          preserveOnUpdate = Seq("_loaded_at"))
     }
   }
 

@@ -203,5 +203,19 @@ class EvoPipelineSpec extends SparkSpec {
     pipe.transformEvo()
     assert(pipe.gold("evo_members").count() == 3)
     assert(pipe.gold("evo_member_memberships").count() == 1)
+
+    // incremental transform: r3 adds one member + one entry; onlyRun
+    // processes just that delta yet gold stays complete
+    writeBronze("evo", "members", "r3", Seq(
+      """{"idMember": 104, "firstName": "Novo", "idBranch": 5}"""))
+    writeBronze("evo", "entries", "r3", Seq(
+      entry("2025-06-01T09:00:00Z", 104, "Turnstile-03")))
+    pipe.loadEvoSilver("members", "idMember", "r3", ts("2026-01-03T00:00:00Z"))
+    pipe.loadEvoEntriesSilver("r3", ts("2026-01-03T00:00:00Z"))
+    pipe.transformEvo(onlyRun = Some("r3"))
+    assert(pipe.gold("evo_members").count() == 4)
+    assert(pipe.gold("evo_entries").count() == 4) // old entries survive
+    assert(pipe.gold("evo_members").filter(col("member_id") === 101)
+      .collect()(0).getAs[String]("status") == "Inactive") // untouched by r3
   }
 }
