@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
 object Pipedrive {
 
   /** D1: latest version per (scope, id); ordering made total with the
-    * lineage columns so replays can't flap between equal timestamps. */
+    * lineage columns so replays can't flap between equal timestamps.
+    *
+    * Ordering is LOAD time (loaded_at), exactly the reference's policy
+    * (normalize_pipedrive.py:122-133): a late-replayed stale blob wins,
+    * and the protection against that is the extractor's watermark
+    * ordering, not the dedup. An event-time policy would order by
+    * payload update_time instead — deliberate deviation point. */
   def dedupLatest(silver: DataFrame): DataFrame =
     Dedup.keepLatest(
       silver.withColumn("id",

@@ -135,50 +135,78 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       scoped = bronze.columns.contains("scope"))
   }
 
-  /** Dimension-before-fact ordering per the reference's normalize_all. */
-  def transformPipedrive(): Unit = {
+  /** Incremental slice for versioned silver: keep ALL versions of the
+    * business ids touched by `run` (keep-latest needs the full history
+    * of a touched id, but untouched ids can be skipped entirely — the
+    * D1 window then runs over the delta's ids, not every version ever
+    * loaded). */
+  private def touchedIds(silver: DataFrame, run: String,
+      scoped: Boolean): DataFrame = {
+    val keyed = silver.withColumn("__bid",
+      get_json_object(col("raw_data"), "$.id"))
+    val keys = (if (scoped) Seq("scope") else Nil) :+ "__bid"
+    val ids = keyed.filter(col("run_id") === run)
+      .select(keys.map(col): _*).distinct()
+    keyed.join(ids, keys, "left_semi").drop("__bid")
+  }
+
+  /** Dimension-before-fact ordering per the reference's normalize_all.
+    * `onlyRun`: re-dedup and upsert only ids touched by that run. */
+  def transformPipedrive(onlyRun: Option[String] = None): Unit = {
+    def slice(df: DataFrame): DataFrame =
+      onlyRun.map(r => touchedIds(df, r, scoped = true)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
       MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
     withSilver("pipedrive", "pipelines")(df =>
-      write(Pipedrive.pipelines(df), "pd_pipelines",
+      write(Pipedrive.pipelines(slice(df)), "pd_pipelines",
         Seq("pipeline_id", "scope")))
     withSilver("pipedrive", "stages")(df =>
-      write(Pipedrive.stages(df), "pd_stages", Seq("stage_id", "scope")))
+      write(Pipedrive.stages(slice(df)), "pd_stages",
+        Seq("stage_id", "scope")))
     withSilver("pipedrive", "users")(df =>
-      write(Pipedrive.users(df), "pd_users", Seq("user_id", "scope")))
+      write(Pipedrive.users(slice(df)), "pd_users", Seq("user_id", "scope")))
     withSilver("pipedrive", "organizations")(df =>
-      write(Pipedrive.organizations(df), "pd_organizations",
+      write(Pipedrive.organizations(slice(df)), "pd_organizations",
         Seq("org_id", "scope")))
     withSilver("pipedrive", "persons")(df =>
-      write(Pipedrive.persons(df), "pd_persons", Seq("person_id", "scope")))
+      write(Pipedrive.persons(slice(df)), "pd_persons",
+        Seq("person_id", "scope")))
     withSilver("pipedrive", "deals")(df =>
-      write(Pipedrive.deals(df), "pd_deals", Seq("deal_id", "scope")))
+      write(Pipedrive.deals(slice(df)), "pd_deals", Seq("deal_id", "scope")))
     withSilver("pipedrive", "activities")(df =>
-      write(Pipedrive.activities(df), "pd_activities",
+      write(Pipedrive.activities(slice(df)), "pd_activities",
         Seq("activity_id", "scope")))
   }
 
-  def transformZendesk(): Unit = {
+  def transformZendesk(onlyRun: Option[String] = None): Unit = {
+    def slice(df: DataFrame): DataFrame =
+      onlyRun.map(r => touchedIds(df, r, scoped = false)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
       MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
     withSilver("zendesk", "organizations")(df =>
-      write(Zendesk.organizations(df), "zd_organizations", Seq("org_id")))
+      write(Zendesk.organizations(slice(df)), "zd_organizations",
+        Seq("org_id")))
     withSilver("zendesk", "users")(df =>
-      write(Zendesk.users(df), "zd_users", Seq("user_id")))
+      write(Zendesk.users(slice(df)), "zd_users", Seq("user_id")))
     withSilver("zendesk", "groups")(df =>
-      write(Zendesk.groups(df), "zd_groups", Seq("group_id")))
+      write(Zendesk.groups(slice(df)), "zd_groups", Seq("group_id")))
     withSilver("zendesk", "ticket_fields")(df =>
-      write(Zendesk.ticketFields(df), "zd_ticket_fields", Seq("field_id")))
+      write(Zendesk.ticketFields(slice(df)), "zd_ticket_fields",
+        Seq("field_id")))
     withSilver("zendesk", "ticket_forms")(df =>
-      write(Zendesk.ticketForms(df), "zd_ticket_forms", Seq("form_id")))
-    withSilver("zendesk", "tickets") { tickets =>
+      write(Zendesk.ticketForms(slice(df)), "zd_ticket_forms",
+        Seq("form_id")))
+    withSilver("zendesk", "tickets") { tickets0 =>
+      val tickets = slice(tickets0)
       write(Zendesk.tickets(tickets), "zd_tickets", Seq("ticket_id"))
       // bridges: insert-ignore for tags (K8), keep-latest for custom fields
       MergeOps.insertIgnore(spark, Zendesk.ticketTags(tickets),
         goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
-      MergeOps.fullRefresh(spark, Zendesk.ticketCustomFields(tickets),
+      // custom-fields bridge: full-refresh needs the whole history (D5
+      // keep-latest per field), so incremental runs keep it full
+      MergeOps.fullRefresh(spark, Zendesk.ticketCustomFields(tickets0),
         goldPath("zd_ticket_custom_fields"))
     }
   }

@@ -130,6 +130,22 @@ class PipedriveZendeskSpec extends SparkSpec {
 
     // audit: no duplicate gold keys
     assert(Audit.duplicateKeys(deals, Seq("deal_id", "scope")).isEmpty)
+
+    // incremental (onlyRun): r3 updates deal 777 only; untouched deals
+    // keep their state, D1 still sees 777's full version history
+    writeBronze("pipedrive", "deals", "r3", "2026-01-03", Seq(
+      deal(777, "Expansao Deal v2", "lost", "2026-01-03T00:00:00Z")),
+      Some("comercial"))
+    pipe.loadVersionedSilver("pipedrive", "deals", "r3",
+      ts("2026-01-03T10:00:00Z"))
+    pipe.transformPipedrive(onlyRun = Some("r3"))
+    val after = pipe.gold("pd_deals")
+    assert(after.count() == 3)
+    assert(after.filter(col("deal_id") === 777).collect()(0)
+      .getAs[String]("title") == "Expansao Deal v2")
+    assert(after.filter(col("deal_id") === 12345 &&
+      col("scope") === "comercial").collect()(0)
+      .getAs[String]("title") == "New Title") // untouched by r3
   }
 
   test("zendesk: tickets, tags DISTINCT, custom-field keep-latest") {
