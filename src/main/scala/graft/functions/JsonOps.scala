@@ -40,14 +40,14 @@ object JsonOps {
     * custom_fields dict-comprehension (normalize_pipedrive.py:707-739).
     * Input is the raw JSON text column (kept in silver precisely so no
     * field is ever lost); output is compact JSON text or NULL when
-    * nothing remains. */
-  def residualJson(rawJson: Column, standard: Seq[String]): Column = {
-    val m = parse(rawJson, "map<string,string>")
-    val res = map_filter(m, (k, _) =>
-      !k.isin(standard.map(s => s: Any): _*))
-    when(res.isNotNull && size(map_keys(res)) > 0, to_json(res))
-      .otherwise(lit(null).cast("string"))
-  }
+    * nothing remains. Native expression so nested values stay real
+    * JSON (a map<string,string> round-trip would escape them into
+    * strings and break $.field.sub path access downstream). */
+  def residualJson(rawJson: Column, standard: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.JsonResidual(
+        org.apache.spark.sql.GraftColumnBridge.expression(rawJson),
+        standard))
 
   /** Array guard: value if it is an array, else empty array — the
     * jsonb_typeof(...)='array' CASE (normalize_evo_members.py:281-288).

@@ -22,6 +22,16 @@ object Keys {
   def pipeKey(fields: Column*): Column =
     concat_ws("|", fields.map(f => coalesce(f.cast("string"), lit(""))): _*)
 
+  /** Python-falsy normalization for NUMERIC key fields: the reference
+    * builds keys with `str(rec.get(f) or "")`, so 0 (and false) map to
+    * "" exactly like None — required for bit-exact id parity on
+    * zero-valued ids. String fields keep "0" (truthy in Python). */
+  def pyFalsyNum(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull || s === "" || s === "0" || s === "false", lit(null))
+      .otherwise(s)
+  }
+
   /** int(md5(key)[:15], 16) % 10^15 as LongType — built-in composition
     * (md5+conv+pmod); kept as the cross-checkable baseline for the
     * native expression. */
@@ -31,12 +41,16 @@ object Keys {
 
   /** The EVO entries surrogate id over its 7 natural-key fields (uses
     * the native expression — ~20% faster on the 110M-row path, proven
-    * bit-equal to the composed form in ExpressionAndPropertySpec). */
+    * bit-equal to the composed form in ExpressionAndPropertySpec).
+    * Numeric id fields go through pyFalsyNum: the reference's
+    * `str(rec.get(f) or "")` maps 0 to "", and parity must hold for
+    * zero-valued ids too. */
   def entryId(date: Column, idMember: Column, idProspect: Column,
       idEmployee: Column, idBranch: Column, device: Column,
       entryAction: Column): Column =
-    md5Key15Native(pipeKey(date, idMember, idProspect, idEmployee, idBranch,
-      device, entryAction))
+    md5Key15Native(pipeKey(date,
+      pyFalsyNum(idMember), pyFalsyNum(idProspect), pyFalsyNum(idEmployee),
+      pyFalsyNum(idBranch), device, entryAction))
 
   /** Native-Expression variant (graft.expressions.Md5Key15): same
     * bit-exact result as md5Key15, digesting straight to long without

@@ -52,12 +52,22 @@ object TextOps {
   /** MinHash via affine permutations over ONE base hash per shingle:
     * h_k(x) = (A_k * h32(x) + B_k) mod P. One md5 per shingle total
     * (not one per permutation) — at 100 TB the md5 is the dominant
-    * cost, so k permutations must not mean k hashes. Constants keep
-    * A*h < 2^62 (h is 32-bit, A < 2^30): no overflow, and `%` on
-    * nonnegative operands matches any engine's semantics. */
+    * cost, so k permutations must not mean k hashes.
+    *
+    * Overflow bound: h < 2^32 and A_k < 2^30 for every k in [0, 64)
+    * (A(63) = 1,040,875,571 < 2^30 = 1,073,741,824), so A*h < 2^62 and
+    * A*h + B < 2^63 — no signed-long wrap, and `%` on nonnegative
+    * operands matches any engine's semantics. k >= 64 is rejected. */
   val MinhashP = 4294967311L // prime > 2^32
-  def minhashA(k: Int): Long = 1099087573L + 2L * k * 12345701L
-  def minhashB(k: Int): Long = 3L + k * 982451653L
+  val MinhashMaxK = 64
+  def minhashA(k: Int): Long = {
+    require(k >= 0 && k < MinhashMaxK, s"minhash permutation k=$k out of range")
+    536870909L + 2L * k * 4000037L // odd, < 2^30 for all k < 64
+  }
+  def minhashB(k: Int): Long = {
+    require(k >= 0 && k < MinhashMaxK, s"minhash permutation k=$k out of range")
+    3L + k * 982451653L
+  }
 
   /** Min over pre-hashed shingles of the k-th affine permutation. */
   def affineMin(hashes: Column, k: Int): Column =

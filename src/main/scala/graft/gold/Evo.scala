@@ -43,8 +43,12 @@ object Evo {
       "conversionDate STRING, lastAccessDate STRING, updateDate STRING, " +
       "gympassId STRING, codeTotalpass STRING, personalTrainer STRING, " +
       "idEmployeeConsultant STRING, nameEmployeeConsultant STRING, " +
+      "idEmployeeInstructor STRING, nameEmployeeInstructor STRING, " +
+      "idEmployeePersonalTrainer STRING, nameEmployeePersonalTrainer STRING, " +
+      "memberMigrationId STRING, idMemberMigration STRING, " +
       "employeeConsultant STRUCT<idEmployee: STRING, name: STRING>, " +
       "employeeInstructor STRUCT<idEmployee: STRING, name: STRING>, " +
+      "employeePersonal STRUCT<idEmployee: STRING, name: STRING>, " +
       s"contacts $contactsT, memberships $membershipsT"
 
   private def audit(df: DataFrame): Seq[Column] = Seq(
@@ -94,8 +98,22 @@ object Evo {
         .as("consultant_id"),
       coalesce(SC.safeText(col("p.nameEmployeeConsultant")),
         SC.safeText(col("p.employeeConsultant.name"))).as("consultant_name"),
-      SC.safeLong(col("p.employeeInstructor.idEmployee")).as("instructor_id"),
-      SC.safeText(col("p.employeeInstructor.name")).as("instructor_name"),
+      // instructor/personal drift is symmetric with the consultant:
+      // scalar v1 field OR nested object (normalize_evo_members_v2:179-182)
+      coalesce(SC.safeLong(col("p.idEmployeeInstructor")),
+        SC.safeLong(col("p.employeeInstructor.idEmployee")))
+        .as("instructor_id"),
+      coalesce(SC.safeText(col("p.nameEmployeeInstructor")),
+        SC.safeText(col("p.employeeInstructor.name"))).as("instructor_name"),
+      coalesce(SC.safeLong(col("p.idEmployeePersonalTrainer")),
+        SC.safeLong(col("p.employeePersonal.idEmployee")))
+        .as("personal_trainer_id"),
+      coalesce(SC.safeText(col("p.nameEmployeePersonalTrainer")),
+        SC.safeText(col("p.employeePersonal.name")))
+        .as("personal_trainer_name"),
+      // migration id drift + TEXT verbatim (not numeric-cast)
+      coalesce(SC.safeText(col("p.memberMigrationId")),
+        SC.safeText(col("p.idMemberMigration"))).as("member_migration_id"),
       // first-match contact selection (P4): email types 3/4, phone 1/2
       JsonOps.firstMatch(col("p.contacts"), "idContactType", Seq(3, 4),
         "description").as("email"),
@@ -203,9 +221,11 @@ object Evo {
         .as("corporate_partnership_id"),
       SC.boolOrFalse(col("p.removed")).as("removed"),
       SC.safeTimestamp(col("p.removalDate")).as("removal_date"),
-      // v1/v2 key drift (SURVEY.md §7.3 hard-point 5)
-      coalesce(SC.safeLong(col("p.saleMigrationId")),
-        SC.safeLong(col("p.idSaleMigration"))).as("sale_migration_id"),
+      // v1/v2 key drift (SURVEY.md §7.3 hard-point 5); TEXT verbatim —
+      // the reference column is TEXT (evo_schemas.sql:211), so
+      // non-numeric migration ids must survive
+      coalesce(SC.safeText(col("p.saleMigrationId")),
+        SC.safeText(col("p.idSaleMigration"))).as("sale_migration_id"),
       SC.safeText(col("p.cartToken")).as("cart_token")) ++ audit(df): _*)
   }
 

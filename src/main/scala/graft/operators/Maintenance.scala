@@ -12,21 +12,18 @@ object Maintenance {
 
   /** Rewrite a table into ~`targetFiles` files, optionally sorted by
     * clustering keys (Z-ORDER-lite: linear clustering gives the same
-    * row-group skipping benefit on the leading key). Atomic via the
-    * same tmp-swap as MergeOps writes. */
+    * row-group skipping benefit on the leading key). `partitionCols`
+    * MUST name the table's hive partition columns when it has them —
+    * compacting a partitioned table flat would strip the layout and
+    * corrupt later partitioned writes. Uses MergeOps' tmp-swap. */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Unit = {
     val df0 = spark.read.parquet(path)
     val df =
       if (clusterBy.isEmpty) df0.repartition(targetFiles)
       else df0.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val tmp = path + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    MergeOps.overwrite(spark, df, path, partitionCols)
   }
 
   /** Remove orphaned `__tmp` directories left by an interrupted

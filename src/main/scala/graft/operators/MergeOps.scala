@@ -37,10 +37,16 @@ object MergeOps {
 
   /** Atomic-ish overwrite: write to `<path>__tmp`, then swap. Plain
     * mode("overwrite") deletes the target before reading finishes when
-    * target feeds source — the tmp swap also guards partial writes. */
-  private def overwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    * target feeds source — the tmp swap also guards partial writes.
+    * `partitionCols` preserves a hive partition layout across the
+    * rewrite (mixing partitioned and flat files under one table root
+    * makes later reads fail with conflicting directory structures). */
+  private[operators] def overwrite(spark: SparkSession, df: DataFrame,
+      path: String, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = path + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
     val (f, target) = fs(spark, path)
     val (_, tmpP) = fs(spark, tmp)
     if (f.exists(target)) f.delete(target, true)
@@ -56,13 +62,15 @@ object MergeOps {
     */
   def upsert(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], versionCol: String,
-      preserveOnUpdate: Seq[String] = Nil): Unit = {
+      preserveOnUpdate: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Unit = {
     readIfExists(spark, path) match {
       case None =>
         // within-batch dedup also on first load: ON CONFLICT processes a
         // batch row-by-row, so duplicate keys in one batch still collapse
         overwrite(spark,
-          Dedup.keepLatest(source, keys, Seq(col(versionCol))), path)
+          Dedup.keepLatest(source, keys, Seq(col(versionCol))), path,
+          partitionCols)
       case Some(target) =>
         // Schema evolution, two-sided and wedge-free (case-insensitive
         // name matching like Spark's resolver):
@@ -93,7 +101,7 @@ object MergeOps {
                   .drop(s"__old_$c")
               }
           }
-        overwrite(spark, restored, path)
+        overwrite(spark, restored, path, partitionCols)
     }
   }
 

@@ -25,6 +25,11 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // right/full outer would emit each unmatched dim row once per salt
+    // replica — only fact-preserving join types are salt-safe
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltedFact = fact.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicatedDim = dim.withColumn("__salt",

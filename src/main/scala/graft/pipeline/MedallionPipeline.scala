@@ -58,15 +58,14 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       get_json_object(col("raw_line"), "$.date").isNotNull)
     SilverLoader.loadReplacing(spark, keyed,
       silverPath("evo", "entries"),
-      Map("entry_key" -> graft.functions.Keys.md5Key15(
-        graft.functions.Keys.pipeKey(
-          get_json_object(col("raw_data"), "$.date"),
-          get_json_object(col("raw_data"), "$.idMember"),
-          get_json_object(col("raw_data"), "$.idProspect"),
-          get_json_object(col("raw_data"), "$.idEmployee"),
-          get_json_object(col("raw_data"), "$.idBranch"),
-          get_json_object(col("raw_data"), "$.device"),
-          get_json_object(col("raw_data"), "$.entryAction")))),
+      Map("entry_key" -> graft.functions.Keys.entryId(
+        get_json_object(col("raw_data"), "$.date"),
+        get_json_object(col("raw_data"), "$.idMember"),
+        get_json_object(col("raw_data"), "$.idProspect"),
+        get_json_object(col("raw_data"), "$.idEmployee"),
+        get_json_object(col("raw_data"), "$.idBranch"),
+        get_json_object(col("raw_data"), "$.device"),
+        get_json_object(col("raw_data"), "$.entryAction"))),
       runId, loadedAt)
   }
 
@@ -117,10 +116,13 @@ class MedallionPipeline(spark: SparkSession, root: String) {
         MergeOps.replacePartitions(spark, Evo.entries(entries),
           goldPath("evo_entries"), "entry_year")
       else
-        // incremental: keyed upsert of the delta only
+        // incremental: keyed upsert of the delta only, keeping the
+        // entry_year partition layout (flat files mixed into a
+        // partitioned root corrupt later reads)
         MergeOps.upsert(spark, Evo.entries(slice(entries)),
           goldPath("evo_entries"), Seq("entry_id"), "_updated_at",
-          preserveOnUpdate = Seq("_loaded_at"))
+          preserveOnUpdate = Seq("_loaded_at"),
+          partitionCols = Seq("entry_year"))
     }
   }
 

@@ -192,16 +192,21 @@ object TrainingQueries {
     QueryDef(
       "t08_minhash_pairs",
       (s, dir) => {
-        // persist: the signature (md5-per-shingle) must compute once, not
-        // once per self-join side — same reason a 100TB pipeline would
-        // materialize the band table before the bucket join.
-        val b = minhashBandsDf(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = b.select(col("doc_id").as("d1"), col("band_id"), col("band_hash"))
-        val c = b.select(col("doc_id").as("d2"), col("band_id"), col("band_hash"))
-        a.join(c, Seq("band_id", "band_hash"))
-          .filter(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+        // bucket-local pair expansion: group docs per (band, hash) and
+        // enumerate pairs inside each bucket — one pass over the
+        // signature, no self-join (which would recompute the
+        // md5-per-shingle signature for both sides or require leaking a
+        // persisted cache). LSH buckets are tiny by design, so the
+        // within-bucket quadratic expansion is bounded.
+        minhashBandsDf(s, dir)
+          .groupBy("band_id", "band_hash")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)), y ->
+              |    struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+          .select(col("p.d1"), col("p.d2")).distinct()
           .agg(count(lit(1)).as("n_candidate_pairs"))
       },
       Some(s"""WITH bands AS ($minhashBandsSql)

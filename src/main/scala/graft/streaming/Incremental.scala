@@ -32,14 +32,21 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // version must be totally ordered: batch id orders across
+        // drains, the per-row sequence breaks ties WITHIN a batch
+        // (current_timestamp alone is one constant per batch, which
+        // would make duplicate keys collapse nondeterministically)
         val keyed = batch
           .withColumn("natural_key", expr(keyExpr))
           .filter(col("natural_key").isNotNull)
           .withColumn("_loaded_at", current_timestamp())
           .withColumn("_updated_at", current_timestamp())
           .withColumn("_batch_id", lit(batchId))
+          .withColumn("_version", concat(
+            lpad(lit(batchId).cast("string"), 12, "0"),
+            lpad(monotonically_increasing_id().cast("string"), 20, "0")))
         MergeOps.upsert(batch.sparkSession, keyed, silverPath,
-          Seq("natural_key"), "_updated_at",
+          Seq("natural_key"), "_version",
           preserveOnUpdate = Seq("_loaded_at"))
       }
       .start()

@@ -153,7 +153,8 @@ class EvoPipelineSpec extends SparkSpec {
     assert(recv.getAs[Long]("status_id") == 2L) // nested access (P3)
     assert(recv.getAs[String]("payment_type") == "Credit Card")
     val sales = pipe.gold("evo_sales").collect()(0)
-    assert(sales.getAs[Long]("sale_migration_id") == 555L) // v1 drift key
+    // v1 drift key, TEXT verbatim (reference column is TEXT)
+    assert(sales.getAs[String]("sale_migration_id") == "555")
     assert(sales.getAs[Long]("employee_id") == 7L)
 
     val entries = pipe.gold("evo_entries")

@@ -68,6 +68,21 @@ class FunctionsSpec extends SparkSpec {
       == "|a|")
   }
 
+  test("entryId: Python-falsy zero ids hash like the reference") {
+    // reference builds str(rec.get(f) or ""), so idMember=0 -> ""
+    val df = Seq((0L, 3L), (5L, 3L)).toDF("m", "b")
+      .select(Keys.entryId(lit("2024-03-05T07:45:00Z"), col("m"),
+        lit(null), lit(null), col("b"), lit("T1"), lit("Entry")).as("k"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(887889173675017L, 775547862308988L)) // Python-computed
+  }
+
+  test("minhash constants stay below the overflow bound for all k < 64") {
+    for (k <- 0 until TextOps.MinhashMaxK)
+      assert(TextOps.minhashA(k) < (1L << 30) && TextOps.minhashA(k) % 2 == 1)
+    intercept[IllegalArgumentException](TextOps.minhashA(64))
+  }
+
   // ---- JsonOps (P4/P5/P6/P8)
 
   test("firstMatch picks first contact of requested types") {
@@ -98,14 +113,20 @@ class FunctionsSpec extends SparkSpec {
       Seq(Some("y@a"), Some("first@a"), None, None))
   }
 
-  test("residualJson drops standard keys, null when nothing left") {
+  test("residualJson drops standard keys, keeps nested values as JSON") {
     val df = Seq("""{"id":1,"name":"x","customField_abc":"website"}""",
-      """{"id":2,"name":"y"}""")
+      """{"id":2,"name":"y"}""",
+      """{"id":3,"cf":{"value":500,"currency":"BRL"},"tags":[1,2]}""",
+      "not-json")
       .toDF("raw")
       .select(JsonOps.residualJson(col("raw"), Seq("id", "name")).as("cf"))
     val got = df.collect().map(r => Option(r.getString(0))).toSeq
     assert(got(0).contains("""{"customField_abc":"website"}"""))
     assert(got(1).isEmpty)
+    // nested object/array values survive as real JSON (not escaped text)
+    assert(got(2).contains(
+      """{"cf":{"value":500,"currency":"BRL"},"tags":[1,2]}"""))
+    assert(got(3).isEmpty) // malformed input -> NULL, never throws
   }
 
   test("jsonWhen builds JSON only when condition holds") {
