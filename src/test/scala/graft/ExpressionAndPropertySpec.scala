@@ -43,6 +43,43 @@ class ExpressionAndPropertySpec extends SparkSpec {
     assert(sql.getLong(0) == got(0).get.asInstanceOf[Long])
   }
 
+  test("property: D1 gold equals latest-loaded version per (scope, id)") {
+    import graft.gold.Pipedrive
+    val versionGen = Gen.listOfN(40, for {
+      scope <- Gen.oneOf("comercial", "expansao")
+      id <- Gen.choose(1L, 6L)
+      loadedAt <- Gen.choose(1L, 500L)
+      title <- Gen.alphaStr.map(_.take(5))
+    } yield (scope, id, loadedAt, title))
+
+    for (seed <- 1 to 5) {
+      val rows: List[(String, Long, Long, String)] =
+        versionGen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+      locally {
+        val silver = rows.zipWithIndex.map { case ((scope, id, at, t), i) =>
+          (s"""{"id": $id, "title": "$t"}""", scope,
+            f"blob-$at%05d", i, "r1",
+            new java.sql.Timestamp(at * 1000))
+        }.toDF("raw_data", "scope", "source_blob_path", "source_line_no",
+          "run_id", "loaded_at")
+        val got = Pipedrive.dedupLatest(silver)
+          .select(col("scope"), col("id"),
+            get_json_object(col("raw_data"), "$.title").as("title"))
+          .collect().map(r => ((r.getString(0), r.getLong(1)),
+            r.getString(2))).toMap
+        // expected: per key, the version with max (loaded_at, blob, line)
+        val expect = rows.zipWithIndex
+          .groupBy { case ((s, id, _, _), _) => (s, id) }
+          .map { case (k, vs) =>
+            k -> vs.maxBy { case ((_, _, at, _), i) =>
+              (at, f"blob-$at%05d", i)
+            }._1._4
+          }
+        assert(got == expect, s"seed=$seed")
+      }
+    }
+  }
+
   test("property: keepLatest-upsert is idempotent and last-write-wins") {
     val batchGen = Gen.listOfN(30, for {
       id <- Gen.choose(1L, 8L)
