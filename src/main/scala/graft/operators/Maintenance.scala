@@ -18,12 +18,38 @@ object Maintenance {
     * corrupt later partitioned writes. Uses MergeOps' tmp-swap. */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
       clusterBy: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Unit = {
+    // auto-detect a hive layout the caller didn't declare: silently
+    // flattening a partitioned table corrupts the next partitioned write
+    val parts =
+      if (partitionCols.nonEmpty) partitionCols
+      else detectPartitionCols(spark, path)
     val df0 = spark.read.parquet(path)
     val df =
       if (clusterBy.isEmpty) df0.repartition(targetFiles)
       else df0.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    MergeOps.overwrite(spark, df, path, partitionCols)
+    MergeOps.overwrite(spark, df, path, parts)
+  }
+
+  /** Hive partition columns of a table, derived from its `key=value`
+    * directory chain (outermost first); empty for flat tables. */
+  def detectPartitionCols(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val cols = scala.collection.mutable.ListBuffer[String]()
+    var cur = p
+    var continue = true
+    while (continue) {
+      val sub = fs.listStatus(cur).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.contains("="))
+      if (sub.isEmpty) continue = false
+      else {
+        cols += sub.head.split("=")(0)
+        cur = new org.apache.hadoop.fs.Path(cur, sub.head)
+      }
+    }
+    cols.toSeq
   }
 
   /** Remove orphaned `__tmp` directories left by an interrupted

@@ -27,7 +27,8 @@ object Scale {
     require(buckets > 0)
     // right/full outer would emit each unmatched dim row once per salt
     // replica — only fact-preserving join types are salt-safe
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(Set("inner", "left", "leftouter", "semi", "leftsemi",
+      "anti", "leftanti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltedFact = fact.withColumn("__salt",

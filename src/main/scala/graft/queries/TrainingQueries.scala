@@ -206,6 +206,9 @@ object TrainingQueries {
             """flatten(transform(ds, (x, i) ->
               |  transform(slice(ds, i + 2, size(ds)), y ->
               |    struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+          // strict <: duplicate doc_ids in one bucket must not emit a
+          // (d,d) self-pair (the oracle's a.doc_id < b.doc_id excludes it)
+          .filter(col("p.d1") < col("p.d2"))
           .select(col("p.d1"), col("p.d2")).distinct()
           .agg(count(lit(1)).as("n_candidate_pairs"))
       },

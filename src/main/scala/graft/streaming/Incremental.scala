@@ -20,10 +20,16 @@ import org.apache.spark.sql.streaming.Trigger
 object Incremental {
 
   /** Stream bronze JSONL text into a silver parquet table with keyed
-    * upsert per micro-batch. Returns after draining (AvailableNow). */
+    * upsert per micro-batch. Returns after draining (AvailableNow).
+    *
+    * `versionExpr` (optional SQL over `raw_data`) supplies a
+    * content-derived ordering — e.g. an ISO updated_at field, which
+    * sorts lexicographically — so within-batch duplicates resolve by
+    * record recency, not file-listing order. Batch id + row sequence
+    * remain as the final tie-break either way (total order). */
   def bronzeToSilver(spark: SparkSession, bronzeGlob: String,
       silverPath: String, checkpoint: String,
-      keyExpr: String): Unit = {
+      keyExpr: String, versionExpr: Option[String] = None): Unit = {
     val stream = spark.readStream
       .format("text")
       .load(bronzeGlob)
@@ -43,6 +49,9 @@ object Incremental {
           .withColumn("_updated_at", current_timestamp())
           .withColumn("_batch_id", lit(batchId))
           .withColumn("_version", concat(
+            versionExpr.map(e => coalesce(expr(e).cast("string"), lit("")))
+              .getOrElse(lit("")),
+            lit("|"),
             lpad(lit(batchId).cast("string"), 12, "0"),
             lpad(monotonically_increasing_id().cast("string"), 20, "0")))
         MergeOps.upsert(batch.sparkSession, keyed, silverPath,

@@ -40,6 +40,25 @@ class StreamingMultimodalSpec extends SparkSpec {
       .getString(0) == "a2")
   }
 
+  test("bronzeToSilver: content-derived versioning beats file order") {
+    val root = tmpDir("stream-v")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    // the NEWER record (by updated_at) appears FIRST in the file: with
+    // content versioning it must still win over the later line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/part-1.jsonl"),
+      Seq("""{"id": 1, "v": "newer", "updated_at": "2026-02-01T00:00:00Z"}""",
+        """{"id": 1, "v": "older", "updated_at": "2026-01-01T00:00:00Z"}""")
+        .mkString("\n").getBytes)
+    Incremental.bronzeToSilver(spark, bronzeDir, s"$root/silver",
+      s"$root/ckpt", "CAST(get_json_object(raw_data, '$.id') AS LONG)",
+      versionExpr = Some("get_json_object(raw_data, '$.updated_at')"))
+    val got = spark.read.parquet(s"$root/silver").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("raw_data").contains("\"newer\""))
+  }
+
   test("dailyRollup: watermarked tumbling window over event-time") {
     val events = Seq(
       ("2026-01-01T10:00:00Z", 3L), ("2026-01-01T23:59:00Z", 3L),
