@@ -56,6 +56,29 @@ object Scale {
         sum(col("__pcnt")).as("n"))
   }
 
+  /** Bounded-candidate range join: left row pairs with right rows of
+    * the same keys whose timestamp lies in [leftTs, leftTs+tolerance].
+    * Instead of the quadratic theta-join, both sides bucket by
+    * floor(ts / tolerance) and the right side replicates into its own
+    * and the previous bucket — every qualifying pair shares a bucket,
+    * so the equi-join machinery (hash/SMJ, AQE, skew splitting) does
+    * the work and candidates per row stay O(rows per 2 buckets).
+    * Timestamp columns must be pre-renamed to avoid collisions. */
+  def boundedRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftMicros: String, rightMicros: String,
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros > 0)
+    val l = left.withColumn("__b",
+      floor(col(leftMicros) / toleranceMicros))
+    val r = right.withColumn("__b", explode(array(
+      floor(col(rightMicros) / toleranceMicros),
+      floor(col(rightMicros) / toleranceMicros) - 1)))
+    l.join(r, keys :+ "__b")
+      .filter(col(rightMicros) >= col(leftMicros) &&
+        col(rightMicros) - col(leftMicros) <= toleranceMicros)
+      .drop("__b")
+  }
+
   /** Write a table bucketed (and sorted) by the join key so repeated
     * joins/aggregations on that key run shuffle-free — Spark's analog
     * of the reference's B-tree-indexed FK columns. Requires a catalog

@@ -551,6 +551,38 @@ object RelationalQueries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |ORDER BY r_name ASC, n_name DESC""".stripMargin)),
 
+    // ---- J7: range join via bucketed bounded candidates (the scalable
+    // interval-join pattern; the oracle is the NAIVE theta-join, so the
+    // hash compare proves the bucketing enumerates exactly the same
+    // pairs). Pairs of same-user events within 1 hour.
+    QueryDef(
+      "j7_range_join_bucketed",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+        val a = e.select(col("user_id"), col("event_id").as("e1"),
+          col("us").as("us1"))
+        val b = e.select(col("user_id"), col("event_id").as("e2"),
+          col("us").as("us2"))
+        graft.operators.Scale.boundedRangeJoin(a, b, Seq("user_id"),
+          "us1", "us2", 3600000000L)
+          .filter(col("us2") > col("us1") ||
+            (col("us2") === col("us1") && col("e2") > col("e1")))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("user_id").as("n_users"),
+            max(col("us2") - col("us1")).as("max_gap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_us(date_trunc('microseconds', ts)) AS us FROM events)
+             |SELECT COUNT(*) AS n_pairs,
+             |  COUNT(DISTINCT a.user_id) AS n_users,
+             |  MAX(b.us - a.us) AS max_gap_us
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             | AND b.us - a.us <= 3600000000
+             | AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))"""
+        .stripMargin)),
+
     // ---- W2: lag-window sessionization (gap > 1h starts a session) —
     // window-family depth beyond row_number; total order via (µs ts, id)
     QueryDef(

@@ -37,6 +37,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("boundedRangeJoin enumerates exactly the naive theta-join pairs") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i.toLong % 5, i.toLong, rng.nextInt(100000).toLong))
+    val e = rows.toDF("k", "id", "us")
+    val a = e.select(col("k"), col("id").as("i1"), col("us").as("u1"))
+    val b = e.select(col("k"), col("id").as("i2"), col("us").as("u2"))
+    val tol = 7000L
+    val naive = a.join(b, Seq("k"))
+      .filter(col("u2") >= col("u1") && col("u2") - col("u1") <= tol)
+      .select("k", "i1", "i2").collect().map(_.toString).sorted.toSeq
+    val bucketed = Scale.boundedRangeJoin(a, b, Seq("k"), "u1", "u2", tol)
+      .select("k", "i1", "i2").collect().map(_.toString).sorted.toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("bucketed join runs with zero shuffle exchanges") {
     val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 2000L).map(i => (i, s"b$i")).toDF("k", "vb")
