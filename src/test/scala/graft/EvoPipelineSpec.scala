@@ -51,11 +51,16 @@ class EvoPipelineSpec extends SparkSpec {
       |  "flAllowLocker": true, "limitless": true, "weeklyLimit": null}]}"""
       .stripMargin.replaceAll("\n", " ")
 
-  // edge: contacts null, employee id only nested (P2 fallback)
+  // edge: contacts null, employee ids only in nested form for the
+  // consultant but SCALAR v1 form for instructor/personal (both drift
+  // directions, normalize_evo_members_v2:177-182)
   private val member102 =
     """{"idMember": 102, "idBranch": 3, "firstName": "Bruno",
       |"lastName": "Costa", "contacts": null,
       |"employeeConsultant": {"idEmployee": 77, "name": "Nested Only"},
+      |"idEmployeeInstructor": 88, "nameEmployeeInstructor": "Scalar Inst",
+      |"idEmployeePersonalTrainer": 99,
+      |"memberMigrationId": "MIG-0042",
       |"accessBlocked": "true"}""".stripMargin.replaceAll("\n", " ")
 
   // edge: contacts non-array (type-guard P10), no memberships key
@@ -137,6 +142,10 @@ class EvoPipelineSpec extends SparkSpec {
     assert(!m101.getAs[Boolean]("access_blocked"))
     val m102 = members.filter(col("member_id") === 102).collect()(0)
     assert(m102.getAs[Long]("consultant_id") == 77L) // P2 nested fallback
+    assert(m102.getAs[Long]("instructor_id") == 88L) // P2 scalar form
+    assert(m102.getAs[String]("instructor_name") == "Scalar Inst")
+    assert(m102.getAs[Long]("personal_trainer_id") == 99L)
+    assert(m102.getAs[String]("member_migration_id") == "MIG-0042") // TEXT
     assert(m102.getAs[Boolean]("access_blocked")) // string "true"
     assert(m102.getAs[String]("email") == null) // contacts null
     val m103 = members.filter(col("member_id") === 103).collect()(0)
