@@ -30,6 +30,19 @@ object Pipedrive {
       Seq("scope", "id"),
       Seq(col("loaded_at"), col("source_blob_path"), col("source_line_no")))
 
+  /** Event-time variant: order by the payload's update_time first, so
+    * a late-replayed stale blob canNOT overwrite a newer version (the
+    * alternative policy to the reference's load-time ordering; see
+    * dedupLatest). loaded_at + lineage remain as tie-breaks. */
+  def dedupLatestEventTime(silver: DataFrame,
+      eventTimePath: String = "$.update_time"): DataFrame =
+    Dedup.keepLatest(
+      silver.withColumn("id",
+        SC.safeLong(get_json_object(col("raw_data"), "$.id"))),
+      Seq("scope", "id"),
+      Seq(SC.safeTimestamp(get_json_object(col("raw_data"), eventTimePath)),
+        col("loaded_at"), col("source_blob_path"), col("source_line_no")))
+
   private def p(schema: String)(df: DataFrame): DataFrame =
     df.withColumn("p", graft.functions.JsonOps.parse(col("raw_data"), schema))
 

@@ -79,6 +79,44 @@ object Scale {
       .drop("__b")
   }
 
+  /** As-of join: for each left row, the latest right value whose
+    * timestamp is <= the left timestamp, per key — the classic
+    * enrichment join (latest price before a sale). Implemented with
+    * the union + running-last-value trick: one shuffle on the keys, a
+    * single window pass, no range blow-up. The right payload must be
+    * packed into one column (`rightValue`) by the caller; ties at the
+    * same timestamp resolve to the right row (inclusive <=) and among
+    * equal right timestamps to the last by `rightTiebreak`. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftMicros: String, rightMicros: String, rightValue: String,
+      rightTiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left
+      .withColumn("__ts", col(leftMicros))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__val", lit(null).cast(
+        right.schema(rightValue).dataType))
+      .withColumn("__tb", lit(null).cast(
+        right.schema(rightTiebreak).dataType))
+    val r = right
+      .select((keys.map(col) :+ col(rightMicros).as("__ts") :+
+        lit(0).as("__is_left") :+ col(rightValue).as("__val") :+
+        col(rightTiebreak).as("__tb")): _*)
+    val unioned = l.select(
+      (l.columns.filterNot(r.columns.contains).map(col).toSeq ++
+        keys.map(col) :+ col("__ts") :+ col("__is_left") :+
+        col("__val") :+ col("__tb")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__ts", "__is_left", "__val", "__tb")
+      .withColumnRenamed("__asof", rightValue)
+  }
+
   /** Write a table bucketed (and sorted) by the join key so repeated
     * joins/aggregations on that key run shuffle-free — Spark's analog
     * of the reference's B-tree-indexed FK columns. Requires a catalog

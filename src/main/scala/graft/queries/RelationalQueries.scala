@@ -583,6 +583,34 @@ object RelationalQueries {
              | AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))"""
         .stripMargin)),
 
+    // ---- J8: as-of join (latest order at-or-before each event, per
+    // customer) — union + running-last-value on the Spark side, DuckDB's
+    // native ASOF LEFT JOIN as the oracle: two entirely different
+    // algorithms hash-compared.
+    QueryDef(
+      "j8_asof_join",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id").as("custkey"), col("event_id"),
+            unix_micros(col("ts")).as("ets"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"),
+            // o_orderdate is TIMESTAMP_NTZ; session is UTC so the cast
+            // to LTZ is exact and unix_micros applies
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+            col("o_orderdate").cast("date").as("last_order_date"),
+            col("o_orderkey"))
+        graft.operators.Scale.asOfJoin(e, o, Seq("custkey"),
+          "ets", "ots", "last_order_date", "o_orderkey")
+          .select("event_id", "last_order_date")
+      },
+      Some("""SELECT e.event_id, CAST(o.o_orderdate AS DATE) AS last_order_date
+             |FROM (SELECT event_id, user_id,
+             |        date_trunc('microseconds', ts) AS ts FROM events) e
+             |ASOF LEFT JOIN orders o
+             |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"""
+        .stripMargin)),
+
     // ---- W2: lag-window sessionization (gap > 1h starts a session) —
     // window-family depth beyond row_number; total order via (µs ts, id)
     QueryDef(

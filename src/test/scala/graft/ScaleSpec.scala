@@ -53,6 +53,45 @@ class ScaleSpec extends SparkSpec {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("asOfJoin: latest right value at-or-before each left row") {
+    val left = Seq((1L, 100L, "e1"), (1L, 250L, "e2"), (1L, 50L, "e0"),
+      (2L, 500L, "ex")).toDF("k", "lts", "name")
+    val right = Seq((1L, 100L, "p100", 1L), (1L, 200L, "p200", 2L),
+      (1L, 200L, "p200b", 3L), (3L, 1L, "other", 4L))
+      .toDF("k", "rts", "price", "rid")
+    val got = Scale.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      "price", "rid")
+      .select("name", "price").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got("e1") == Some("p100")) // inclusive <=
+    assert(got("e2") == Some("p200b")) // latest, tie by rid
+    assert(got("e0") == None) // nothing before
+    assert(got("ex") == None) // key without right rows
+  }
+
+  test("dedupLatestEventTime: stale late arrival does not win") {
+    import org.apache.spark.sql.functions.to_timestamp
+    def v(line: Int, loaded: String, updated: String, title: String) =
+      (s"""{"id": 1, "title": "$title", "update_time": "$updated"}""",
+        "comercial", "blob", line, "r", loaded)
+    val silver = Seq(
+      v(1, "2026-01-01T00:00:00Z", "2026-01-01T00:00:00Z", "v1"),
+      v(2, "2026-01-02T00:00:00Z", "2026-01-02T00:00:00Z", "v2-current"),
+      // loaded LAST but update_time oldest (replayed stale blob)
+      v(3, "2026-01-03T00:00:00Z", "2025-12-01T00:00:00Z", "v0-stale"))
+      .toDF("raw_data", "scope", "source_blob_path", "source_line_no",
+        "run_id", "loaded_at")
+      .withColumn("loaded_at", to_timestamp(col("loaded_at")))
+    // load-time policy (reference parity): stale wins
+    assert(graft.gold.Pipedrive.dedupLatest(silver)
+      .select(get_json_object(col("raw_data"), "$.title")).collect()(0)
+      .getString(0) == "v0-stale")
+    // event-time policy: newest update_time wins
+    assert(graft.gold.Pipedrive.dedupLatestEventTime(silver)
+      .select(get_json_object(col("raw_data"), "$.title")).collect()(0)
+      .getString(0) == "v2-current")
+  }
+
   test("bucketed join runs with zero shuffle exchanges") {
     val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 2000L).map(i => (i, s"b$i")).toDF("k", "vb")
