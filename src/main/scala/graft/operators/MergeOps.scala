@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed-upsert semantics over plain Parquet tables (SURVEY.md §2
@@ -14,28 +15,53 @@ import org.apache.spark.sql.functions._
   * preserved on update while `_updated_at` advances (SURVEY.md §7.3
   * hard-point 3).
   *
-  * Scale notes: overwrite-merge rewrites the table — on a real lake use
-  * Delta/Iceberg MERGE (row-group pruning, no full rewrite) or the
-  * partitioned variant `replacePartitions` below which only rewrites
-  * touched partitions (the reference's year-partition TRUNCATE+INSERT,
-  * K10).
+  * Scale notes: for FLAT tables overwrite-merge rewrites the table — on
+  * a real lake use Delta/Iceberg MERGE. For PARTITIONED tables
+  * (`partitionCols` non-empty) the merge is partition-pruned: only the
+  * partitions present in the source delta are read, merged, and
+  * swapped; untouched partition directories are never opened or
+  * rewritten. That is the 100-TB daily-delta story: a 10M-row day of
+  * entries merges against one `entry_year`, not the 110M-row history
+  * (reference evo_schemas.sql:417-462 partitions `entries` by year for
+  * exactly this reason).
+  *
+  * Crash safety: every swap goes target→`__bak`, tmp→target, drop bak —
+  * a crash between the renames leaves `__bak` holding the full pre-swap
+  * table, and the next read/write through this object restores it
+  * (`recoverIfHeadless`). Rename results are checked; a failed rename
+  * throws instead of silently dropping the table.
   */
 object MergeOps {
 
   private def fs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def mv(f: FileSystem, from: Path, to: Path): Unit =
+    if (!f.rename(from, to))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+
+  /** A crash between the two swap renames leaves the table headless:
+    * target missing, `__bak` holding the pre-swap copy. Restore it
+    * before answering any existence/read question, so history is never
+    * silently rebuilt from a single batch. */
+  private def recoverIfHeadless(f: FileSystem, target: Path): Unit = {
+    val bak = new Path(target.toString + "__bak")
+    if (!f.exists(target) && f.exists(bak)) mv(f, bak, target)
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
+    recoverIfHeadless(f, p)
     f.exists(p)
   }
 
   def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
 
-  /** Atomic-ish overwrite: write to `<path>__tmp`, then swap. Plain
+  /** Atomic-ish overwrite: write to `<path>__tmp`, then swap via
+    * `__bak` (see crash-safety note on the object). Plain
     * mode("overwrite") deletes the target before reading finishes when
     * target feeds source — the tmp swap also guards partial writes.
     * `partitionCols` preserves a hive partition layout across the
@@ -43,14 +69,51 @@ object MergeOps {
     * makes later reads fail with conflicting directory structures). */
   private[operators] def overwrite(spark: SparkSession, df: DataFrame,
       path: String, partitionCols: Seq[String] = Nil): Unit = {
-    val tmp = path + "__tmp"
+    val (f, target) = fs(spark, path)
+    recoverIfHeadless(f, target)
+    val tmp = new Path(path + "__tmp")
+    val bak = new Path(path + "__bak")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
-    val (f, target) = fs(spark, path)
-    val (_, tmpP) = fs(spark, tmp)
-    if (f.exists(target)) f.delete(target, true)
-    f.rename(tmpP, target)
+      .parquet(tmp.toString)
+    // a bak here is stale (the swap it belonged to completed — otherwise
+    // recoverIfHeadless would have renamed it back to target above)
+    if (f.exists(bak)) f.delete(bak, true)
+    if (f.exists(target)) mv(f, target, bak)
+    mv(f, tmp, target)
+    f.delete(bak, true)
+  }
+
+  /** target ∪ source → keep-latest per key, preserving `preserve`
+    * columns' target values on update and auto-preserving target-only
+    * columns (schema evolution, two-sided and wedge-free). */
+  private def merge(target: DataFrame, source: DataFrame,
+      keys: Seq[String], versionCol: String,
+      preserveOnUpdate: Seq[String]): DataFrame = {
+    // Schema evolution (case-insensitive name matching like Spark's
+    // resolver): source-only columns widen the table (NULL for old
+    // rows); target-only columns are auto-preserved so a transient
+    // narrow batch can't null-out history.
+    val srcNames = source.columns.map(_.toLowerCase).toSet
+    val missing = target.columns.toSeq
+      .filterNot(c => srcNames.contains(c.toLowerCase))
+    val merged = Dedup.keepLatest(
+      source.withColumn("__is_new", lit(1))
+        .unionByName(target.withColumn("__is_new", lit(0)),
+          allowMissingColumns = true),
+      keys, Seq(col(versionCol), col("__is_new")))
+    val preserve = (preserveOnUpdate ++ missing).distinct
+    if (preserve.isEmpty) merged.drop("__is_new")
+    else {
+      // keep target's value for preserved columns when the key existed
+      val old = target.select(
+        (keys.map(col) ++ preserve.map(c => col(c).as(s"__old_$c"))): _*)
+      preserve.foldLeft(
+        merged.drop("__is_new").join(old, keys, "left")) { (acc, c) =>
+          acc.withColumn(c, coalesce(col(s"__old_$c"), col(c)))
+            .drop(s"__old_$c")
+        }
+    }
   }
 
   /** Upsert `source` into the parquet table at `path`, keyed on `keys`,
@@ -59,6 +122,13 @@ object MergeOps {
     *
     * `preserveOnUpdate`: columns whose existing-target value survives an
     * update (the reference keeps `_loaded_at`, only `_updated_at` moves).
+    *
+    * `partitionCols` non-empty ⇒ partition-pruned merge: only target
+    * partitions present in the source delta are read/merged/swapped.
+    * Contract: the partition value of a key must be stable (functionally
+    * determined by the business key — true for entries, whose date is
+    * part of the surrogate). A key that "moved" partitions would leave
+    * its old row in the untouched partition.
     */
   def upsert(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], versionCol: String,
@@ -71,38 +141,90 @@ object MergeOps {
         overwrite(spark,
           Dedup.keepLatest(source, keys, Seq(col(versionCol))), path,
           partitionCols)
+      case Some(target) if partitionCols.isEmpty =>
+        overwrite(spark,
+          merge(target, source, keys, versionCol, preserveOnUpdate), path)
       case Some(target) =>
-        // Schema evolution, two-sided and wedge-free (case-insensitive
-        // name matching like Spark's resolver):
-        //  - source-only columns widen the table (NULL for old rows) —
-        //    silently dropping them would lose data on every merge;
-        //  - target-only columns are auto-preserved: updated rows keep
-        //    their existing value (a transient extra column in one batch
-        //    must not null-out history or wedge later normal batches).
-        val srcNames = source.columns.map(_.toLowerCase).toSet
-        val missing = target.columns.toSeq
-          .filterNot(c => srcNames.contains(c.toLowerCase))
-        val merged = Dedup.keepLatest(
-          source.withColumn("__is_new", lit(1))
-            .unionByName(target.withColumn("__is_new", lit(0)),
-              allowMissingColumns = true),
-          keys, Seq(col(versionCol), col("__is_new")))
-        val preserve = (preserveOnUpdate ++ missing).distinct
-        val restored =
-          if (preserve.isEmpty) merged.drop("__is_new")
-          else {
-            // keep target's value for preserved columns when the key existed
-            val old = target.select(
-              (keys.map(col) ++ preserve.map(c =>
-                col(c).as(s"__old_$c"))): _*)
-            preserve.foldLeft(
-              merged.drop("__is_new").join(old, keys, "left")) { (acc, c) =>
-                acc.withColumn(c, coalesce(col(s"__old_$c"), col(c)))
-                  .drop(s"__old_$c")
-              }
-          }
-        overwrite(spark, restored, path, partitionCols)
+        upsertPartitioned(spark, target, source, path, keys, versionCol,
+          preserveOnUpdate, partitionCols)
     }
+  }
+
+  /** Partition-pruned merge: collect the delta's distinct partition
+    * tuples (small — one row per touched partition), prune the target
+    * read to those (static partition pruning at the parquet scan),
+    * merge, then swap ONLY the touched partition directories under the
+    * table root. Untouched partitions keep their exact files. */
+  private def upsertPartitioned(spark: SparkSession, target: DataFrame,
+      source: DataFrame, path: String, keys: Seq[String],
+      versionCol: String, preserveOnUpdate: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    val parts = source.select(partitionCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return
+    val touched: Column = parts.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val merged = merge(target.filter(touched), source, keys, versionCol,
+      preserveOnUpdate)
+
+    val (f, targetP) = fs(spark, path)
+    val tmp = new Path(path + "__tmp")
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    swapLeafPartitions(f, tmp, targetP, path, partitionCols.length)
+    f.delete(tmp, true)
+  }
+
+  /** Move every depth-`depth` partition directory of `tmp` into
+    * `target`, parking the displaced target directory under
+    * `<path>__bakparts/<rel>` so a crash mid-swap is recoverable (the
+    * bak lives OUTSIDE the table root — a leftover would otherwise break
+    * partition discovery). */
+  private def swapLeafPartitions(f: FileSystem, tmp: Path, target: Path,
+      path: String, depth: Int): Unit = {
+    val bakRoot = new Path(path + "__bakparts")
+    restoreBakParts(f, bakRoot, target, depth)
+    val qTmp = f.makeQualified(tmp)
+    def leaves(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else f.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => leaves(s.getPath, d - 1))
+    val rels = leaves(qTmp, depth)
+      .map(_.toString.stripPrefix(qTmp.toString).stripPrefix("/"))
+    for (rel <- rels) {
+      val tgtPart = new Path(target, rel)
+      val bakPart = new Path(bakRoot, rel)
+      if (f.exists(tgtPart)) {
+        f.mkdirs(bakPart.getParent)
+        mv(f, tgtPart, bakPart)
+      } else f.mkdirs(tgtPart.getParent)
+      mv(f, new Path(qTmp, rel), tgtPart)
+    }
+    f.delete(bakRoot, true)
+  }
+
+  /** Crash recovery for the per-partition swap: any partition parked in
+    * `__bakparts` whose target slot is empty is restored (the crash hit
+    * between the two renames); completed slots mean the bak is stale. */
+  private def restoreBakParts(f: FileSystem, bakRoot: Path, target: Path,
+      depth: Int): Unit = {
+    if (!f.exists(bakRoot)) return
+    val qBak = f.makeQualified(bakRoot)
+    def leaves(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else f.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => leaves(s.getPath, d - 1))
+    for (leaf <- leaves(qBak, depth)) {
+      val rel = leaf.toString.stripPrefix(qBak.toString).stripPrefix("/")
+      val tgtPart = new Path(target, rel)
+      if (!f.exists(tgtPart)) {
+        f.mkdirs(tgtPart.getParent)
+        mv(f, leaf, tgtPart)
+      }
+    }
+    f.delete(bakRoot, true)
   }
 
   /** Insert-ignore (K8): only keys absent from the target are added —
@@ -126,12 +248,15 @@ object MergeOps {
 
   /** Partition replace (K10): rewrite only the partitions present in
     * `source` — dynamic partition overwrite, the reference's per-year
-    * TRUNCATE PARTITION + INSERT. */
+    * TRUNCATE PARTITION + INSERT. The overwrite mode is set per-write
+    * (not on the shared session conf). Constraint: `source` must not
+    * derive from the table at `path` — the dynamic overwrite deletes
+    * matched partitions before the read completes; use `upsert` with
+    * `partitionCols` when merging against existing rows. */
   def replacePartitions(spark: SparkSession, source: DataFrame, path: String,
-      partitionCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      partitionCol: String): Unit =
     source.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
-  }
 }

@@ -110,6 +110,68 @@ class MergeDedupSpec extends SparkSpec {
     assert(got == Seq((1L, "tagA"), (1L, "tagB"), (2L, "tagC")))
   }
 
+  test("keepLatestAgg: struct order with tie-break column, winner's cols carried") {
+    val df = Seq(
+      (1L, "old", 5L, 1L),
+      (1L, "tie-lo", 9L, 2L),
+      (1L, "tie-hi", 9L, 3L), // same version, higher lineage → must win
+      (2L, "only", 1L, 1L))
+      .toDF("id", "payload", "v", "line")
+    val got = Dedup.keepLatestAgg(df, Seq("id"), Seq("v", "line"), "payload")
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[String]("payload")).toSeq == Seq("tie-hi", "only"))
+    // order cols come from the WINNING row, not independent maxes
+    assert(got(0).getAs[Long]("line") == 3L)
+  }
+
+  test("partitioned upsert touches only delta partitions (files byte-stable)") {
+    val path = tmpDir("pruned") + "/t"
+    def batch(rows: Seq[(Long, String, Int)], at: String) =
+      rows.toDF("id", "payload", "entry_year")
+        .withColumn("_updated_at", to_timestamp(lit(at)))
+        .withColumn("_loaded_at", col("_updated_at"))
+    MergeOps.upsert(spark, batch(Seq((1L, "a23", 2023), (2L, "a24", 2024)),
+      "2026-01-01T00:00:00Z"), path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+
+    def partFiles(year: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$path/entry_year=$year")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before2023 = partFiles(2023)
+    assert(before2023.nonEmpty)
+
+    // delta touches 2024 only: update id=2, insert id=3
+    MergeOps.upsert(spark,
+      batch(Seq((2L, "b24", 2024), (3L, "c24", 2024)), "2026-02-01T00:00:00Z"),
+      path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+
+    // 2023's files are the SAME files — names, sizes, mtimes unchanged
+    assert(partFiles(2023) == before2023)
+    val got = spark.read.parquet(path).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a23"), (2L, "b24"), (3L, "c24")))
+    // _loaded_at preserved across the pruned merge for updated id=2
+    assert(got(1).getTimestamp(got(1).fieldIndex("_loaded_at")) ==
+      ts("2026-01-01T00:00:00Z"))
+    assert(got(1).getTimestamp(got(1).fieldIndex("_updated_at")) ==
+      ts("2026-02-01T00:00:00Z"))
+  }
+
+  test("swap crash recovery: headless table restored from __bak") {
+    val path = tmpDir("crash") + "/t"
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(path)
+    // simulate a crash between rename(target->bak) and rename(tmp->target)
+    val f = new java.io.File(path)
+    assert(f.renameTo(new java.io.File(path + "__bak")))
+    assert(MergeOps.exists(spark, path)) // recovers, doesn't report missing
+    val got = spark.read.parquet(path).collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("x"))
+    assert(!new java.io.File(path + "__bak").exists())
+  }
+
   test("replacePartitions rewrites only touched partitions") {
     val path = tmpDir("parts") + "/t"
     MergeOps.replacePartitions(spark,
