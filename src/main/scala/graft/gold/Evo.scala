@@ -24,24 +24,53 @@ object Evo {
     "ARRAY<STRUCT<idPhone: STRING, idContactType: STRING, " +
       "typeDescription: STRING, ddi: STRING, description: STRING>>"
 
+  /** Full membership element shape (evo_schemas.sql:351-401,
+    * normalize_evo_members_v2.py:246-292). `freezes`/`sessions` are
+    * residual JSON (m->'freezes' pass-through in the reference) and are
+    * NOT declared here — from_json would null them out; they are
+    * re-extracted from the raw text by position in memberMemberships. */
   private val membershipsT =
     "ARRAY<STRUCT<idMemberMembership: STRING, idMembership: STRING, " +
-      "membershipName: STRING, idSale: STRING, saleDate: STRING, " +
+      "membershipName: STRING, idMembershipRenewed: STRING, " +
+      "idSale: STRING, saleDate: STRING, " +
       "startDate: STRING, endDate: STRING, cancelDate: STRING, " +
+      "cancelDateOn: STRING, cancelCreationDate: STRING, " +
       "membershipStatus: STRING, valueNextMonth: STRING, " +
-      "originalValue: STRING, numMembers: STRING, flAllowLocker: STRING, " +
-      "limitless: STRING, weeklyLimit: STRING, sessions: STRING>>"
+      "originalValue: STRING, nextCharge: STRING, " +
+      "nextDateSuspension: STRING, idCategoryMembership: STRING, " +
+      "loyaltyEndDate: STRING, assessmentEndDate: STRING, " +
+      "acceptanceDate: STRING, numMembers: STRING, flAllowLocker: STRING, " +
+      "flAdditionalMembership: STRING, allowLesMills: STRING, " +
+      "allowsCancellationByApp: STRING, signedTerms: STRING, " +
+      "limitless: STRING, weeklyLimit: STRING, bioimpedanceAmount: STRING, " +
+      "concludedSessions: STRING, pendingSessions: STRING, " +
+      "scheduledSessions: STRING, pendingRepositions: STRING, " +
+      "repositionsTotal: STRING, bonusSessions: STRING, " +
+      "numberSuspensionTimes: STRING, maxSuspensionDays: STRING, " +
+      "minimumSuspensionDays: STRING, disponibleSuspensionDays: STRING, " +
+      "disponibleSuspensionTimes: STRING, daysLeftToFreeze: STRING, " +
+      "contractPrinting: STRING>>"
 
   val memberSchema: String =
     "idMember STRING, idBranch STRING, branchName STRING, " +
-      "firstName STRING, lastName STRING, document STRING, gender STRING, " +
-      "birthDate STRING, address STRING, number STRING, " +
-      "addressNumber STRING, neighborhood STRING, city STRING, " +
+      "firstName STRING, lastName STRING, " +
+      "registerName STRING, registerLastName STRING, " +
+      "usePreferredName STRING, document STRING, documentId STRING, " +
+      "gender STRING, " +
+      "birthDate STRING, maritalStatus STRING, address STRING, " +
+      "number STRING, " +
+      "addressNumber STRING, complement STRING, neighborhood STRING, " +
+      "city STRING, " +
       "state STRING, country STRING, zipCode STRING, " +
-      "accessBlocked STRING, status STRING, membershipStatus STRING, " +
+      "accessCardNumber STRING, " +
+      "accessBlocked STRING, blockedReason STRING, status STRING, " +
+      "membershipStatus STRING, " +
       "penalized STRING, totalFitCoins STRING, registerDate STRING, " +
       "conversionDate STRING, lastAccessDate STRING, updateDate STRING, " +
-      "gympassId STRING, codeTotalpass STRING, personalTrainer STRING, " +
+      "photo STRING, photoUrl STRING, " +
+      "gympassId STRING, codeTotalpass STRING, userIdGurupass STRING, " +
+      "clientWithPromotionalRestriction STRING, personalTrainer STRING, " +
+      "personalType STRING, cref STRING, crefExpirationDate STRING, " +
       "idEmployeeConsultant STRING, nameEmployeeConsultant STRING, " +
       "idEmployeeInstructor STRING, nameEmployeeInstructor STRING, " +
       "idEmployeePersonalTrainer STRING, nameEmployeePersonalTrainer STRING, " +
@@ -68,19 +97,27 @@ object Evo {
       // generated full_name (evo_schemas.sql:293)
       trim(concat_ws(" ", coalesce(col("p.firstName"), lit("")),
         coalesce(col("p.lastName"), lit("")))).as("full_name"),
+      SC.safeText(col("p.registerName")).as("register_name"),
+      SC.safeText(col("p.registerLastName")).as("register_last_name"),
+      SC.boolOrFalse(col("p.usePreferredName")).as("use_preferred_name"),
       SC.safeText(col("p.document")).as("document"),
+      SC.safeText(col("p.documentId")).as("document_id"),
       SC.safeText(col("p.gender")).as("gender"),
       SC.safeDate(col("p.birthDate")).as("birth_date"),
+      SC.safeText(col("p.maritalStatus")).as("marital_status"),
       SC.safeText(col("p.address")).as("address"),
       // schema-drift fallback addressNumber|number (P2)
       coalesce(SC.safeText(col("p.addressNumber")),
         SC.safeText(col("p.number"))).as("address_number"),
+      SC.safeText(col("p.complement")).as("complement"),
       SC.safeText(col("p.neighborhood")).as("neighborhood"),
       SC.safeText(col("p.city")).as("city"),
       SC.safeText(col("p.state")).as("state"),
       SC.safeText(col("p.country")).as("country"),
       SC.safeText(col("p.zipCode")).as("zip_code"),
+      SC.safeText(col("p.accessCardNumber")).as("access_card_number"),
       SC.boolOrFalse(col("p.accessBlocked")).as("access_blocked"),
+      SC.safeText(col("p.blockedReason")).as("blocked_reason"),
       SC.safeText(col("p.status")).as("status"),
       SC.safeText(col("p.membershipStatus")).as("membership_status"),
       SC.boolOrFalse(col("p.penalized")).as("penalized"),
@@ -89,28 +126,39 @@ object Evo {
       SC.safeTimestamp(col("p.conversionDate")).as("conversion_date"),
       SC.safeTimestamp(col("p.lastAccessDate")).as("last_access_date"),
       SC.safeTimestamp(col("p.updateDate")).as("update_date"),
+      // photo|photoUrl drift (normalize_evo_members_v2.py:169)
+      coalesce(SC.safeText(col("p.photo")),
+        SC.safeText(col("p.photoUrl"))).as("photo_url"),
       SC.safeText(col("p.gympassId")).as("gympass_id"),
       SC.safeText(col("p.codeTotalpass")).as("code_totalpass"),
+      SC.safeText(col("p.userIdGurupass")).as("user_id_gurupass"),
+      SC.boolOrFalse(col("p.clientWithPromotionalRestriction"))
+        .as("client_with_promotional_restriction"),
       SC.boolOrFalse(col("p.personalTrainer")).as("personal_trainer"),
+      SC.safeText(col("p.personalType")).as("personal_type"),
+      SC.safeText(col("p.cref")).as("cref"),
+      SC.safeDate(col("p.crefExpirationDate")).as("cref_expiration_date"),
       // employee id drift: scalar field OR nested object (P2)
       coalesce(SC.safeLong(col("p.idEmployeeConsultant")),
         SC.safeLong(col("p.employeeConsultant.idEmployee")))
-        .as("consultant_id"),
+        .as("employee_consultant_id"),
       coalesce(SC.safeText(col("p.nameEmployeeConsultant")),
-        SC.safeText(col("p.employeeConsultant.name"))).as("consultant_name"),
+        SC.safeText(col("p.employeeConsultant.name")))
+        .as("employee_consultant_name"),
       // instructor/personal drift is symmetric with the consultant:
       // scalar v1 field OR nested object (normalize_evo_members_v2:179-182)
       coalesce(SC.safeLong(col("p.idEmployeeInstructor")),
         SC.safeLong(col("p.employeeInstructor.idEmployee")))
-        .as("instructor_id"),
+        .as("employee_instructor_id"),
       coalesce(SC.safeText(col("p.nameEmployeeInstructor")),
-        SC.safeText(col("p.employeeInstructor.name"))).as("instructor_name"),
+        SC.safeText(col("p.employeeInstructor.name")))
+        .as("employee_instructor_name"),
       coalesce(SC.safeLong(col("p.idEmployeePersonalTrainer")),
         SC.safeLong(col("p.employeePersonal.idEmployee")))
-        .as("personal_trainer_id"),
+        .as("employee_personal_id"),
       coalesce(SC.safeText(col("p.nameEmployeePersonalTrainer")),
         SC.safeText(col("p.employeePersonal.name")))
-        .as("personal_trainer_name"),
+        .as("employee_personal_name"),
       // migration id drift + TEXT verbatim (not numeric-cast)
       coalesce(SC.safeText(col("p.memberMigrationId")),
         SC.safeText(col("p.idMemberMigration"))).as("member_migration_id"),
@@ -121,31 +169,82 @@ object Evo {
         "description").as("cellphone")) ++ audit(df): _*)
   }
 
-  /** core.evo_member_memberships (E1, evo_schemas.sql:351-401). */
+  /** core.evo_member_memberships (E1, evo_schemas.sql:351-401) — the
+    * reference's heaviest table (normalize_evo_members_v2.py:215-300).
+    *
+    * `freezes`/`sessions` are residual JSON passed through verbatim
+    * (m->'freezes'); from_json can't preserve unknown shapes, so they
+    * are re-extracted from the raw text with a positional JSON path
+    * (posexplode supplies the index). Costs two extra raw parses per
+    * membership row — acceptable because this runs once per load, and
+    * the alternative (declaring their schema) would silently drop
+    * drifted sub-fields, violating ADR-002. */
   def memberMemberships(silver: DataFrame): DataFrame = {
     val df = silver.withColumn("p",
       graft.functions.JsonOps.parse(col("raw_data"), memberSchema))
+    def rawAt(field: String): Column = call_function("get_json_object",
+      col("raw_data"),
+      concat(lit("$.memberships["), col("pos"), lit(s"].$field")))
     df.select(
       SC.safeLong(col("p.idMember")).as("member_id"),
-      explode(JsonOps.arrayOrEmpty(col("p.memberships"))).as("m"),
-      col("run_id"), col("_loaded_at"), col("_updated_at"))
+      posexplode(JsonOps.arrayOrEmpty(col("p.memberships"))).as(Seq("pos", "m")),
+      col("raw_data"), col("run_id"), col("_loaded_at"), col("_updated_at"))
       .select(
-        SC.safeLong(col("m.idMemberMembership")).as("membership_id"),
+        SC.safeLong(col("m.idMemberMembership")).as("member_membership_id"),
         col("member_id"),
-        SC.safeLong(col("m.idMembership")).as("plan_id"),
+        SC.safeLong(col("m.idMembership")).as("membership_id"),
         SC.safeText(col("m.membershipName")).as("membership_name"),
+        SC.safeLong(col("m.idMembershipRenewed")).as("membership_renewed_id"),
         SC.safeLong(col("m.idSale")).as("sale_id"),
         SC.safeTimestamp(col("m.saleDate")).as("sale_date"),
         SC.safeTimestamp(col("m.startDate")).as("start_date"),
         SC.safeTimestamp(col("m.endDate")).as("end_date"),
         SC.safeTimestamp(col("m.cancelDate")).as("cancel_date"),
+        SC.safeTimestamp(col("m.cancelDateOn")).as("cancel_date_on"),
+        SC.safeTimestamp(col("m.cancelCreationDate"))
+          .as("cancel_creation_date"),
         SC.safeText(col("m.membershipStatus")).as("membership_status"),
         SC.safeDecimal(col("m.valueNextMonth")).as("value_next_month"),
         SC.safeDecimal(col("m.originalValue")).as("original_value"),
+        SC.safeTimestamp(col("m.nextCharge")).as("next_charge"),
+        SC.safeTimestamp(col("m.nextDateSuspension"))
+          .as("next_date_suspension"),
+        SC.safeLong(col("m.idCategoryMembership"))
+          .as("category_membership_id"),
+        SC.safeTimestamp(col("m.loyaltyEndDate")).as("loyalty_end_date"),
+        SC.safeTimestamp(col("m.assessmentEndDate"))
+          .as("assessment_end_date"),
+        SC.safeTimestamp(col("m.acceptanceDate")).as("acceptance_date"),
         SC.safeInt(col("m.numMembers")).as("num_members"),
-        SC.boolOrFalse(col("m.flAllowLocker")).as("fl_allow_locker"),
-        SC.boolOrFalse(col("m.limitless")).as("limitless"),
+        SC.safeBool(col("m.flAllowLocker")).as("fl_allow_locker"),
+        SC.safeBool(col("m.flAdditionalMembership"))
+          .as("fl_additional_membership"),
+        SC.safeBool(col("m.allowLesMills")).as("allow_les_mills"),
+        SC.safeBool(col("m.allowsCancellationByApp"))
+          .as("allows_cancellation_by_app"),
+        SC.safeBool(col("m.signedTerms")).as("signed_terms"),
+        SC.safeBool(col("m.limitless")).as("limitless"),
         SC.safeInt(col("m.weeklyLimit")).as("weekly_limit"),
+        SC.safeInt(col("m.bioimpedanceAmount")).as("bioimpedance_amount"),
+        SC.safeInt(col("m.concludedSessions")).as("concluded_sessions"),
+        SC.safeInt(col("m.pendingSessions")).as("pending_sessions"),
+        SC.safeInt(col("m.scheduledSessions")).as("scheduled_sessions"),
+        SC.safeInt(col("m.pendingRepositions")).as("pending_repositions"),
+        SC.safeInt(col("m.repositionsTotal")).as("repositions_total"),
+        SC.safeInt(col("m.bonusSessions")).as("bonus_sessions"),
+        SC.safeInt(col("m.numberSuspensionTimes"))
+          .as("number_suspension_times"),
+        SC.safeInt(col("m.maxSuspensionDays")).as("max_suspension_days"),
+        SC.safeInt(col("m.minimumSuspensionDays"))
+          .as("minimum_suspension_days"),
+        SC.safeInt(col("m.disponibleSuspensionDays"))
+          .as("disponible_suspension_days"),
+        SC.safeInt(col("m.disponibleSuspensionTimes"))
+          .as("disponible_suspension_times"),
+        SC.safeInt(col("m.daysLeftToFreeze")).as("days_left_to_freeze"),
+        SC.safeText(col("m.contractPrinting")).as("contract_printing"),
+        rawAt("freezes").as("freezes"),
+        rawAt("sessions").as("sessions"),
         col("run_id").as("_source_run_id"),
         col("_loaded_at"), col("_updated_at"))
   }
@@ -174,11 +273,18 @@ object Evo {
   private val saleItemsT =
     "ARRAY<STRUCT<idSaleItem: STRING, description: STRING, item: STRING, " +
       "itemValue: STRING, saleValue: STRING, saleValueWithoutCredit: STRING, " +
+      "saleValueWithoutCreditValue: STRING, " +
       "quantity: STRING, discount: STRING, corporateDiscount: STRING, " +
       "tax: STRING, valueNextMonth: STRING, idMembership: STRING, " +
+      "idMembershipRenewed: STRING, " +
       "idMemberMembership: STRING, idProduct: STRING, idService: STRING, " +
+      "coporatePartnershipId: STRING, idCorporatePartnership: STRING, " +
+      "corporatePartnershipName: STRING, nameCorporatePartnership: STRING, " +
       "membershipStartDate: STRING, numMembers: STRING, " +
-      "flReceiptOnly: STRING, flSwimming: STRING, flAllowLocker: STRING>>"
+      "voucher: STRING, accountingCode: STRING, " +
+      "municipalServiceCode: STRING, " +
+      "flReceiptOnly: STRING, flSwimming: STRING, flAllowLocker: STRING, " +
+      "idSaleItemMigration: STRING>>"
 
   private val receivablesT =
     "ARRAY<STRUCT<idReceivable: STRING, registrationDate: STRING, " +
@@ -195,8 +301,12 @@ object Evo {
       "idEmployeeSale STRING, nameEmployeeSale STRING, idPersonal STRING, " +
       "idBranch STRING, saleDate STRING, saleDateServer STRING, " +
       "updateDate STRING, saleSource STRING, observations STRING, " +
-      "idCorporatePartnership STRING, removed STRING, removalDate STRING, " +
-      "saleMigrationId STRING, idSaleMigration STRING, cartToken STRING, " +
+      "idCorporatePartnership STRING, coporatePartnershipId STRING, " +
+      "nameCorporatePartnership STRING, corporatePartnershipName STRING, " +
+      "idSaleRecurrency STRING, idEmployeeRemoval STRING, " +
+      "removed STRING, removalDate STRING, " +
+      "saleMigrationId STRING, idSaleMigration STRING, " +
+      "cartToken STRING, idCartToken STRING, " +
       s"saleItens $saleItemsT, receivables $receivablesT"
 
   /** core.evo_sales (evo_schemas.sql:191-219). */
@@ -207,9 +317,9 @@ object Evo {
       SC.safeLong(col("p.idSale")).as("sale_id"),
       SC.safeLong(col("p.idMember")).as("member_id"),
       SC.safeLong(col("p.idProspect")).as("prospect_id"),
-      coalesce(SC.safeLong(col("p.idEmployee")),
-        SC.safeLong(col("p.idEmployeeSale"))).as("employee_id"),
-      SC.safeText(col("p.nameEmployeeSale")).as("employee_name"),
+      SC.safeLong(col("p.idEmployee")).as("employee_id"),
+      SC.safeLong(col("p.idEmployeeSale")).as("employee_sale_id"),
+      SC.safeText(col("p.nameEmployeeSale")).as("employee_sale_name"),
       SC.safeLong(col("p.idPersonal")).as("personal_id"),
       SC.safeLong(col("p.idBranch")).as("branch_id"),
       SC.safeTimestamp(col("p.saleDate")).as("sale_date"),
@@ -217,16 +327,25 @@ object Evo {
       SC.safeTimestamp(col("p.updateDate")).as("update_date"),
       SC.safeInt(col("p.saleSource")).as("sale_source"),
       SC.safeText(col("p.observations")).as("observations"),
-      SC.safeLong(col("p.idCorporatePartnership"))
+      // v1/v2 API key drift (normalize_evo_sales.py:115 spells it
+      // `coporatePartnershipId`; v2 uses idCorporatePartnership)
+      coalesce(SC.safeLong(col("p.idCorporatePartnership")),
+        SC.safeLong(col("p.coporatePartnershipId")))
         .as("corporate_partnership_id"),
+      coalesce(SC.safeText(col("p.nameCorporatePartnership")),
+        SC.safeText(col("p.corporatePartnershipName")))
+        .as("corporate_partnership_name"),
+      SC.safeLong(col("p.idSaleRecurrency")).as("sale_recurrency_id"),
       SC.boolOrFalse(col("p.removed")).as("removed"),
       SC.safeTimestamp(col("p.removalDate")).as("removal_date"),
+      SC.safeLong(col("p.idEmployeeRemoval")).as("employee_removal_id"),
       // v1/v2 key drift (SURVEY.md §7.3 hard-point 5); TEXT verbatim —
       // the reference column is TEXT (evo_schemas.sql:211), so
       // non-numeric migration ids must survive
       coalesce(SC.safeText(col("p.saleMigrationId")),
         SC.safeText(col("p.idSaleMigration"))).as("sale_migration_id"),
-      SC.safeText(col("p.cartToken")).as("cart_token")) ++ audit(df): _*)
+      coalesce(SC.safeText(col("p.cartToken")),
+        SC.safeText(col("p.idCartToken"))).as("cart_token")) ++ audit(df): _*)
   }
 
   /** core.evo_sale_items (E3; source key is misspelled `saleItens`). */
@@ -237,6 +356,8 @@ object Evo {
       SC.safeLong(col("p.idSale")).as("sale_id"),
       explode(JsonOps.arrayOrEmpty(col("p.saleItens"))).as("i"),
       col("run_id"), col("_loaded_at"), col("_updated_at"))
+      // WHERE (item->>'idSaleItem') IS NOT NULL (normalize_evo_sales.py:214)
+      .filter(col("i.idSaleItem").isNotNull)
       .select(
         SC.safeLong(col("i.idSaleItem")).as("sale_item_id"),
         col("sale_id"),
@@ -244,23 +365,39 @@ object Evo {
         SC.safeText(col("i.item")).as("item"),
         SC.safeDecimal(col("i.itemValue")).as("item_value"),
         SC.safeDecimal(col("i.saleValue")).as("sale_value"),
-        SC.safeDecimal(col("i.saleValueWithoutCredit"))
+        // v1 spells the source key `saleValueWithoutCreditValue`
+        // (normalize_evo_sales.py:181); v2 drops the suffix
+        coalesce(SC.safeDecimal(col("i.saleValueWithoutCredit")),
+          SC.safeDecimal(col("i.saleValueWithoutCreditValue")))
           .as("sale_value_without_credit"),
         SC.safeInt(col("i.quantity")).as("quantity"),
         SC.safeDecimal(col("i.discount")).as("discount"),
         SC.safeDecimal(col("i.corporateDiscount")).as("corporate_discount"),
         SC.safeDecimal(col("i.tax")).as("tax"),
         SC.safeDecimal(col("i.valueNextMonth")).as("value_next_month"),
-        SC.safeLong(col("i.idMembership")).as("plan_id"),
-        SC.safeLong(col("i.idMemberMembership")).as("membership_id"),
+        SC.safeLong(col("i.idMembership")).as("membership_id"),
+        SC.safeLong(col("i.idMembershipRenewed")).as("membership_renewed_id"),
+        SC.safeLong(col("i.idMemberMembership")).as("member_membership_id"),
         SC.safeLong(col("i.idProduct")).as("product_id"),
         SC.safeLong(col("i.idService")).as("service_id"),
+        coalesce(SC.safeLong(col("i.idCorporatePartnership")),
+          SC.safeLong(col("i.coporatePartnershipId")))
+          .as("corporate_partnership_id"),
+        coalesce(SC.safeText(col("i.nameCorporatePartnership")),
+          SC.safeText(col("i.corporatePartnershipName")))
+          .as("corporate_partnership_name"),
         SC.safeTimestamp(col("i.membershipStartDate"))
           .as("membership_start_date"),
         SC.safeInt(col("i.numMembers")).as("num_members"),
+        SC.safeText(col("i.voucher")).as("voucher"),
+        SC.safeText(col("i.accountingCode")).as("accounting_code"),
+        SC.safeText(col("i.municipalServiceCode"))
+          .as("municipal_service_code"),
         SC.boolOrFalse(col("i.flReceiptOnly")).as("fl_receipt_only"),
         SC.boolOrFalse(col("i.flSwimming")).as("fl_swimming"),
         SC.boolOrFalse(col("i.flAllowLocker")).as("fl_allow_locker"),
+        SC.safeText(col("i.idSaleItemMigration"))
+          .as("sale_item_migration_id"),
         col("run_id").as("_source_run_id"),
         col("_loaded_at"), col("_updated_at"))
   }
@@ -342,7 +479,8 @@ object Evo {
     "idProspect STRING, idBranch STRING, branchName STRING, " +
       "firstName STRING, lastName STRING, document STRING, email STRING, " +
       "cellphone STRING, gender STRING, birthDate STRING, address STRING, " +
-      "number STRING, neighborhood STRING, city STRING, state STRING, " +
+      "number STRING, complement STRING, neighborhood STRING, " +
+      "city STRING, state STRING, " +
       "country STRING, zipCode STRING, signupType STRING, " +
       "mktChannel STRING, currentStep STRING, gympassId STRING, " +
       "conversionDate STRING, idMember STRING, registerDate STRING, " +
@@ -368,8 +506,14 @@ object Evo {
       SC.safeText(col("p.cellphone")).as("cellphone"),
       SC.safeText(col("p.gender")).as("gender"),
       SC.safeDate(col("p.birthDate")).as("birth_date"),
+      SC.safeText(col("p.address")).as("address"),
+      SC.safeText(col("p.number")).as("address_number"),
+      SC.safeText(col("p.complement")).as("complement"),
+      SC.safeText(col("p.neighborhood")).as("neighborhood"),
       SC.safeText(col("p.city")).as("city"),
       SC.safeText(col("p.state")).as("state"),
+      SC.safeText(col("p.country")).as("country"),
+      SC.safeText(col("p.zipCode")).as("zip_code"),
       SC.safeText(col("p.signupType")).as("signup_type"),
       SC.safeText(col("p.mktChannel")).as("mkt_channel"),
       SC.safeText(col("p.currentStep")).as("current_step"),
@@ -383,12 +527,15 @@ object Evo {
         .as("responsible_name"),
       get(col("p.financiallyResponsibles"), lit(0)).getField("cpf")
         .as("responsible_document"),
-      // P8: conditional JSON construction
+      SC.safeBool(get(col("p.financiallyResponsibles"), lit(0))
+        .getField("financialResponsible")).as("responsible_is_financial"),
+      SC.safeTimestamp(col("p.registerDate")).as("register_date"),
+      // P8: conditional JSON construction — the reference calls this
+      // residual `custom_fields` (normalize_evo_prospects.py:153-158)
       JsonOps.jsonWhen(col("p.interests").isNotNull,
         "interests" -> col("p.interests"),
         "notes" -> col("p.notes"),
-        "temperature" -> col("p.temperature")).as("marketing_details"),
-      SC.safeTimestamp(col("p.registerDate")).as("register_date"))
+        "temperature" -> col("p.temperature")).as("custom_fields"))
       ++ audit(df): _*)
   }
 }

@@ -149,63 +149,124 @@ object Pipedrive {
         JsonOps.residualJson(col("raw_data"), PersonStandard)
           .as("custom_fields")) ++ audit: _*)
 
+  /** Pipedrive-API standard deal fields (normalize_pipedrive.py:710-726)
+    * — everything else lands in residual custom_fields (P6). */
   private val DealStandard = Seq("id", "title", "value", "currency",
     "status", "person_id", "org_id", "user_id", "pipeline_id", "stage_id",
     "expected_close_date", "probability", "won_time", "lost_time",
     "close_time", "add_time", "update_time", "stage_change_time",
-    "lost_reason", "visible_to", "activities_count", "origin", "channel",
-    "deleted", "is_deleted")
+    "lost_reason", "visible_to",
+    "activities_count", "done_activities_count", "undone_activities_count",
+    "participants_count", "files_count", "notes_count", "followers_count",
+    "email_messages_count", "products_count",
+    "next_activity_date", "next_activity_id", "next_activity_subject",
+    "next_activity_type", "next_activity_duration", "next_activity_note",
+    "next_activity_time", "last_activity_id", "last_activity_date",
+    "origin", "origin_id", "channel", "channel_id",
+    "creator_user_id", "person_name", "org_name", "stage_order_nr",
+    "owner_name", "formatted_value", "weighted_value",
+    "weighted_value_currency", "formatted_weighted_value", "rotten_time",
+    "cc_email", "org_hidden", "person_hidden", "last_incoming_mail_time",
+    "last_outgoing_mail_time", "label", "local_won_date", "local_lost_date",
+    "local_close_date", "first_won_time", "active", "deleted",
+    "renewal_type", "stage_id_before_last_stage_change", "acv", "arr",
+    "mrr", "is_deleted")
 
-  /** core.pd_deals (:222-302): dict-drift tolerant value cast (the
-    * ADR-002 {"value":1500,"currency":"BRL"} case goes through
-    * SafeCasts' unwrap), residual custom_fields. */
+  /** Scalar deal fields parsed in ONE from_json pass (a
+    * get_json_object per column would re-parse the payload ~50×/row).
+    * `value` stays OUT of this schema: the ADR-002 drift case sends
+    * {"value":1500,"currency":"BRL"} where a STRING leaf would null
+    * out, so it goes through get_json_object + SafeCasts' unwrap. */
+  private val dealSchema: String =
+    "title STRING, status STRING, currency STRING, " +
+      "weighted_value STRING, weighted_value_currency STRING, " +
+      "person_id STRING, org_id STRING, user_id STRING, " +
+      "pipeline_id STRING, stage_id STRING, " +
+      "add_time STRING, update_time STRING, stage_change_time STRING, " +
+      "expected_close_date STRING, close_time STRING, " +
+      "won_time STRING, lost_time STRING, first_won_time STRING, " +
+      "lost_reason STRING, active STRING, deleted STRING, " +
+      "probability STRING, stage_order_nr STRING, rotten_time STRING, " +
+      "visible_to STRING, " +
+      "activities_count STRING, done_activities_count STRING, " +
+      "undone_activities_count STRING, participants_count STRING, " +
+      "files_count STRING, notes_count STRING, followers_count STRING, " +
+      "email_messages_count STRING, products_count STRING, " +
+      "next_activity_id STRING, next_activity_subject STRING, " +
+      "next_activity_type STRING, next_activity_duration STRING, " +
+      "next_activity_note STRING, next_activity_time STRING, " +
+      "next_activity_date STRING, " +
+      "last_activity_id STRING, last_activity_date STRING, " +
+      "origin STRING, origin_id STRING, channel STRING, channel_id STRING"
+
+  /** core.pd_deals (03_core_pipedrive.sql:222-302, full column set):
+    * dict-drift tolerant value cast, residual custom_fields.
+    * next_activity_duration / next_activity_time are TIME in the
+    * reference DDL; Spark has no TIME type, so they stay TEXT
+    * ("HH:MM:SS" verbatim) — documented deviation. */
   def deals(silver: DataFrame): DataFrame =
-    dedupLatest(silver)
+    p(dealSchema)(dedupLatest(silver))
       .select(Seq(
         col("id").as("deal_id"),
-        SC.safeText(get_json_object(col("raw_data"), "$.title")).as("title"),
+        SC.safeText(col("p.title")).as("title"),
+        SC.safeText(col("p.status")).as("status"),
         SC.safeDecimal(get_json_object(col("raw_data"), "$.value"), 18, 2)
           .as("value"),
         coalesce(
-          SC.safeText(get_json_object(col("raw_data"), "$.currency")),
+          SC.safeText(col("p.currency")),
           SC.safeText(get_json_object(col("raw_data"), "$.value.currency")))
           .as("currency"),
-        SC.safeText(get_json_object(col("raw_data"), "$.status")).as("status"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.person_id"))
-          .as("person_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.org_id")).as("org_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.user_id"))
-          .as("user_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.pipeline_id"))
-          .as("pipeline_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.stage_id"))
-          .as("stage_id"),
-        SC.safeDate(get_json_object(col("raw_data"), "$.expected_close_date"))
-          .as("expected_close_date"),
-        SC.safeInt(get_json_object(col("raw_data"), "$.probability"))
-          .as("probability"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.won_time"))
-          .as("won_time"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.lost_time"))
-          .as("lost_time"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.close_time"))
-          .as("close_time"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.add_time"))
-          .as("add_time"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.update_time"))
-          .as("update_time"),
-        SC.safeTimestamp(
-          get_json_object(col("raw_data"), "$.stage_change_time"))
-          .as("stage_change_time"),
-        SC.safeText(get_json_object(col("raw_data"), "$.lost_reason"))
-          .as("lost_reason"),
-        SC.safeInt(get_json_object(col("raw_data"), "$.visible_to"))
-          .as("visible_to"),
-        SC.safeInt(get_json_object(col("raw_data"), "$.activities_count"))
-          .as("activities_count"),
-        SC.safeText(get_json_object(col("raw_data"), "$.origin")).as("origin"),
-        SC.safeText(get_json_object(col("raw_data"), "$.channel"))
-          .as("channel"),
+        SC.safeDecimal(col("p.weighted_value"), 18, 2).as("weighted_value"),
+        SC.safeText(col("p.weighted_value_currency"))
+          .as("weighted_value_currency"),
+        SC.safeLong(col("p.person_id")).as("person_id"),
+        SC.safeLong(col("p.org_id")).as("org_id"),
+        SC.safeLong(col("p.user_id")).as("user_id"),
+        SC.safeLong(col("p.pipeline_id")).as("pipeline_id"),
+        SC.safeLong(col("p.stage_id")).as("stage_id"),
+        SC.safeTimestamp(col("p.add_time")).as("add_time"),
+        SC.safeTimestamp(col("p.update_time")).as("update_time"),
+        SC.safeTimestamp(col("p.stage_change_time")).as("stage_change_time"),
+        SC.safeDate(col("p.expected_close_date")).as("expected_close_date"),
+        SC.safeTimestamp(col("p.close_time")).as("close_time"),
+        SC.safeTimestamp(col("p.won_time")).as("won_time"),
+        SC.safeTimestamp(col("p.lost_time")).as("lost_time"),
+        SC.safeTimestamp(col("p.first_won_time")).as("first_won_time"),
+        SC.safeText(col("p.lost_reason")).as("lost_reason"),
+        // DDL defaults: active TRUE, deleted FALSE (:255-256)
+        coalesce(SC.safeBool(col("p.active")), lit(true)).as("active"),
+        coalesce(SC.safeBool(col("p.deleted")), lit(false)).as("deleted"),
+        SC.safeDecimal(col("p.probability"), 5, 2).as("probability"),
+        SC.safeInt(col("p.stage_order_nr")).as("stage_order_nr"),
+        SC.safeTimestamp(col("p.rotten_time")).as("rotten_time"),
+        SC.safeInt(col("p.visible_to")).as("visible_to"),
+        SC.safeInt(col("p.activities_count")).as("activities_count"),
+        SC.safeInt(col("p.done_activities_count"))
+          .as("done_activities_count"),
+        SC.safeInt(col("p.undone_activities_count"))
+          .as("undone_activities_count"),
+        SC.safeInt(col("p.participants_count")).as("participants_count"),
+        SC.safeInt(col("p.files_count")).as("files_count"),
+        SC.safeInt(col("p.notes_count")).as("notes_count"),
+        SC.safeInt(col("p.followers_count")).as("followers_count"),
+        SC.safeInt(col("p.email_messages_count"))
+          .as("email_messages_count"),
+        SC.safeInt(col("p.products_count")).as("products_count"),
+        SC.safeLong(col("p.next_activity_id")).as("next_activity_id"),
+        SC.safeText(col("p.next_activity_subject"))
+          .as("next_activity_subject"),
+        SC.safeText(col("p.next_activity_type")).as("next_activity_type"),
+        SC.safeText(col("p.next_activity_duration"))
+          .as("next_activity_duration"),
+        SC.safeText(col("p.next_activity_note")).as("next_activity_note"),
+        SC.safeText(col("p.next_activity_time")).as("next_activity_time"),
+        SC.safeDate(col("p.next_activity_date")).as("next_activity_date"),
+        SC.safeLong(col("p.last_activity_id")).as("last_activity_id"),
+        SC.safeDate(col("p.last_activity_date")).as("last_activity_date"),
+        SC.safeText(col("p.origin")).as("origin"),
+        SC.safeText(col("p.origin_id")).as("origin_id"),
+        SC.safeLong(col("p.channel")).as("channel"),
+        SC.safeText(col("p.channel_id")).as("channel_id"),
         JsonOps.residualJson(col("raw_data"), DealStandard)
           .as("custom_fields")) ++ audit: _*)
 

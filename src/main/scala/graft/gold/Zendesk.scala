@@ -95,32 +95,67 @@ object Zendesk {
       SC.safeTimestamp(j("created_at")).as("created_at"),
       SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
 
-  /** core.zd_tickets (:158-210): nested via.channel / via.source (P3). */
+  /** Scalar ticket fields parsed in ONE from_json pass; residual JSON
+    * columns (via_source, satisfaction_rating, tags, custom_fields)
+    * stay on get_json_object — they pass through verbatim as JSONB
+    * does in the reference. */
+  private val ticketSchema: String =
+    "subject STRING, raw_subject STRING, description STRING, " +
+      "status STRING, priority STRING, type STRING, " +
+      "requester_id STRING, submitter_id STRING, assignee_id STRING, " +
+      "organization_id STRING, group_id STRING, brand_id STRING, " +
+      "ticket_form_id STRING, external_id STRING, " +
+      "via STRUCT<channel: STRING>, " +
+      "is_public STRING, has_incidents STRING, " +
+      "allow_channelback STRING, allow_attachments STRING, " +
+      "satisfaction_rating STRUCT<score: STRING>, " +
+      "created_at STRING, updated_at STRING, due_at STRING, " +
+      "initially_assigned_at STRING, assigned_at STRING, solved_at STRING"
+
+  /** core.zd_tickets (:158-210, full column set): nested via.channel /
+    * via.source (P3), SLA timestamps (solved_at drives the
+    * hours_to_resolution view — NULL while unsolved), satisfaction and
+    * residual custom_fields/tags JSON. */
   def tickets(silver: DataFrame): DataFrame =
-    dedupLatest(silver).select(Seq(
+    dedupLatest(silver)
+      .withColumn("p",
+        graft.functions.JsonOps.parse(col("raw_data"), ticketSchema))
+      .select(Seq(
       col("id").as("ticket_id"),
-      SC.safeText(j("subject")).as("subject"),
-      SC.safeText(j("description")).as("description"),
-      SC.safeText(j("status")).as("status"),
-      SC.safeText(j("priority")).as("priority"),
-      SC.safeText(j("type")).as("type"),
-      SC.safeLong(j("requester_id")).as("requester_id"),
-      SC.safeLong(j("submitter_id")).as("submitter_id"),
-      SC.safeLong(j("assignee_id")).as("assignee_id"),
-      SC.safeLong(j("organization_id")).as("organization_id"),
-      SC.safeLong(j("group_id")).as("group_id"),
-      SC.safeLong(j("brand_id")).as("brand_id"),
-      SC.safeLong(j("ticket_form_id")).as("ticket_form_id"),
-      SC.safeText(j("external_id")).as("external_id"),
-      SC.safeText(get_json_object(col("raw_data"), "$.via.channel"))
-        .as("via_channel"),
+      SC.safeText(col("p.external_id")).as("external_id"),
+      SC.safeText(col("p.subject")).as("subject"),
+      SC.safeText(col("p.description")).as("description"),
+      SC.safeText(col("p.raw_subject")).as("raw_subject"),
+      SC.safeText(col("p.status")).as("status"),
+      SC.safeText(col("p.priority")).as("priority"),
+      SC.safeText(col("p.type")).as("type"),
+      SC.safeLong(col("p.requester_id")).as("requester_id"),
+      SC.safeLong(col("p.submitter_id")).as("submitter_id"),
+      SC.safeLong(col("p.assignee_id")).as("assignee_id"),
+      SC.safeLong(col("p.organization_id")).as("organization_id"),
+      SC.safeLong(col("p.group_id")).as("group_id"),
+      SC.safeLong(col("p.brand_id")).as("brand_id"),
+      SC.safeLong(col("p.ticket_form_id")).as("ticket_form_id"),
+      SC.safeBool(col("p.is_public")).as("is_public"),
+      SC.safeBool(col("p.has_incidents")).as("has_incidents"),
+      SC.safeBool(col("p.allow_channelback")).as("allow_channelback"),
+      SC.safeBool(col("p.allow_attachments")).as("allow_attachments"),
+      get_json_object(col("raw_data"), "$.satisfaction_rating")
+        .as("satisfaction_rating"),
+      SC.safeText(col("p.satisfaction_rating.score"))
+        .as("satisfaction_score"),
+      SC.safeTimestamp(col("p.created_at")).as("created_at"),
+      SC.safeTimestamp(col("p.updated_at")).as("updated_at"),
+      SC.safeTimestamp(col("p.due_at")).as("due_at"),
+      SC.safeTimestamp(col("p.initially_assigned_at"))
+        .as("initially_assigned_at"),
+      SC.safeTimestamp(col("p.assigned_at")).as("assigned_at"),
+      SC.safeTimestamp(col("p.solved_at")).as("solved_at"),
+      SC.safeText(col("p.via.channel")).as("via_channel"),
       get_json_object(col("raw_data"), "$.via.source").as("via_source"),
-      SC.safeBool(j("is_public")).as("is_public"),
-      SC.safeBool(j("has_incidents")).as("has_incidents"),
-      SC.safeBool(j("allow_channelback")).as("allow_channelback"),
-      SC.safeBool(j("allow_attachments")).as("allow_attachments"),
-      SC.safeTimestamp(j("created_at")).as("created_at"),
-      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+      get_json_object(col("raw_data"), "$.tags").as("tags"),
+      get_json_object(col("raw_data"), "$.custom_fields")
+        .as("custom_fields")) ++ audit: _*)
 
   /** core.zd_ticket_tags (E5 + D4: explode text array, DISTINCT —
     * normalize_zendesk.py:705-762). */

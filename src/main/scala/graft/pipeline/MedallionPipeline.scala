@@ -96,7 +96,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       val members = slice(members0)
       write(Evo.members(members), "evo_members", Seq("member_id"))
       write(Evo.memberMemberships(members), "evo_member_memberships",
-        Seq("membership_id"))
+        Seq("member_id", "member_membership_id"))
       write(Evo.memberContacts(members), "evo_member_contacts",
         Seq("phone_id", "member_id"))
     }

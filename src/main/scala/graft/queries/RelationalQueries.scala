@@ -184,6 +184,37 @@ object RelationalQueries {
              |  GROUP BY 1
              |)""".stripMargin)),
 
+    // ---- A12: CASE-guarded nullable duration (the vw_zd_ticket_metrics
+    // hours_to_resolution shape, 04_core_zendesk.sql:305-310): an entity
+    // without its terminal event has NULL duration, not a bogus
+    // duration-to-last-touch. Here: user's first event -> first "big
+    // purchase" (the solved_at analog; most users never have one).
+    QueryDef(
+      "a12_guarded_duration",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_seen"),
+          min(when(col("event_type") === "purchase" && col("value") > 180,
+            col("ts"))).as("solved_ts"))
+        .select(col("user_id"), col("n_events"),
+          when(col("solved_ts").isNotNull,
+            round((unix_timestamp(col("solved_ts")) -
+              unix_timestamp(col("first_seen"))).cast("double") / 3600, 4))
+            .as("hours_to_solved")),
+      Some("""SELECT user_id, n_events,
+             |  CASE WHEN solved_ts IS NOT NULL THEN
+             |    ROUND(CAST(date_diff('second', first_seen, solved_ts)
+             |          AS DOUBLE) / 3600, 4)
+             |  ELSE NULL END AS hours_to_solved
+             |FROM (
+             |  SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_seen,
+             |    MIN(CASE WHEN event_type = 'purchase' AND value > 180
+             |             THEN ts END) AS solved_ts
+             |  FROM events GROUP BY 1
+             |)""".stripMargin)),
+
     // ---- J1: multi-way broadcast dim join + aggregate (funnel view shape)
     QueryDef(
       "j1_funnel_join",

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   /** vw_pd_sales_funnel (03_core_pipedrive.sql:396-412): deals ⋈
-    * pipelines ⋈ stages on composite (id, scope) + GROUP BY. */
+    * pipelines ⋈ stages on composite (id, scope) + GROUP BY.
+    * WHERE d.active = TRUE (:407) — dead deals never enter the funnel. */
   def salesFunnel(deals: DataFrame, pipelines: DataFrame,
       stages: DataFrame): DataFrame =
     deals
+      .filter(col("active") === true)
       .join(broadcast(pipelines.select(col("pipeline_id"), col("scope"),
         col("name").as("pipeline_name"))), Seq("pipeline_id", "scope"))
       .join(broadcast(stages.select(col("stage_id"), col("scope"),
@@ -58,9 +60,12 @@ object Analytics {
         Seq("organization_id"), "left")
       .join(broadcast(groups.select(col("group_id"),
         col("name").as("group_name"))), Seq("group_id"), "left")
+      // CASE WHEN solved_at IS NOT NULL ... ELSE NULL (:305-310) — an
+      // unsolved ticket has NO resolution time, however recently touched
       .withColumn("hours_to_resolution",
-        round((unix_timestamp(col("updated_at")) -
-          unix_timestamp(col("created_at"))).cast("double") / 3600, 2))
+        when(col("solved_at").isNotNull,
+          round((unix_timestamp(col("solved_at")) -
+            unix_timestamp(col("created_at"))).cast("double") / 3600, 2)))
   }
 
   /** Retention join (EVO_DATA_MODEL.md:346-355). */

@@ -31,6 +31,10 @@ class EvoPipelineSpec extends SparkSpec {
       |"firstName": "Ana", "lastName": "Silva", "document": "12345678901",
       |"gender": "F", "birthDate": "1990-05-01", "address": "Rua A",
       |"number": "10", "addressNumber": null, "city": "BH", "state": "MG",
+      |"maritalStatus": "married", "complement": "ap 101",
+      |"accessCardNumber": "AC-9", "photo": "https://img/a.jpg",
+      |"cref": "CREF-123", "crefExpirationDate": "2027-01-01",
+      |"userIdGurupass": "GP-7", "usePreferredName": true,
       |"accessBlocked": false, "status": "Active",
       |"membershipStatus": "active", "totalFitCoins": "12.50",
       |"registerDate": "2023-01-10T12:00:00Z",
@@ -44,10 +48,18 @@ class EvoPipelineSpec extends SparkSpec {
       |"memberships": [
       | {"idMemberMembership": 9001, "idMembership": 12,
       |  "membershipName": "Plano Anual", "idSale": 7001,
+      |  "idMembershipRenewed": 8001,
       |  "startDate": "2023-01-10T00:00:00Z",
       |  "endDate": "2024-01-10T00:00:00Z",
+      |  "nextCharge": "2023-02-10T00:00:00Z",
+      |  "idCategoryMembership": 5,
       |  "membershipStatus": "active", "valueNextMonth": "99.90",
       |  "originalValue": "119.90", "numMembers": 1,
+      |  "concludedSessions": 4, "pendingSessions": 2,
+      |  "maxSuspensionDays": 30, "contractPrinting": "printed",
+      |  "freezes": [{"startDate": "2023-07-01", "days": 15,
+      |    "reason": {"id": 2, "label": "travel"}}],
+      |  "sessions": {"total": 6, "kinds": ["gym", "pool"]},
       |  "flAllowLocker": true, "limitless": true, "weeklyLimit": null}]}"""
       .stripMargin.replaceAll("\n", " ")
 
@@ -77,11 +89,16 @@ class EvoPipelineSpec extends SparkSpec {
       |"nameEmployeeSale": "Carlos", "idBranch": 3,
       |"saleDate": "2023-01-10T12:00:00Z", "removed": false,
       |"idSaleMigration": 555,
+      |"coporatePartnershipId": 44, "corporatePartnershipName": "ACME",
+      |"idSaleRecurrency": 66,
       |"saleItens": [
       | {"idSaleItem": 80001, "description": "Plano Anual",
-      |  "item": "membership", "itemValue": "119.90", "saleValue": "99.90",
+      |  "item": "membership", "itemValue": "119.90",
+      |  "saleValue": "99.90", "saleValueWithoutCreditValue": "89.90",
       |  "quantity": 1, "discount": "20.00", "idMembership": 12,
-      |  "idMemberMembership": 9001, "flAllowLocker": true}],
+      |  "idMemberMembership": 9001, "voucher": "V-1",
+      |  "flAllowLocker": true},
+      | {"description": "ghost item without idSaleItem"}],
       |"receivables": [
       | {"idReceivable": 90001, "dueDate": "2023-02-10T00:00:00Z",
       |  "amount": "99.90", "ammountPaid": "99.90",
@@ -98,6 +115,8 @@ class EvoPipelineSpec extends SparkSpec {
   private val prospect301 =
     """{"idProspect": 301, "idBranch": 3, "firstName": "Bruno",
       |"lastName": "Souza", "email": "bruno@example.com",
+      |"address": "Rua B", "number": "42", "complement": "casa",
+      |"neighborhood": "Savassi", "zipCode": "30000-000",
       |"conversionDate": "2023-06-01T10:00:00Z", "idMember": 101,
       |"financiallyResponsibles": [{"name": "Pai Souza",
       |"cpf": "11122233344", "financialResponsible": true}],
@@ -137,26 +156,43 @@ class EvoPipelineSpec extends SparkSpec {
     assert(m101.getAs[String]("email") == "ana@example.com") // P4 type 4
     assert(m101.getAs[String]("cellphone") == "+5531999990000") // P4 type 1
     assert(m101.getAs[String]("full_name") == "Ana Silva") // P9
-    assert(m101.getAs[Long]("consultant_id") == 7L)
-    assert(m101.getAs[Long]("instructor_id") == 9L)
+    assert(m101.getAs[Long]("employee_consultant_id") == 7L)
+    assert(m101.getAs[Long]("employee_instructor_id") == 9L)
     assert(!m101.getAs[Boolean]("access_blocked"))
+    assert(m101.getAs[String]("marital_status") == "married")
+    assert(m101.getAs[String]("photo_url") == "https://img/a.jpg") // photo|photoUrl
+    assert(m101.getAs[String]("cref") == "CREF-123")
     val m102 = members.filter(col("member_id") === 102).collect()(0)
-    assert(m102.getAs[Long]("consultant_id") == 77L) // P2 nested fallback
-    assert(m102.getAs[Long]("instructor_id") == 88L) // P2 scalar form
-    assert(m102.getAs[String]("instructor_name") == "Scalar Inst")
-    assert(m102.getAs[Long]("personal_trainer_id") == 99L)
+    assert(m102.getAs[Long]("employee_consultant_id") == 77L) // P2 nested fallback
+    assert(m102.getAs[Long]("employee_instructor_id") == 88L) // P2 scalar form
+    assert(m102.getAs[String]("employee_instructor_name") == "Scalar Inst")
+    assert(m102.getAs[Long]("employee_personal_id") == 99L)
     assert(m102.getAs[String]("member_migration_id") == "MIG-0042") // TEXT
     assert(m102.getAs[Boolean]("access_blocked")) // string "true"
     assert(m102.getAs[String]("email") == null) // contacts null
     val m103 = members.filter(col("member_id") === 103).collect()(0)
     assert(m103.getAs[String]("email") == null) // non-array guard (P10)
 
-    assert(pipe.gold("evo_member_memberships").count() == 1)
+    val mm = pipe.gold("evo_member_memberships").collect()
+    assert(mm.length == 1)
+    assert(mm(0).getAs[Long]("member_membership_id") == 9001L)
+    assert(mm(0).getAs[Long]("membership_id") == 12L)
+    assert(mm(0).getAs[Long]("membership_renewed_id") == 8001L)
+    assert(mm(0).getAs[Int]("concluded_sessions") == 4)
+    // freezes/sessions survive as raw JSON incl. nested drifted shapes
+    assert(mm(0).getAs[String]("freezes").contains("\"label\":\"travel\""))
+    assert(mm(0).getAs[String]("sessions").contains("\"total\":6"))
     assert(pipe.gold("evo_member_contacts").count() == 2)
 
+    // ghost item (no idSaleItem) filtered per normalize_evo_sales.py:214
     val items = pipe.gold("evo_sale_items").collect()
     assert(items.length == 1 &&
       items(0).getAs[java.math.BigDecimal]("sale_value").toString == "99.90")
+    // v1-drift key saleValueWithoutCreditValue lands in the column
+    assert(items(0).getAs[java.math.BigDecimal]("sale_value_without_credit")
+      .toString == "89.90")
+    assert(items(0).getAs[String]("voucher") == "V-1")
+    assert(items(0).getAs[Long]("member_membership_id") == 9001L)
     val recv = pipe.gold("evo_receivables").collect()(0)
     assert(recv.getAs[java.math.BigDecimal]("amount_paid").toString == "99.90")
     assert(recv.getAs[Long]("status_id") == 2L) // nested access (P3)
@@ -164,7 +200,15 @@ class EvoPipelineSpec extends SparkSpec {
     val sales = pipe.gold("evo_sales").collect()(0)
     // v1 drift key, TEXT verbatim (reference column is TEXT)
     assert(sales.getAs[String]("sale_migration_id") == "555")
-    assert(sales.getAs[Long]("employee_id") == 7L)
+    // employee_id and employee_sale_id are distinct reference columns
+    // (evo_schemas.sql:194-196); only the sale employee is present here
+    assert(sales.isNullAt(sales.fieldIndex("employee_id")))
+    assert(sales.getAs[Long]("employee_sale_id") == 7L)
+    assert(sales.getAs[String]("employee_sale_name") == "Carlos")
+    // v1 misspelled drift key lands in the partnership columns
+    assert(sales.getAs[Long]("corporate_partnership_id") == 44L)
+    assert(sales.getAs[String]("corporate_partnership_name") == "ACME")
+    assert(sales.getAs[Long]("sale_recurrency_id") == 66L)
 
     val entries = pipe.gold("evo_entries")
     assert(entries.count() == 3) // dup collapsed by K6 key at silver
@@ -177,8 +221,10 @@ class EvoPipelineSpec extends SparkSpec {
     val prospects = pipe.gold("evo_prospects").collect()(0)
     assert(prospects.getAs[Boolean]("is_converted"))
     assert(prospects.getAs[String]("responsible_name") == "Pai Souza") // E7
-    assert(prospects.getAs[String]("marketing_details")
+    assert(prospects.getAs[String]("custom_fields")
       .contains("\"temperature\":\"hot\"")) // P8
+    assert(prospects.getAs[Boolean]("responsible_is_financial"))
+    assert(prospects.getAs[String]("address_number") == "42")
 
     // ---- analytics views
     val retention = Analytics.membershipRetention(

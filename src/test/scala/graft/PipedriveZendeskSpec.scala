@@ -44,13 +44,28 @@ class PipedriveZendeskSpec extends SparkSpec {
     writeBronze("pipedrive", "deals", "r1", "2026-01-01", Seq(
       deal(12345, "Same Id Other Scope", "lost", "2026-01-01T00:00:00Z")),
       Some("expansao"))
-    // dict-valued drift: value arrives as {"value":..,"currency":..}
+    // dict-valued drift: value arrives as {"value":..,"currency":..};
+    // also carries the wide-column block (counters, next activity,
+    // origin/channel split, weighted value) and an INACTIVE deal 888
+    // that the funnel view must exclude (03_core_pipedrive.sql:407)
     writeBronze("pipedrive", "deals", "r2", "2026-01-02", Seq(
       """{"id": 12345, "title": "New Title", "status": "won",
         |"value": {"value": 2000.5, "currency": "USD"}, "user_id": 12,
         |"pipeline_id": 1, "stage_id": 5,
         |"update_time": "2026-01-02T00:00:00Z",
+        |"weighted_value": 1600.25, "probability": 80,
+        |"first_won_time": "2026-01-02T00:00:00Z",
+        |"done_activities_count": 3, "notes_count": 1,
+        |"next_activity_date": "2026-02-01", "next_activity_type": "call",
+        |"next_activity_duration": "00:30:00",
+        |"origin": "API", "origin_id": "o-1", "channel": 52,
+        |"channel_id": "ch-52",
         |"customField_abc123": "instagram"}""".stripMargin
+        .replaceAll("\n", " "),
+      """{"id": 888, "title": "Dead Deal", "status": "open",
+        |"active": false, "pipeline_id": 1, "stage_id": 5,
+        |"value": 10.0, "currency": "BRL",
+        |"update_time": "2026-01-02T00:00:00Z"}""".stripMargin
         .replaceAll("\n", " ")), Some("comercial"))
 
     writeBronze("pipedrive", "pipelines", "r1", "2026-01-01", Seq(
@@ -92,7 +107,7 @@ class PipedriveZendeskSpec extends SparkSpec {
     pipe.transformPipedrive()
 
     val deals = pipe.gold("pd_deals")
-    assert(deals.count() == 3) // (12345, comercial), (777, comercial), (12345, expansao)
+    assert(deals.count() == 4) // + inactive 888 (in the table, not the funnel)
     val d = deals.filter(col("deal_id") === 12345 &&
       col("scope") === "comercial").collect()(0)
     assert(d.getAs[String]("title") == "New Title") // D1 latest wins
@@ -100,6 +115,24 @@ class PipedriveZendeskSpec extends SparkSpec {
     assert(d.getAs[String]("currency") == "USD") // drift fallback
     assert(d.getAs[String]("custom_fields")
       .contains("\"customField_abc123\":\"instagram\"")) // P6 latest
+    // wide-column parity block (03_core_pipedrive.sql:222-302)
+    assert(d.getAs[java.math.BigDecimal]("weighted_value")
+      .toString == "1600.25")
+    assert(d.getAs[java.math.BigDecimal]("probability").toString == "80.00")
+    assert(d.getAs[Boolean]("active")) // DDL default TRUE when absent
+    assert(!d.getAs[Boolean]("deleted"))
+    assert(d.getAs[Int]("done_activities_count") == 3)
+    assert(d.getAs[String]("next_activity_duration") == "00:30:00")
+    assert(d.getAs[java.sql.Date]("next_activity_date").toString
+      == "2026-02-01")
+    assert(d.getAs[String]("origin_id") == "o-1")
+    assert(d.getAs[Long]("channel") == 52L)
+    assert(d.getAs[String]("channel_id") == "ch-52")
+    assert(d.getAs[java.sql.Timestamp]("first_won_time") != null)
+    // counters absent from the payload stay NULL (no fake zeros)
+    assert(d.isNullAt(d.fieldIndex("participants_count")))
+    val dead = deals.filter(col("deal_id") === 888).collect()(0)
+    assert(!dead.getAs[Boolean]("active"))
     val other = deals.filter(col("deal_id") === 12345 &&
       col("scope") === "expansao").collect()(0)
     assert(other.getAs[String]("title") == "Same Id Other Scope") // ADR-003
@@ -117,10 +150,12 @@ class PipedriveZendeskSpec extends SparkSpec {
       get_json_object(col("raw_data"), "$.id") === "12345" &&
         col("scope") === "comercial").count() == 2)
 
-    // funnel + seller views (J1/J2/A1–A3)
+    // funnel + seller views (J1/J2/A1–A3); the inactive 888 deal is in
+    // scope comercial but WHERE active = TRUE keeps it out of the funnel
     val funnel = Analytics.salesFunnel(deals, pipe.gold("pd_pipelines"),
       pipe.gold("pd_stages"))
     assert(funnel.filter(col("scope") === "comercial").count() == 2) // won+open... statuses
+    assert(funnel.filter(col("status") === "open").isEmpty) // 888 excluded
     val seller = Analytics.sellerPerformance(deals, pipe.gold("pd_users"))
       .filter(col("scope") === "comercial").collect()(0)
     // both comercial deals are won after v2 (777 won at create,
@@ -140,7 +175,7 @@ class PipedriveZendeskSpec extends SparkSpec {
       ts("2026-01-03T10:00:00Z"))
     pipe.transformPipedrive(onlyRun = Some("r3"))
     val after = pipe.gold("pd_deals")
-    assert(after.count() == 3)
+    assert(after.count() == 4)
     assert(after.filter(col("deal_id") === 777).collect()(0)
       .getAs[String]("title") == "Expansao Deal v2")
     assert(after.filter(col("deal_id") === 12345 &&
@@ -162,13 +197,19 @@ class PipedriveZendeskSpec extends SparkSpec {
         .stripMargin.replaceAll("\n", " ")
     val ticketV2 =
       """{"id": 555, "subject": "Catraca nao abre", "status": "solved",
+        |"raw_subject": "{{dc.catraca}} nao abre",
         |"priority": "high", "requester_id": 9001, "assignee_id": 9100,
         |"organization_id": 4, "group_id": 14,
         |"via": {"channel": "email"},
         |"tags": ["academia", "urgente"],
         |"custom_fields": [{"id": 42, "value": "unidade-norte"}],
+        |"satisfaction_rating": {"score": "good", "comment": "resolvido"},
+        |"due_at": "2026-01-06T00:00:00Z",
+        |"assigned_at": "2026-01-02T11:00:00Z",
+        |"initially_assigned_at": "2026-01-02T10:30:00Z",
         |"created_at": "2026-01-02T09:00:00Z",
-        |"updated_at": "2026-01-04T10:00:00Z"}"""
+        |"updated_at": "2026-01-04T10:00:00Z",
+        |"solved_at": "2026-01-04T10:00:00Z"}"""
         .stripMargin.replaceAll("\n", " ")
     // anomaly row for audit V5: created_at > updated_at
     val anomaly =
@@ -205,6 +246,14 @@ class PipedriveZendeskSpec extends SparkSpec {
     val t555 = tickets.filter(col("ticket_id") === 555).collect()(0)
     assert(t555.getAs[String]("status") == "solved") // D1 latest
     assert(t555.getAs[String]("via_channel") == "email") // P3 nested
+    // SLA/satisfaction parity block (04_core_zendesk.sql:158-210)
+    assert(t555.getAs[String]("raw_subject") == "{{dc.catraca}} nao abre")
+    assert(t555.getAs[String]("satisfaction_score") == "good")
+    assert(t555.getAs[String]("satisfaction_rating")
+      .contains("\"comment\":"))
+    assert(t555.getAs[java.sql.Timestamp]("solved_at") != null)
+    assert(t555.getAs[java.sql.Timestamp]("due_at") != null)
+    assert(t555.getAs[String]("custom_fields").contains("unidade-norte"))
 
     // E5: distinct tags; latest version only had [academia, urgente] but
     // insert-ignore accumulates across versions (K8 semantics)
@@ -231,6 +280,12 @@ class PipedriveZendeskSpec extends SparkSpec {
     assert(m.getAs[String]("requester_name") == "Cliente")
     assert(m.getAs[String]("assignee_name") == "Agente")
     assert(m.getAs[String]("org_name") == "Unidade Centro")
+    // solved_at - created_at (04_core_zendesk.sql:305-310), NOT
+    // updated_at - created_at
     assert(m.getAs[Double]("hours_to_resolution") == 49.0) // A10
+    // the unsolved anomaly ticket has NULL resolution, not
+    // a bogus updated_at-derived duration
+    val m556 = metrics.filter(col("ticket_id") === 556).collect()(0)
+    assert(m556.isNullAt(m556.fieldIndex("hours_to_resolution")))
   }
 }
