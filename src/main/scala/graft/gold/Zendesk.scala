@@ -180,15 +180,20 @@ object Zendesk {
         graft.functions.JsonOps.parse(get_json_object(col("raw_data"), "$.custom_fields"), "ARRAY<STRUCT<id: STRING, value: STRING>>"))
       .filter(col("cf").isNotNull)
       .select(col("ticket_id"), explode(col("cf")).as("f"),
+        col("run_id"),
         col("loaded_at"), col("source_blob_path"), col("source_line_no"))
       .select(col("ticket_id"),
         SC.safeLong(col("f.id")).as("field_id"),
         SC.safeText(col("f.value")).as("value"),
+        col("run_id"),
         col("loaded_at"), col("source_blob_path"), col("source_line_no"))
       .filter(col("value").isNotNull) // empty-string values cleaned to NULL
     Dedup.keepLatest(exploded, Seq("ticket_id", "field_id"),
       Seq(col("loaded_at"), col("source_blob_path"), col("source_line_no")))
-      .select("ticket_id", "field_id", "value")
+      .select(col("ticket_id"), col("field_id"), col("value"),
+        col("run_id").as("_source_run_id"),
+        col("loaded_at").as("_loaded_at"),
+        col("loaded_at").as("_updated_at"))
   }
 
   /** core.zd_ticket_collaborators / followers (:245-268): id arrays. */

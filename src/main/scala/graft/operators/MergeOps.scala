@@ -82,6 +82,9 @@ object MergeOps {
     if (f.exists(target)) mv(f, target, bak)
     mv(f, tmp, target)
     f.delete(bak, true)
+    // the session FileStatusCache may still hold the pre-swap listing
+    // for this path; a later read would chase deleted part files
+    spark.catalog.refreshByPath(path)
   }
 
   /** target ∪ source → keep-latest per key, preserving `preserve`
@@ -175,6 +178,7 @@ object MergeOps {
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
     swapLeafPartitions(f, tmp, targetP, path, partitionCols.length)
     f.delete(tmp, true)
+    spark.catalog.refreshByPath(path) // see overwrite()
   }
 
   /** Move every depth-`depth` partition directory of `tmp` into
@@ -254,9 +258,11 @@ object MergeOps {
     * matched partitions before the read completes; use `upsert` with
     * `partitionCols` when merging against existing rows. */
   def replacePartitions(spark: SparkSession, source: DataFrame, path: String,
-      partitionCol: String): Unit =
+      partitionCol: String): Unit = {
     source.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+    spark.catalog.refreshByPath(path) // see overwrite()
+  }
 }

@@ -203,13 +203,23 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     withSilver("zendesk", "tickets") { tickets0 =>
       val tickets = slice(tickets0)
       write(Zendesk.tickets(tickets), "zd_tickets", Seq("ticket_id"))
-      // bridges: insert-ignore for tags (K8), keep-latest for custom fields
+      // bridges: insert-ignore accumulation (K8) for the id/tag arrays
+      // (04_core_zendesk.sql:228-268)
       MergeOps.insertIgnore(spark, Zendesk.ticketTags(tickets),
         goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
-      // custom-fields bridge: full-refresh needs the whole history (D5
-      // keep-latest per field), so incremental runs keep it full
-      MergeOps.fullRefresh(spark, Zendesk.ticketCustomFields(tickets0),
-        goldPath("zd_ticket_custom_fields"))
+      MergeOps.insertIgnore(spark, Zendesk.ticketCollaborators(tickets),
+        goldPath("zd_ticket_collaborators"), Seq("ticket_id", "user_id"))
+      MergeOps.insertIgnore(spark, Zendesk.ticketFollowers(tickets),
+        goldPath("zd_ticket_followers"), Seq("ticket_id", "user_id"))
+      // custom-fields bridge: keep-latest per (ticket_id, field_id) then
+      // upsert — the reference's ON CONFLICT DO UPDATE
+      // (normalize_zendesk.py:790-800). The D5 window needs the full
+      // version history OF EACH TOUCHED TICKET, which is exactly what
+      // touchedIds already preserves, so incremental cost is ∝ delta
+      // tickets' history, not ∝ all history.
+      MergeOps.upsert(spark, Zendesk.ticketCustomFields(tickets),
+        goldPath("zd_ticket_custom_fields"), Seq("ticket_id", "field_id"),
+        "_updated_at", preserveOnUpdate = Seq("_loaded_at"))
     }
   }
 

@@ -81,6 +81,76 @@ object Bronze {
       .collect().headOption.flatMap(r => Option(r.getString(0)))
 }
 
+/** Run manifest documents (SURVEY.md §2 K2): one JSON per run under
+  * `_meta/{source}/runs/run_id={r}/manifest.json` recording per-
+  * scope/entity record and part counts — the reference writes the same
+  * document at the end of every extraction run
+  * (pipedrive_bronze.py:299-318, scope_report :217-276). Driver-side
+  * metadata: tiny files via the Hadoop FS API, no Spark job.
+  */
+class RunManifest(spark: SparkSession, base: String) {
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  private def path(source: String, runId: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$base/_meta/$source/runs/run_id=$runId/manifest.json")
+
+  def save(source: String, runId: String,
+      startedAt: java.time.Instant, finishedAt: java.time.Instant,
+      reports: Seq[RunManifest.EntityReport]): Unit = {
+    val p = path(source, runId)
+    val fs = p.getFileSystem(conf)
+    val lines = reports.map { r =>
+      val scopePart = r.scope.map(s => s""""scope": "$s", """).getOrElse("")
+      s"""    {$scopePart"entity": "${r.entity}", "mode": "${r.mode}", """ +
+        s""""records": ${r.records}, "parts": ${r.parts}}"""
+    }.mkString(",\n")
+    val doc =
+      s"""{
+         |  "run_id": "$runId",
+         |  "run_started_at_utc": "$startedAt",
+         |  "run_finished_at_utc": "$finishedAt",
+         |  "reports": [
+         |$lines
+         |  ]
+         |}""".stripMargin
+    val out = fs.create(p, true)
+    try out.write(doc.getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(source: String, runId: String): Option[String] = {
+    val p = path(source, runId)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Per-entity report derived from the bronze files a run just wrote
+    * (records = raw lines, parts = distinct blobs) — by construction
+    * the counts a silver load of the same run will see (V1
+    * Audit.runCounts reconciles against this). */
+  def reportFor(source: String, entity: String, runId: String,
+      mode: String, scope: Option[String] = None): RunManifest.EntityReport = {
+    val row = Bronze.readRun(spark, base, source, entity, runId, scope)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("source_blob_path")))
+      .collect()(0)
+    RunManifest.EntityReport(scope, entity, mode, row.getLong(0),
+      row.getLong(1))
+  }
+}
+
+object RunManifest {
+  case class EntityReport(scope: Option[String], entity: String,
+      mode: String, records: Long, parts: Long)
+}
+
 /** Watermark documents (SURVEY.md §2 S13): one small JSON per
   * scope+entity holding the last successful cursor, with the 5-minute
   * overlap applied on read (pipedrive_bronze.py:236-240). Stored via the

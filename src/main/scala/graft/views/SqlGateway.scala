@@ -20,7 +20,15 @@ object SqlGateway {
     "pd_persons", "pd_deals", "pd_activities",
     "zd_organizations", "zd_users", "zd_groups", "zd_ticket_fields",
     "zd_ticket_forms", "zd_tickets", "zd_ticket_tags",
-    "zd_ticket_custom_fields")
+    "zd_ticket_custom_fields", "zd_ticket_collaborators",
+    "zd_ticket_followers")
+
+  /** Scope-filter convenience views (05_scope_views.sql:9-41): one view
+    * per (table, scope). Trivially cheap — the scope predicate pushes
+    * down to the parquet scan. */
+  val ScopeViewTables: Seq[String] = Seq("pd_deals", "pd_persons",
+    "pd_activities", "pd_organizations", "pd_users")
+  val Scopes: Seq[String] = Seq("comercial", "expansao")
 
   /** Register all materialized gold tables (+ derived views where their
     * inputs exist) and the SQL functions. Returns registered names. */
@@ -45,6 +53,9 @@ object SqlGateway {
         pipe.gold("zd_organizations"), pipe.gold("zd_groups")))
     view("vw_daily_entries", Seq("evo_entries"))(
       Analytics.dailyEntries(pipe.gold("evo_entries")))
+    for (t <- ScopeViewTables if present.contains(t); s <- Scopes)
+      view(s"vw_${t}_$s", Seq(t))(
+        Analytics.scopeView(pipe.gold(t), s))
     present
   }
 }

@@ -189,6 +189,8 @@ class PipedriveZendeskSpec extends SparkSpec {
         |"priority": "high", "requester_id": 9001, "assignee_id": 9100,
         |"organization_id": 4, "group_id": 14,
         |"via": {"channel": "email", "source": {"from": {"address": "x@y.z"}}},
+        |"collaborator_ids": [9100, 9200, 9200],
+        |"follower_ids": [9100],
         |"tags": ["academia", "catraca", "catraca"],
         |"custom_fields": [{"id": 42, "value": "unidade-centro"},
         |                  {"id": 43, "value": ""}],
@@ -201,6 +203,8 @@ class PipedriveZendeskSpec extends SparkSpec {
         |"priority": "high", "requester_id": 9001, "assignee_id": 9100,
         |"organization_id": 4, "group_id": 14,
         |"via": {"channel": "email"},
+        |"collaborator_ids": [9100, 9200, 9200],
+        |"follower_ids": [9100],
         |"tags": ["academia", "urgente"],
         |"custom_fields": [{"id": 42, "value": "unidade-norte"}],
         |"satisfaction_rating": {"score": "good", "comment": "resolvido"},
@@ -268,13 +272,35 @@ class PipedriveZendeskSpec extends SparkSpec {
     assert(cf(0).getAs[Long]("field_id") == 42L &&
       cf(0).getAs[String]("value") == "unidade-norte")
 
-    // V5 audit finds exactly the anomaly ticket
-    val anomalies = Audit.dateAnomalies(tickets, "created_at", "updated_at")
+    // id-array bridges (04_core_zendesk.sql:245-268): the D1-latest
+    // version wins the explode (v1's stale [9100,9200,9200] collaborator
+    // set is NOT re-emitted per se — v2's is), dup ids collapse
+    val collabs = pipe.gold("zd_ticket_collaborators")
+      .filter(col("ticket_id") === 555)
+      .collect().map(_.getAs[Long]("user_id")).sorted
+    assert(collabs.toSeq == Seq(9100L, 9200L))
+    val followers = pipe.gold("zd_ticket_followers").collect()
+    assert(followers.length == 1 &&
+      followers(0).getAs[Long]("user_id") == 9100L)
+
+    // replay the whole transform: insert-ignore bridges + keyed upserts
+    // must be idempotent
+    pipe.transformZendesk()
+    assert(pipe.gold("zd_ticket_collaborators").count() == 2)
+    assert(pipe.gold("zd_ticket_followers").count() == 1)
+    assert(pipe.gold("zd_ticket_custom_fields").count() == 1)
+
+    // V5 audit finds exactly the anomaly ticket (fresh read — the
+    // replay swapped the files under the earlier `tickets` plan)
+    val anomalies = Audit.dateAnomalies(pipe.gold("zd_tickets"),
+      "created_at", "updated_at")
     assert(anomalies.count() == 1 &&
       anomalies.collect()(0).getAs[Long]("ticket_id") == 556L)
 
-    // J3 star enrichment
-    val metrics = Analytics.ticketMetrics(tickets, pipe.gold("zd_users"),
+    // J3 star enrichment (fresh read — the replay above swapped the
+    // gold files under the earlier `tickets` plan's file listing)
+    val metrics = Analytics.ticketMetrics(pipe.gold("zd_tickets"),
+      pipe.gold("zd_users"),
       pipe.gold("zd_organizations"), pipe.gold("zd_groups"))
     val m = metrics.filter(col("ticket_id") === 555).collect()(0)
     assert(m.getAs[String]("requester_name") == "Cliente")
@@ -287,5 +313,45 @@ class PipedriveZendeskSpec extends SparkSpec {
     // a bogus updated_at-derived duration
     val m556 = metrics.filter(col("ticket_id") === 556).collect()(0)
     assert(m556.isNullAt(m556.fieldIndex("hours_to_resolution")))
+
+    // incremental ≡ full for the custom-fields bridge: r3 rewrites
+    // field 42 of ticket 555; onlyRun re-dedups just that ticket's
+    // history yet lands the same end state a full transform would
+    val ticketV3 = ticketV2.replace("unidade-norte", "unidade-sul")
+    writeBronze("zendesk", "tickets", "r3", "2026-01-05", Seq(ticketV3), None)
+    pipe.loadVersionedSilver("zendesk", "tickets", "r3",
+      ts("2026-01-05T12:00:00Z"))
+    pipe.transformZendesk(onlyRun = Some("r3"))
+    val cfInc = pipe.gold("zd_ticket_custom_fields").collect()
+    assert(cfInc.length == 1 && cfInc(0).getAs[String]("value") == "unidade-sul")
+    pipe.transformZendesk() // full recompute: same end state (property)
+    val cfFull = pipe.gold("zd_ticket_custom_fields").collect()
+    assert(cfFull.length == 1 &&
+      cfFull(0).getAs[String]("value") == "unidade-sul")
+  }
+
+  test("run manifest (K2): per-entity counts reconcile with V1 runCounts") {
+    import graft.sources.RunManifest
+    writeBronze("zendesk", "manifest_probe", "rM", "2026-01-07",
+      Seq("""{"id": 1}""", """{"id": 2}""", """{"id": 3}"""), None)
+    val mf = new RunManifest(spark, s"$root/bronze")
+    val started = java.time.Instant.parse("2026-01-07T00:00:00Z")
+    val rep = mf.reportFor("zendesk", "manifest_probe", "rM",
+      mode = "incremental")
+    mf.save("zendesk", "rM", started,
+      java.time.Instant.parse("2026-01-07T00:05:00Z"), Seq(rep))
+    val doc = mf.load("zendesk", "rM").get
+    assert(doc.contains("\"run_id\": \"rM\""))
+    assert(doc.contains("\"records\": 3"))
+    assert(doc.contains("\"parts\": 1"))
+
+    // the same counts the silver load records (Audit.runCounts, V1)
+    pipe.loadVersionedSilver("zendesk", "manifest_probe", "rM",
+      ts("2026-01-07T01:00:00Z"))
+    val counts = graft.audit.Audit.runCounts(
+      spark.read.parquet(pipe.silverPath("zendesk", "manifest_probe")))
+      .filter(col("run_id") === "rM").collect()(0)
+    assert(counts.getAs[Long]("n_records") == rep.records)
+    assert(counts.getAs[Long]("n_files") == rep.parts)
   }
 }

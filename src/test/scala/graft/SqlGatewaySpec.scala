@@ -25,9 +25,32 @@ class SqlGatewaySpec extends SparkSpec {
     pipe.loadEvoSilver("members", "idMember", "r1", ts("2026-01-01T00:00:00Z"))
     pipe.transformEvo()
 
+    // a two-scope deals table so the 05_scope_views.sql views register
+    for ((scope, id) <- Seq("comercial" -> 1, "expansao" -> 2)) {
+      Bronze.write(Seq(
+        s"""{"id": $id, "title": "Deal $scope", "status": "open",
+           |"update_time": "2026-01-01T00:00:00Z"}"""
+          .stripMargin.replaceAll("\n", " ")).toDF("line")
+        .withColumn("scope", lit(scope))
+        .withColumn("entity", lit("deals"))
+        .withColumn("ingestion_date", lit("2026-01-01"))
+        .withColumn("run_id", lit("r1")), s"$root/bronze", "pipedrive")
+      pipe.loadVersionedSilver("pipedrive", "deals", "r1",
+        ts("2026-01-01T00:00:00Z"), Some(scope))
+    }
+    pipe.transformPipedrive()
+
     val registered = SqlGateway.register(spark, pipe)
     assert(registered.contains("evo_members"))
-    assert(!registered.contains("pd_deals")) // never loaded -> not registered
+    assert(registered.contains("pd_deals"))
+    assert(!registered.contains("pd_users")) // never loaded -> not registered
+
+    // scope views (05_scope_views.sql:9-14): filtered, pushdown-friendly
+    val com = spark.sql(
+      "SELECT deal_id, scope FROM vw_pd_deals_comercial").collect()
+    assert(com.length == 1 && com(0).getLong(0) == 1L &&
+      com(0).getString(1) == "comercial")
+    assert(spark.sql("SELECT * FROM vw_pd_deals_expansao").count() == 1)
 
     val active = spark.sql(
       """SELECT branch_id, COUNT(*) AS active_members
