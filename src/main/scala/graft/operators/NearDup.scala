@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end MinHash-LSH near-duplicate dedup — the composed 100-TB
+  * operator the query-level pieces (t07 signatures, t08 candidates,
+  * t12 exact verify) build up to:
+  *
+  *   shingle → minhash signature → banded LSH buckets → candidate
+  *   pairs → exact-Jaccard verify → keep-min-id survivors
+  *
+  * Scale shape: signatures are narrow (id, band_id, band_hash) rows
+  * shuffled once on (band_id, band_hash); candidate expansion is
+  * bucket-local; the exact verify touches only candidate pairs (not
+  * O(n²)); the final filter is a left-anti join on the id.
+  *
+  * Hot-bucket guard: a degenerate corpus (one document mass-duplicated
+  * millions of times) turns one LSH bucket into the whole corpus —
+  * clique expansion there is O(n²) pairs and a single `collect_list`
+  * array of the bucket OOMs its task. Buckets larger than `maxBucket`
+  * therefore switch to hub-star expansion: (bucket-min id) × each other
+  * member — n-1 bounded-width pairs, all computed with aggregates, no
+  * oversized arrays. For keep-min-id dedup the hub is the natural
+  * survivor; the documented approximation is that an oversized-bucket
+  * member failing the exact verify against the hub (but not against
+  * some other member) is kept — only reachable in the pathological
+  * bucket the guard exists for.
+  */
+object NearDup {
+
+  /** Banded MinHash signature: one md5 per shingle, all `k` affine
+    * permutation minima in ONE sequential fold, bands derived by a
+    * single explode — (id, band_id, band_hash) rows.
+    * `k` must divide into `bands` equal rows-per-band groups. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands")
+    val rowsPerBand = k / bands
+    // raw (non-distinct) shingles: min is duplicate-invariant, so the
+    // signature skips the array_distinct pass entirely
+    val hs = df
+      .withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__hs",
+        transform(col("__sh"), x => TextOps.tokenHash32(x)))
+    val sig = hs.withColumn("__mins",
+      aggregate(col("__hs"),
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, h) => array((0 until k).map(p =>
+          least(get(acc, lit(p)),
+            (lit(TextOps.minhashA(p)) * h + lit(TextOps.minhashB(p)))
+              % lit(TextOps.MinhashP))): _*)))
+      .select(col(idCol) +:
+        (0 until k).map(p => get(col("__mins"), lit(p)).as(s"h$p")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => col(s"h${rowsPerBand * b + r}").cast("string"))
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
+  /** LSH buckets larger than `maxBucket` — the overflow diagnostic to
+    * log/alert on alongside a guarded run. */
+  def oversizedBuckets(bandsDf: DataFrame, maxBucket: Int): DataFrame =
+    bandsDf.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Candidate pairs (d1 < d2) from banded signatures, bucket-local,
+    * with the hot-bucket guard (see object doc). Normal buckets expand
+    * to their full clique; buckets above `maxBucket` contribute
+    * hub-star pairs only. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1)
+    val keys = Seq("band_id", "band_hash")
+    val sized = bandsDf.join(
+      bandsDf.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz")),
+      keys)
+    val clique = sized
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+      // strict <: duplicate ids in one bucket must not emit a self-pair
+      .filter(col("p.d1") < col("p.d2"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val big = sized.filter(col("__bsz") > maxBucket)
+    val star = big
+      .join(big.groupBy(keys.map(col): _*)
+        .agg(min(col(idCol)).as("__hub")), keys)
+      .filter(col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("d1"), col(idCol).as("d2"))
+    clique.unionByName(star).distinct()
+  }
+
+  /** Remove near-duplicates: every document with a verified
+    * (exact 3-gram-shingle Jaccard >= `threshold`) duplicate of
+    * smaller id is dropped; the smallest id of each duplicate group
+    * survives. Returns the surviving rows of `df` unchanged. */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val cands = candidatePairs(minhashBands(df, idCol, textCol, k, bands),
+      idCol, maxBucket)
+    val sh = df.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol), TextOps.shingles3(col("__tk")).as("__sh"))
+    val verified = cands
+      .join(sh.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
+      .filter(
+        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
+          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+    val removed = verified.select(col("d2").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+}

@@ -51,32 +51,12 @@ object TrainingQueries {
     * k affine-permutation mins in ONE sequential fold with a k-slot
     * accumulator — measured 0.47s vs 0.68s (12 per-k array transforms)
     * vs 7.97s (explode + 12 min aggregates) on sf0.1. Row-local, no
-    * wide arrays cross any shuffle; bands derive by one explode. */
-  private def minhashBandsDf(s: SparkSession, dir: String): DataFrame = {
-    // raw (non-distinct) shingles: min is duplicate-invariant, so the
-    // signature skips the array_distinct pass entirely
-    val hs = spread(s, docs(s, dir))
-      .withColumn("tk", TextOps.tokens(col("text")))
-      .select(col("doc_id"), TextOps.shingles3Raw(col("tk")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), x => TextOps.tokenHash32(x)))
-    val sig = hs.withColumn("mins",
-      aggregate(col("hs"),
-        array_repeat(lit(Long.MaxValue), MinhashK),
-        (acc, h) => array((0 until MinhashK).map(k =>
-          least(get(acc, lit(k)),
-            (lit(TextOps.minhashA(k)) * h + lit(TextOps.minhashB(k)))
-              % lit(TextOps.MinhashP))): _*)))
-      .select(col("doc_id") +:
-        (0 until MinhashK).map(k => get(col("mins"), lit(k)).as(s"h$k")): _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until 3).map(r => col(s"h${3 * b + r}").cast("string"))
-      struct(lit(b).as("band_id"), md5(concat_ws(",", cols: _*)).as("band_hash"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band_id").as("band_id"),
-        col("bd.band_hash").as("band_hash"))
-  }
+    * wide arrays cross any shuffle; bands derive by one explode.
+    * The construction lives in operators.NearDup (the composed dedup
+    * operator); this is the oracle-gated entry to the same code. */
+  private def minhashBandsDf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.minhashBands(spread(s, docs(s, dir)),
+      "doc_id", "text", MinhashK, Bands)
 
   private def minhashBandsSql: String = {
     val sigCols = (0 until MinhashK).map { k =>
@@ -188,36 +168,50 @@ object TrainingQueries {
       (s, dir) => minhashBandsDf(s, dir),
       Some(minhashBandsSql)),
 
-    // ---- LSH candidate pairs (bucket-join on band hash, then distinct)
+    // ---- LSH candidate pairs: bucket-local expansion with the
+    // hot-bucket guard (operators.NearDup.candidatePairs — buckets over
+    // maxBucket switch from clique to hub-star so a degenerate corpus
+    // can neither OOM a task nor emit O(n²) pairs). At this corpus all
+    // buckets are tiny, so the result equals the unguarded expansion
+    // the oracle computes.
     QueryDef(
       "t08_minhash_pairs",
-      (s, dir) => {
-        // bucket-local pair expansion: group docs per (band, hash) and
-        // enumerate pairs inside each bucket — one pass over the
-        // signature, no self-join (which would recompute the
-        // md5-per-shingle signature for both sides or require leaking a
-        // persisted cache). LSH buckets are tiny by design, so the
-        // within-bucket quadratic expansion is bounded.
-        minhashBandsDf(s, dir)
-          .groupBy("band_id", "band_hash")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ds, (x, i) ->
-              |  transform(slice(ds, i + 2, size(ds)), y ->
-              |    struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
-          // strict <: duplicate doc_ids in one bucket must not emit a
-          // (d,d) self-pair (the oracle's a.doc_id < b.doc_id excludes it)
-          .filter(col("p.d1") < col("p.d2"))
-          .select(col("p.d1"), col("p.d2")).distinct()
-          .agg(count(lit(1)).as("n_candidate_pairs"))
-      },
+      (s, dir) => graft.operators.NearDup
+        .candidatePairs(minhashBandsDf(s, dir), "doc_id", maxBucket = 1024)
+        .agg(count(lit(1)).as("n_candidate_pairs")),
       Some(s"""WITH bands AS ($minhashBandsSql)
               |SELECT COUNT(*) AS n_candidate_pairs FROM (
               |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
               |  FROM bands a JOIN bands b
               |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
               |   AND a.doc_id < b.doc_id)""".stripMargin)),
+
+    // ---- end-to-end near-dup dedup: LSH candidates -> exact-Jaccard
+    // verify -> keep-min-id survivors, as ONE operator
+    // (operators.NearDup.dedupByMinhash). The oracle replicates the
+    // full composition: same banded signatures (t07 proves them
+    // bit-equal), same candidate join, same exact verify, same
+    // keep-min-id policy.
+    QueryDef(
+      "t16_neardup_survivors",
+      (s, dir) => graft.operators.NearDup.dedupByMinhash(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        threshold = 0.8, k = MinhashK, bands = Bands)
+        .select(col("doc_id")),
+      Some(s"""WITH bands AS ($minhashBandsSql),
+              |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b
+              |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              |   AND a.doc_id < b.doc_id),
+              |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+              |  FROM documents),
+              |removed AS (SELECT DISTINCT d2 FROM cands
+              |  JOIN sh s1 ON s1.doc_id = cands.d1
+              |  JOIN sh s2 ON s2.doc_id = cands.d2
+              |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+              |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin)),
 
     // ---- SimHash (32-bit): per-token hash bit votes -> sign bits
     QueryDef(

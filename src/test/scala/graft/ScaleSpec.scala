@@ -92,6 +92,30 @@ class ScaleSpec extends SparkSpec {
       .getString(0) == "v2-current")
   }
 
+  test("NearDup: hot-bucket guard bounds a degenerate corpus") {
+    import graft.operators.NearDup
+    // 10k copies of one document + two distinct docs: every band
+    // bucket of the duplicated text holds 10k entries — clique
+    // expansion would be ~50M pairs / a 10k-wide collect_list array
+    val docs = ((1 to 10000).map(i =>
+      (i.toLong, "the same exact duplicated document text body here")) ++
+      Seq((20001L, "a completely different first probe text one two three"),
+        (20002L, "yet another unrelated second probe text four five six")))
+      .toDF("doc_id", "text")
+    val bands = NearDup.minhashBands(docs, "doc_id", "text", 12, 4)
+    // diagnostic surfaces the pathology
+    val over = NearDup.oversizedBuckets(bands, maxBucket = 64).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bucket_size") == 10000L))
+    // guarded expansion: hub-star, n-1 pairs per bucket -> 9999 distinct
+    val pairs = NearDup.candidatePairs(bands, "doc_id", maxBucket = 64)
+    assert(pairs.count() == 9999)
+    // end-to-end dedup keeps exactly the hub + the two distinct docs
+    val survivors = NearDup.dedupByMinhash(docs, "doc_id", "text",
+      threshold = 0.9, maxBucket = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(1L, 20001L, 20002L))
+  }
+
   test("bucketed join runs with zero shuffle exchanges") {
     val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 2000L).map(i => (i, s"b$i")).toDF("k", "vb")
