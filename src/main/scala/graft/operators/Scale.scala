@@ -86,21 +86,31 @@ object Scale {
     * single window pass, no range blow-up. The right payload must be
     * packed into one column (`rightValue`) by the caller; ties at the
     * same timestamp resolve to the right row (inclusive <=) and among
-    * equal right timestamps to the last by `rightTiebreak`. */
+    * equal right timestamps to the last by `rightTiebreak`.
+    *
+    * A right row whose `rightValue` is NULL still WINS the as-of match
+    * and yields NULL (true ASOF semantics, matching DuckDB's ASOF
+    * JOIN): the payload rides inside a never-null marker struct so
+    * `last(ignoreNulls)` skips only interleaved left rows, not
+    * null-valued right rows. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftMicros: String, rightMicros: String, rightValue: String,
       rightTiebreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val packedT = new StructType()
+      .add("m", IntegerType, nullable = false)
+      .add("v", right.schema(rightValue).dataType)
     val l = left
       .withColumn("__ts", col(leftMicros))
       .withColumn("__is_left", lit(1))
-      .withColumn("__val", lit(null).cast(
-        right.schema(rightValue).dataType))
+      .withColumn("__val", lit(null).cast(packedT))
       .withColumn("__tb", lit(null).cast(
         right.schema(rightTiebreak).dataType))
     val r = right
       .select((keys.map(col) :+ col(rightMicros).as("__ts") :+
-        lit(0).as("__is_left") :+ col(rightValue).as("__val") :+
+        lit(0).as("__is_left") :+
+        struct(lit(1).as("m"), col(rightValue).as("v")).as("__val") :+
         col(rightTiebreak).as("__tb")): _*)
     val unioned = l.select(
       (l.columns.filterNot(r.columns.contains).map(col).toSeq ++
@@ -111,7 +121,8 @@ object Scale {
       .orderBy(col("__ts").asc, col("__is_left").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))
+      .withColumn("__asof",
+        last(col("__val"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__is_left") === 1)
       .drop("__ts", "__is_left", "__val", "__tb")
       .withColumnRenamed("__asof", rightValue)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bronze layer: immutable JSONL files under hive-style partition paths
@@ -38,11 +37,21 @@ object Bronze {
   }
 
   /** Read raw lines with lineage: source_blob_path + per-file line
-    * number + partition columns. Line numbers rely on
-    * monotonically_increasing_id being ordered within an input
-    * partition; gzip text files are unsplittable (one partition per
-    * file) so numbering is stable — exactly the (blob, line) dedup key
-    * the reference uses (01_stg_pipedrive.sql:24). */
+    * number + partition columns — the (blob, line) dedup key the
+    * reference uses (01_stg_pipedrive.sql:24).
+    *
+    * Line numbering: monotonically_increasing_id is increasing in read
+    * order within a scan partition, and gzip text is unsplittable, so
+    * within one file ids are consecutive-ordered. The per-file offset
+    * is recovered by joining back a tiny per-file min(id) aggregate —
+    * the only thing shuffled is (path, long) pairs, NOT the raw text
+    * (a row_number window here would shuffle the whole corpus per
+    * load). Plain partition-id arithmetic is not enough: Spark packs
+    * multiple small files into one scan partition, so ids are
+    * continuous across files and each file needs its own base.
+    * Tradeoff: the aggregate branch decompresses the files a second
+    * time — two streaming reads beat one full write+sort+read shuffle
+    * cycle of the corpus, and loads are per-run deltas anyway. */
   def read(spark: SparkSession, base: String, source: String,
       entity: String, scope: Option[String] = None): DataFrame = {
     // scoped sources nest scope=*/entity=*; detect which layout exists so
@@ -55,15 +64,20 @@ object Bronze {
       case None if fs.exists(direct) => direct.toString
       case None => s"$base/$source/scope=*/entity=$entity"
     }
-    val w = Window.partitionBy(col("source_blob_path"))
-      .orderBy(col("__mid"))
-    spark.read
+    val lines = spark.read
       .option("basePath", s"$base/$source")
       .text(path + "/*/*/*")
       .withColumn("source_blob_path", input_file_name())
       .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("source_line_no", row_number().over(w))
-      .drop("__mid")
+    // deterministic across the two scans: same file listing -> same
+    // partitions -> same ids, so the re-scan in the aggregate branch
+    // sees identical __mid values
+    val base0 = lines.groupBy("source_blob_path")
+      .agg(min(col("__mid")).as("__base"))
+    lines.join(broadcast(base0), Seq("source_blob_path"))
+      .withColumn("source_line_no",
+        (col("__mid") - col("__base") + 1).cast("int"))
+      .drop("__mid", "__base")
       .withColumnRenamed("value", "raw_line")
   }
 

@@ -42,6 +42,21 @@ object Incremental {
         // drains, the per-row sequence breaks ties WITHIN a batch
         // (current_timestamp alone is one constant per batch, which
         // would make duplicate keys collapse nondeterministically)
+        // versionExpr component normalized to FIXED width: a variable-
+        // length prefix breaks lexicographic keep-latest ("9|..." >
+        // "10|..." for numeric epochs). lpad with space (sorts before
+        // any digit/letter) handles numerics correctly and leaves
+        // equal-length ISO-8601 strings unchanged; values longer than
+        // the width would be silently truncated by lpad, so they fail
+        // loudly instead. A null version pads to all-spaces and loses
+        // to any real version — deterministic, documented.
+        val versionWidth = 32
+        val versionCol = versionExpr.map { e =>
+          val v = expr(e).cast("string")
+          when(length(v) > versionWidth, raise_error(concat(
+            lit(s"versionExpr value exceeds $versionWidth chars: "), v)))
+            .otherwise(lpad(coalesce(v, lit("")), versionWidth, " "))
+        }.getOrElse(lit(""))
         val keyed = batch
           .withColumn("natural_key", expr(keyExpr))
           .filter(col("natural_key").isNotNull)
@@ -49,8 +64,7 @@ object Incremental {
           .withColumn("_updated_at", current_timestamp())
           .withColumn("_batch_id", lit(batchId))
           .withColumn("_version", concat(
-            versionExpr.map(e => coalesce(expr(e).cast("string"), lit("")))
-              .getOrElse(lit("")),
+            versionCol,
             lit("|"),
             lpad(lit(batchId).cast("string"), 12, "0"),
             lpad(monotonically_increasing_id().cast("string"), 20, "0")))

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Bronze
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bronze read scale property: line-number assignment must not shuffle
+  * the raw text — only the tiny (path, id) aggregate crosses the wire.
+  * (A row_number window over source_blob_path would re-shuffle the
+  * whole corpus on every load.)
+  */
+class BronzePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("line numbers correct across files; no Exchange carries raw text") {
+    val root = tmpDir("bronzeplan")
+    // two files for the same run (two write calls -> two part files)
+    for (batch <- Seq(Seq("""{"id":1}""", """{"id":2}""", """{"id":3}"""),
+      Seq("""{"id":4}""", """{"id":5}"""))) {
+      Bronze.write(batch.toDF("line")
+        .withColumn("entity", lit("e"))
+        .withColumn("ingestion_date", lit("2026-01-01"))
+        .withColumn("run_id", lit("r1")), s"$root/bronze", "src")
+    }
+    val df = Bronze.read(spark, s"$root/bronze", "src", "e")
+
+    // per-file numbering restarts at 1 and is consecutive
+    val byFile = df.select("source_blob_path", "source_line_no", "raw_line")
+      .collect().groupBy(_.getString(0))
+    assert(byFile.size == 2)
+    for ((_, rows) <- byFile)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    // all five records present exactly once
+    assert(df.count() == 5)
+    assert(df.select("raw_line").distinct().count() == 5)
+
+    // the physical plan's shuffles must not carry the text column
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(shuffles.forall(out =>
+      !out.exists(n => n == "value" || n == "raw_line")),
+      s"a shuffle carries the raw text: $shuffles")
+  }
+}

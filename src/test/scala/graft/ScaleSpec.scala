@@ -69,6 +69,18 @@ class ScaleSpec extends SparkSpec {
     assert(got("ex") == None) // key without right rows
   }
 
+  test("asOfJoin: a null-valued right row wins its match (ASOF parity)") {
+    val left = Seq((1L, 300L, "e")).toDF("k", "lts", "name")
+    val right = Seq((1L, 100L, Some("p100"), 1L),
+      (1L, 200L, None: Option[String], 2L)) // latest right value IS null
+      .toDF("k", "rts", "price", "rid")
+    val row = Scale.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      "price", "rid").select("price").collect()(0)
+    // DuckDB ASOF would match the rts=200 row and return its NULL —
+    // falling back to p100 would silently resurrect a stale value
+    assert(row.isNullAt(0))
+  }
+
   test("dedupLatestEventTime: stale late arrival does not win") {
     import org.apache.spark.sql.functions.to_timestamp
     def v(line: Int, loaded: String, updated: String, title: String) =
