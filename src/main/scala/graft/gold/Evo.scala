@@ -426,7 +426,7 @@ object Evo {
         SC.safeInt(col("r.currentInstallment")).as("current_installment"),
         SC.safeInt(col("r.totalInstallments")).as("total_installments"),
         SC.safeLong(col("r.paymentType.idPaymentType")).as("payment_type_id"),
-        SC.safeText(col("r.paymentType.name")).as("payment_type"),
+        SC.safeText(col("r.paymentType.name")).as("payment_type_name"),
         SC.safeText(col("r.authorization")).as("authorization"),
         SC.safeText(col("r.tid")).as("tid"),
         SC.safeText(col("r.nsu")).as("nsu"),

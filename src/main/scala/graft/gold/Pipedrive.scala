@@ -82,36 +82,119 @@ object Pipedrive {
         SC.safeTimestamp(col("p.update_time")).as("update_time"))
         ++ audit: _*)
 
-  /** core.pd_users (:63-87). */
+  /** core.pd_users (:63-87, full column set). */
   def users(silver: DataFrame): DataFrame =
-    p("id STRING, name STRING, email STRING, active_flag STRING, " +
-      "role_id STRING, created STRING, modified STRING")(dedupLatest(silver))
+    p("id STRING, name STRING, email STRING, phone STRING, " +
+      "active_flag STRING, is_admin STRING, role_id STRING, " +
+      "icon_url STRING, timezone_name STRING, timezone_offset STRING, " +
+      "locale STRING, default_currency STRING, " +
+      "created STRING, modified STRING, last_login STRING")(
+      dedupLatest(silver))
       .select(Seq(
         col("id").as("user_id"),
         SC.safeText(col("p.name")).as("name"),
         SC.safeText(col("p.email")).as("email"),
+        SC.safeText(col("p.phone")).as("phone"),
         SC.safeBool(col("p.active_flag")).as("active_flag"),
+        SC.safeBool(col("p.is_admin")).as("is_admin"),
         SC.safeLong(col("p.role_id")).as("role_id"),
+        SC.safeText(col("p.icon_url")).as("icon_url"),
+        SC.safeText(col("p.timezone_name")).as("timezone_name"),
+        SC.safeText(col("p.timezone_offset")).as("timezone_offset"),
+        SC.safeText(col("p.locale")).as("locale"),
+        SC.safeText(col("p.default_currency")).as("default_currency"),
         SC.safeTimestamp(col("p.created")).as("created"),
-        SC.safeTimestamp(col("p.modified")).as("modified"))
+        SC.safeTimestamp(col("p.modified")).as("modified"),
+        SC.safeTimestamp(col("p.last_login")).as("last_login"))
         ++ audit: _*)
 
-  private val OrgStandard = Seq("id", "name", "owner_id", "people_count",
-    "open_deals_count", "address", "visible_to", "add_time", "update_time",
-    "deleted", "is_deleted")
+  /** Pipedrive-API standard org fields (normalize_pipedrive.py:400-414)
+    * — the residual-exclusion set for custom_fields. */
+  private val OrgStandard = Seq("id", "name", "owner_id", "owner_name",
+    "address", "address_locality", "address_country",
+    "address_postal_code", "cc_email", "active_flag",
+    "people_count", "open_deals_count", "won_deals_count",
+    "lost_deals_count", "add_time", "update_time", "visible_to",
+    "next_activity_date", "next_activity_time", "next_activity_id",
+    "last_activity_id", "last_activity_date", "activities_count",
+    "done_activities_count", "undone_activities_count", "files_count",
+    "notes_count", "followers_count", "email_messages_count",
+    "picture_id", "related_closed_deals_count",
+    "related_lost_deals_count", "related_open_deals_count",
+    "related_won_deals_count", "label", "address_subpremise",
+    "address_street_number", "address_route", "address_sublocality",
+    "address_admin_area_level_1", "address_admin_area_level_2",
+    "address_formatted_address", "deleted", "is_deleted")
 
-  /** core.pd_organizations (:96-148) with residual custom_fields (P6). */
+  private val orgSchema: String =
+    "id STRING, name STRING, owner_id STRING, address STRING, " +
+      "address_subpremise STRING, address_street_number STRING, " +
+      "address_route STRING, address_sublocality STRING, " +
+      "address_locality STRING, address_admin_area_level_1 STRING, " +
+      "address_admin_area_level_2 STRING, address_country STRING, " +
+      "address_postal_code STRING, cc_email STRING, active_flag STRING, " +
+      "people_count STRING, activities_count STRING, " +
+      "done_activities_count STRING, undone_activities_count STRING, " +
+      "files_count STRING, notes_count STRING, followers_count STRING, " +
+      "won_deals_count STRING, lost_deals_count STRING, " +
+      "open_deals_count STRING, related_open_deals_count STRING, " +
+      "related_closed_deals_count STRING, related_won_deals_count STRING, " +
+      "related_lost_deals_count STRING, " +
+      "next_activity_date STRING, next_activity_time STRING, " +
+      "next_activity_id STRING, last_activity_id STRING, " +
+      "last_activity_date STRING, visible_to STRING, " +
+      "add_time STRING, update_time STRING"
+
+  /** core.pd_organizations (:96-148, full column set incl. the parsed
+    * address block and 14 counters) with residual custom_fields (P6). */
   def organizations(silver: DataFrame): DataFrame =
-    p("id STRING, name STRING, owner_id STRING, people_count STRING, " +
-      "open_deals_count STRING, address STRING, visible_to STRING, " +
-      "add_time STRING, update_time STRING")(dedupLatest(silver))
+    p(orgSchema)(dedupLatest(silver))
       .select(Seq(
         col("id").as("org_id"),
         SC.safeText(col("p.name")).as("name"),
         SC.safeLong(col("p.owner_id")).as("owner_id"),
-        SC.safeInt(col("p.people_count")).as("people_count"),
-        SC.safeInt(col("p.open_deals_count")).as("open_deals_count"),
         SC.safeText(col("p.address")).as("address"),
+        SC.safeText(col("p.address_subpremise")).as("address_subpremise"),
+        SC.safeText(col("p.address_street_number"))
+          .as("address_street_number"),
+        SC.safeText(col("p.address_route")).as("address_route"),
+        SC.safeText(col("p.address_sublocality")).as("address_sublocality"),
+        SC.safeText(col("p.address_locality")).as("address_locality"),
+        SC.safeText(col("p.address_admin_area_level_1"))
+          .as("address_admin_area_level_1"),
+        SC.safeText(col("p.address_admin_area_level_2"))
+          .as("address_admin_area_level_2"),
+        SC.safeText(col("p.address_country")).as("address_country"),
+        SC.safeText(col("p.address_postal_code")).as("address_postal_code"),
+        SC.safeText(col("p.cc_email")).as("cc_email"),
+        // DDL default TRUE (:110)
+        coalesce(SC.safeBool(col("p.active_flag")), lit(true))
+          .as("active_flag"),
+        SC.safeInt(col("p.people_count")).as("people_count"),
+        SC.safeInt(col("p.activities_count")).as("activities_count"),
+        SC.safeInt(col("p.done_activities_count"))
+          .as("done_activities_count"),
+        SC.safeInt(col("p.undone_activities_count"))
+          .as("undone_activities_count"),
+        SC.safeInt(col("p.files_count")).as("files_count"),
+        SC.safeInt(col("p.notes_count")).as("notes_count"),
+        SC.safeInt(col("p.followers_count")).as("followers_count"),
+        SC.safeInt(col("p.won_deals_count")).as("won_deals_count"),
+        SC.safeInt(col("p.lost_deals_count")).as("lost_deals_count"),
+        SC.safeInt(col("p.open_deals_count")).as("open_deals_count"),
+        SC.safeInt(col("p.related_open_deals_count"))
+          .as("related_open_deals_count"),
+        SC.safeInt(col("p.related_closed_deals_count"))
+          .as("related_closed_deals_count"),
+        SC.safeInt(col("p.related_won_deals_count"))
+          .as("related_won_deals_count"),
+        SC.safeInt(col("p.related_lost_deals_count"))
+          .as("related_lost_deals_count"),
+        SC.safeDate(col("p.next_activity_date")).as("next_activity_date"),
+        SC.safeText(col("p.next_activity_time")).as("next_activity_time"),
+        SC.safeLong(col("p.next_activity_id")).as("next_activity_id"),
+        SC.safeLong(col("p.last_activity_id")).as("last_activity_id"),
+        SC.safeDate(col("p.last_activity_date")).as("last_activity_date"),
         SC.safeInt(col("p.visible_to")).as("visible_to"),
         SC.safeTimestamp(col("p.add_time")).as("add_time"),
         SC.safeTimestamp(col("p.update_time")).as("update_time"),
@@ -121,17 +204,45 @@ object Pipedrive {
   private val personContactT =
     "ARRAY<STRUCT<value: STRING, primary: BOOLEAN, label: STRING>>"
 
+  /** Pipedrive-API standard person fields (normalize_pipedrive.py:
+    * 531-546) — the residual-exclusion set for custom_fields. */
   private val PersonStandard = Seq("id", "name", "first_name", "last_name",
-    "owner_id", "org_id", "email", "phone", "visible_to", "add_time",
-    "update_time", "deleted", "is_deleted")
+    "org_id", "owner_id", "email", "phone", "visible_to", "active_flag",
+    "open_deals_count", "related_open_deals_count",
+    "closed_deals_count", "related_closed_deals_count",
+    "won_deals_count", "related_won_deals_count",
+    "lost_deals_count", "related_lost_deals_count",
+    "participant_open_deals_count", "participant_closed_deals_count",
+    "add_time", "update_time", "activities_count",
+    "done_activities_count", "undone_activities_count", "files_count",
+    "notes_count", "followers_count", "email_messages_count",
+    "last_activity_date", "next_activity_date", "next_activity_time",
+    "next_activity_id", "last_activity_id",
+    "picture_id", "label", "org_name", "owner_name", "cc_email",
+    "primary_email", "marketing_status", "deleted", "is_deleted")
 
-  /** core.pd_persons (:158-211): primary-else-first email/phone (P5),
-    * raw arrays preserved as JSON text, residual custom_fields (P6). */
-  def persons(silver: DataFrame): DataFrame =
-    p("id STRING, name STRING, first_name STRING, last_name STRING, " +
+  private val personSchema: String =
+    "id STRING, name STRING, first_name STRING, last_name STRING, " +
       s"owner_id STRING, org_id STRING, email $personContactT, " +
-      s"phone $personContactT, visible_to STRING, add_time STRING, " +
-      "update_time STRING")(dedupLatest(silver))
+      s"phone $personContactT, active_flag STRING, label STRING, " +
+      "open_deals_count STRING, related_open_deals_count STRING, " +
+      "closed_deals_count STRING, related_closed_deals_count STRING, " +
+      "participant_open_deals_count STRING, " +
+      "participant_closed_deals_count STRING, activities_count STRING, " +
+      "done_activities_count STRING, undone_activities_count STRING, " +
+      "files_count STRING, notes_count STRING, followers_count STRING, " +
+      "won_deals_count STRING, related_won_deals_count STRING, " +
+      "lost_deals_count STRING, related_lost_deals_count STRING, " +
+      "next_activity_date STRING, next_activity_time STRING, " +
+      "next_activity_id STRING, last_activity_id STRING, " +
+      "last_activity_date STRING, visible_to STRING, " +
+      "add_time STRING, update_time STRING"
+
+  /** core.pd_persons (:158-211, full column set): primary-else-first
+    * email/phone (P5), raw arrays preserved as JSON text, 16 counters,
+    * residual custom_fields (P6). */
+  def persons(silver: DataFrame): DataFrame =
+    p(personSchema)(dedupLatest(silver))
       .select(Seq(
         col("id").as("person_id"),
         SC.safeText(col("p.name")).as("name"),
@@ -143,6 +254,39 @@ object Pipedrive {
         JsonOps.primaryValue(col("p.phone")).as("primary_phone"),
         SC.structText(col("p.email")).as("emails"),
         SC.structText(col("p.phone")).as("phones"),
+        // DDL default TRUE (:173)
+        coalesce(SC.safeBool(col("p.active_flag")), lit(true))
+          .as("active_flag"),
+        SC.safeLong(col("p.label")).as("label"),
+        SC.safeInt(col("p.open_deals_count")).as("open_deals_count"),
+        SC.safeInt(col("p.related_open_deals_count"))
+          .as("related_open_deals_count"),
+        SC.safeInt(col("p.closed_deals_count")).as("closed_deals_count"),
+        SC.safeInt(col("p.related_closed_deals_count"))
+          .as("related_closed_deals_count"),
+        SC.safeInt(col("p.participant_open_deals_count"))
+          .as("participant_open_deals_count"),
+        SC.safeInt(col("p.participant_closed_deals_count"))
+          .as("participant_closed_deals_count"),
+        SC.safeInt(col("p.activities_count")).as("activities_count"),
+        SC.safeInt(col("p.done_activities_count"))
+          .as("done_activities_count"),
+        SC.safeInt(col("p.undone_activities_count"))
+          .as("undone_activities_count"),
+        SC.safeInt(col("p.files_count")).as("files_count"),
+        SC.safeInt(col("p.notes_count")).as("notes_count"),
+        SC.safeInt(col("p.followers_count")).as("followers_count"),
+        SC.safeInt(col("p.won_deals_count")).as("won_deals_count"),
+        SC.safeInt(col("p.related_won_deals_count"))
+          .as("related_won_deals_count"),
+        SC.safeInt(col("p.lost_deals_count")).as("lost_deals_count"),
+        SC.safeInt(col("p.related_lost_deals_count"))
+          .as("related_lost_deals_count"),
+        SC.safeDate(col("p.next_activity_date")).as("next_activity_date"),
+        SC.safeText(col("p.next_activity_time")).as("next_activity_time"),
+        SC.safeLong(col("p.next_activity_id")).as("next_activity_id"),
+        SC.safeLong(col("p.last_activity_id")).as("last_activity_id"),
+        SC.safeDate(col("p.last_activity_date")).as("last_activity_date"),
         SC.safeInt(col("p.visible_to")).as("visible_to"),
         SC.safeTimestamp(col("p.add_time")).as("add_time"),
         SC.safeTimestamp(col("p.update_time")).as("update_time"),
@@ -270,38 +414,80 @@ object Pipedrive {
         JsonOps.residualJson(col("raw_data"), DealStandard)
           .as("custom_fields")) ++ audit: _*)
 
-  /** core.pd_activities (:321-381): dict-valued due_time/duration/
-    * location pass through safeText's unwrap-or-serialize. */
+  private val activitySchema: String =
+    "id STRING, type STRING, subject STRING, note STRING, " +
+      "done STRING, busy_flag STRING, " +
+      "user_id STRING, deal_id STRING, person_id STRING, org_id STRING, " +
+      "lead_id STRING, project_id STRING, assigned_to_user_id STRING, " +
+      "due_date STRING, add_time STRING, " +
+      "marked_as_done_time STRING, update_time STRING, " +
+      "location_subpremise STRING, location_street_number STRING, " +
+      "location_route STRING, location_sublocality STRING, " +
+      "location_locality STRING, location_admin_area_level_1 STRING, " +
+      "location_admin_area_level_2 STRING, location_country STRING, " +
+      "location_postal_code STRING, location_formatted_address STRING, " +
+      "conference_meeting_client STRING, conference_meeting_url STRING, " +
+      "conference_meeting_id STRING, public_description STRING, " +
+      "active_flag STRING"
+
+  /** core.pd_activities (:321-381, full column set): dict-valued
+    * due_time/duration/location pass through safeText's
+    * unwrap-or-serialize (so they stay OUT of the parsed schema);
+    * participants/attendees ride along as raw JSON. due_time/duration
+    * are TIME in the DDL — Spark has no TIME type, kept as TEXT. */
   def activities(silver: DataFrame): DataFrame =
-    dedupLatest(silver)
+    p(activitySchema)(dedupLatest(silver))
       .select(Seq(
         col("id").as("activity_id"),
-        SC.safeText(get_json_object(col("raw_data"), "$.type")).as("type"),
-        SC.safeText(get_json_object(col("raw_data"), "$.subject"))
-          .as("subject"),
-        SC.boolOrFalse(get_json_object(col("raw_data"), "$.done")).as("done"),
-        SC.safeDate(get_json_object(col("raw_data"), "$.due_date"))
-          .as("due_date"),
+        SC.safeText(col("p.type")).as("type"),
+        SC.safeText(col("p.subject")).as("subject"),
+        SC.safeText(col("p.note")).as("note"),
+        SC.boolOrFalse(col("p.done")).as("done"),
+        SC.safeBool(col("p.busy_flag")).as("busy_flag"),
+        SC.safeLong(col("p.user_id")).as("user_id"),
+        SC.safeLong(col("p.deal_id")).as("deal_id"),
+        SC.safeLong(col("p.person_id")).as("person_id"),
+        SC.safeLong(col("p.org_id")).as("org_id"),
+        SC.safeText(col("p.lead_id")).as("lead_id"),
+        SC.safeLong(col("p.project_id")).as("project_id"),
+        SC.safeLong(col("p.assigned_to_user_id")).as("assigned_to_user_id"),
+        SC.safeDate(col("p.due_date")).as("due_date"),
         SC.safeText(get_json_object(col("raw_data"), "$.due_time"))
           .as("due_time"),
         SC.safeText(get_json_object(col("raw_data"), "$.duration"))
           .as("duration"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.deal_id"))
-          .as("deal_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.person_id"))
-          .as("person_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.org_id")).as("org_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.user_id"))
-          .as("user_id"),
-        SC.safeLong(get_json_object(col("raw_data"), "$.assigned_to_user_id"))
-          .as("assigned_to_user_id"),
-        SC.safeTimestamp(
-          get_json_object(col("raw_data"), "$.marked_as_done_time"))
+        SC.safeTimestamp(col("p.add_time")).as("add_time"),
+        SC.safeTimestamp(col("p.marked_as_done_time"))
           .as("marked_as_done_time"),
+        SC.safeTimestamp(col("p.update_time")).as("update_time"),
         SC.safeText(get_json_object(col("raw_data"), "$.location"))
           .as("location"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.add_time"))
-          .as("add_time"),
-        SC.safeTimestamp(get_json_object(col("raw_data"), "$.update_time"))
-          .as("update_time")) ++ audit: _*)
+        SC.safeText(col("p.location_subpremise")).as("location_subpremise"),
+        SC.safeText(col("p.location_street_number"))
+          .as("location_street_number"),
+        SC.safeText(col("p.location_route")).as("location_route"),
+        SC.safeText(col("p.location_sublocality"))
+          .as("location_sublocality"),
+        SC.safeText(col("p.location_locality")).as("location_locality"),
+        SC.safeText(col("p.location_admin_area_level_1"))
+          .as("location_admin_area_level_1"),
+        SC.safeText(col("p.location_admin_area_level_2"))
+          .as("location_admin_area_level_2"),
+        SC.safeText(col("p.location_country")).as("location_country"),
+        SC.safeText(col("p.location_postal_code"))
+          .as("location_postal_code"),
+        SC.safeText(col("p.location_formatted_address"))
+          .as("location_formatted_address"),
+        get_json_object(col("raw_data"), "$.participants")
+          .as("participants"),
+        get_json_object(col("raw_data"), "$.attendees").as("attendees"),
+        SC.safeText(col("p.conference_meeting_client"))
+          .as("conference_meeting_client"),
+        SC.safeText(col("p.conference_meeting_url"))
+          .as("conference_meeting_url"),
+        SC.safeText(col("p.conference_meeting_id"))
+          .as("conference_meeting_id"),
+        SC.safeText(col("p.public_description")).as("public_description"),
+        SC.safeBool(col("p.active_flag")).as("active_flag"))
+        ++ audit: _*)
 }

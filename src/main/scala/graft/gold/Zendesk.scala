@@ -25,10 +25,10 @@ object Zendesk {
   private def j(field: String): Column =
     get_json_object(col("raw_data"), s"$$.$field")
 
-  /** core.zd_organizations (:10-29). */
+  /** core.zd_organizations (:10-29, full column set). */
   def organizations(silver: DataFrame): DataFrame =
     dedupLatest(silver).select(Seq(
-      col("id").as("org_id"),
+      col("id").as("organization_id"),
       SC.safeText(j("name")).as("name"),
       get_json_object(col("raw_data"), "$.domain_names").as("domain_names"),
       SC.safeText(j("details")).as("details"),
@@ -36,28 +36,58 @@ object Zendesk {
       SC.safeLong(j("group_id")).as("group_id"),
       SC.safeBool(j("shared_tickets")).as("shared_tickets"),
       SC.safeBool(j("shared_comments")).as("shared_comments"),
+      get_json_object(col("raw_data"), "$.tags").as("tags"),
+      get_json_object(col("raw_data"), "$.organization_fields")
+        .as("organization_fields"),
       SC.safeText(j("external_id")).as("external_id"),
       SC.safeTimestamp(j("created_at")).as("created_at"),
       SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
 
-  /** core.zd_users (:39-71). */
+  private val userSchema: String =
+    "name STRING, email STRING, phone STRING, role STRING, " +
+      "organization_id STRING, time_zone STRING, locale STRING, " +
+      "active STRING, verified STRING, suspended STRING, " +
+      "external_id STRING, alias STRING, notes STRING, details STRING, " +
+      "default_group_id STRING, only_private_comments STRING, " +
+      "restricted_agent STRING, shared STRING, shared_agent STRING, " +
+      "signature STRING, ticket_restriction STRING, " +
+      "created_at STRING, updated_at STRING, last_login_at STRING"
+
+  /** core.zd_users (:39-71, full column set; one from_json pass). */
   def users(silver: DataFrame): DataFrame =
-    dedupLatest(silver).select(Seq(
+    dedupLatest(silver)
+      .withColumn("p",
+        graft.functions.JsonOps.parse(col("raw_data"), userSchema))
+      .select(Seq(
       col("id").as("user_id"),
-      SC.safeText(j("name")).as("name"),
-      SC.safeText(j("email")).as("email"),
-      SC.safeText(j("phone")).as("phone"),
-      SC.safeText(j("role")).as("role"),
-      SC.safeBool(j("active")).as("active"),
-      SC.safeBool(j("verified")).as("verified"),
-      SC.safeBool(j("suspended")).as("suspended"),
-      SC.safeLong(j("organization_id")).as("organization_id"),
-      SC.safeLong(j("default_group_id")).as("default_group_id"),
-      SC.safeText(j("time_zone")).as("time_zone"),
-      SC.safeText(j("locale")).as("locale"),
-      SC.safeTimestamp(j("last_login_at")).as("last_login_at"),
-      SC.safeTimestamp(j("created_at")).as("created_at"),
-      SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
+      SC.safeText(col("p.name")).as("name"),
+      SC.safeText(col("p.email")).as("email"),
+      SC.safeText(col("p.phone")).as("phone"),
+      SC.safeText(col("p.role")).as("role"),
+      SC.safeLong(col("p.organization_id")).as("organization_id"),
+      SC.safeText(col("p.time_zone")).as("time_zone"),
+      SC.safeText(col("p.locale")).as("locale"),
+      SC.safeBool(col("p.active")).as("active"),
+      SC.safeBool(col("p.verified")).as("verified"),
+      SC.safeBool(col("p.suspended")).as("suspended"),
+      get_json_object(col("raw_data"), "$.tags").as("tags"),
+      get_json_object(col("raw_data"), "$.user_fields").as("user_fields"),
+      SC.safeText(col("p.external_id")).as("external_id"),
+      SC.safeText(col("p.alias")).as("alias"),
+      SC.safeText(col("p.notes")).as("notes"),
+      SC.safeText(col("p.details")).as("details"),
+      SC.safeLong(col("p.default_group_id")).as("default_group_id"),
+      SC.safeBool(col("p.only_private_comments"))
+        .as("only_private_comments"),
+      SC.safeBool(col("p.restricted_agent")).as("restricted_agent"),
+      SC.safeBool(col("p.shared")).as("shared"),
+      SC.safeBool(col("p.shared_agent")).as("shared_agent"),
+      SC.safeText(col("p.signature")).as("signature"),
+      SC.safeText(col("p.ticket_restriction")).as("ticket_restriction"),
+      SC.safeTimestamp(col("p.created_at")).as("created_at"),
+      SC.safeTimestamp(col("p.updated_at")).as("updated_at"),
+      SC.safeTimestamp(col("p.last_login_at")).as("last_login_at"))
+      ++ audit: _*)
 
   /** core.zd_groups (:83-95). */
   def groups(silver: DataFrame): DataFrame =
@@ -65,25 +95,38 @@ object Zendesk {
       col("id").as("group_id"),
       SC.safeText(j("name")).as("name"),
       SC.safeText(j("description")).as("description"),
-      SC.safeBool(j("default")).as("is_default"),
-      SC.safeBool(j("deleted")).as("deleted"),
+      SC.safeBool(j("is_public")).as("is_public"),
+      // DDL default FALSE (:87)
+      coalesce(SC.safeBool(j("deleted")), lit(false)).as("deleted"),
       SC.safeTimestamp(j("created_at")).as("created_at"),
       SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
 
-  /** core.zd_ticket_fields (:102-126). */
+  /** core.zd_ticket_fields (:102-126, full column set). */
   def ticketFields(silver: DataFrame): DataFrame =
     dedupLatest(silver).select(Seq(
       col("id").as("field_id"),
-      SC.safeText(j("type")).as("type"),
       SC.safeText(j("title")).as("title"),
+      SC.safeText(j("type")).as("type"),
       SC.safeText(j("description")).as("description"),
       SC.safeInt(j("position")).as("position"),
       SC.safeBool(j("active")).as("active"),
       SC.safeBool(j("required")).as("required"),
+      SC.safeBool(j("collapsed_for_agents")).as("collapsed_for_agents"),
+      SC.safeText(j("regexp_for_validation")).as("regexp_for_validation"),
+      SC.safeText(j("title_in_portal")).as("title_in_portal"),
+      SC.safeBool(j("visible_in_portal")).as("visible_in_portal"),
+      SC.safeBool(j("editable_in_portal")).as("editable_in_portal"),
+      SC.safeBool(j("required_in_portal")).as("required_in_portal"),
+      SC.safeText(j("tag")).as("tag"),
+      get_json_object(col("raw_data"), "$.custom_field_options")
+        .as("custom_field_options"),
+      get_json_object(col("raw_data"), "$.system_field_options")
+        .as("system_field_options"),
+      SC.safeBool(j("removable")).as("removable"),
       SC.safeTimestamp(j("created_at")).as("created_at"),
       SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
 
-  /** core.zd_ticket_forms (:133-151). */
+  /** core.zd_ticket_forms (:133-151, full column set). */
   def ticketForms(silver: DataFrame): DataFrame =
     dedupLatest(silver).select(Seq(
       col("id").as("form_id"),
@@ -91,7 +134,13 @@ object Zendesk {
       SC.safeText(j("display_name")).as("display_name"),
       SC.safeInt(j("position")).as("position"),
       SC.safeBool(j("active")).as("active"),
-      SC.safeBool(j("default")).as("is_default"),
+      SC.safeBool(j("default")).as("default_form"),
+      SC.safeBool(j("end_user_visible")).as("end_user_visible"),
+      SC.safeBool(j("in_all_brands")).as("in_all_brands"),
+      SC.safeText(j("raw_name")).as("raw_name"),
+      SC.safeText(j("raw_display_name")).as("raw_display_name"),
+      get_json_object(col("raw_data"), "$.ticket_field_ids")
+        .as("ticket_field_ids"),
       SC.safeTimestamp(j("created_at")).as("created_at"),
       SC.safeTimestamp(j("updated_at")).as("updated_at")) ++ audit: _*)
 

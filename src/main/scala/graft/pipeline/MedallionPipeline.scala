@@ -189,7 +189,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
         preserveOnUpdate = Seq("_loaded_at"))
     withSilver("zendesk", "organizations")(df =>
       write(Zendesk.organizations(slice(df)), "zd_organizations",
-        Seq("org_id")))
+        Seq("organization_id")))
     withSilver("zendesk", "users")(df =>
       write(Zendesk.users(slice(df)), "zd_users", Seq("user_id")))
     withSilver("zendesk", "groups")(df =>

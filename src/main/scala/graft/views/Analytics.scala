@@ -55,8 +55,8 @@ object Analytics {
     tickets
       .join(broadcast(requesters), Seq("requester_id"), "left")
       .join(broadcast(assignees), Seq("assignee_id"), "left")
-      .join(broadcast(organizations.select(col("org_id")
-        .as("organization_id"), col("name").as("org_name"))),
+      .join(broadcast(organizations.select(col("organization_id"),
+        col("name").as("org_name"))),
         Seq("organization_id"), "left")
       .join(broadcast(groups.select(col("group_id"),
         col("name").as("group_name"))), Seq("group_id"), "left")

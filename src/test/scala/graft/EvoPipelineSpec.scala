@@ -196,7 +196,7 @@ class EvoPipelineSpec extends SparkSpec {
     val recv = pipe.gold("evo_receivables").collect()(0)
     assert(recv.getAs[java.math.BigDecimal]("amount_paid").toString == "99.90")
     assert(recv.getAs[Long]("status_id") == 2L) // nested access (P3)
-    assert(recv.getAs[String]("payment_type") == "Credit Card")
+    assert(recv.getAs[String]("payment_type_name") == "Credit Card")
     val sales = pipe.gold("evo_sales").collect()(0)
     // v1 drift key, TEXT verbatim (reference column is TEXT)
     assert(sales.getAs[String]("sale_migration_id") == "555")
