@@ -19,6 +19,20 @@ object Audit {
         min("loaded_at").as("first_loaded"),
         max("loaded_at").as("last_loaded"))
 
+  /** V1b: windowed load-history rollup (audit_stg.sql:180-198) — per-day
+    * record counts over the trailing `days`, one labeled frame per
+    * silver table, union-stitched by the caller. `asOf` is injected so
+    * the report is deterministic/testable (the reference pins
+    * CURRENT_DATE). */
+  def loadHistory(silver: DataFrame, sourceLabel: String, days: Int = 7,
+      asOf: Column = current_date()): DataFrame =
+    silver
+      .filter(col("loaded_at") >= date_sub(asOf, days))
+      .groupBy(col("loaded_at").cast("date").as("load_date"))
+      .agg(count(lit(1)).as("records_loaded"))
+      .select(col("load_date"), lit(sourceLabel).as("source"),
+        col("records_loaded"))
+
   /** V2: duplicate scan on a key set — violations have n > 1. */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.gold.{Evo, Pipedrive, Zendesk}
-import graft.operators.MergeOps
+import graft.operators.{ParquetTableFormat, TableFormat}
 import graft.silver.SilverLoader
 import graft.sources.Bronze
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * increments, full refresh when the caller knows most rows changed,
   * partition replace for the year-partitioned entries table.
   */
-class MedallionPipeline(spark: SparkSession, root: String) {
+class MedallionPipeline(spark: SparkSession, root: String,
+    val format: TableFormat = ParquetTableFormat) {
 
   def silverPath(source: String, entity: String) =
     s"$root/silver/$source/$entity"
@@ -34,7 +35,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     * increment); transforms skip sources that were never loaded. */
   private def withSilver(source: String, entity: String)(
       f: DataFrame => Unit): Unit =
-    if (MergeOps.exists(spark, silverPath(source, entity)))
+    if (format.exists(spark, silverPath(source, entity)))
       f(silver(source, entity))
 
   // ------------------------------------------------------------------ EVO
@@ -88,8 +89,8 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     def slice(df: DataFrame): DataFrame =
       onlyRun.map(r => df.filter(col("run_id") === r)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
-      if (fullRefresh) MergeOps.fullRefresh(spark, df, goldPath(table))
-      else MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+      if (fullRefresh) format.fullRefresh(spark, df, goldPath(table))
+      else format.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
 
     withSilver("evo", "members") { members0 =>
@@ -113,13 +114,13 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     withSilver("evo", "entries") { entries =>
       if (onlyRun.isEmpty)
         // full: year-partition replace (K10) — touched years rewrite
-        MergeOps.replacePartitions(spark, Evo.entries(entries),
+        format.replacePartitions(spark, Evo.entries(entries),
           goldPath("evo_entries"), "entry_year")
       else
         // incremental: keyed upsert of the delta only, keeping the
         // entry_year partition layout (flat files mixed into a
         // partitioned root corrupt later reads)
-        MergeOps.upsert(spark, Evo.entries(slice(entries)),
+        format.upsert(spark, Evo.entries(slice(entries)),
           goldPath("evo_entries"), Seq("entry_id"), "_updated_at",
           preserveOnUpdate = Seq("_loaded_at"),
           partitionCols = Seq("entry_year"))
@@ -158,7 +159,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     def slice(df: DataFrame): DataFrame =
       onlyRun.map(r => touchedIds(df, r, scoped = true)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
-      MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+      format.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
     withSilver("pipedrive", "pipelines")(df =>
       write(Pipedrive.pipelines(slice(df)), "pd_pipelines",
@@ -185,7 +186,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     def slice(df: DataFrame): DataFrame =
       onlyRun.map(r => touchedIds(df, r, scoped = false)).getOrElse(df)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit =
-      MergeOps.upsert(spark, df, goldPath(table), keys, "_updated_at",
+      format.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
     withSilver("zendesk", "organizations")(df =>
       write(Zendesk.organizations(slice(df)), "zd_organizations",
@@ -205,11 +206,11 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       write(Zendesk.tickets(tickets), "zd_tickets", Seq("ticket_id"))
       // bridges: insert-ignore accumulation (K8) for the id/tag arrays
       // (04_core_zendesk.sql:228-268)
-      MergeOps.insertIgnore(spark, Zendesk.ticketTags(tickets),
+      format.insertIgnore(spark, Zendesk.ticketTags(tickets),
         goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
-      MergeOps.insertIgnore(spark, Zendesk.ticketCollaborators(tickets),
+      format.insertIgnore(spark, Zendesk.ticketCollaborators(tickets),
         goldPath("zd_ticket_collaborators"), Seq("ticket_id", "user_id"))
-      MergeOps.insertIgnore(spark, Zendesk.ticketFollowers(tickets),
+      format.insertIgnore(spark, Zendesk.ticketFollowers(tickets),
         goldPath("zd_ticket_followers"), Seq("ticket_id", "user_id"))
       // custom-fields bridge: keep-latest per (ticket_id, field_id) then
       // upsert — the reference's ON CONFLICT DO UPDATE
@@ -217,7 +218,7 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       // version history OF EACH TOUCHED TICKET, which is exactly what
       // touchedIds already preserves, so incremental cost is ∝ delta
       // tickets' history, not ∝ all history.
-      MergeOps.upsert(spark, Zendesk.ticketCustomFields(tickets),
+      format.upsert(spark, Zendesk.ticketCustomFields(tickets),
         goldPath("zd_ticket_custom_fields"), Seq("ticket_id", "field_id"),
         "_updated_at", preserveOnUpdate = Seq("_loaded_at"))
     }

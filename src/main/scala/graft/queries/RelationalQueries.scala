@@ -285,13 +285,18 @@ object RelationalQueries {
     QueryDef(
       "j6_anti_join",
       (s, dir) => {
+        // customers with NO urgent order — the right side is filtered
+        // so the anti set is non-empty at every SF (an anti join whose
+        // result is always 0 rows proves nothing)
         val c = Tables(s, dir, "customer")
         val o = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY 1""".stripMargin)),
 
     // ---- D1: window dedup, latest-wins (THE reference pattern, 13 call sites)

@@ -2,7 +2,6 @@ package graft.views
 
 import graft.functions.Keys
 import graft.pipeline.MedallionPipeline
-import graft.operators.MergeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Ad-hoc SQL entry point (SURVEY.md §3.3): registers every existing
@@ -35,7 +34,7 @@ object SqlGateway {
   def register(spark: SparkSession, pipe: MedallionPipeline): Seq[String] = {
     Keys.registerSqlFunctions(spark)
     val present = GoldTables.filter(t =>
-      MergeOps.exists(spark, pipe.goldPath(t)))
+      pipe.format.exists(spark, pipe.goldPath(t)))
     present.foreach(t => pipe.gold(t).createOrReplaceTempView(t))
 
     def view(name: String, needs: Seq[String])(f: => DataFrame): Unit =

@@ -21,6 +21,29 @@ class AuditSpec extends SparkSpec {
     assert(got(0).getTimestamp(4) == ts("2026-01-01T01:00:00Z"))
   }
 
+  test("V1b loadHistory: trailing-window per-day counts, union-stitchable") {
+    val tickets = Seq(
+      ("2026-01-10T08:00:00Z"), ("2026-01-10T09:00:00Z"),
+      ("2026-01-08T08:00:00Z"),
+      ("2025-12-01T08:00:00Z")) // outside the 7-day window
+      .toDF("loaded_at")
+      .withColumn("loaded_at", to_timestamp(col("loaded_at")))
+    val deals = Seq(("2026-01-09T12:00:00Z")).toDF("loaded_at")
+      .withColumn("loaded_at", to_timestamp(col("loaded_at")))
+    val asOf = to_date(lit("2026-01-10"))
+    // the reference UNION ALLs one labeled SELECT per staging table
+    // (audit_stg.sql:180-198)
+    val report = Audit.loadHistory(tickets, "zendesk_tickets", 7, asOf)
+      .unionByName(Audit.loadHistory(deals, "pipedrive_deals", 7, asOf))
+      .orderBy(col("load_date").desc, col("source"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2))).toSeq
+    assert(report == Seq(
+      ("2026-01-10", "zendesk_tickets", 2L),
+      ("2026-01-09", "pipedrive_deals", 1L),
+      ("2026-01-08", "zendesk_tickets", 1L)))
+  }
+
   test("V4 nullViolations reports only columns with nulls") {
     val df = Seq((Some(1L), Some("a")), (None, Some("b")),
       (Some(3L), None), (None, Some("d")))
