@@ -77,14 +77,23 @@ object NearDup {
   /** Candidate pairs (d1 < d2) from banded signatures, bucket-local,
     * with the hot-bucket guard (see object doc). Normal buckets expand
     * to their full clique; buckets above `maxBucket` contribute
-    * hub-star pairs only. */
+    * hub-star pairs only.
+    *
+    * Bucket size and hub come from ONE unordered window pass over the
+    * (band_id, band_hash) shuffle — a self-join against a size
+    * aggregate would evaluate the (md5-heavy) signature subtree twice;
+    * the two filter branches below share the window's exchange, which
+    * AQE reuses. The groupBy for clique expansion runs on the same
+    * keys, so it adds no second shuffle of the signatures. */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
       maxBucket: Int = 1024): DataFrame = {
     require(maxBucket > 1)
+    import org.apache.spark.sql.expressions.Window
     val keys = Seq("band_id", "band_hash")
-    val sized = bandsDf.join(
-      bandsDf.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz")),
-      keys)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = bandsDf
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__hub", min(col(idCol)).over(w))
     val clique = sized
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
       .groupBy(keys.map(col): _*)
@@ -96,11 +105,8 @@ object NearDup {
       // strict <: duplicate ids in one bucket must not emit a self-pair
       .filter(col("p.d1") < col("p.d2"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-    val big = sized.filter(col("__bsz") > maxBucket)
-    val star = big
-      .join(big.groupBy(keys.map(col): _*)
-        .agg(min(col(idCol)).as("__hub")), keys)
-      .filter(col(idCol) =!= col("__hub"))
+    val star = sized
+      .filter(col("__bsz") > maxBucket && col(idCol) =!= col("__hub"))
       .select(col("__hub").as("d1"), col(idCol).as("d2"))
     clique.unionByName(star).distinct()
   }
