@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest-neighbor search, composed end-to-end:
+  *
+  *   coarse quantize (assign every vector to its nearest centroid)
+  *   → probe the `nprobe` nearest cells per query
+  *   → exact cosine rerank INSIDE those cells only
+  *   → top-k per query.
+  *
+  * Scale shape: centroids are tiny and broadcast (cells ~ √n in
+  * practice); the corpus-side assignment is one broadcast-join pass;
+  * the search never touches candidates outside the probed cells, so
+  * per-query cost is corpus/ncells × nprobe instead of the full scan
+  * (t10's brute-force baseline). Determinism: distance ties break on
+  * centroid id, cosine is rounded then tied on candidate id — the same
+  * total order any engine computes.
+  */
+object Ann {
+
+  /** Assign each (id, vec) row to its nearest centroid (squared-L2).
+    * Output: (idCol, vec, cell). `centroids` must be small — it is
+    * broadcast and cross-joined. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame = {
+    val d2: Column = VectorOps.norm2(
+      zip_with(col(vecCol), col(centVecCol), (x, y) => x - y))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__d2").asc, col(centIdCol).asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+  }
+
+  /** Full IVF search: for each probe row, the top-`k` nearest corpus
+    * vectors by exact cosine among the `nprobe` nearest cells.
+    * Output: (probe id as p_id, rn, candidate id as c_id, cos).
+    * A probe never matches itself. */
+  def ivfSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val assigned = ivfAssign(vectors, idCol, vecCol,
+      centroids, centIdCol, centVecCol)
+      .withColumn("__cn", VectorOps.norm(col(vecCol)))
+      .select(col(idCol).as("c_id"), col(vecCol).as("__cv"),
+        col("__cn"), col("cell"))
+    // probe → nprobe nearest cells (same broadcast pass as assignment)
+    val pcells = probes.crossJoin(broadcast(centroids))
+      .withColumn("__d2", VectorOps.norm2(
+        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__d2").asc, col(centIdCol).asc)))
+      .filter(col("__rn") <= nprobe)
+      .withColumn("__pn", VectorOps.norm(col(vecCol)))
+      .select(col(idCol).as("p_id"), col(vecCol).as("__pv"),
+        col("__pn"), col(centIdCol).as("cell"))
+    // each candidate lives in exactly one cell (assignment is rn = 1),
+    // so a (p_id, c_id) pair appears at most once — no dedup needed
+    val reranked = pcells.join(assigned, "cell")
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        VectorOps.cosine(col("__pv"), col("__cv"),
+          col("__pn"), col("__cn")).as("cos"))
+    reranked
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id")
+          .orderBy(col("cos").desc, col("c_id").asc)))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "c_id", "cos")
+  }
+}

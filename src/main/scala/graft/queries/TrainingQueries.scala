@@ -390,6 +390,58 @@ object TrainingQueries {
            |FROM assigned WHERE rn = 1 GROUP BY 1""".stripMargin
       }),
 
+    // ---- composed IVF ANN search: coarse-quantize -> probe nprobe
+    // cells -> exact cosine rerank inside them -> top-k per query
+    // (operators.Ann.ivfSearch — t15's quantizer as one end-to-end
+    // search). The oracle replicates every stage in SQL.
+    QueryDef(
+      "t17_ann_ivf_search",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"),
+            VectorOps.asDouble(col("embedding")).as("cv"))
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Ann.ivfSearch(e, "vec_id", "v", probes,
+          cents, "cent_id", "cv", k = 3, nprobe = 2)
+      },
+      Some {
+        def d2(a: String, b: String) = (1 to Dims).map(i =>
+          s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))")
+          .map(d => s"$d * $d").mkString("(", " + ", ")")
+        s"""WITH cents AS (SELECT * FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT e.vec_id AS c_id, c.vec_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2("e", "c")} ASC, c.vec_id ASC) AS rn
+           |  FROM embeddings e, cents c),
+           |cells AS (SELECT c_id, cell FROM assigned WHERE rn = 1),
+           |pcells AS (
+           |  SELECT p.vec_id AS p_id, c.vec_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2("p", "c")} ASC, c.vec_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c),
+           |n AS (SELECT vec_id, embedding,
+           |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT pc.p_id, cl.c_id,
+           |    round(${DuckSql.dot("pe.embedding", "ce.embedding", Dims)}
+           |          / (pe.nrm * ce.nrm), 6) AS cos
+           |  FROM (SELECT p_id, cell FROM pcells WHERE rn <= 2) pc
+           |  JOIN cells cl ON cl.cell = pc.cell AND cl.c_id <> pc.p_id
+           |  JOIN n pe ON pe.vec_id = pc.p_id
+           |  JOIN n ce ON ce.vec_id = cl.c_id)
+           |SELECT p_id, rn, c_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM cand)
+           |WHERE rn <= 3""".stripMargin
+      }),
+
     // ---- embedding stats per label (centroid-norm shape; decimal-exact sum)
     QueryDef(
       "t13_embedding_stats",

@@ -76,6 +76,20 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming event-time dedup: exactly-one-row-per-key within the
+    * watermark horizon — the streaming form of the D-family keep-first
+    * (an at-least-once bronze replay must not duplicate silver).
+    * State for a key is dropped once the watermark passes its event
+    * time + `lateness`, so state size is bounded by the lateness
+    * window, not the corpus — the property that makes this runnable
+    * forever at 100 TB/day. First-seen wins; use [[bronzeToSilver]]'s
+    * keyed upsert when latest-version-wins is required instead. */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Event-time windowed rollup with a watermark — the streaming form
     * of the daily-entries materialized view (A11): tumbling 1-day
     * windows, late data within `lateness` still lands in its window. */

@@ -59,6 +59,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(0).getAs[String]("raw_data").contains("\"newer\""))
   }
 
+  test("dedupStream: cross-batch replays collapse within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Incremental.dedupStream(
+      input.toDF.toDF("k", "v", "ts"), "ts", Seq("k"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", t("2026-01-01T10:00:00Z")),
+        (1L, "a-dup", t("2026-01-01T10:00:01Z")),
+        (2L, "b", t("2026-01-01T10:00:00Z")))
+      q.processAllAvailable()
+      // key 1 replayed in a LATER micro-batch: state still remembers it
+      input.addData((1L, "replay", t("2026-01-01T10:30:00Z")),
+        (3L, "c", t("2026-01-01T11:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("dailyRollup: watermarked tumbling window over event-time") {
     val events = Seq(
       ("2026-01-01T10:00:00Z", 3L), ("2026-01-01T23:59:00Z", 3L),
