@@ -78,6 +78,16 @@ object TextOps {
   def tokenHash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** Stopword-profile language heuristic: the language whose stopword
+    * profile hits more tokens wins; ties (incl. zero signal) are
+    * honest "und". A real system plugs a trained model here — the
+    * *shape* (row-local Column, no UDF) is the contract. */
+  def langId(toks: Column): Column = {
+    val en = size(filter(toks, t => t.isin(StopwordsEn.map(w => w: Any): _*)))
+    val es = size(filter(toks, t => t.isin(StopwordsEs.map(w => w: Any): _*)))
+    when(en > es, "en").when(es > en, "es").otherwise("und")
+  }
+
   /** Ratio of tokens found in `words`, rounded — quality-score component. */
   def stopwordRatio(toks: Column, words: Seq[String]): Column = {
     val hits = size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))

@@ -71,7 +71,12 @@ object TrainingQueries {
        |SELECT doc_id, $assemble AS simhash FROM b""".stripMargin
   }
 
-  private def minhashBandsSql: String = {
+  private def minhashBandsSql: String = minhashBandsSqlFrom("documents")
+
+  /** Banded-minhash SQL over any (doc_id, text) relation `from` —
+    * lets composed-pipeline oracles (t19) run the same signature over
+    * an already-curated CTE. */
+  private def minhashBandsSqlFrom(from: String): String = {
     val sigCols = (0 until MinhashK).map { k =>
       s"list_min(list_transform(hs, h -> (${TextOps.minhashA(k)} * h + ${TextOps.minhashB(k)}) % ${TextOps.MinhashP})) AS h$k"
     }.mkString(", ")
@@ -79,7 +84,7 @@ object TrainingQueries {
       val parts = (0 until 3).map(r => s"CAST(h${3 * b + r} AS VARCHAR)")
       s"SELECT doc_id, $b AS band_id, md5(${parts.mkString(" || ',' || ")}) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM $from),
        |shing AS (SELECT doc_id, ${DuckSql.shingles3("tk")} AS sh FROM toks),
        |hashed AS (SELECT doc_id,
        |  list_transform(sh, x -> ${DuckSql.hexToLong("md5(x)", 8)}) AS hs
@@ -141,17 +146,10 @@ object TrainingQueries {
     // ---- language-ID: n-gram/stopword-profile heuristic vs labeled lang
     QueryDef(
       "t05_langid",
-      (s, dir) => {
-        val en = size(filter(col("tk"),
-          t => t.isin(TextOps.StopwordsEn.map(x => x: Any): _*)))
-        val es = size(filter(col("tk"),
-          t => t.isin(TextOps.StopwordsEs.map(x => x: Any): _*)))
-        docs(s, dir)
-          .withColumn("tk", TextOps.tokens(col("text")))
-          .withColumn("predicted",
-            when(en > es, "en").when(es > en, "es").otherwise("und"))
-          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-      },
+      (s, dir) => docs(s, dir)
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("predicted", TextOps.langId(col("tk")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n")),
       Some(s"""SELECT lang,
               |  CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es'
               |       ELSE 'und' END AS predicted,
@@ -467,6 +465,45 @@ object TrainingQueries {
            |  SELECT *, row_number() OVER (PARTITION BY p_id
            |    ORDER BY cos DESC, c_id ASC) AS rn FROM cand)
            |WHERE rn <= 3""".stripMargin
+      }),
+
+    // ---- end-to-end corpus curation (operators.Curate): quality gate
+    // -> language filter -> exact dedup -> MinHash near-dup, composed.
+    // Oracle replicates all four stages over CTEs; the signature SQL
+    // runs over the curated relation, not raw documents.
+    QueryDef(
+      "t19_curate_survivors",
+      (s, dir) => graft.operators.Curate.curate(
+        spread(s, docs(s, dir)), "doc_id", "text")
+        .select(col("doc_id")),
+      Some {
+        val bands = minhashBandsSqlFrom("curated")
+        s"""WITH toks0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |q AS (SELECT doc_id FROM toks0
+           |  WHERE len(tk) BETWEEN 20 AND 100000
+           |    AND round(CAST(len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)})) AS DOUBLE)
+           |        / len(tk), 4) <= 0.15
+           |    AND len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)}))
+           |        <> len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEs)}))),
+           |exact AS (SELECT d.doc_id, d.text,
+           |    row_number() OVER (PARTITION BY md5(lower(trim(d.text)))
+           |      ORDER BY d.doc_id ASC) AS rn
+           |  FROM documents d JOIN q USING (doc_id)),
+           |curated AS (SELECT doc_id, text FROM exact WHERE rn = 1),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+           |  FROM curated),
+           |removed AS (SELECT DISTINCT d2 FROM cands
+           |  JOIN sh s1 ON s1.doc_id = cands.d1
+           |  JOIN sh s2 ON s2.doc_id = cands.d2
+           |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8)
+           |SELECT doc_id FROM curated
+           |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin
       }),
 
     // ---- embedding stats per label (centroid-norm shape; decimal-exact sum)
