@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextOps
+import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -87,8 +87,10 @@ object NearDup {
 
   /** Band the 32-bit simhash into `bands` byte-buckets for candidate
     * generation — two docs within small hamming distance share at
-    * least one unchanged band with high probability. Output matches
-    * [[candidatePairs]]' expected (id, band_id, band_hash) shape. */
+    * least one unchanged band with high probability. Output is
+    * [[candidatePairsCarrying]]' (id, band_id, band_hash) shape with
+    * the full `simhash` kept as payload, so the verify stage never
+    * recomputes the signature. */
   def simhashBands(sigs: DataFrame, idCol: String,
       bands: Int = 4): DataFrame = {
     require(bands > 0 && 32 % bands == 0)
@@ -98,17 +100,54 @@ object NearDup {
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), width * b).bitwiseAND(mask)
           .cast("string").as("band_hash")))
-    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+    sigs.select(col(idCol), col("simhash"),
+      explode(array(bandStructs: _*)).as("bd"))
       .select(col(idCol), col("bd.band_id").as("band_id"),
-        col("bd.band_hash").as("band_hash"))
+        col("bd.band_hash").as("band_hash"), col("simhash"))
+  }
+
+  /** [[candidatePairs]] variant that carries a narrow per-id payload
+    * column through the pair expansion — (d1, d2, p1, p2) — so the
+    * verify stage can run directly on the pairs instead of re-joining
+    * (and re-computing) the signature frame. Only worth it when the
+    * payload is a scalar; wide payloads (shingle sets) should re-join. */
+  def candidatePairsCarrying(bandsDf: DataFrame, idCol: String,
+      payloadCol: String, maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1)
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("band_id", "band_hash")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = bandsDf
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__hub", min(col(idCol)).over(w))
+      .withColumn("__hubp", min_by(col(payloadCol), col(idCol)).over(w))
+    val clique = sized
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("i"), col(payloadCol).as("p")))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x.i AS d1, y.i AS d2, x.p AS p1, y.p AS p2))))"""
+          .stripMargin)).as("pr"))
+      .filter(col("pr.d1") < col("pr.d2"))
+      .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"),
+        col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+    val star = sized
+      .filter(col("__bsz") > maxBucket && col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("d1"), col(idCol).as("d2"),
+        col("__hubp").as("p1"), col(payloadCol).as("p2"))
+    clique.unionByName(star).dropDuplicates("d1", "d2")
   }
 
   /** Remove SimHash near-duplicates: candidates from shared band
     * bytes, verified by hamming distance <= `maxHamming` on the full
-    * 32-bit signatures, smaller id survives. Same guard/policy story
-    * as [[dedupByMinhash]]; SimHash trades MinHash's set-overlap
-    * estimate for a weighted-token distance that is cheaper per doc
-    * (no shingle explosion) and catches small edits.
+    * 32-bit signatures (carried through the pair expansion — the
+    * signature aggregation runs exactly once), smaller id survives.
+    * Same guard/policy story as [[dedupByMinhash]]; SimHash trades
+    * MinHash's set-overlap estimate for a weighted-token distance that
+    * is cheaper per doc (no shingle explosion) and catches small edits.
     *
     * Radius tuning: `maxHamming = 3` is the classic web-scale setting
     * (64-bit signatures, huge vocabulary). On a 32-bit signature over
@@ -119,14 +158,57 @@ object NearDup {
       maxHamming: Int = 3, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
     val sigs = simhash32(df, idCol, textCol)
-    val cands = candidatePairs(simhashBands(sigs, idCol, bands),
+    val verified = candidatePairsCarrying(
+      simhashBands(sigs, idCol, bands), idCol, "simhash", maxBucket)
+      .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)
+    val removed = verified.select(col("d2").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Multi-table sign-random-projection bands for embedding vectors:
+    * `tables` independent hash tables of `planesPerTable` hyperplane
+    * sign bits each (deterministic weights — VectorOps.lshWeight).
+    * More tables → higher recall; fewer planes → bigger buckets.
+    * Output matches [[candidatePairs]]' (id, band_id, band_hash). */
+  def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, tables: Int, planesPerTable: Int): DataFrame = {
+    require(tables > 0 && planesPerTable > 0 && planesPerTable <= 30)
+    val bandStructs = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { j =>
+        val p = t * planesPerTable + j
+        val w = array((0 until dims)
+          .map(i => lit(VectorOps.lshWeight(p, i).toDouble)): _*)
+        when(VectorOps.dot(col(vecCol), w) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }
+      struct(lit(t).as("band_id"),
+        bits.reduce(_ + _).cast("string").as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
+  /** Remove embedding near-duplicates: candidates from any shared
+    * LSH-table bucket, verified by exact cosine >= `threshold`,
+    * smaller id survives — the embedding member of the dedup family
+    * (the exact pairwise check runs ONLY behind the LSH prefilter,
+    * never corpus × corpus). Same hot-bucket guard as the text path. */
+  def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int, tables: Int = 4,
+      planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val cands = candidatePairs(
+      embeddingBands(df, idCol, vecCol, dims, tables, planesPerTable),
       idCol, maxBucket)
+    val e = df.select(col(idCol), col(vecCol))
+      .withColumn("__n", VectorOps.norm(col(vecCol)))
     val verified = cands
-      .join(sigs.select(col(idCol).as("d1"), col("simhash").as("__s1")),
-        "d1")
-      .join(sigs.select(col(idCol).as("d2"), col("simhash").as("__s2")),
-        "d2")
-      .filter(bit_count(col("__s1").bitwiseXOR(col("__s2"))) <= maxHamming)
+      .join(e.select(col(idCol).as("d1"), col(vecCol).as("__v1"),
+        col("__n").as("__n1")), "d1")
+      .join(e.select(col(idCol).as("d2"), col(vecCol).as("__v2"),
+        col("__n").as("__n2")), "d2")
+      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
+        col("__n1"), col("__n2")) >= threshold)
     val removed = verified.select(col("d2").as(idCol)).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }

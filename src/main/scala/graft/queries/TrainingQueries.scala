@@ -467,6 +467,49 @@ object TrainingQueries {
            |WHERE rn <= 3""".stripMargin
       }),
 
+    // ---- end-to-end embedding near-dup dedup: multi-table SRP-LSH
+    // candidates -> exact cosine verify -> keep-min-id
+    // (operators.NearDup.dedupByEmbedding). Closes the dedup family:
+    // the exact pairwise cosine (t14's math) now runs ONLY behind the
+    // LSH prefilter as one operator. Oracle replicates table
+    // signatures, candidate join, cosine verify, removal policy.
+    // threshold=0.4: the synthetic embeddings are near-orthogonal
+    // (max pairwise cosine 0.513 — no true near-dups), so the gate
+    // lowers the bar until the removal path actually fires (35
+    // vectors removed); production near-dup runs use ~0.9.
+    QueryDef(
+      "t20_embedding_dedup",
+      (s, dir) => graft.operators.NearDup.dedupByEmbedding(
+        spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v")),
+        "vec_id", "v", threshold = 0.4, dims = Dims)
+        .select(col("vec_id")),
+      Some {
+        val tables = 4; val ppt = 4
+        val bandSelects = (0 until tables).map { t =>
+          val sig = (0 until ppt).map { j =>
+            val w = (0 until Dims).map(i => VectorOps.lshWeight(t * ppt + j, i))
+            s"(CASE WHEN ${DuckSql.dotWeights("embedding", w)} > 0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, $t AS band_id, $sig AS band_hash FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH bands AS ($bandSelects),
+           |cands AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.vec_id < b.vec_id),
+           |n AS (SELECT vec_id, embedding,
+           |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+           |  FROM embeddings),
+           |removed AS (SELECT DISTINCT d2 FROM cands
+           |  JOIN n a ON a.vec_id = cands.d1
+           |  JOIN n b ON b.vec_id = cands.d2
+           |  WHERE round(${DuckSql.dot("a.embedding", "b.embedding", Dims)}
+           |        / (a.nrm * b.nrm), 6) >= 0.4)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT d2 FROM removed)""".stripMargin
+      }),
+
     // ---- end-to-end corpus curation (operators.Curate): quality gate
     // -> language filter -> exact dedup -> MinHash near-dup, composed.
     // Oracle replicates all four stages over CTEs; the signature SQL
