@@ -74,6 +74,85 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: parent id + frame index + event time +
+    * payload (last, for pruning). */
+  case class FrameRecord(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      width: Int,
+      height: Int,
+      frame: Array[Byte])
+
+  /** Frame extractor boundary — a real implementation wraps a video
+    * codec seek+decode; the stub slices the payload deterministically
+    * so tests can assert content provenance. */
+  trait FrameSampler extends Serializable {
+    def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte]
+  }
+
+  object FakeFrameSampler extends FrameSampler {
+    override def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] =
+      if (bytes.isEmpty) bytes
+      else {
+        val off = (tsMs % math.max(bytes.length, 1)).toInt
+        Array(bytes(off), bytes((off + 1) % bytes.length))
+      }
+  }
+
+  /** Sample one frame every `everyMs` from each video row — the
+    * one-to-many flatMap shape of frame extraction. Partition-local
+    * (one sampler per task); the expansion happens BEFORE any shuffle,
+    * and each output row carries only its own frame bytes, so a
+    * 2-hour video never rides a shuffle whole. */
+  def sampleFrames(media: Dataset[MediaRecord], everyMs: Long,
+      sampler: FrameSampler = FakeFrameSampler): Dataset[FrameRecord] = {
+    require(everyMs > 0)
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val n = (r.duration_ms / everyMs).toInt
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          FrameRecord(r.media_id, i, ts, r.width, r.height,
+            sampler.frameAt(r.data, ts))
+        }
+      }
+    }
+  }
+
+  /** Resize boundary — real implementation wraps an image resampler;
+    * the stub length-scales the payload deterministically. */
+  trait Resizer extends Serializable {
+    def resize(bytes: Array[Byte], fromW: Int, fromH: Int,
+        toW: Int, toH: Int): Array[Byte]
+  }
+
+  object FakeResizer extends Resizer {
+    override def resize(bytes: Array[Byte], fromW: Int, fromH: Int,
+        toW: Int, toH: Int): Array[Byte] = {
+      val n = math.max(1,
+        (bytes.length.toLong * toW * toH /
+          math.max(fromW.toLong * fromH, 1)).toInt)
+      Array.tabulate(n)(i => bytes(i % math.max(bytes.length, 1)))
+    }
+  }
+
+  /** Resize every image to (toW, toH): payload transformed in place,
+    * metadata updated — partition-local, non-image rows pass through
+    * untouched. */
+  def resizeImages(media: Dataset[MediaRecord], toW: Int, toH: Int,
+      resizer: Resizer = FakeResizer): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "image") r
+        else r.copy(width = toW, height = toH,
+          data = resizer.resize(r.data, r.width, r.height, toW, toH))
+      }
+    }
+  }
+
   /** Metadata-only stats — must read zero bytes of `data` from parquet
     * (column pruning), the property that makes 100TB media tables
     * queryable. */

@@ -123,4 +123,39 @@ class StreamingMultimodalSpec extends SparkSpec {
       !scanSchema.split("ReadSchema")(1).contains("data"))
     assert(stats.count() == 2)
   }
+
+  test("multimodal: frame sampling and resize are partition-local") {
+    import Multimodal._
+    val media = Seq(
+      MediaRecord(1L, "video", "video/mp4", 1920, 1080, 3500L,
+        Array.tabulate(16)(_.toByte)),
+      MediaRecord(2L, "image", "image/png", 64, 32, 0L,
+        Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      MediaRecord(3L, "audio", "audio/wav", 0, 0, 900L,
+        Array[Byte](9))).toDS()
+
+    // frame-sample: 3500ms at 1000ms cadence -> frames 0,1,2 for the
+    // video only; each frame carries its own tiny payload
+    val frames = sampleFrames(media, everyMs = 1000L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(1L))
+    assert(frames.map(f => (f.frame_idx, f.ts_ms)).toSeq ==
+      Seq((0, 0L), (1, 1000L), (2, 2000L)))
+    // deterministic fake sampler: bytes sliced at ts offset
+    assert(frames(1).frame.toSeq == Seq(8.toByte, 9.toByte))
+    // the one-to-many expansion happens before any shuffle
+    val framePlan = sampleFrames(media, 1000L)
+      .queryExecution.executedPlan.toString()
+    assert(!framePlan.contains("Exchange"),
+      s"frame sampling must be partition-local:\n$framePlan")
+
+    // resize: image payload rescaled + metadata updated; video/audio
+    // rows untouched
+    val resized = resizeImages(media, 32, 16).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(2L).width == 32 && resized(2L).height == 16)
+    assert(resized(2L).data.length == 2) // 8 bytes * (32*16)/(64*32)
+    assert(resized(1L).width == 1920) // non-image passthrough
+    assert(resized(3L).data.toSeq == Seq(9.toByte))
+  }
 }
