@@ -64,8 +64,14 @@ object Ann {
       .select(col(idCol).as("p_id"), col(vecCol).as("__pv"),
         col("__pn"), col(centIdCol).as("cell"))
     // each candidate lives in exactly one cell (assignment is rn = 1),
-    // so a (p_id, c_id) pair appears at most once — no dedup needed
-    val reranked = pcells.join(assigned, "cell")
+    // so a (p_id, c_id) pair appears at most once — no dedup needed.
+    // pcells is (queries × nprobe) rows — broadcast it so the corpus
+    // side streams without a shuffle on the low-cardinality cell key
+    // (post-window stats are unknown, so the planner would otherwise
+    // pick a sort-merge join on ncells distinct values — skew bait).
+    // For probe sets too large to broadcast, repartition both sides
+    // on cell instead.
+    val reranked = broadcast(pcells).join(assigned, "cell")
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"),
         VectorOps.cosine(col("__pv"), col("__cv"),
