@@ -25,23 +25,57 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curate(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 20, maxTokens: Int = 100000,
-      maxStopRatio: Double = 0.15,
-      neardupThreshold: Double = 0.8): DataFrame = {
-    val toks = df.withColumn("__tk", TextOps.tokens(col(textCol)))
-    val quality = toks
+  /** Stage 1 — row-local quality gate. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minTokens: Int, maxTokens: Int, maxStopRatio: Double): DataFrame =
+    df.withColumn("__tk", TextOps.tokens(col(textCol)))
       .filter(size(col("__tk")).between(minTokens, maxTokens))
       .filter(TextOps.stopwordRatio(col("__tk"), TextOps.StopwordsEn)
         <= maxStopRatio)
-      .filter(TextOps.langId(col("__tk")) =!= "und")
       .drop("__tk")
-    val exact = quality
-      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+
+  /** Stage 2 — row-local language gate (docs with no signal dropped). */
+  def langFilter(df: DataFrame, textCol: String): DataFrame =
+    df.filter(TextOps.langId(TextOps.tokens(col(textCol))) =!= "und")
+
+  /** Stage 3 — exact dedup: min id survives per canonical fingerprint
+    * (one narrow shuffle on the 32-char hash). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy(col(idCol).asc)))
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxStopRatio: Double = 0.15,
+      neardupThreshold: Double = 0.8): DataFrame = {
+    val quality = qualityFilter(df, textCol, minTokens, maxTokens,
+      maxStopRatio)
+    val exact = exactDedup(langFilter(quality, textCol), idCol, textCol)
     NearDup.dedupByMinhash(exact, idCol, textCol, neardupThreshold)
+  }
+
+  /** One-row curation funnel report: survivor counts after each stage.
+    * Re-derives the stage prefixes (counts are cheap next to the jobs
+    * themselves; at scale, run it beside the curate job or cache the
+    * shared prefix). The reporting twin of [[curate]] — same stages,
+    * same parameters, same numbers. */
+  def curateStats(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxStopRatio: Double = 0.15,
+      neardupThreshold: Double = 0.8): DataFrame = {
+    val quality = qualityFilter(df, textCol, minTokens, maxTokens,
+      maxStopRatio)
+    val lang = langFilter(quality, textCol)
+    val exact = exactDedup(lang, idCol, textCol)
+    val fin = NearDup.dedupByMinhash(exact, idCol, textCol,
+      neardupThreshold)
+    df.agg(count(lit(1)).as("n_input"))
+      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(lang.agg(count(lit(1)).as("n_lang")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(fin.agg(count(lit(1)).as("n_final")))
   }
 }

@@ -549,6 +549,50 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin
       }),
 
+    // ---- curation funnel report: one row of per-stage survivor counts
+    // (operators.Curate.curateStats) — the observability twin of t19;
+    // a curation run without its funnel numbers is unreviewable.
+    QueryDef(
+      "t21_curate_stats",
+      (s, dir) => graft.operators.Curate.curateStats(
+        spread(s, docs(s, dir)), "doc_id", "text"),
+      Some {
+        val bands = minhashBandsSqlFrom("curated")
+        s"""WITH toks0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |q AS (SELECT doc_id FROM toks0
+           |  WHERE len(tk) BETWEEN 20 AND 100000
+           |    AND round(CAST(len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)})) AS DOUBLE)
+           |        / len(tk), 4) <= 0.15),
+           |l AS (SELECT q.doc_id FROM q JOIN toks0 USING (doc_id)
+           |  WHERE len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)}))
+           |     <> len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEs)}))),
+           |exact AS (SELECT d.doc_id, d.text,
+           |    row_number() OVER (PARTITION BY md5(lower(trim(d.text)))
+           |      ORDER BY d.doc_id ASC) AS rn
+           |  FROM documents d JOIN l USING (doc_id)),
+           |curated AS (SELECT doc_id, text FROM exact WHERE rn = 1),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+           |  FROM curated),
+           |removed AS (SELECT DISTINCT d2 FROM cands
+           |  JOIN sh s1 ON s1.doc_id = cands.d1
+           |  JOIN sh s2 ON s2.doc_id = cands.d2
+           |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8)
+           |SELECT
+           |  (SELECT COUNT(*) FROM documents) AS n_input,
+           |  (SELECT COUNT(*) FROM q) AS n_quality,
+           |  (SELECT COUNT(*) FROM l) AS n_lang,
+           |  (SELECT COUNT(*) FROM curated) AS n_exact,
+           |  (SELECT COUNT(*) FROM curated
+           |   WHERE doc_id NOT IN (SELECT d2 FROM removed)) AS n_final"""
+          .stripMargin
+      }),
+
     // ---- embedding stats per label (centroid-norm shape; decimal-exact sum)
     QueryDef(
       "t13_embedding_stats",

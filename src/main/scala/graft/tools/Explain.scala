@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s2_pushdown_filter", "a1_groupby_agg", "j1_funnel_join",
         "a10_duration", "d1_dedup_latest", "t10_ann_cosine_topk",
-        "t08_minhash_pairs")
+        "t08_minhash_pairs", "t16_neardup_survivors",
+        "t17_ann_ivf_search", "t19_curate_survivors",
+        "t20_embedding_dedup")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
