@@ -13,9 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, shuffle infra) so the first measured
-    // query doesn't absorb ~5s of one-time startup.
+    // Warm the session (codegen, shuffle infra, parquet reader +
+    // filesystem metadata) so the first measured query doesn't absorb
+    // one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables(spark, sfDir, "region").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,24 +58,33 @@ object Curate {
   }
 
   /** One-row curation funnel report: survivor counts after each stage.
-    * Re-derives the stage prefixes (counts are cheap next to the jobs
-    * themselves; at scale, run it beside the curate job or cache the
-    * shared prefix). The reporting twin of [[curate]] — same stages,
-    * same parameters, same numbers. */
+    * The four row-local/fingerprint counts come from ONE scan-aggregate
+    * (stage predicates as flags, exact survivors as a conditional
+    * countDistinct of the fingerprint); only the near-dup terminal
+    * count re-runs the LSH pipeline. The reporting twin of [[curate]]
+    * — same stages, same parameters, same numbers. */
   def curateStats(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxStopRatio: Double = 0.15,
       neardupThreshold: Double = 0.8): DataFrame = {
-    val quality = qualityFilter(df, textCol, minTokens, maxTokens,
-      maxStopRatio)
-    val lang = langFilter(quality, textCol)
-    val exact = exactDedup(lang, idCol, textCol)
-    val fin = NearDup.dedupByMinhash(exact, idCol, textCol,
-      neardupThreshold)
-    df.agg(count(lit(1)).as("n_input"))
-      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
-      .crossJoin(lang.agg(count(lit(1)).as("n_lang")))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(fin.agg(count(lit(1)).as("n_final")))
+    val flagged = df
+      .withColumn("__tk", TextOps.tokens(col(textCol)))
+      .withColumn("__q",
+        size(col("__tk")).between(minTokens, maxTokens) &&
+          TextOps.stopwordRatio(col("__tk"), TextOps.StopwordsEn)
+            <= maxStopRatio)
+      .withColumn("__l",
+        col("__q") && TextOps.langId(col("__tk")) =!= "und")
+    val head = flagged.agg(
+      count(lit(1)).as("n_input"),
+      count(when(col("__q"), 1)).as("n_quality"),
+      count(when(col("__l"), 1)).as("n_lang"),
+      countDistinct(when(col("__l"), TextOps.fingerprint(col(textCol))))
+        .as("n_exact"))
+    val fin = NearDup.dedupByMinhash(
+      exactDedup(langFilter(qualityFilter(df, textCol, minTokens,
+        maxTokens, maxStopRatio), textCol), idCol, textCol),
+      idCol, textCol, neardupThreshold)
+    head.crossJoin(fin.agg(count(lit(1)).as("n_final")))
   }
 }
