@@ -257,6 +257,78 @@ object NearDup {
     clique.unionByName(star).distinct()
   }
 
+  /** Incremental near-dup: dedup `incoming` against itself AND an
+    * existing corpus whose banded signatures were materialized by a
+    * previous run ([[minhashBands]] output persisted as a table — the
+    * daily-append pattern: signatures are computed once per document,
+    * ever). Existing documents are canonical and always win; an
+    * incoming document is dropped if it verifies against ANY existing
+    * document or against a smaller-id incoming document.
+    *
+    * `existingDocs` supplies text for verification — it is semi-join
+    * pruned to the candidate ids first, so only matched documents are
+    * ever shingled, not the historical corpus.
+    *
+    * Hot buckets: oversized EXISTING buckets pair each incoming member
+    * against the bucket's min-id (hub) only — the cross-corpus version
+    * of the hub-star guard; incoming-incoming pairs reuse
+    * [[candidatePairs]]' guard.
+    *
+    * Returns incoming survivors; the caller appends their bands to the
+    * band table and their rows to the corpus. */
+  def dedupByMinhashIncremental(incoming: DataFrame, idCol: String,
+      textCol: String, existingBands: DataFrame, existingDocs: DataFrame,
+      threshold: Double, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("band_id", "band_hash")
+    val inBands = minhashBands(incoming, idCol, textCol, k, bands)
+    // incoming vs incoming
+    val inPairs = candidatePairs(inBands, idCol, maxBucket)
+    // incoming vs existing: equi-join on the bucket; oversized existing
+    // buckets collapse to their hub
+    val w = Window.partitionBy(keys.map(col): _*)
+    val exSized = existingBands
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__hub", min(col(idCol)).over(w))
+    val exSide = exSized
+      .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
+      .select(col(idCol).as("ex_id"), col("band_id"), col("band_hash"))
+    val crossPairs = inBands.join(exSide, keys)
+      .select(col(idCol).as("in_id"), col("ex_id")).distinct()
+
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.withColumn("__tk", TextOps.tokens(col(textCol)))
+        .select(col(idCol).as(as),
+          TextOps.shingles3(col("__tk")).as(s"__sh_$as"))
+    val inSh = shingled(incoming, "in_id")
+    // only candidate existing docs are read + shingled
+    val exCand = existingDocs.join(
+      crossPairs.select(col("ex_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val exSh = shingled(exCand, "ex_id")
+
+    def jac(a: String, b: String): Column =
+      size(array_intersect(col(a), col(b))).cast("double") /
+        size(array_union(col(a), col(b)))
+    val removedVsExisting = crossPairs
+      .join(inSh, "in_id").join(exSh, "ex_id")
+      .filter(jac("__sh_in_id", "__sh_ex_id") >= threshold)
+      .select(col("in_id").as(idCol))
+    val removedVsIncoming = inPairs
+      .join(inSh.select(col("in_id").as("d1"),
+        col("__sh_in_id").as("__sh1")), "d1")
+      .join(inSh.select(col("in_id").as("d2"),
+        col("__sh_in_id").as("__sh2")), "d2")
+      .filter(size(array_intersect(col("__sh1"), col("__sh2")))
+        .cast("double") /
+        size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+      .select(col("d2").as(idCol))
+    incoming.join(
+      removedVsExisting.unionByName(removedVsIncoming).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Remove near-duplicates: every document with a verified
     * (exact 3-gram-shingle Jaccard >= `threshold`) duplicate of
     * smaller id is dropped; the smallest id of each duplicate group
