@@ -84,10 +84,25 @@ object Evo {
     col("run_id").as("_source_run_id"),
     col("_loaded_at"), col("_updated_at"))
 
+  /** Parse silver's raw_data once under column `p` — or reuse an
+    * existing `p` so a caller deriving SEVERAL tables from one silver
+    * frame (members + memberships + contacts) can pre-parse and
+    * persist a single parsed frame instead of re-running the
+    * 55-field from_json per transformer (see
+    * MedallionPipeline.transformEvo). */
+  private def withParsed(silver: DataFrame, schema: String): DataFrame =
+    if (silver.columns.contains("p")) silver
+    else silver.withColumn("p", JsonOps.parse(col("raw_data"), schema))
+
+  /** Pre-parse hooks for the pipeline's parse-once-persist pattern. */
+  def parseMembers(silver: DataFrame): DataFrame =
+    withParsed(silver, memberSchema)
+  def parseSales(silver: DataFrame): DataFrame =
+    withParsed(silver, saleSchema)
+
   /** core.evo_members (evo_schemas.sql:287-348). */
   def members(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), memberSchema))
+    val df = withParsed(silver, memberSchema)
     df.select(Seq(
       SC.safeLong(col("p.idMember")).as("member_id"),
       SC.safeLong(col("p.idBranch")).as("branch_id"),
@@ -180,15 +195,17 @@ object Evo {
     * the alternative (declaring their schema) would silently drop
     * drifted sub-fields, violating ADR-002. */
   def memberMemberships(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), memberSchema))
+    val df = withParsed(silver, memberSchema)
     def rawAt(field: String): Column = call_function("get_json_object",
-      col("raw_data"),
-      concat(lit("$.memberships["), col("pos"), lit(s"].$field")))
+      col("__mtxt"),
+      concat(lit("$["), col("pos"), lit(s"].$field")))
     df.select(
       SC.safeLong(col("p.idMember")).as("member_id"),
       posexplode(JsonOps.arrayOrEmpty(col("p.memberships"))).as(Seq("pos", "m")),
-      col("raw_data"), col("run_id"), col("_loaded_at"), col("_updated_at"))
+      // residual re-extraction parses the memberships ARRAY text, not
+      // the whole raw document, per row below
+      get_json_object(col("raw_data"), "$.memberships").as("__mtxt"),
+      col("run_id"), col("_loaded_at"), col("_updated_at"))
       .select(
         SC.safeLong(col("m.idMemberMembership")).as("member_membership_id"),
         col("member_id"),
@@ -251,8 +268,7 @@ object Evo {
 
   /** core.evo_member_contacts (E2, evo_schemas.sql:404-414). */
   def memberContacts(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), memberSchema))
+    val df = withParsed(silver, memberSchema)
     df.select(
       SC.safeLong(col("p.idMember")).as("member_id"),
       explode(JsonOps.arrayOrEmpty(col("p.contacts"))).as("c"),
@@ -311,8 +327,7 @@ object Evo {
 
   /** core.evo_sales (evo_schemas.sql:191-219). */
   def sales(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), saleSchema))
+    val df = withParsed(silver, saleSchema)
     df.select(Seq(
       SC.safeLong(col("p.idSale")).as("sale_id"),
       SC.safeLong(col("p.idMember")).as("member_id"),
@@ -350,8 +365,7 @@ object Evo {
 
   /** core.evo_sale_items (E3; source key is misspelled `saleItens`). */
   def saleItems(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), saleSchema))
+    val df = withParsed(silver, saleSchema)
     df.select(
       SC.safeLong(col("p.idSale")).as("sale_id"),
       explode(JsonOps.arrayOrEmpty(col("p.saleItens"))).as("i"),
@@ -404,8 +418,7 @@ object Evo {
 
   /** core.evo_receivables (E4, nested status/paymentType access P3). */
   def receivables(silver: DataFrame): DataFrame = {
-    val df = silver.withColumn("p",
-      graft.functions.JsonOps.parse(col("raw_data"), saleSchema))
+    val df = withParsed(silver, saleSchema)
     df.select(
       SC.safeLong(col("p.idSale")).as("sale_id"),
       explode(JsonOps.arrayOrEmpty(col("p.receivables"))).as("r"),

@@ -93,19 +93,28 @@ class MedallionPipeline(spark: SparkSession, root: String,
       else format.upsert(spark, df, goldPath(table), keys, "_updated_at",
         preserveOnUpdate = Seq("_loaded_at"))
 
+    // three tables derive from one silver frame: parse the 55-field
+    // JSON ONCE and persist the parsed frame across the three writes
+    // (MEMORY_AND_DISK — spills instead of OOMing at scale), instead
+    // of re-running from_json per transformer
     withSilver("evo", "members") { members0 =>
-      val members = slice(members0)
-      write(Evo.members(members), "evo_members", Seq("member_id"))
-      write(Evo.memberMemberships(members), "evo_member_memberships",
-        Seq("member_id", "member_membership_id"))
-      write(Evo.memberContacts(members), "evo_member_contacts",
-        Seq("phone_id", "member_id"))
+      val members = Evo.parseMembers(slice(members0)).persist()
+      try {
+        write(Evo.members(members), "evo_members", Seq("member_id"))
+        write(Evo.memberMemberships(members), "evo_member_memberships",
+          Seq("member_id", "member_membership_id"))
+        write(Evo.memberContacts(members), "evo_member_contacts",
+          Seq("phone_id", "member_id"))
+      } finally members.unpersist()
     }
     withSilver("evo", "sales") { sales0 =>
-      val sales = slice(sales0)
-      write(Evo.sales(sales), "evo_sales", Seq("sale_id"))
-      write(Evo.saleItems(sales), "evo_sale_items", Seq("sale_item_id"))
-      write(Evo.receivables(sales), "evo_receivables", Seq("receivable_id"))
+      val sales = Evo.parseSales(slice(sales0)).persist()
+      try {
+        write(Evo.sales(sales), "evo_sales", Seq("sale_id"))
+        write(Evo.saleItems(sales), "evo_sale_items", Seq("sale_item_id"))
+        write(Evo.receivables(sales), "evo_receivables",
+          Seq("receivable_id"))
+      } finally sales.unpersist()
     }
     withSilver("evo", "prospects") { prospects0 =>
       write(Evo.prospects(slice(prospects0)), "evo_prospects",
