@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object Zendesk {
 
+  /** D1 keep-latest per ticket/user/... id. Idempotent marker: silver
+    * never carries an `id` column, so its presence means this frame is
+    * ALREADY the deduped output — the pipeline dedups once, persists,
+    * and feeds the same frame to every bridge transformer instead of
+    * re-running the window per table. */
   def dedupLatest(silver: DataFrame): DataFrame =
-    Dedup.keepLatest(
+    if (silver.columns.contains("id")) silver
+    else Dedup.keepLatest(
       silver.withColumn("id",
         SC.safeLong(get_json_object(col("raw_data"), "$.id"))),
       Seq("id"),

@@ -212,15 +212,21 @@ class MedallionPipeline(spark: SparkSession, root: String,
         Seq("form_id")))
     withSilver("zendesk", "tickets") { tickets0 =>
       val tickets = slice(tickets0)
-      write(Zendesk.tickets(tickets), "zd_tickets", Seq("ticket_id"))
-      // bridges: insert-ignore accumulation (K8) for the id/tag arrays
-      // (04_core_zendesk.sql:228-268)
-      format.insertIgnore(spark, Zendesk.ticketTags(tickets),
-        goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
-      format.insertIgnore(spark, Zendesk.ticketCollaborators(tickets),
-        goldPath("zd_ticket_collaborators"), Seq("ticket_id", "user_id"))
-      format.insertIgnore(spark, Zendesk.ticketFollowers(tickets),
-        goldPath("zd_ticket_followers"), Seq("ticket_id", "user_id"))
+      // four tables derive from the D1-latest version of each ticket:
+      // run the keep-latest window ONCE and persist it (dedupLatest
+      // recognizes the deduped frame and passes it through)
+      val latest = Zendesk.dedupLatest(tickets).persist()
+      try {
+        write(Zendesk.tickets(latest), "zd_tickets", Seq("ticket_id"))
+        // bridges: insert-ignore accumulation (K8) for the id/tag
+        // arrays (04_core_zendesk.sql:228-268)
+        format.insertIgnore(spark, Zendesk.ticketTags(latest),
+          goldPath("zd_ticket_tags"), Seq("ticket_id", "tag"))
+        format.insertIgnore(spark, Zendesk.ticketCollaborators(latest),
+          goldPath("zd_ticket_collaborators"), Seq("ticket_id", "user_id"))
+        format.insertIgnore(spark, Zendesk.ticketFollowers(latest),
+          goldPath("zd_ticket_followers"), Seq("ticket_id", "user_id"))
+      } finally latest.unpersist()
       // custom-fields bridge: keep-latest per (ticket_id, field_id) then
       // upsert — the reference's ON CONFLICT DO UPDATE
       // (normalize_zendesk.py:790-800). The D5 window needs the full
