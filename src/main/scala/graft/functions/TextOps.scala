@@ -101,4 +101,17 @@ object TextOps {
 
   /** Document fingerprint: canonicalized md5 (exact-dedup / lineage key). */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Polynomial rolling hash over the canonicalized character stream —
+    * h = (h·B + code(c)) mod P, the Rabin–Karp recurrence. Cheaper
+    * than md5 (no digest machinery, pure integer fold) and the
+    * building block for content-defined chunking. Bounds: h < P < 2^31
+    * and B·h + code < 2^36 — no long overflow. Sequential fold →
+    * deterministic, mirrored exactly by the oracle. */
+  val RollingB = 31L
+  val RollingP = 1000000007L
+  def rollingHash(text: Column): Column =
+    aggregate(split(lower(trim(text)), ""),
+      lit(0L),
+      (acc, c) => (acc * RollingB + ascii(c)) % RollingP)
 }

@@ -112,6 +112,26 @@ object TrainingQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents")),
 
+    // ---- rolling-hash fingerprint (Rabin-Karp recurrence): the cheap
+    // integer-fold alternative to the md5 fingerprint, and the unit of
+    // content-defined chunking. Exact-dup groups under it must agree
+    // with the md5 ones (same canonicalization).
+    QueryDef(
+      "t22_rolling_fingerprint",
+      (s, dir) => docs(s, dir)
+        .groupBy(TextOps.rollingHash(col("text")).as("rhash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n")),
+      // list_reduce seeds from the first element; that equals the
+      // zero-seeded Spark fold because 0*B + x1 = x1
+      Some(s"""SELECT rhash, MIN(doc_id) AS keep_id, COUNT(*) AS n FROM (
+              |  SELECT doc_id,
+              |    list_reduce(
+              |      list_transform(string_split(lower(trim(text)), ''),
+              |        c -> CAST(ascii(c) AS BIGINT)),
+              |      (acc, x) -> (acc * ${TextOps.RollingB} + x)
+              |        % ${TextOps.RollingP}) AS rhash
+              |  FROM documents) GROUP BY 1""".stripMargin)),
+
     // ---- token counting: whitespace + BPE-ish regex
     QueryDef(
       "t03_token_stats",
