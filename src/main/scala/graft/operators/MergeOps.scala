@@ -148,8 +148,22 @@ object MergeOps {
         overwrite(spark,
           merge(target, source, keys, versionCol, preserveOnUpdate), path)
       case Some(target) =>
-        upsertPartitioned(spark, target, source, path, keys, versionCol,
-          preserveOnUpdate, partitionCols)
+        // a source-only column must land in EVERY partition's files —
+        // plain (non-mergeSchema) reads take the schema from one
+        // footer, so a column present only in the touched partitions
+        // would silently vanish from whole-table reads. Widening is
+        // rare: pay one full rewrite for it, keep pruned merges for
+        // the steady state.
+        val tgtNames = target.columns.map(_.toLowerCase).toSet
+        val widens = source.columns
+          .exists(c => !tgtNames.contains(c.toLowerCase))
+        if (widens)
+          overwrite(spark,
+            merge(target, source, keys, versionCol, preserveOnUpdate),
+            path, partitionCols)
+        else
+          upsertPartitioned(spark, target, source, path, keys, versionCol,
+            preserveOnUpdate, partitionCols)
     }
   }
 

@@ -160,6 +160,32 @@ class MergeDedupSpec extends SparkSpec {
       ts("2026-02-01T00:00:00Z"))
   }
 
+  test("partitioned upsert + schema evolution: whole-table reads see the new column") {
+    val path = tmpDir("prunedevo") + "/t"
+    def batch(df: org.apache.spark.sql.DataFrame, at: String) =
+      df.withColumn("_updated_at", to_timestamp(lit(at)))
+        .withColumn("_loaded_at", col("_updated_at"))
+    MergeOps.upsert(spark,
+      batch(Seq((1L, "a23", 2023), (2L, "a24", 2024))
+        .toDF("id", "payload", "entry_year"), "2026-01-01T00:00:00Z"),
+      path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+    // delta touches 2024 only and carries a NEW column
+    MergeOps.upsert(spark,
+      batch(Seq((3L, "c24", 2024, "extra"))
+        .toDF("id", "payload", "entry_year", "new_col"),
+        "2026-02-01T00:00:00Z"),
+      path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+    // the whole-table read must surface new_col (null for untouched
+    // partitions), not silently drop it based on one footer's schema
+    val got = MergeOps.readIfExists(spark, path).get.orderBy("id").collect()
+    assert(got.length == 3)
+    val idx = got(0).fieldIndex("new_col")
+    assert(got(0).isNullAt(idx)) // 2023 partition: widened with null
+    assert(got(2).getString(idx) == "extra")
+  }
+
   test("swap crash recovery: headless table restored from __bak") {
     val path = tmpDir("crash") + "/t"
     Seq((1L, "x")).toDF("id", "payload").write.parquet(path)
