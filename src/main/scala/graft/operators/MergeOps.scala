@@ -273,10 +273,28 @@ object MergeOps {
     * `partitionCols` when merging against existing rows. */
   def replacePartitions(spark: SparkSession, source: DataFrame, path: String,
       partitionCol: String): Unit = {
-    source.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
-    spark.catalog.refreshByPath(path) // see overwrite()
+    // same footer-consistency rule as the pruned upsert: a widening
+    // source must reach EVERY partition's files or plain reads drop
+    // the new column. Rare case -> one full tmp-swap rewrite (which
+    // also lifts the no-self-read constraint for that pass).
+    val widens = readIfExists(spark, path).exists { target =>
+      val tgtNames = target.columns.map(_.toLowerCase).toSet
+      source.columns.exists(c => !tgtNames.contains(c.toLowerCase))
+    }
+    if (widens) {
+      val target = spark.read.parquet(path)
+      val kept = target.join(
+        source.select(col(partitionCol)).distinct(),
+        Seq(partitionCol), "left_anti")
+      overwrite(spark,
+        source.unionByName(kept, allowMissingColumns = true), path,
+        Seq(partitionCol))
+    } else {
+      source.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+      spark.catalog.refreshByPath(path) // see overwrite()
+    }
   }
 }

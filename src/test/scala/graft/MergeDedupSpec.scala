@@ -186,6 +186,21 @@ class MergeDedupSpec extends SparkSpec {
     assert(got(2).getString(idx) == "extra")
   }
 
+  test("replacePartitions + schema evolution: all partitions re-share the schema") {
+    val path = tmpDir("replevo") + "/t"
+    MergeOps.replacePartitions(spark,
+      Seq((1L, "a23", 2023), (2L, "a24", 2024))
+        .toDF("id", "payload", "entry_year"), path, "entry_year")
+    // widened replacement for 2024 only
+    MergeOps.replacePartitions(spark,
+      Seq((3L, "c24", 2024, "extra"))
+        .toDF("id", "payload", "entry_year", "new_col"), path, "entry_year")
+    val got = spark.read.parquet(path).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // 2024 replaced
+    val idx = got(0).fieldIndex("new_col") // visible on plain reads
+    assert(got(0).isNullAt(idx) && got(1).getString(idx) == "extra")
+  }
+
   test("swap crash recovery: headless table restored from __bak") {
     val path = tmpDir("crash") + "/t"
     Seq((1L, "x")).toDF("id", "payload").write.parquet(path)
