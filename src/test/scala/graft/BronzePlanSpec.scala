@@ -42,4 +42,26 @@ class BronzePlanSpec extends SparkSpec {
       !out.exists(n => n == "value" || n == "raw_line")),
       s"a shuffle carries the raw text: $shuffles")
   }
+
+  test("WatermarkStore: save/load round-trip with the 5-minute overlap") {
+    import graft.sources.WatermarkStore
+    val store = new WatermarkStore(spark, tmpDir("wm"))
+    // unknown watermark -> None (caller falls back to full backfill)
+    assert(store.load("pipedrive", "comercial", "deals").isEmpty)
+    val cursor = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    store.save("pipedrive", "comercial", "deals", cursor)
+    // default read applies the reference's 5-minute re-extraction
+    // overlap (pipedrive_bronze.py:236-240)
+    assert(store.load("pipedrive", "comercial", "deals")
+      .contains(cursor.minus(java.time.Duration.ofMinutes(5))))
+    assert(store.load("pipedrive", "comercial", "deals",
+      overlap = java.time.Duration.ZERO).contains(cursor))
+    // scoped isolation: another scope's watermark is untouched
+    assert(store.load("pipedrive", "expansao", "deals").isEmpty)
+    // overwrite advances the cursor
+    val later = cursor.plusSeconds(3600)
+    store.save("pipedrive", "comercial", "deals", later)
+    assert(store.load("pipedrive", "comercial", "deals",
+      overlap = java.time.Duration.ZERO).contains(later))
+  }
 }
