@@ -329,6 +329,55 @@ object NearDup {
       Seq(idCol), "left_anti")
   }
 
+  /** Embedding twin of [[dedupByMinhashIncremental]]: dedup incoming
+    * vectors against themselves and a persisted SRP-LSH band table
+    * ([[embeddingBands]] output). Existing vectors win; verification
+    * (exact cosine) touches only candidate existing vectors. */
+  def dedupByEmbeddingIncremental(incoming: DataFrame, idCol: String,
+      vecCol: String, existingBands: DataFrame, existingVecs: DataFrame,
+      threshold: Double, dims: Int, tables: Int = 4,
+      planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("band_id", "band_hash")
+    val inBands = embeddingBands(incoming, idCol, vecCol, dims, tables,
+      planesPerTable)
+    val inPairs = candidatePairs(inBands, idCol, maxBucket)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val exSized = existingBands
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__hub", min(col(idCol)).over(w))
+    val exSide = exSized
+      .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
+      .select(col(idCol).as("ex_id"), col("band_id"), col("band_hash"))
+    val crossPairs = inBands.join(exSide, keys)
+      .select(col(idCol).as("in_id"), col("ex_id")).distinct()
+
+    def normed(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), col(vecCol).as(s"__v_$as"))
+        .withColumn(s"__n_$as", VectorOps.norm(col(s"__v_$as")))
+    val inN = normed(incoming, "in_id")
+    val exN = normed(existingVecs.join(
+      crossPairs.select(col("ex_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi"), "ex_id")
+
+    val removedVsExisting = crossPairs
+      .join(inN, "in_id").join(exN, "ex_id")
+      .filter(VectorOps.cosine(col("__v_in_id"), col("__v_ex_id"),
+        col("__n_in_id"), col("__n_ex_id")) >= threshold)
+      .select(col("in_id").as(idCol))
+    val removedVsIncoming = inPairs
+      .join(inN.select(col("in_id").as("d1"), col("__v_in_id").as("__v1"),
+        col("__n_in_id").as("__n1")), "d1")
+      .join(inN.select(col("in_id").as("d2"), col("__v_in_id").as("__v2"),
+        col("__n_in_id").as("__n2")), "d2")
+      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
+        col("__n1"), col("__n2")) >= threshold)
+      .select(col("d2").as(idCol))
+    incoming.join(
+      removedVsExisting.unionByName(removedVsIncoming).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Remove near-duplicates: every document with a verified
     * (exact 3-gram-shingle Jaccard >= `threshold`) duplicate of
     * smaller id is dropped; the smallest id of each duplicate group

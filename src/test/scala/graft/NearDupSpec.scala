@@ -40,6 +40,23 @@ class NearDupSpec extends SparkSpec {
     assert(inc == plain && inc == Seq(10L, 12L))
   }
 
+  test("dedupByEmbeddingIncremental: existing wins, incoming self-dedups") {
+    val vA = Array.tabulate(8)(i => 1.0 + i) // existing direction
+    val vB = Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -3.0)
+    val existing = Seq((1L, vA.toSeq)).toDF("vec_id", "v")
+    val exBands = NearDup.embeddingBands(existing, "vec_id", "v", 8, 4, 4)
+    // 10 = same direction as existing 1 (scaled); 11 = new direction;
+    // 12 = same direction as 11
+    val incoming = Seq(
+      (10L, vA.map(_ * 2.0).toSeq),
+      (11L, vB.toSeq),
+      (12L, vB.map(_ * 3.0).toSeq)).toDF("vec_id", "v")
+    val survivors = NearDup.dedupByEmbeddingIncremental(incoming,
+      "vec_id", "v", exBands, existing, threshold = 0.99, dims = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(11L))
+  }
+
   test("dedup family: survivors ⊆ input and idempotent") {
     val docs = Seq((1L, textA), (2L, textA), (3L, textC), (4L, textE))
       .toDF("doc_id", "text")
