@@ -206,6 +206,12 @@ object Evo {
       // the whole raw document, per row below
       get_json_object(col("raw_data"), "$.memberships").as("__mtxt"),
       col("run_id"), col("_loaded_at"), col("_updated_at"))
+      // K5 skip-null-key: a drifted element without idMemberMembership
+      // cannot carry the (member_id, member_membership_id) upsert key —
+      // keeping it would collapse all such ghosts into one arbitrary
+      // row per member (the reference declares the column NOT NULL,
+      // so its insert would refuse the row too)
+      .filter(col("m.idMemberMembership").isNotNull)
       .select(
         SC.safeLong(col("m.idMemberMembership")).as("member_membership_id"),
         col("member_id"),

@@ -111,7 +111,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { r =>
-        val n = (r.duration_ms / everyMs).toInt
+        // every non-empty video yields at least frame 0 at ts=0 — a
+        // clip shorter than the cadence must not vanish from the
+        // frame corpus
+        val n = math.max(if (r.duration_ms > 0) 1 else 0,
+          (r.duration_ms / everyMs).toInt)
         (0 until n).iterator.map { i =>
           val ts = i * everyMs
           FrameRecord(r.media_id, i, ts, r.width, r.height,

@@ -137,6 +137,17 @@ object MergeOps {
       keys: Seq[String], versionCol: String,
       preserveOnUpdate: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil): Unit = {
+    // a partition parked in __bakparts by a crashed earlier swap MUST
+    // come back BEFORE the target is read — recovering only inside the
+    // swap (after the merge already read a target missing that
+    // partition) would let the next upsert overwrite the parked
+    // history with a delta-only partition and then drop the bak
+    if (partitionCols.nonEmpty) {
+      val (f, target) = fs(spark, path)
+      restoreBakParts(f, new Path(path + "__bakparts"), target,
+        partitionCols.length)
+      spark.catalog.refreshByPath(path)
+    }
     readIfExists(spark, path) match {
       case None =>
         // within-batch dedup also on first load: ON CONFLICT processes a

@@ -257,6 +257,34 @@ object NearDup {
     clique.unionByName(star).distinct()
   }
 
+  /** Guarded cross-corpus candidate pairs (in_id, ex_id): incoming vs
+    * existing band rows sharing a bucket.
+    *
+    *  - existing-side bucket stats are computed ONLY over buckets the
+    *    delta touches (semi-join pruned) — per-run cost ∝ delta, not
+    *    corpus, honoring the compute-once-per-document contract;
+    *  - BOTH sides hub-collapse above `maxBucket`: a degenerate
+    *    incoming batch (the mass-duplication pathology) contributes
+    *    its bucket-min only — its other members reach the same
+    *    verdict transitively through the in-batch star pairs — so
+    *    crossPairs stays O(delta), never O(n·m). */
+  private def crossCandidates(inBands: DataFrame, existingBands: DataFrame,
+      idCol: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("band_id", "band_hash")
+    val w = Window.partitionBy(keys.map(col): _*)
+    def side(bands: DataFrame, as: String): DataFrame =
+      bands
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__hub", min(col(idCol)).over(w))
+        .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
+        .select(col(idCol).as(as), col("band_id"), col("band_hash"))
+    val touchedEx = existingBands.join(
+      inBands.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    side(inBands, "in_id").join(side(touchedEx, "ex_id"), keys)
+      .select(col("in_id"), col("ex_id")).distinct()
+  }
+
   /** Incremental near-dup: dedup `incoming` against itself AND an
     * existing corpus whose banded signatures were materialized by a
     * previous run ([[minhashBands]] output persisted as a table — the
@@ -267,12 +295,8 @@ object NearDup {
     *
     * `existingDocs` supplies text for verification — it is semi-join
     * pruned to the candidate ids first, so only matched documents are
-    * ever shingled, not the historical corpus.
-    *
-    * Hot buckets: oversized EXISTING buckets pair each incoming member
-    * against the bucket's min-id (hub) only — the cross-corpus version
-    * of the hub-star guard; incoming-incoming pairs reuse
-    * [[candidatePairs]]' guard.
+    * ever shingled, not the historical corpus. Candidate generation is
+    * guarded on both sides ([[crossCandidates]]).
     *
     * Returns incoming survivors; the caller appends their bands to the
     * band table and their rows to the corpus. */
@@ -280,22 +304,10 @@ object NearDup {
       textCol: String, existingBands: DataFrame, existingDocs: DataFrame,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = Seq("band_id", "band_hash")
     val inBands = minhashBands(incoming, idCol, textCol, k, bands)
-    // incoming vs incoming
     val inPairs = candidatePairs(inBands, idCol, maxBucket)
-    // incoming vs existing: equi-join on the bucket; oversized existing
-    // buckets collapse to their hub
-    val w = Window.partitionBy(keys.map(col): _*)
-    val exSized = existingBands
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__hub", min(col(idCol)).over(w))
-    val exSide = exSized
-      .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
-      .select(col(idCol).as("ex_id"), col("band_id"), col("band_hash"))
-    val crossPairs = inBands.join(exSide, keys)
-      .select(col(idCol).as("in_id"), col("ex_id")).distinct()
+    val crossPairs = crossCandidates(inBands, existingBands, idCol,
+      maxBucket)
 
     def shingled(df: DataFrame, as: String): DataFrame =
       df.withColumn("__tk", TextOps.tokens(col(textCol)))
@@ -332,25 +344,18 @@ object NearDup {
   /** Embedding twin of [[dedupByMinhashIncremental]]: dedup incoming
     * vectors against themselves and a persisted SRP-LSH band table
     * ([[embeddingBands]] output). Existing vectors win; verification
-    * (exact cosine) touches only candidate existing vectors. */
+    * (exact cosine) touches only candidate existing vectors;
+    * candidate generation is guarded on both sides
+    * ([[crossCandidates]]). */
   def dedupByEmbeddingIncremental(incoming: DataFrame, idCol: String,
       vecCol: String, existingBands: DataFrame, existingVecs: DataFrame,
       threshold: Double, dims: Int, tables: Int = 4,
       planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = Seq("band_id", "band_hash")
     val inBands = embeddingBands(incoming, idCol, vecCol, dims, tables,
       planesPerTable)
     val inPairs = candidatePairs(inBands, idCol, maxBucket)
-    val w = Window.partitionBy(keys.map(col): _*)
-    val exSized = existingBands
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__hub", min(col(idCol)).over(w))
-    val exSide = exSized
-      .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
-      .select(col(idCol).as("ex_id"), col("band_id"), col("band_hash"))
-    val crossPairs = inBands.join(exSide, keys)
-      .select(col(idCol).as("in_id"), col("ex_id")).distinct()
+    val crossPairs = crossCandidates(inBands, existingBands, idCol,
+      maxBucket)
 
     def normed(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as), col(vecCol).as(s"__v_$as"))

@@ -40,18 +40,20 @@ object Bronze {
     * number + partition columns — the (blob, line) dedup key the
     * reference uses (01_stg_pipedrive.sql:24).
     *
-    * Line numbering: monotonically_increasing_id is increasing in read
-    * order within a scan partition, and gzip text is unsplittable, so
-    * within one file ids are consecutive-ordered. The per-file offset
-    * is recovered by joining back a tiny per-file min(id) aggregate —
-    * the only thing shuffled is (path, long) pairs, NOT the raw text
-    * (a row_number window here would shuffle the whole corpus per
-    * load). Plain partition-id arithmetic is not enough: Spark packs
-    * multiple small files into one scan partition, so ids are
-    * continuous across files and each file needs its own base.
-    * Tradeoff: the aggregate branch decompresses the files a second
-    * time — two streaming reads beat one full write+sort+read shuffle
-    * cycle of the corpus, and loads are per-run deltas anyway. */
+    * Line numbering without shuffling the text: monotonically
+    * increasing ids are (scanPartition << 33) + rowInPartition, i.e.
+    * consecutive within a scan partition, and rows of one file stream
+    * in order. A tiny per-(file, scanPartition) extent aggregate
+    * (min id + row count) is broadcast back; cumulative counts of the
+    * file's earlier partitions give each extent's line offset. This
+    * handles BOTH packing (many small files in one scan partition —
+    * per-file bases differ) and splitting (one large splittable file
+    * across several partitions — per-extent offsets accumulate);
+    * only (path, long) tuples are shuffled, never the corpus (a
+    * row_number window here would). Tradeoff: the aggregate branch
+    * decompresses the files a second time — two streaming reads beat
+    * one full write+sort+read shuffle cycle, and loads are per-run
+    * deltas anyway. */
   def read(spark: SparkSession, base: String, source: String,
       entity: String, scope: Option[String] = None): DataFrame = {
     // scoped sources nest scope=*/entity=*; detect which layout exists so
@@ -69,15 +71,23 @@ object Bronze {
       .text(path + "/*/*/*")
       .withColumn("source_blob_path", input_file_name())
       .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
     // deterministic across the two scans: same file listing -> same
     // partitions -> same ids, so the re-scan in the aggregate branch
     // sees identical __mid values
-    val base0 = lines.groupBy("source_blob_path")
-      .agg(min(col("__mid")).as("__base"))
-    lines.join(broadcast(base0), Seq("source_blob_path"))
+    val extents = lines
+      .groupBy("source_blob_path", "__pid")
+      .agg(min(col("__mid")).as("__base"), count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_blob_path").orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = extents.withColumn("__off",
+      coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    lines.join(broadcast(offsets), Seq("source_blob_path", "__pid"))
       .withColumn("source_line_no",
-        (col("__mid") - col("__base") + 1).cast("int"))
-      .drop("__mid", "__base")
+        (col("__mid") - col("__base") + 1 + col("__off")).cast("int"))
+      .drop("__mid", "__pid", "__base", "__cnt", "__off")
       .withColumnRenamed("value", "raw_line")
   }
 
@@ -109,27 +119,45 @@ class RunManifest(spark: SparkSession, base: String) {
     new org.apache.hadoop.fs.Path(
       s"$base/_meta/$source/runs/run_id=$runId/manifest.json")
 
+  // minimal JSON string escaping — scope/entity/run values flow in
+  // from external config and must not be able to corrupt the manifest
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def save(source: String, runId: String,
       startedAt: java.time.Instant, finishedAt: java.time.Instant,
       reports: Seq[RunManifest.EntityReport]): Unit = {
     val p = path(source, runId)
     val fs = p.getFileSystem(conf)
     val lines = reports.map { r =>
-      val scopePart = r.scope.map(s => s""""scope": "$s", """).getOrElse("")
-      s"""    {$scopePart"entity": "${r.entity}", "mode": "${r.mode}", """ +
+      val scopePart =
+        r.scope.map(s => s""""scope": "${esc(s)}", """).getOrElse("")
+      s"""    {$scopePart"entity": "${esc(r.entity)}", """ +
+        s""""mode": "${esc(r.mode)}", """ +
         s""""records": ${r.records}, "parts": ${r.parts}}"""
     }.mkString(",\n")
     val doc =
       s"""{
-         |  "run_id": "$runId",
+         |  "run_id": "${esc(runId)}",
          |  "run_started_at_utc": "$startedAt",
          |  "run_finished_at_utc": "$finishedAt",
          |  "reports": [
          |$lines
          |  ]
          |}""".stripMargin
-    val out = fs.create(p, true)
+    // write-then-rename: a crash mid-write must not leave a torn
+    // manifest in place of the previous run's record
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__tmp")
+    val out = fs.create(tmp, true)
     try out.write(doc.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest rename $tmp -> $p failed")
   }
 
   def load(source: String, runId: String): Option[String] = {

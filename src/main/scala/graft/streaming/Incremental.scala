@@ -50,13 +50,19 @@ object Incremental {
         // the width would be silently truncated by lpad, so they fail
         // loudly instead. A null version pads to all-spaces and loses
         // to any real version — deterministic, documented.
+        // The leading '~' (0x7E, above every digit/letter/space) is a
+        // FORMAT EPOCH: rows written by the pre-padding format start
+        // with a digit or letter, so every new-format version compares
+        // greater and an upgraded table keeps converging forward
+        // instead of stale old-format rows winning merges forever.
         val versionWidth = 32
         val versionCol = versionExpr.map { e =>
           val v = expr(e).cast("string")
           when(length(v) > versionWidth, raise_error(concat(
             lit(s"versionExpr value exceeds $versionWidth chars: "), v)))
-            .otherwise(lpad(coalesce(v, lit("")), versionWidth, " "))
-        }.getOrElse(lit(""))
+            .otherwise(concat(lit("~"),
+              lpad(coalesce(v, lit("")), versionWidth, " ")))
+        }.getOrElse(lit("~"))
         val keyed = batch
           .withColumn("natural_key", expr(keyExpr))
           .filter(col("natural_key").isNotNull)

@@ -201,6 +201,32 @@ class MergeDedupSpec extends SparkSpec {
     assert(got(0).isNullAt(idx) && got(1).getString(idx) == "extra")
   }
 
+  test("partition-swap crash recovery: parked partition restored BEFORE the next merge reads") {
+    val path = tmpDir("bakparts") + "/t"
+    def batch(rows: Seq[(Long, String, Int)], at: String) =
+      rows.toDF("id", "payload", "entry_year")
+        .withColumn("_updated_at", to_timestamp(lit(at)))
+        .withColumn("_loaded_at", col("_updated_at"))
+    MergeOps.upsert(spark, batch(Seq((1L, "a24", 2024), (2L, "b24", 2024)),
+      "2026-01-01T00:00:00Z"), path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+    // simulate a crash between the two swap renames: 2024 parked in
+    // __bakparts, target slot empty
+    val f = new java.io.File(s"$path/entry_year=2024")
+    val bak = new java.io.File(s"$path" + "__bakparts/entry_year=2024")
+    bak.getParentFile.mkdirs()
+    assert(f.renameTo(bak))
+    // the next delta upsert must restore the parked history FIRST —
+    // otherwise it merges against an empty partition and the bak's
+    // rows (id=1,2) are permanently destroyed
+    MergeOps.upsert(spark, batch(Seq((3L, "c24", 2024)),
+      "2026-02-01T00:00:00Z"), path, Seq("id"), "_updated_at",
+      preserveOnUpdate = Seq("_loaded_at"), partitionCols = Seq("entry_year"))
+    val got = spark.read.parquet(path).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a24"), (2L, "b24"), (3L, "c24")))
+  }
+
   test("swap crash recovery: headless table restored from __bak") {
     val path = tmpDir("crash") + "/t"
     Seq((1L, "x")).toDF("id", "payload").write.parquet(path)
