@@ -47,13 +47,27 @@ object Curate {
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
 
+  /** Tokenize ONCE for stages 1–2: quality and language predicates both
+    * read the same materialized `__tk` column inside one codegen stage —
+    * the corpus is never re-split per stage. (The composed near-dup
+    * stage re-tokenizes only the curated survivors, and persists its
+    * shingle frame internally — see NearDup.dedupByMinhash.) */
+  private def rowLocalGates(df: DataFrame, textCol: String,
+      minTokens: Int, maxTokens: Int, maxStopRatio: Double): DataFrame =
+    df.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .filter(size(col("__tk")).between(minTokens, maxTokens))
+      .filter(TextOps.stopwordRatio(col("__tk"), TextOps.StopwordsEn)
+        <= maxStopRatio)
+      .filter(TextOps.langId(col("__tk")) =!= "und")
+      .drop("__tk")
+
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxStopRatio: Double = 0.15,
       neardupThreshold: Double = 0.8): DataFrame = {
-    val quality = qualityFilter(df, textCol, minTokens, maxTokens,
+    val gated = rowLocalGates(df, textCol, minTokens, maxTokens,
       maxStopRatio)
-    val exact = exactDedup(langFilter(quality, textCol), idCol, textCol)
+    val exact = exactDedup(gated, idCol, textCol)
     NearDup.dedupByMinhash(exact, idCol, textCol, neardupThreshold)
   }
 
@@ -66,7 +80,19 @@ object Curate {
   def curateStats(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxStopRatio: Double = 0.15,
-      neardupThreshold: Double = 0.8): DataFrame = {
+      neardupThreshold: Double = 0.8): DataFrame =
+    curateStatsFrom(df,
+      curate(df, idCol, textCol, minTokens, maxTokens, maxStopRatio,
+        neardupThreshold),
+      textCol, minTokens, maxTokens, maxStopRatio)
+
+  /** [[curateStats]] against an ALREADY-curated frame — a caller that
+    * just ran [[curate]] reports the funnel without re-running the
+    * near-dup pipeline; `curated` must be [[curate]]'s output for the
+    * same parameters or the terminal count lies. */
+  def curateStatsFrom(df: DataFrame, curated: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxStopRatio: Double = 0.15): DataFrame = {
     val flagged = df
       .withColumn("__tk", TextOps.tokens(col(textCol)))
       .withColumn("__q",
@@ -81,10 +107,6 @@ object Curate {
       count(when(col("__l"), 1)).as("n_lang"),
       countDistinct(when(col("__l"), TextOps.fingerprint(col(textCol))))
         .as("n_exact"))
-    val fin = NearDup.dedupByMinhash(
-      exactDedup(langFilter(qualityFilter(df, textCol, minTokens,
-        maxTokens, maxStopRatio), textCol), idCol, textCol),
-      idCol, textCol, neardupThreshold)
-    head.crossJoin(fin.agg(count(lit(1)).as("n_final")))
+    head.crossJoin(curated.agg(count(lit(1)).as("n_final")))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end MinHash-LSH near-duplicate dedup — the composed 100-TB
   * operator the query-level pieces (t07 signatures, t08 candidates,
@@ -30,20 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Banded MinHash signature: one md5 per shingle, all `k` affine
-    * permutation minima in ONE sequential fold, bands derived by a
-    * single explode — (id, band_id, band_hash) rows.
-    * `k` must divide into `bands` equal rows-per-band groups. */
-  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+  /** Raw (positional, non-distinct) 3-gram shingle frame —
+    * (idCol, __shraw). The single most expensive projection of the text
+    * dedup family; the composed operators build it ONCE, persist it,
+    * and derive BOTH the minhash signature (hash of each raw shingle)
+    * and the exact-Jaccard verify sets (array_distinct) from it. */
+  private def rawShingles(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"))
+
+  /** Signature core over a pre-built [[rawShingles]] frame. */
+  private def minhashBandsFromShingles(sh: DataFrame, idCol: String,
       k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a multiple of bands=$bands")
     val rowsPerBand = k / bands
     // raw (non-distinct) shingles: min is duplicate-invariant, so the
     // signature skips the array_distinct pass entirely
-    val hs = df
-      .withColumn("__tk", TextOps.tokens(col(textCol)))
-      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__sh"))
+    val hs = sh
+      .select(col(idCol), col("__shraw").as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__hs",
         transform(col("__sh"), x => TextOps.tokenHash32(x)))
@@ -66,6 +73,15 @@ object NearDup {
       .select(col(idCol), col("bd.band_id").as("band_id"),
         col("bd.band_hash").as("band_hash"))
   }
+
+  /** Banded MinHash signature: one md5 per shingle, all `k` affine
+    * permutation minima in ONE sequential fold, bands derived by a
+    * single explode — (id, band_id, band_hash) rows.
+    * `k` must divide into `bands` equal rows-per-band groups. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame =
+    minhashBandsFromShingles(rawShingles(df, idCol, textCol), idCol,
+      k, bands)
 
   /** 32-bit SimHash signature: per-token 32-bit hash, one ±1 vote per
     * bit weighted by term frequency (tokens kept non-distinct), sign
@@ -304,41 +320,49 @@ object NearDup {
       textCol: String, existingBands: DataFrame, existingDocs: DataFrame,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val inBands = minhashBands(incoming, idCol, textCol, k, bands)
-    val inPairs = candidatePairs(inBands, idCol, maxBucket)
-    val crossPairs = crossCandidates(inBands, existingBands, idCol,
-      maxBucket)
+    // compute-once: the incoming shingle frame is persisted and feeds
+    // the signature, the cross verify, AND both sides of the in-batch
+    // verify (see dedupByMinhash — same lifecycle)
+    val inShRaw = rawShingles(incoming, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inBands = minhashBandsFromShingles(inShRaw, idCol, k, bands)
+      val inPairs = candidatePairs(inBands, idCol, maxBucket)
+      val crossPairs = crossCandidates(inBands, existingBands, idCol,
+        maxBucket)
 
-    def shingled(df: DataFrame, as: String): DataFrame =
-      df.withColumn("__tk", TextOps.tokens(col(textCol)))
-        .select(col(idCol).as(as),
-          TextOps.shingles3(col("__tk")).as(s"__sh_$as"))
-    val inSh = shingled(incoming, "in_id")
-    // only candidate existing docs are read + shingled
-    val exCand = existingDocs.join(
-      crossPairs.select(col("ex_id").as(idCol)).distinct(),
-      Seq(idCol), "left_semi")
-    val exSh = shingled(exCand, "ex_id")
+      val inSh = inShRaw.select(col(idCol).as("in_id"),
+        array_distinct(col("__shraw")).as("__sh_in_id"))
+      // only candidate existing docs are read + shingled
+      val exCand = existingDocs.join(
+        crossPairs.select(col("ex_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      val exSh = exCand
+        .withColumn("__tk", TextOps.tokens(col(textCol)))
+        .select(col(idCol).as("ex_id"),
+          TextOps.shingles3(col("__tk")).as("__sh_ex_id"))
 
-    def jac(a: String, b: String): Column =
-      size(array_intersect(col(a), col(b))).cast("double") /
-        size(array_union(col(a), col(b)))
-    val removedVsExisting = crossPairs
-      .join(inSh, "in_id").join(exSh, "ex_id")
-      .filter(jac("__sh_in_id", "__sh_ex_id") >= threshold)
-      .select(col("in_id").as(idCol))
-    val removedVsIncoming = inPairs
-      .join(inSh.select(col("in_id").as("d1"),
-        col("__sh_in_id").as("__sh1")), "d1")
-      .join(inSh.select(col("in_id").as("d2"),
-        col("__sh_in_id").as("__sh2")), "d2")
-      .filter(size(array_intersect(col("__sh1"), col("__sh2")))
-        .cast("double") /
-        size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
-      .select(col("d2").as(idCol))
-    incoming.join(
-      removedVsExisting.unionByName(removedVsIncoming).distinct(),
-      Seq(idCol), "left_anti")
+      def jac(a: String, b: String): Column =
+        size(array_intersect(col(a), col(b))).cast("double") /
+          size(array_union(col(a), col(b)))
+      val removedVsExisting = crossPairs
+        .join(inSh, "in_id").join(exSh, "ex_id")
+        .filter(jac("__sh_in_id", "__sh_ex_id") >= threshold)
+        .select(col("in_id").as(idCol))
+      val removedVsIncoming = inPairs
+        .join(inSh.select(col("in_id").as("d1"),
+          col("__sh_in_id").as("__sh1")), "d1")
+        .join(inSh.select(col("in_id").as("d2"),
+          col("__sh_in_id").as("__sh2")), "d2")
+        .filter(size(array_intersect(col("__sh1"), col("__sh2")))
+          .cast("double") /
+          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+        .select(col("d2").as(idCol))
+      val removed = removedVsExisting.unionByName(removedVsIncoming)
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      removed.count() // materialize while the shingle cache is warm
+      incoming.join(removed, Seq(idCol), "left_anti")
+    } finally inShRaw.unpersist(blocking = false)
   }
 
   /** Embedding twin of [[dedupByMinhashIncremental]]: dedup incoming
@@ -386,21 +410,37 @@ object NearDup {
   /** Remove near-duplicates: every document with a verified
     * (exact 3-gram-shingle Jaccard >= `threshold`) duplicate of
     * smaller id is dropped; the smallest id of each duplicate group
-    * survives. Returns the surviving rows of `df` unchanged. */
+    * survives. Returns the surviving rows of `df` unchanged.
+    *
+    * Compute-once contract: the shingle frame is built ONE time,
+    * persisted (MEMORY_AND_DISK — spills, never recomputes the text
+    * scan), and feeds both the signature and the exact verify. The
+    * removed-id set is materialized eagerly while the shingles are
+    * still cached, then the (tiny, id-only) set stays cached for the
+    * caller's action and the wide shingle frame is released — at
+    * 100 TB the corpus-sized intermediate never outlives the operator. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val cands = candidatePairs(minhashBands(df, idCol, textCol, k, bands),
-      idCol, maxBucket)
-    val sh = df.withColumn("__tk", TextOps.tokens(col(textCol)))
-      .select(col(idCol), TextOps.shingles3(col("__tk")).as("__sh"))
-    val verified = cands
-      .join(sh.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
-      .join(sh.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
-      .filter(
-        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
-          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
-    val removed = verified.select(col("d2").as(idCol)).distinct()
-    df.join(removed, Seq(idCol), "left_anti")
+    val sh = rawShingles(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = candidatePairs(
+        minhashBandsFromShingles(sh, idCol, k, bands), idCol, maxBucket)
+      // array_distinct(__shraw) == TextOps.shingles3 (same <3-token
+      // empty-array guard rides inside shingles3Raw)
+      val shD = sh.select(col(idCol),
+        array_distinct(col("__shraw")).as("__sh"))
+      val verified = cands
+        .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
+        .join(shD.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
+        .filter(
+          size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
+            size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+      val removed = verified.select(col("d2").as(idCol)).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      removed.count() // materialize while the shingle cache is warm
+      df.join(removed, Seq(idCol), "left_anti")
+    } finally sh.unpersist(blocking = false)
   }
 }
