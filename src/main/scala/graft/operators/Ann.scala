@@ -22,6 +22,78 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Distributed k-means (Lloyd) training for the IVF coarse quantizer
+    * — the missing half of [[ivfSearch]]: a quantizer is only as good
+    * as its centroids, and seed vectors are not centroids.
+    *
+    *   init: the `nlist` smallest-id vectors (deterministic — no RNG,
+    *         so any engine converges to the same cells);
+    *   step: broadcast-assign every vector to its nearest centroid
+    *         ([[ivfAssign]] IS the assign step) → per-cell, per-dim
+    *         mean → new centroids; a cell that captured no vectors
+    *         keeps its previous centroid.
+    *
+    * Scale shape: each iteration is one broadcast pass over the corpus
+    * plus one narrow (cell, dim) shuffle of decimal partial sums; the
+    * driver holds only nlist × dims doubles between iterations (the
+    * collect truncates plan lineage — iteration count never deepens
+    * the plan the executors see).
+    *
+    * Determinism (the property the t23 gate proves hash-exact against
+    * an independent engine): per-dim sums are floor-quantized integers
+    * (floor(x·10⁶) — exact, order-independent under any shuffle
+    * schedule, and floor has no round-half ambiguity, unlike a decimal
+    * cast where engines disagree on float midpoints) and the mean is
+    * one double division of that exact sum. Distance compares and the
+    * centroid-id tie-break are row-local sequential folds. */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    require(nlist > 0 && iters >= 0)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents = vectors.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+    for (_ <- 0 until iters) {
+      val rows = lloydStep(vectors, idCol, vecCol, cents).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      cents = rows.toSeq.toDF("cent_id", "cv")
+    }
+    cents
+  }
+
+  /** One Lloyd iteration: assign → per-cell integer-exact mean →
+    * new (cent_id, cv), previous centroid kept for empty cells. */
+  private def lloydStep(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame): DataFrame = {
+    val means = ivfAssign(vectors, idCol, vecCol, cents, "cent_id", "cv")
+      .select(col("cell").as("cent_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(sum(floor(col("x") * lit(1e6))).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast("double") / (lit(1e6) * col("n")))
+      .groupBy("cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv_new"))
+    cents.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+  }
+
+  /** Sum of squared distances to the assigned centroid — the k-means
+    * objective; monotonically non-increasing over [[trainCentroids]]
+    * iterations (asserted in AnnSpec). Decimal-exact so the monotone
+    * check can't be defeated by float reassociation. */
+  def kmeansObjective(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): Double =
+    ivfAssign(vectors, idCol, vecCol, cents, "cent_id", "cv")
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(VectorOps.norm2(
+        zip_with(col(vecCol), col("cv"), (x, y) => x - y))
+        .cast("decimal(28,10)").as("d2"))
+      .agg(sum("d2").cast("double")).collect()(0).getDouble(0)
+
   /** Assign each (id, vec) row to its nearest centroid (squared-L2).
     * Output: (idCol, vec, cell). `centroids` must be small — it is
     * broadcast and cross-joined. */

@@ -73,6 +73,57 @@ object TrainingQueries {
 
   private def minhashBandsSql: String = minhashBandsSqlFrom("documents")
 
+  /** WITH-chain replicating Ann.trainCentroids in DuckDB: c0 = first
+    * `nlist` vectors by id, then per iteration k: a_k (broadcast-assign
+    * row_number), s_k (per-dim floor(x·10⁶) BIGINT sums — exact,
+    * order-free, and floor dodges the float→decimal midpoint rounding
+    * the two engines disagree on), c_k (mean as one double
+    * division; empty cells COALESCE to the previous centroid).
+    * Centroids are per-dim columns m0..m{dims-1} — no list assembly,
+    * so downstream distance expressions stay positional arithmetic. */
+  private def lloydSql(nlist: Int, iters: Int): String = {
+    val initCols = (1 to Dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE) AS m${i - 1}")
+      .mkString(", ")
+    def d2(e: String, c: String) = (1 to Dims).map { i =>
+      val d = s"(CAST($e.embedding[$i] AS DOUBLE) - $c.m${i - 1})"
+      s"$d * $d"
+    }.mkString("(", " + ", ")")
+    val sb = new StringBuilder(
+      s"c0 AS (SELECT vec_id AS cent_id, $initCols FROM embeddings " +
+        s"ORDER BY vec_id LIMIT $nlist)")
+    for (k <- 1 to iters) {
+      val prev = s"c${k - 1}"
+      val sumCols = (1 to Dims)
+        .map(i => "SUM(CAST(floor(CAST(e.embedding[" + i +
+          "] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s" + (i - 1))
+        .mkString(", ")
+      val meanCols = (0 until Dims)
+        .map(i => s"COALESCE(CAST(s$k.s$i AS DOUBLE) / (1000000.0 * s$k.n), " +
+          s"$prev.m$i) AS m$i")
+        .mkString(", ")
+      sb ++= s""",
+         |a$k AS (SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e", "c")} ASC, c.cent_id ASC) AS rn
+         |  FROM embeddings e, $prev c),
+         |s$k AS (SELECT a.cent_id, COUNT(*) AS n, $sumCols
+         |  FROM (SELECT vec_id, cent_id FROM a$k WHERE rn = 1) a
+         |  JOIN embeddings e USING (vec_id) GROUP BY a.cent_id),
+         |c$k AS (SELECT $prev.cent_id, $meanCols
+         |  FROM $prev LEFT JOIN s$k ON s$k.cent_id = $prev.cent_id)"""
+        .stripMargin
+    }
+    sb.toString
+  }
+
+  /** Centroid-side squared distance against lloydSql's m-columns. */
+  private def d2Trained(e: String, c: String): String =
+    (1 to Dims).map { i =>
+      val d = s"(CAST($e.embedding[$i] AS DOUBLE) - $c.m${i - 1})"
+      s"$d * $d"
+    }.mkString("(", " + ", ")")
+
   /** Banded-minhash SQL over any (doc_id, text) relation `from` —
     * lets composed-pipeline oracles (t19) run the same signature over
     * an already-curated CTE. */
@@ -435,19 +486,38 @@ object TrainingQueries {
            |FROM assigned WHERE rn = 1 GROUP BY 1""".stripMargin
       }),
 
+    // ---- IVF centroid training: distributed Lloyd iterations —
+    // deterministic first-n init, broadcast-assign, per-dim
+    // decimal-exact means, empty cells keep their centroid
+    // (operators.Ann.trainCentroids). The oracle replicates TWO full
+    // iterations hash-exact; output is the trained centroid matrix.
+    QueryDef(
+      "t23_ivf_train",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
+          .select(col("cent_id") +:
+            (0 until Dims).map(i => get(col("cv"), lit(i)).as(s"m$i")): _*)
+      },
+      Some(s"""WITH ${lloydSql(8, 2)}
+              |SELECT cent_id, ${(0 until Dims).map(i => s"m$i").mkString(", ")}
+              |FROM c2""".stripMargin)),
+
     // ---- composed IVF ANN search: coarse-quantize -> probe nprobe
     // cells -> exact cosine rerank inside them -> top-k per query
     // (operators.Ann.ivfSearch — t15's quantizer as one end-to-end
-    // search). The oracle replicates every stage in SQL.
+    // search), now over TRAINED centroids (Ann.trainCentroids, 2 Lloyd
+    // iterations — t23 proves them hash-exact). The oracle replicates
+    // training AND every search stage in SQL.
     QueryDef(
       "t17_ann_ivf_search",
       (s, dir) => {
         val e = spread(s, Tables(s, dir, "embeddings"))
           .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-        val cents = Tables(s, dir, "embeddings")
-          .filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"),
-            VectorOps.asDouble(col("embedding")).as("cv"))
+        val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
         val probes = Tables(s, dir, "embeddings")
           .filter(col("vec_id") < 5)
           .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
@@ -455,20 +525,18 @@ object TrainingQueries {
           cents, "cent_id", "cv", k = 3, nprobe = 2)
       },
       Some {
-        def d2(a: String, b: String) = (1 to Dims).map(i =>
-          s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))")
-          .map(d => s"$d * $d").mkString("(", " + ", ")")
-        s"""WITH cents AS (SELECT * FROM embeddings WHERE vec_id < 8),
+        s"""WITH ${lloydSql(8, 2)},
+           |cents AS (SELECT * FROM c2),
            |assigned AS (
-           |  SELECT e.vec_id AS c_id, c.vec_id AS cell,
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
            |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${d2("e", "c")} ASC, c.vec_id ASC) AS rn
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
            |  FROM embeddings e, cents c),
            |cells AS (SELECT c_id, cell FROM assigned WHERE rn = 1),
            |pcells AS (
-           |  SELECT p.vec_id AS p_id, c.vec_id AS cell,
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
            |    row_number() OVER (PARTITION BY p.vec_id
-           |      ORDER BY ${d2("p", "c")} ASC, c.vec_id ASC) AS rn
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
            |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c),
            |n AS (SELECT vec_id, embedding,
            |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm

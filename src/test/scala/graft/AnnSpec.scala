@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** Ann.trainCentroids properties: Lloyd convergence (objective
+  * non-increasing), determinism across runs, empty-cell retention,
+  * and the trained-centroid search contract. */
+class AnnSpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    // two well-separated blobs around (0,0,...) and (10,10,...), plus a
+    // far outlier so one seed centroid captures a singleton
+    val rows = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0 else 10.0
+      // deterministic jitter, no RNG
+      val v = (0 until 8).map(d => base + ((i * 7 + d * 3) % 5) * 0.1)
+      (i, v)
+    } :+ (40L, (0 until 8).map(_ => 100.0).toSeq.map(_.toDouble))
+    rows.toDF("id", "v")
+  }
+
+  test("trainCentroids: k-means objective is non-increasing per iteration") {
+    val objectives = (0 to 3).map { it =>
+      val c = Ann.trainCentroids(vecs, "id", "v", nlist = 3, iters = it)
+      Ann.kmeansObjective(vecs, "id", "v", c)
+    }
+    objectives.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective increased: $objectives")
+    }
+    // and training actually helps on this corpus: seeds are all in the
+    // first blob, trained centroids split the blobs
+    assert(objectives.last < objectives.head)
+  }
+
+  test("trainCentroids: deterministic across runs and partitionings") {
+    val a = Ann.trainCentroids(vecs, "id", "v", 3, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val b = Ann.trainCentroids(vecs.repartition(7), "id", "v", 3, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("trainCentroids: a cell that captures nothing keeps its centroid") {
+    import spark.implicits._
+    // all mass at one point; 3 seed centroids, two go empty after the
+    // first assignment collapses everything onto the nearest seed
+    val pts = (0L until 10L).map(i => (i, Seq(5.0, 5.0))).toDF("id", "v")
+    val trained = Ann.trainCentroids(pts, "id", "v", nlist = 1, iters = 2)
+    assert(trained.count() == 1)
+    val allSame = Ann.trainCentroids(pts, "id", "v", nlist = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    // every vector is equidistant; tie-break assigns all to cent_id 0,
+    // which moves to the mass point; 1 and 2 keep their init positions
+    assert(allSame(0L) == Seq(5.0, 5.0))
+    assert(allSame(1L) == Seq(5.0, 5.0)) // init WAS the mass point
+    assert(allSame(2L) == Seq(5.0, 5.0))
+  }
+
+  test("ivfSearch on trained centroids returns exact top-k inside cells") {
+    val cents = Ann.trainCentroids(vecs, "id", "v", nlist = 2, iters = 2)
+    val probes = vecs.filter(col("id") === 0L)
+    val res = Ann.ivfSearch(vecs, "id", "v", probes, cents, "cent_id",
+      "cv", k = 3, nprobe = 1).collect()
+    assert(res.length == 3)
+    // all results must come from the probe's own blob (ids < 20), and
+    // ranks are contiguous with descending cosine
+    assert(res.forall(_.getLong(2) < 20L))
+    val byRank = res.sortBy(_.getInt(1))
+    assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    val cosines = byRank.map(_.getDouble(3)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+}
