@@ -425,21 +425,121 @@ object NearDup {
     val sh = rawShingles(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val cands = candidatePairs(
-        minhashBandsFromShingles(sh, idCol, k, bands), idCol, maxBucket)
-      // array_distinct(__shraw) == TextOps.shingles3 (same <3-token
-      // empty-array guard rides inside shingles3Raw)
-      val shD = sh.select(col(idCol),
-        array_distinct(col("__shraw")).as("__sh"))
-      val verified = cands
-        .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
-        .join(shD.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
-        .filter(
-          size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
-            size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
-      val removed = verified.select(col("d2").as(idCol)).distinct()
+      val removed = verifiedMinhashPairs(sh, idCol, threshold, k, bands,
+        maxBucket)
+        .select(col("d2").as(idCol)).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       removed.count() // materialize while the shingle cache is warm
+      df.join(removed, Seq(idCol), "left_anti")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Verified (exact-Jaccard >= threshold) near-dup pairs (d1 < d2)
+    * over a persisted [[rawShingles]] frame — the shared tail of the
+    * minhash dedup family. */
+  private def verifiedMinhashPairs(sh: DataFrame, idCol: String,
+      threshold: Double, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val cands = candidatePairs(
+      minhashBandsFromShingles(sh, idCol, k, bands), idCol, maxBucket)
+    // array_distinct(__shraw) == TextOps.shingles3 (same <3-token
+    // empty-array guard rides inside shingles3Raw)
+    val shD = sh.select(col(idCol),
+      array_distinct(col("__shraw")).as("__sh"))
+    cands
+      .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
+      .join(shD.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
+      .filter(
+        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
+          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** Connected components over an undirected edge list — alternating
+    * large-star / small-star iterated joins (the MapReduce-and-beyond
+    * construction: converges in a logarithmic number of rounds on any
+    * graph, unlike min-label flooding whose round count is the graph
+    * DIAMETER — a 100 TB near-dup chain can be millions of hops).
+    * Returns (id, component) for every node that appears in an edge,
+    * component = smallest id in the node's component. Ids must be
+    * numeric (cast to long). Each round is two narrow
+    * (node, neighbor-min) aggregate+join passes; no adjacency list is
+    * ever collected, so a hub node cannot OOM a task. Iteration state
+    * is localCheckpoint'ed: the plan the executors see stays
+    * round-sized instead of growing with every join.
+    *
+    * Throws after `maxIter` non-converged rounds (2^maxIter-node
+    * chains) rather than returning a silently-partial labeling. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var done = e.isEmpty
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // large-star: every neighbor LARGER than u attaches to the
+      // minimum of u's closed neighborhood
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: orient edges large->small; u and all its smaller
+      // neighbors attach to the smallest of them
+      val oriented = ls.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val minsS = oriented.groupBy("u").agg(min("v").as("m"))
+      val ss = oriented.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      done = ss.count() == e.count() &&
+        ss.except(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are stars (node -> component root); the root
+    // itself labels its own component
+    e.groupBy("u").agg(min("v").as("component"))
+      .select(col("u").as("id"), col("component"))
+      .unionByName(
+        e.select(col("v")).distinct()
+          .join(e.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+          .select(col("v").as("id"), col("v").as("component")))
+  }
+
+  /** Near-dup dedup with CONNECTED-COMPONENT survivor selection: the
+    * verified-pair graph is collapsed to components
+    * ([[connectedComponents]]) and exactly one document — the smallest
+    * id — survives per component. The alternative policy to
+    * [[dedupByMinhash]]'s local keep-min-id (which keeps every locally
+    * minimal doc: A~B, C~B keeps BOTH A and C; per-component exactly
+    * one representative survives here). Same signature pipeline, same
+    * verification, different removal set. */
+  def dedupByComponents(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val sh = rawShingles(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = verifiedMinhashPairs(sh, idCol, threshold, k, bands,
+        maxBucket)
+      // connectedComponents checkpoints the edge list up front, while
+      // the shingle cache is warm
+      val comps = connectedComponents(edges, "d1", "d2")
+      val removed = comps.filter(col("component") < col("id"))
+        .select(col("id").as(idCol))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      removed.count()
       df.join(removed, Seq(idCol), "left_anti")
     } finally sh.unpersist(blocking = false)
   }

@@ -295,6 +295,47 @@ object TrainingQueries {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin)),
 
+    // ---- near-dup dedup, CONNECTED-COMPONENT survivor policy: the
+    // verified-pair graph collapsed via alternating large-star /
+    // small-star joins, exactly one survivor (min id) per component
+    // (operators.NearDup.dedupByComponents). The oracle computes the
+    // same components by brute-force transitive closure (recursive
+    // CTE, min reachable id) — a completely different algorithm
+    // reaching the same labeling, which is the point of the gate.
+    QueryDef(
+      "t24_neardup_components",
+      (s, dir) => graft.operators.NearDup.dedupByComponents(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        threshold = 0.8, k = MinhashK, bands = Bands)
+        .select(col("doc_id")),
+      // bands wraps its nested WITH in a derived table: under WITH
+      // RECURSIVE, a bare  bands AS (WITH ... SELECT ... UNION ALL ...)
+      // makes DuckDB treat the UNION arms as base/recursive parts and
+      // the inner CTEs fall out of scope
+      Some(s"""WITH RECURSIVE bands AS (SELECT * FROM ($minhashBandsSql)),
+              |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b
+              |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              |   AND a.doc_id < b.doc_id),
+              |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+              |  FROM documents),
+              |verified AS (SELECT d1, d2 FROM cands
+              |  JOIN sh s1 ON s1.doc_id = cands.d1
+              |  JOIN sh s2 ON s2.doc_id = cands.d2
+              |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+              |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8),
+              |edges AS (SELECT d1 AS u, d2 AS v FROM verified
+              |  UNION SELECT d2, d1 FROM verified),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |removed AS (SELECT u FROM (
+              |  SELECT u, MIN(v) AS m FROM reach GROUP BY u)
+              |  WHERE m < u)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT u FROM removed)""".stripMargin)),
+
     // ---- SimHash (32-bit): per-token hash bit votes -> sign bits
     // (operators.NearDup.simhash32 — the signature stage of the
     // simhash dedup path)

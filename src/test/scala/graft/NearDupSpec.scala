@@ -57,6 +57,54 @@ class NearDupSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(11L))
   }
 
+  test("connectedComponents: chains, stars, singleton edges, hubs") {
+    // component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): only transitive
+    // closure finds 4's root; {10,11} a lone pair; {20,21,22} a star
+    // centered on the LARGEST id (hub = 22)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (22L, 20L), (22L, 21L)).toDF("a", "b")
+    val comp = NearDup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long chain converges in log rounds") {
+    // a 64-node chain needs 63 rounds of min-label flooding but only
+    // a handful of star rounds — maxIter=8 proves the log behavior
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = NearDup.connectedComponents(chain, "a", "b", maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
+
+  test("dedupByComponents: one survivor per component vs local minima") {
+    // docs 1 and 2 are both near-dups of BRIDGE doc 3 but not of each
+    // other (prefix/suffix overlap): keep-min-id keeps both 1 and 2
+    // (each locally minimal — only 3 is ever the larger of a verified
+    // pair); the component policy keeps exactly one representative of
+    // {1,2,3}. Doc 4 is untouched either way.
+    val w = (1 to 12).map(i => s"word$i")
+    val bridge = w.mkString(" ")                 // w1..w12
+    val prefix = w.take(10).mkString(" ")        // J(prefix,bridge)=0.8
+    val suffix = w.drop(3).mkString(" ")         // J(suffix,bridge)=0.7
+    val docs = Seq(
+      (1L, prefix), (2L, suffix), (3L, bridge), (4L, textE))
+      .toDF("doc_id", "text")
+    val byMin = NearDup.dedupByMinhash(docs, "doc_id", "text", 0.65)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byComp = NearDup.dedupByComponents(docs, "doc_id", "text", 0.65)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byMin == Set(1L, 2L, 4L)) // 1 and 2 both locally minimal
+    assert(byComp == Set(1L, 4L))    // one survivor per component
+    // idempotent like every dedup
+    val twice = NearDup.dedupByComponents(
+      docs.filter(col("doc_id").isin(byComp.toSeq: _*)),
+      "doc_id", "text", 0.65)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twice == byComp)
+  }
+
   test("dedup family: survivors ⊆ input and idempotent") {
     val docs = Seq((1L, textA), (2L, textA), (3L, textC), (4L, textE))
       .toDF("doc_id", "text")
