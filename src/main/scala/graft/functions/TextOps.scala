@@ -74,9 +74,16 @@ object TextOps {
     array_min(transform(hashes,
       h => (lit(minhashA(k)) * h + lit(minhashB(k))) % lit(MinhashP)))
 
-  /** 32-bit token hash for SimHash bit votes. */
+  /** 32-bit token hash for SimHash bit votes (md5 chars 1–8). */
   def tokenHash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** Second independent 32-bit token hash (md5 chars 9–16) — the high
+    * half of the 64-bit SimHash. Two 32-bit halves instead of one
+    * 16-hex-char conv: conv yields the UNSIGNED decimal string, whose
+    * top-bit values exceed Long and cast to NULL. */
+  def tokenHash32b(tok: Column): Column =
+    conv(substring(md5(tok), 9, 8), 16, 10).cast("long")
 
   /** Stopword-profile language heuristic: the language whose stopword
     * profile hits more tokens wins; ties (incl. zero signal) are

@@ -86,22 +86,45 @@ object NearDup {
   /** 32-bit SimHash signature: per-token 32-bit hash, one ±1 vote per
     * bit weighted by term frequency (tokens kept non-distinct), sign
     * of the vote sum becomes the bit. One narrow shuffle on the id;
-    * map-side partial aggregation keeps it thin. */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = 32
+    * map-side partial aggregation keeps it thin.
+    *
+    * Equals the low 32 bits of [[simhash64]] (same per-token base
+    * hash) — kept for narrow-vocabulary corpora and the spec that
+    * pins that containment property. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol, bits = 32)
+
+  /** 64-bit SimHash signature — the standard web-scale setting: twice
+    * the bit budget means the signature stops saturating on large
+    * vocabularies and the classic hamming radius 3 applies without
+    * per-corpus tuning. Bits 0–31 vote on the first md5 half
+    * (identical to [[simhash32]]), bits 32–63 on the second. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol, bits = 64)
+
+  private def simhashSig(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__tok"))
       .withColumn("__hv", TextOps.tokenHash32(col("__tok")))
-    val bitAggs = (0 until bits).map(j =>
-      sum(when(shiftright(col("__hv"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val votes = toks.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+    val withHi =
+      if (bits <= 32) toks
+      else toks.withColumn("__hv2", TextOps.tokenHash32b(col("__tok")))
+    val bitAggs = (0 until bits).map { j =>
+      val src = if (j < 32) col("__hv") else col("__hv2")
+      sum(when(shiftright(src, j % 32).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val votes = withHi.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+    // distinct powers of two: partial sums peak at 2^63-1 then the
+    // sign bit's Long.MinValue term lands last — no overflow, and the
+    // wrap-free order is mirrored by the oracle's left-assoc chain
     val sig = (0 until bits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Band the 32-bit simhash into `bands` byte-buckets for candidate
+  /** Band the 64-bit simhash into `bands` buckets for candidate
     * generation — two docs within small hamming distance share at
     * least one unchanged band with high probability. Output is
     * [[candidatePairsCarrying]]' (id, band_id, band_hash) shape with
@@ -109,8 +132,8 @@ object NearDup {
     * recomputes the signature. */
   def simhashBands(sigs: DataFrame, idCol: String,
       bands: Int = 4): DataFrame = {
-    require(bands > 0 && 32 % bands == 0)
-    val width = 32 / bands
+    require(bands > 0 && 64 % bands == 0)
+    val width = 64 / bands
     val mask = (1L << width) - 1
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band_id"),
@@ -157,23 +180,22 @@ object NearDup {
     clique.unionByName(star).dropDuplicates("d1", "d2")
   }
 
-  /** Remove SimHash near-duplicates: candidates from shared band
-    * bytes, verified by hamming distance <= `maxHamming` on the full
-    * 32-bit signatures (carried through the pair expansion — the
+  /** Remove SimHash near-duplicates: candidates from shared 16-bit
+    * bands, verified by hamming distance <= `maxHamming` on the full
+    * 64-bit signatures (carried through the pair expansion — the
     * signature aggregation runs exactly once), smaller id survives.
     * Same guard/policy story as [[dedupByMinhash]]; SimHash trades
     * MinHash's set-overlap estimate for a weighted-token distance that
     * is cheaper per doc (no shingle explosion) and catches small edits.
     *
-    * Radius tuning: `maxHamming = 3` is the classic web-scale setting
-    * (64-bit signatures, huge vocabulary). On a 32-bit signature over
-    * a NARROW vocabulary the hash saturates and 3 bits over-matches —
-    * measure the removal rate and tighten (the t18 gate corpus needs
-    * 1). The radius is a corpus property, not a constant. */
+    * `maxHamming = 3` is the classic 64-bit web-scale radius and the
+    * default here; a 64-bit signature does not saturate the way the
+    * old 32-bit one did, so the radius no longer needs per-corpus
+    * tightening. */
   def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val sigs = simhash32(df, idCol, textCol)
+    val sigs = simhash64(df, idCol, textCol)
     val verified = candidatePairsCarrying(
       simhashBands(sigs, idCol, bands), idCol, "simhash", maxBucket)
       .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)

@@ -12,10 +12,15 @@ object DuckSql {
 
   /** First `n` hex chars of `hexExpr` interpreted as a BIGINT
     * (mirror of Spark conv(substring(h,1,n),16,10)). */
-  def hexToLong(hexExpr: String, n: Int): String = {
+  def hexToLong(hexExpr: String, n: Int): String =
+    hexToLongAt(hexExpr, 1, n)
+
+  /** `n` hex chars of `hexExpr` starting at 1-based `start`
+    * (mirror of Spark conv(substring(h,start,n),16,10)). */
+  def hexToLongAt(hexExpr: String, start: Int, n: Int): String = {
     val terms = (0 until n).map { i =>
       val pow = java.math.BigInteger.valueOf(16L).pow(n - 1 - i)
-      s"(CAST(strpos('0123456789abcdef', substr($hexExpr, ${i + 1}, 1)) AS BIGINT) - 1) * $pow"
+      s"(CAST(strpos('0123456789abcdef', substr($hexExpr, ${start + i}, 1)) AS BIGINT) - 1) * $pow"
     }
     terms.mkString("(", " + ", ")")
   }

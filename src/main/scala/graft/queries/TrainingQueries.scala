@@ -22,7 +22,7 @@ object TrainingQueries {
   private val Dims = 64
   private val MinhashK = 12 // 4 bands x 3 rows
   private val Bands = 4
-  private val SimhashBits = 32
+  private val SimhashBits = 64
   private val LshPlanes = 16
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -58,15 +58,24 @@ object TrainingQueries {
     graft.operators.NearDup.minhashBands(spread(s, docs(s, dir)),
       "doc_id", "text", MinhashK, Bands)
 
-  /** DuckDB mirror of NearDup.simhash32 (bit-equal, proven by t09). */
+  /** DuckDB mirror of NearDup.simhash64 (bit-equal, proven by t09):
+    * bits 0–31 vote on md5 chars 1–8, bits 32–63 on chars 9–16. The
+    * sign-bit term is written (-(2^63-1))-1 so DuckDB keeps the whole
+    * assemble chain in BIGINT (a bare -9223372036854775808 literal
+    * parses as HUGEINT and would widen — and break — the column
+    * type); the positive terms sum first, so nothing wraps. */
   private def simhashSql: String = {
-    val bitSums = (0 until SimhashBits).map(j =>
-      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-      .mkString(", ")
-    val assemble = (0 until SimhashBits).map(j =>
-      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bitSums = (0 until SimhashBits).map { j =>
+      val hv = if (j < 32) "hv" else "hv2"
+      s"SUM(CASE WHEN ($hv >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val assemble = (0 until SimhashBits).map { j =>
+      val bit = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN b$j > 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-       |h AS (SELECT doc_id, ${DuckSql.hexToLong("md5(tok)", 8)} AS hv FROM t),
+       |h AS (SELECT doc_id, ${DuckSql.hexToLong("md5(tok)", 8)} AS hv,
+       |  ${DuckSql.hexToLongAt("md5(tok)", 9, 8)} AS hv2 FROM t),
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id, $assemble AS simhash FROM b""".stripMargin
   }
@@ -336,32 +345,30 @@ object TrainingQueries {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT u FROM removed)""".stripMargin)),
 
-    // ---- SimHash (32-bit): per-token hash bit votes -> sign bits
-    // (operators.NearDup.simhash32 — the signature stage of the
-    // simhash dedup path)
+    // ---- SimHash (64-bit): per-token hash bit votes -> sign bits
+    // (operators.NearDup.simhash64 — the signature stage of the
+    // simhash dedup path; 64 bits is the standard web-scale width)
     QueryDef(
       "t09_simhash",
       (s, dir) => graft.operators.NearDup
-        .simhash32(spread(s, docs(s, dir)), "doc_id", "text"),
+        .simhash64(spread(s, docs(s, dir)), "doc_id", "text"),
       Some(simhashSql)),
 
-    // ---- end-to-end SimHash near-dup dedup: band-byte candidates ->
+    // ---- end-to-end SimHash near-dup dedup: shared-band candidates ->
     // hamming-distance verify -> keep-min-id survivors
-    // (operators.NearDup.dedupBySimhash). Oracle replicates banding,
-    // candidate join, bit_count(xor) verify and the removal policy.
-    // maxHamming=1: this corpus draws from a small vocabulary, so a
-    // 32-bit simhash saturates — hamming 1 removes 26 docs (the ~24
-    // true near-dup victims + margin) where 3 would remove 221.
-    // Tuning the radius to the corpus is part of the operator's
-    // contract, not a fixture hack.
+    // (operators.NearDup.dedupBySimhash). Oracle replicates banding
+    // (4 x 16-bit; the mask makes Spark's arithmetic and any logical
+    // shift agree), candidate join, bit_count(xor) verify and the
+    // removal policy. maxHamming=3 is the classic 64-bit radius — no
+    // per-corpus tuning now that the signature doesn't saturate.
     QueryDef(
       "t18_simhash_survivors",
       (s, dir) => graft.operators.NearDup.dedupBySimhash(
-        spread(s, docs(s, dir)), "doc_id", "text", maxHamming = 1)
+        spread(s, docs(s, dir)), "doc_id", "text", maxHamming = 3)
         .select(col("doc_id")),
       Some {
         val bandSelects = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_hash FROM sig")
+          s"SELECT doc_id, $b AS band_id, (simhash >> ${16 * b}) & 65535 AS band_hash FROM sig")
           .mkString(" UNION ALL ")
         s"""WITH sig AS ($simhashSql),
            |bands AS ($bandSelects),
@@ -372,7 +379,7 @@ object TrainingQueries {
            |removed AS (SELECT DISTINCT d2 FROM cands
            |  JOIN sig s1 ON s1.doc_id = cands.d1
            |  JOIN sig s2 ON s2.doc_id = cands.d2
-           |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 1)
+           |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT d2 FROM removed)""".stripMargin
       }),

@@ -105,6 +105,22 @@ class NearDupSpec extends SparkSpec {
     assert(twice == byComp)
   }
 
+  test("simhash64 low half == simhash32 (same base hash, wider vote)") {
+    val docs = Seq((1L, textA), (2L, textC), (3L, textE))
+      .toDF("doc_id", "text")
+    val s32 = NearDup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s64 = NearDup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s64.keySet == s32.keySet)
+    s64.foreach { case (id, sig) =>
+      assert((sig & 0xFFFFFFFFL) == s32(id),
+        s"doc $id: low half ${sig & 0xFFFFFFFFL} != ${s32(id)}")
+    }
+    // and the high half actually carries signal (not all zero)
+    assert(s64.values.exists(sig => (sig >>> 32) != 0L))
+  }
+
   test("dedup family: survivors ⊆ input and idempotent") {
     val docs = Seq((1L, textA), (2L, textA), (3L, textC), (4L, textE))
       .toDF("doc_id", "text")
@@ -112,7 +128,7 @@ class NearDupSpec extends SparkSpec {
       (d: org.apache.spark.sql.DataFrame) =>
         NearDup.dedupByMinhash(d, "doc_id", "text", 0.8),
       (d: org.apache.spark.sql.DataFrame) =>
-        NearDup.dedupBySimhash(d, "doc_id", "text", maxHamming = 1))) {
+        NearDup.dedupBySimhash(d, "doc_id", "text"))) {
       val once = dedup(docs)
       val ids = once.select("doc_id").collect().map(_.getLong(0)).toSet
       val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
