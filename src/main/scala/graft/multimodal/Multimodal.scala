@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * through a pluggable decoder.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the codec itself is STUBBED — this container has no
-  * image/audio libraries, so `FakeDecoder` is a deterministic
-  * placeholder with the same signature a JNI/FFI decoder would have.
+  * and tested. The IMAGE codec is real too — `ImageDecoder` /
+  * `ImageResizer` wrap the JDK's javax.imageio (PNG/JPEG/BMP/GIF, no
+  * external jars). Audio/video remain STUBBED (`FakeDecoder`,
+  * `FakeFrameSampler`) — this container has no codec libraries for
+  * them, so the fakes are deterministic placeholders with the same
+  * signature a JNI/FFI decoder would have.
   *
   * Scale design: rows carry bytes, so operations must be
   * partition-local (mapPartitions — one decoder instance per task, no
@@ -44,8 +47,45 @@ object Multimodal {
     def decode(kind: String, bytes: Array[Byte]): Array[Float]
   }
 
+  /** REAL image decoder via the JDK (`javax.imageio` ships with every
+    * JRE — PNG/JPEG/BMP/GIF need no external jars): decodes the
+    * payload to a BufferedImage and emits an 8-bin normalized
+    * luminance histogram as the feature — deterministic, row-local,
+    * one decoder per task. Non-image kinds fall back to [[FakeDecoder]]
+    * (audio/video codecs genuinely are not in this container).
+    * An image payload ImageIO cannot parse throws — corrupt media
+    * should be quarantined upstream, not silently fingerprinted. */
+  object ImageDecoder extends Decoder {
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "image") FakeDecoder.decode(kind, bytes)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        hist.map(_ / n)
+      }
+    }
+  }
+
   /** Deterministic stand-in: fixed-length feature derived from byte
-    * content — stable across runs/partitions so tests can assert. */
+    * content — stable across runs/partitions so tests can assert.
+    * The image half of the boundary has a REAL implementation
+    * ([[ImageDecoder]]); this fake remains for audio/video and for
+    * synthetic-payload tests. */
   object FakeDecoder extends Decoder {
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](8)
@@ -130,6 +170,31 @@ object Multimodal {
   trait Resizer extends Serializable {
     def resize(bytes: Array[Byte], fromW: Int, fromH: Int,
         toW: Int, toH: Int): Array[Byte]
+  }
+
+  /** REAL image resampler via the JDK: decode (ImageIO), scale with
+    * bilinear Graphics2D drawImage, re-encode as PNG (lossless — the
+    * resized payload round-trips bit-stable). Throws on undecodable
+    * payloads, like [[ImageDecoder]]. */
+  object ImageResizer extends Resizer {
+    override def resize(bytes: Array[Byte], fromW: Int, fromH: Int,
+        toW: Int, toH: Int): Array[Byte] = {
+      import java.awt.RenderingHints
+      import java.awt.image.BufferedImage
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      val out = new BufferedImage(toW, toH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, toW, toH, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
   }
 
   object FakeResizer extends Resizer {

@@ -158,4 +158,49 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(resized(1L).width == 1920) // non-image passthrough
     assert(resized(3L).data.toSeq == Seq(9.toByte))
   }
+
+  test("multimodal: REAL image decode + resize through javax.imageio") {
+    import Multimodal._
+    // a real 8x8 PNG: left half black, right half white
+    val src = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      src.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", baos)
+    val png = baos.toByteArray
+
+    val media = Seq(
+      MediaRecord(1L, "image", "image/png", 8, 8, 0L, png),
+      MediaRecord(2L, "audio", "audio/wav", 0, 0, 900L,
+        Array[Byte](9, 8, 7))).toDS()
+
+    // decode: luminance histogram — half the pixels pitch-black
+    // (bin 0), half pure white (bin 7); audio falls back to the fake
+    val feats = extractFeatures(media, ImageDecoder).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.toSeq ==
+      Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    assert(feats(2L).feature.toSeq ==
+      FakeDecoder.decode("audio", Array[Byte](9, 8, 7)).toSeq)
+
+    // resize 8x8 -> 4x4: the output is a real PNG with exact dims and
+    // the halves land where they should (corner pixels pixel-exact)
+    val resized = resizeImages(media, 4, 4, ImageResizer).collect()
+      .map(r => r.media_id -> r).toMap
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).data))
+    assert(out.getWidth == 4 && out.getHeight == 4)
+    assert((out.getRGB(0, 0) & 0xFFFFFF) == 0x000000)
+    assert((out.getRGB(3, 3) & 0xFFFFFF) == 0xFFFFFF)
+    assert(resized(1L).width == 4 && resized(1L).height == 4)
+    assert(resized(2L).data.toSeq == Seq(9.toByte, 8.toByte, 7.toByte))
+
+    // an undecodable image payload fails loudly, not silently
+    val junk = Seq(MediaRecord(3L, "image", "image/png", 2, 2, 0L,
+      Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      extractFeatures(junk, ImageDecoder).collect()
+    }
+  }
 }
