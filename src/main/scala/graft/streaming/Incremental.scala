@@ -1,9 +1,10 @@
 package graft.streaming
 
-import graft.operators.MergeOps
+import graft.operators.{MergeOps, NearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.storage.StorageLevel
 
 /** Structured-Streaming re-expression of the reference's incremental
   * batch contract (SURVEY.md §2.9): watermark/cursor extraction with
@@ -77,6 +78,65 @@ object Incremental {
         MergeOps.upsert(batch.sparkSession, keyed, silverPath,
           Seq("natural_key"), "_version",
           preserveOnUpdate = Seq("_loaded_at"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming near-dup corpus builder — the incremental MinHash dedup
+    * ([[NearDup.dedupByMinhashIncremental]]) composed with the bronze
+    * drain: each micro-batch is deduped against itself AND the
+    * materialized band index of every document ever accepted, then
+    * survivors are appended to the corpus table and their banded
+    * signatures to the band table. Per-batch cost is ∝ batch (the
+    * existing side is semi-join pruned to touched buckets), never
+    * ∝ corpus — the property that lets this run forever at 100 TB.
+    *
+    * Two AvailableNow drains produce the same corpus as one batch
+    * dedup of the union when ids arrive in increasing order — the
+    * daily-append pattern (earlier-drain documents win uncondition-
+    * ally; the batch operator's min-id policy agrees exactly when
+    * earlier means smaller). Spec-pinned.
+    *
+    * At-least-once safety: replayed ids are dropped against the
+    * accepted corpus before dedup, so a crash-replay cannot duplicate
+    * corpus rows. Bands are appended BEFORE corpus rows: the only
+    * crash window duplicates band rows (harmless — candidate
+    * generation is distinct) instead of losing them. */
+  def neardupStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, bandsPath: String, checkpoint: String,
+      idExpr: String, textExpr: String, threshold: Double = 0.8,
+      k: Int = 12, bands: Int = 4, maxBucket: Int = 1024): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .withColumn("doc_id", expr(idExpr))
+          .withColumn("text", expr(textExpr))
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select("doc_id", "text")
+          .dropDuplicates("doc_id")
+        val exDocs = MergeOps.readIfExists(ss, corpusPath)
+          .getOrElse(incoming.limit(0))
+        val exBands = MergeOps.readIfExists(ss, bandsPath)
+          .getOrElse(NearDup.minhashBands(incoming.limit(0), "doc_id",
+            "text", k, bands))
+        val fresh = incoming.join(exDocs.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val survivors = NearDup.dedupByMinhashIncremental(fresh,
+          "doc_id", "text", exBands, exDocs, threshold, k, bands,
+          maxBucket).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          NearDup.minhashBands(survivors, "doc_id", "text", k, bands)
+            .write.mode("append").parquet(bandsPath)
+          survivors.write.mode("append").parquet(corpusPath)
+        } finally survivors.unpersist(blocking = false)
       }
       .start()
     q.awaitTermination()

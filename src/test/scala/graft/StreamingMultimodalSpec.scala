@@ -59,6 +59,54 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(0).getAs[String]("raw_data").contains("\"newer\""))
   }
 
+  test("neardupStream: two drains == one batch dedup of the union") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-nd")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tC = "one two three four five six seven eight nine"
+    val tE = "totally different words nothing shared here at all"
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+
+    // drain 1: doc 2 is a dup of doc 1 within the batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, tA), line(2, tA), line(3, tC)).mkString("\n").getBytes)
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    Incremental.neardupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // drain 2: doc 4 duplicates EXISTING doc 1 (cross-drain, caught
+    // via the materialized band index), 5 is new, 6 duplicates 5
+    // in-batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(4, tA), line(5, tE), line(6, tE)).mkString("\n").getBytes)
+    Incremental.neardupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    val streamed = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 3L, 5L))
+
+    // equivalence: one batch dedup over the union of both days
+    val union = Seq((1L, tA), (2L, tA), (3L, tC), (4L, tA), (5L, tE),
+      (6L, tE)).toDF("doc_id", "text")
+    val batch = NearDup.dedupByMinhash(union, "doc_id", "text", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+
+    // the band index covers exactly the accepted corpus (signatures
+    // were computed once per accepted doc, at acceptance time)
+    val bandIds = spark.read.parquet(s"$root/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bandIds.toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("dedupStream: cross-batch replays collapse within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
