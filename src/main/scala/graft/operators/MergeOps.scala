@@ -89,8 +89,11 @@ object MergeOps {
 
   /** target ∪ source → keep-latest per key, preserving `preserve`
     * columns' target values on update and auto-preserving target-only
-    * columns (schema evolution, two-sided and wedge-free). */
-  private def merge(target: DataFrame, source: DataFrame,
+    * columns (schema evolution, two-sided and wedge-free).
+    * Package-visible: the MERGE semantics are storage-independent, so
+    * every [[TableFormat]] implementation shares THIS definition —
+    * two formats can't drift apart on what an upsert means. */
+  private[operators] def merge(target: DataFrame, source: DataFrame,
       keys: Seq[String], versionCol: String,
       preserveOnUpdate: Seq[String]): DataFrame = {
     // Schema evolution (case-insensitive name matching like Spark's

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.gold.{Evo, Pipedrive, Zendesk}
-import graft.operators.{ParquetTableFormat, TableFormat}
+import graft.operators.{MergeOps, ParquetTableFormat, TableFormat}
 import graft.silver.SilverLoader
 import graft.sources.Bronze
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,10 +32,13 @@ class MedallionPipeline(spark: SparkSession, root: String,
     spark.read.parquet(silverPath(source, entity))
 
   /** A run may carry only a subset of entities (e.g. members-only
-    * increment); transforms skip sources that were never loaded. */
+    * increment); transforms skip sources that were never loaded.
+    * Silver is ALWAYS parquet (SilverLoader's layer), whatever format
+    * the gold tables bind to — so existence is a filesystem question,
+    * not a `format` one. */
   private def withSilver(source: String, entity: String)(
       f: DataFrame => Unit): Unit =
-    if (format.exists(spark, silverPath(source, entity)))
+    if (MergeOps.exists(spark, silverPath(source, entity)))
       f(silver(source, entity))
 
   // ------------------------------------------------------------------ EVO
@@ -239,5 +242,10 @@ class MedallionPipeline(spark: SparkSession, root: String,
     }
   }
 
-  def gold(table: String): DataFrame = spark.read.parquet(goldPath(table))
+  /** Gold reads go through the bound format — the seam covers reads,
+    * not just writes (an in-memory or transactional format has no
+    * parquet files to read). */
+  def gold(table: String): DataFrame =
+    format.read(spark, goldPath(table)).getOrElse(
+      throw new IllegalArgumentException(s"no gold table at $table"))
 }

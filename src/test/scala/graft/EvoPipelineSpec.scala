@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
 class EvoPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Overridden by [[EvoPipelineInMemorySpec]] — the full suite must
+    * stay green over ANY TableFormat binding (the storage seam). */
+  protected def format: graft.operators.TableFormat =
+    graft.operators.ParquetTableFormat
+
   private lazy val root = tmpDir("evo")
-  private lazy val pipe = new MedallionPipeline(spark, root)
+  private lazy val pipe = new MedallionPipeline(spark, root, format)
 
   private def writeBronze(source: String, entity: String, runId: String,
       lines: Seq[String], scope: Option[String] = None): Unit = {
@@ -274,4 +279,12 @@ class EvoPipelineSpec extends SparkSpec {
     assert(pipe.gold("evo_members").filter(col("member_id") === 101)
       .collect()(0).getAs[String]("status") == "Inactive") // untouched by r3
   }
+}
+
+/** The identical end-to-end suite bound to the in-memory TableFormat —
+  * green here means no pipeline code secretly assumes parquet-on-disk
+  * (the storage seam is real, proven by a second implementation). */
+class EvoPipelineInMemorySpec extends EvoPipelineSpec {
+  override protected lazy val format: graft.operators.TableFormat =
+    new graft.operators.InMemoryTableFormat
 }

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
 class PipedriveZendeskSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Overridden by [[PipedriveZendeskInMemorySpec]] — seam proof, see
+    * EvoPipelineSpec. */
+  protected def format: graft.operators.TableFormat =
+    graft.operators.ParquetTableFormat
+
   private lazy val root = tmpDir("pdzd")
-  private lazy val pipe = new MedallionPipeline(spark, root)
+  private lazy val pipe = new MedallionPipeline(spark, root, format)
 
   private def writeBronze(source: String, entity: String, runId: String,
       ingestionDate: String, lines: Seq[String],
@@ -354,4 +359,11 @@ class PipedriveZendeskSpec extends SparkSpec {
     assert(counts.getAs[Long]("n_records") == rep.records)
     assert(counts.getAs[Long]("n_files") == rep.parts)
   }
+}
+
+/** The identical suite bound to the in-memory TableFormat (seam proof,
+  * see EvoPipelineInMemorySpec). */
+class PipedriveZendeskInMemorySpec extends PipedriveZendeskSpec {
+  override protected lazy val format: graft.operators.TableFormat =
+    new graft.operators.InMemoryTableFormat
 }
