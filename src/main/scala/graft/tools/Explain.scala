@@ -30,6 +30,12 @@ object Explain {
     for (n <- names) {
       println(s"\n=================== $n ===================")
       val df = SparkEntry.queries(n)(spark, sfDir)
+      // AQE finalizes stages only on execution — a pre-execution plan
+      // string shows AdaptiveSparkPlan isFinalPlan=false with ZERO
+      // WholeStageCodegen spans. Execute the plan itself (not a
+      // count() wrapper, which builds a different QueryExecution),
+      // then audit the final adaptive plan.
+      df.queryExecution.executedPlan.execute().count()
       val plan = df.queryExecution.executedPlan.toString()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
@@ -42,9 +48,24 @@ object Explain {
         plan.split("\n").count(_.contains("BroadcastHashJoin")) +
         " sortMergeJoins=" +
         plan.split("\n").count(_.contains("SortMergeJoin")) +
-        " wholeStageCodegenSpans=" +
-        "WholeStageCodegen".r.findAllIn(plan).size)
+        " wholeStageCodegenSpans=" + codegenSpans(plan))
     }
     spark.stop()
+  }
+
+  /** Codegen spans in a plan string: the final adaptive plan marks
+    * codegen'd operators with `*(id)` prefixes (the literal
+    * WholeStageCodegen node name only appears in non-adaptive
+    * treeStrings) — a span is one distinct id. */
+  def codegenSpans(plan: String): Int = {
+    val finalSection = plan.indexOf("== Final Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(i,
+        math.max(plan.indexOf("== Initial Plan ==", i), plan.length - 1))
+    }
+    ("""\*\((\d+)\)""".r.findAllMatchIn(finalSection)
+      .map(m => "s" + m.group(1)).toSet ++
+      """WholeStageCodegen \((\d+)\)""".r.findAllMatchIn(finalSection)
+        .map(m => "w" + m.group(1)).toSet).size
   }
 }
