@@ -32,14 +32,19 @@ import org.apache.spark.storage.StorageLevel
 object NearDup {
 
   /** Raw (positional, non-distinct) 3-gram shingle frame —
-    * (idCol, __shraw). The single most expensive projection of the text
-    * dedup family; the composed operators build it ONCE, persist it,
-    * and derive BOTH the minhash signature (hash of each raw shingle)
-    * and the exact-Jaccard verify sets (array_distinct) from it. */
+    * (idCol, __shraw, __ntk). The single most expensive projection of
+    * the text dedup family; the composed operators build it ONCE,
+    * persist it, and derive BOTH the minhash signature (hash of each
+    * raw shingle) and the exact-Jaccard verify sets (array_distinct)
+    * from it. `__ntk` (token count) rides along so downstream
+    * emptiness filters never have to re-evaluate the shingle
+    * expression — on an UNPERSISTED frame every extra reference to
+    * `__shraw` is a full rebuild after CollapseProject inlines it. */
   private def rawShingles(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.withColumn("__tk", TextOps.tokens(col(textCol)))
-      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"))
+      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"),
+        size(col("__tk")).as("__ntk"))
 
   /** Signature core over a pre-built [[rawShingles]] frame. */
   private def minhashBandsFromShingles(sh: DataFrame, idCol: String,
@@ -48,12 +53,15 @@ object NearDup {
       s"k=$k must be a multiple of bands=$bands")
     val rowsPerBand = k / bands
     // raw (non-distinct) shingles: min is duplicate-invariant, so the
-    // signature skips the array_distinct pass entirely
+    // signature skips the array_distinct pass entirely. The <3-token
+    // gate reads __ntk, not size(__shraw): a fold over an EMPTY
+    // shingle array would give every short doc the identical
+    // all-MaxValue signature — one giant false bucket — and sizing
+    // __shraw directly would rebuild the shingle expression.
     val hs = sh
-      .select(col(idCol), col("__shraw").as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__hs",
-        transform(col("__sh"), x => TextOps.tokenHash32(x)))
+      .filter(col("__ntk") >= 3)
+      .select(col(idCol), transform(col("__shraw"),
+        x => TextOps.tokenHash32(x)).as("__hs"))
     val sig = hs.withColumn("__mins",
       aggregate(col("__hs"),
         array_repeat(lit(Long.MaxValue), k),
@@ -227,6 +235,26 @@ object NearDup {
         col("bd.band_hash").as("band_hash"))
   }
 
+  /** Verified (exact cosine >= threshold) near-dup pairs (d1, d2) over
+    * embedding vectors — LSH-prefiltered, never corpus × corpus. */
+  private def verifiedEmbeddingPairs(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dims: Int, tables: Int,
+      planesPerTable: Int, maxBucket: Int): DataFrame = {
+    val cands = candidatePairs(
+      embeddingBands(df, idCol, vecCol, dims, tables, planesPerTable),
+      idCol, maxBucket)
+    val e = df.select(col(idCol), col(vecCol))
+      .withColumn("__n", VectorOps.norm(col(vecCol)))
+    cands
+      .join(e.select(col(idCol).as("d1"), col(vecCol).as("__v1"),
+        col("__n").as("__n1")), "d1")
+      .join(e.select(col(idCol).as("d2"), col(vecCol).as("__v2"),
+        col("__n").as("__n2")), "d2")
+      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
+        col("__n1"), col("__n2")) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
   /** Remove embedding near-duplicates: candidates from any shared
     * LSH-table bucket, verified by exact cosine >= `threshold`,
     * smaller id survives — the embedding member of the dedup family
@@ -235,19 +263,23 @@ object NearDup {
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dims: Int, tables: Int = 4,
       planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
-    val cands = candidatePairs(
-      embeddingBands(df, idCol, vecCol, dims, tables, planesPerTable),
-      idCol, maxBucket)
-    val e = df.select(col(idCol), col(vecCol))
-      .withColumn("__n", VectorOps.norm(col(vecCol)))
-    val verified = cands
-      .join(e.select(col(idCol).as("d1"), col(vecCol).as("__v1"),
-        col("__n").as("__n1")), "d1")
-      .join(e.select(col(idCol).as("d2"), col(vecCol).as("__v2"),
-        col("__n").as("__n2")), "d2")
-      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
-        col("__n1"), col("__n2")) >= threshold)
-    val removed = verified.select(col("d2").as(idCol)).distinct()
+    val removed = verifiedEmbeddingPairs(df, idCol, vecCol, threshold,
+      dims, tables, planesPerTable, maxBucket)
+      .select(col("d2").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding twin of [[dedupByComponents]]: the verified-cosine pair
+    * graph collapsed to components, exactly one vector (min id) per
+    * component survives. */
+  def dedupByEmbeddingComponents(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dims: Int, tables: Int = 4,
+      planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val comps = connectedComponents(
+      verifiedEmbeddingPairs(df, idCol, vecCol, threshold, dims, tables,
+        planesPerTable, maxBucket), "d1", "d2")
+    val removed = comps.filter(col("component") < col("id"))
+      .select(col("id").as(idCol))
     df.join(removed, Seq(idCol), "left_anti")
   }
 

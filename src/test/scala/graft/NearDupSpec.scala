@@ -105,6 +105,25 @@ class NearDupSpec extends SparkSpec {
     assert(twice == byComp)
   }
 
+  test("dedupByEmbeddingComponents: bridge vector collapses the group") {
+    // vectors 1 and 2 both within threshold of bridge 3 (each a slight
+    // rotation toward 3) but not of each other; component policy keeps
+    // one of {1,2,3}, min-id policy keeps both locally-minimal 1 and 2
+    val bridge = Array(1.0, 1.0, 0.0, 0.0)
+    val va = Array(1.0, 0.55, 0.0, 0.0) // cos(va,bridge)=.96, cos(va,vb)=.83
+    val vb = Array(0.55, 1.0, 0.0, 0.0)
+    val vecs = Seq((1L, va.toSeq), (2L, vb.toSeq), (3L, bridge.toSeq),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val byMin = NearDup.dedupByEmbedding(vecs, "vec_id", "v",
+      threshold = 0.9, dims = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val byComp = NearDup.dedupByEmbeddingComponents(vecs, "vec_id", "v",
+      threshold = 0.9, dims = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(byMin == Set(1L, 2L, 4L))
+    assert(byComp == Set(1L, 4L))
+  }
+
   test("simhash64 low half == simhash32 (same base hash, wider vote)") {
     val docs = Seq((1L, textA), (2L, textC), (3L, textE))
       .toDF("doc_id", "text")

@@ -128,6 +128,37 @@ class ScaleSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(1L, 20001L, 20002L))
   }
 
+  test("scaled corpus (10x sf0.01 + mass-dup block): guard holds, " +
+    "dedup completes, pathology collapses to one survivor") {
+    import graft.operators.NearDup
+    import graft.tools.ScaleUp
+    // the generated sf1-class shape at spec scale: every doc gains 9
+    // near-dup replicas (one marker token appended), plus one doc
+    // duplicated 300x verbatim in a far id range
+    val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val docs = ScaleUp.scaleDocs(base, factor = 10, pathoDups = 300)
+      .select("doc_id", "text")
+    val n = docs.count()
+    assert(n == base.count() * 10 + 300)
+
+    val bands = NearDup.minhashBands(docs, "doc_id", "text", 12, 4)
+    // the pathological block must SURFACE in the diagnostic...
+    val over = NearDup.oversizedBuckets(bands, maxBucket = 64).collect()
+    assert(over.nonEmpty)
+    assert(over.forall(_.getAs[Long]("bucket_size") >= 300L))
+    // ...and the guarded dedup must complete with the whole block
+    // removed: the verbatim ORIGINAL (smallest id in the shared
+    // bucket) is the hub, every patho copy verifies J=1 against it
+    val survivors = NearDup.dedupByMinhash(docs, "doc_id", "text",
+      threshold = 0.8, maxBucket = 64)
+    assert(survivors.filter(col("doc_id") >= ScaleUp.PathoBase).count() == 0)
+    val minId = base.agg(min("doc_id")).collect()(0).getLong(0)
+    assert(survivors.filter(col("doc_id") === minId).count() == 1)
+    // replicas of long docs dedup against their originals; nothing is
+    // ever added
+    assert(survivors.count() < n)
+  }
+
   test("bucketed join runs with zero shuffle exchanges") {
     val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 2000L).map(i => (i, s"b$i")).toDF("k", "vb")
