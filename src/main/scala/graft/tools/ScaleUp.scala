@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   val CopyStride = 100000000L
-  val PathoBase = 900000000L
+  // far beyond any copy-k id (k*CopyStride + doc_id): replica and
+  // pathology id ranges must never collide — duplicate doc_ids with
+  // different texts would break the unique-id contract of the dedup
+  // operators under test
+  val PathoBase = 1000000000000L
 
   def scaleDocs(docs: DataFrame, factor: Int, pathoDups: Int): DataFrame = {
     require(factor >= 1 && pathoDups >= 0)
