@@ -199,15 +199,40 @@ object NearDup {
     * `maxHamming = 3` is the classic 64-bit web-scale radius and the
     * default here; a 64-bit signature does not saturate the way the
     * old 32-bit one did, so the radius no longer needs per-corpus
-    * tightening. */
+    * tightening.
+    *
+    * Identical-signature classes collapse BEFORE banding: a hamming-0
+    * duplicate needs no candidate generation or verify, and at corpus
+    * scale mass-duplication is exactly what blows band buckets up —
+    * a 2048-copy document contributes 2048·(2048-1)/2 clique pairs
+    * per shared bucket expanded, ONE representative collapsed. The
+    * collapse itself loses nothing: for any removed member m of class
+    * A, either m ≠ min(A) (dropped against its identical rep) or a
+    * smaller doc d exists with hamming ≤ radius, and d's class rep —
+    * which is ≤ d and carries the same signature — forms the
+    * same-banded pair with rep(A). Because buckets shrink to distinct
+    * signatures, the hub-star guard also fires less often, so results
+    * can differ from the pre-collapse operator exactly where that
+    * guard was approximating (more true pairs verified, never fewer).
+    * Residual cost driver on narrow-vocabulary corpora: correlated
+    * signature bits make DISTINCT sigs share 16-bit band values by
+    * chance, and those cliques verify-then-fail; real-vocabulary
+    * entropy spreads them, and the guard bounds the adversarial
+    * case. */
   def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
     val sigs = simhash64(df, idCol, textCol)
+    val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
+    val removedIdentical = sigs
+      .join(reps.withColumnRenamed(idCol, "__rep"), "simhash")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
     val verified = candidatePairsCarrying(
-      simhashBands(sigs, idCol, bands), idCol, "simhash", maxBucket)
+      simhashBands(reps, idCol, bands), idCol, "simhash", maxBucket)
       .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)
-    val removed = verified.select(col("d2").as(idCol)).distinct()
+    val removed = verified.select(col("d2").as(idCol))
+      .unionByName(removedIdentical).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
 
