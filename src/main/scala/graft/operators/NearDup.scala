@@ -44,7 +44,28 @@ object NearDup {
       textCol: String): DataFrame =
     df.withColumn("__tk", TextOps.tokens(col(textCol)))
       .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"),
-        size(col("__tk")).as("__ntk"))
+        size(col("__tk")).as("__ntk"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+
+  /** Collapse exact-text duplicate classes before any LSH machinery:
+    * (pruned shingle frame holding one representative per fingerprint
+    * class, removed-member ids). Identical texts have identical
+    * shingle sets — J = 1 ≥ any threshold and identical band values —
+    * so a member's removal is always witnessed at rep level; dropping
+    * members first is exact, and it disarms the mass-duplication
+    * pathology (a 2048-copy document becomes ONE banded row instead
+    * of 2048 rows cliquing in every bucket). Only ≥3-token docs
+    * collapse: shorter docs have no shingles, are never candidates,
+    * and identical copies of them must keep surviving. */
+  private def collapseExactClasses(sh: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
+    val eligible = sh.filter(col("__ntk") >= 3)
+    val reps = eligible.groupBy("__fp").agg(min(col(idCol)).as("__rep"))
+    val removedExact = eligible.join(reps, "__fp")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    (sh.join(removedExact, Seq(idCol), "left_anti"), removedExact)
+  }
 
   /** Signature core over a pre-built [[rawShingles]] frame. */
   private def minhashBandsFromShingles(sh: DataFrame, idCol: String,
@@ -504,9 +525,11 @@ object NearDup {
     val sh = rawShingles(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val removed = verifiedMinhashPairs(sh, idCol, threshold, k, bands,
-        maxBucket)
-        .select(col("d2").as(idCol)).distinct()
+      val (shReps, removedExact) = collapseExactClasses(sh, idCol)
+      val removed = verifiedMinhashPairs(shReps, idCol, threshold, k,
+        bands, maxBucket)
+        .select(col("d2").as(idCol))
+        .unionByName(removedExact).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       removed.count() // materialize while the shingle cache is warm
       df.join(removed, Seq(idCol), "left_anti")
@@ -610,13 +633,19 @@ object NearDup {
     val sh = rawShingles(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val edges = verifiedMinhashPairs(sh, idCol, threshold, k, bands,
-        maxBucket)
+      // exact-text members collapse first (see collapseExactClasses);
+      // they join their rep's component by construction, so the
+      // rep-level closure projects the full closure and component
+      // minima coincide (each class min IS its rep)
+      val (shReps, removedExact) = collapseExactClasses(sh, idCol)
+      val edges = verifiedMinhashPairs(shReps, idCol, threshold, k,
+        bands, maxBucket)
       // connectedComponents checkpoints the edge list up front, while
       // the shingle cache is warm
       val comps = connectedComponents(edges, "d1", "d2")
       val removed = comps.filter(col("component") < col("id"))
         .select(col("id").as(idCol))
+        .unionByName(removedExact).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       removed.count()
       df.join(removed, Seq(idCol), "left_anti")
