@@ -281,6 +281,23 @@ object NearDup {
         col("bd.band_hash").as("band_hash"))
   }
 
+  /** Collapse identical-vector classes before SRP banding — the
+    * embedding twin of [[collapseExactClasses]]: identical vectors
+    * have cosine 1 and identical table signatures, so members drop
+    * against their class rep exactly. Zero-norm vectors are exempt
+    * (cosine is undefined on them — they never verify, and identical
+    * copies of them must keep surviving). */
+  private def collapseExactVectors(df: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val eligible = df.filter(VectorOps.norm(col(vecCol)) > 0)
+    val reps = eligible.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("__rep"))
+    val removedExact = eligible.join(reps, vecCol)
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    (df.join(removedExact, Seq(idCol), "left_anti"), removedExact)
+  }
+
   /** Verified (exact cosine >= threshold) near-dup pairs (d1, d2) over
     * embedding vectors — LSH-prefiltered, never corpus × corpus. */
   private def verifiedEmbeddingPairs(df: DataFrame, idCol: String,
@@ -309,9 +326,11 @@ object NearDup {
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dims: Int, tables: Int = 4,
       planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
-    val removed = verifiedEmbeddingPairs(df, idCol, vecCol, threshold,
-      dims, tables, planesPerTable, maxBucket)
-      .select(col("d2").as(idCol)).distinct()
+    val (repsDf, removedExact) = collapseExactVectors(df, idCol, vecCol)
+    val removed = verifiedEmbeddingPairs(repsDf, idCol, vecCol,
+      threshold, dims, tables, planesPerTable, maxBucket)
+      .select(col("d2").as(idCol))
+      .unionByName(removedExact).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
 
@@ -321,11 +340,13 @@ object NearDup {
   def dedupByEmbeddingComponents(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dims: Int, tables: Int = 4,
       planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val (repsDf, removedExact) = collapseExactVectors(df, idCol, vecCol)
     val comps = connectedComponents(
-      verifiedEmbeddingPairs(df, idCol, vecCol, threshold, dims, tables,
-        planesPerTable, maxBucket), "d1", "d2")
+      verifiedEmbeddingPairs(repsDf, idCol, vecCol, threshold, dims,
+        tables, planesPerTable, maxBucket), "d1", "d2")
     val removed = comps.filter(col("component") < col("id"))
       .select(col("id").as(idCol))
+      .unionByName(removedExact).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
 
