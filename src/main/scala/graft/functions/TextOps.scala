@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Stopword list used by quality/lang-id heuristics (fixed, versioned —
-    * changing it changes fingerprints downstream). */
+    * changing it changes fingerprints downstream).
+    * General HOF rule for this file (learned the hard way, see
+    * shingles3Raw): lambda bodies reference ONLY their element
+    * arguments — any outer column in a lambda body becomes a
+    * per-element re-evaluation of whatever expression the optimizer
+    * inlines behind it. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
   val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "que", "en")
 
