@@ -443,16 +443,22 @@ object NearDup {
       maxBucket: Int = 1024): DataFrame = {
     // compute-once: the incoming shingle frame is persisted and feeds
     // the signature, the cross verify, AND both sides of the in-batch
-    // verify (see dedupByMinhash — same lifecycle)
+    // verify (see dedupByMinhash — same lifecycle). Exact-text classes
+    // collapse first: a member is an in-batch J=1 duplicate of its
+    // smaller-id rep by construction, so dropping it up front is the
+    // original policy's verdict — and a mass-duplicated incoming batch
+    // (the streaming drain's common pathology) stops cliquing in the
+    // band buckets.
     val inShRaw = rawShingles(incoming, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val inBands = minhashBandsFromShingles(inShRaw, idCol, k, bands)
+      val (shReps, removedExactIn) = collapseExactClasses(inShRaw, idCol)
+      val inBands = minhashBandsFromShingles(shReps, idCol, k, bands)
       val inPairs = candidatePairs(inBands, idCol, maxBucket)
       val crossPairs = crossCandidates(inBands, existingBands, idCol,
         maxBucket)
 
-      val inSh = inShRaw.select(col(idCol).as("in_id"),
+      val inSh = shReps.select(col(idCol).as("in_id"),
         array_distinct(col("__shraw")).as("__sh_in_id"))
       // only candidate existing docs are read + shingled
       val exCand = existingDocs.join(
@@ -480,6 +486,7 @@ object NearDup {
           size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
         .select(col("d2").as(idCol))
       val removed = removedVsExisting.unionByName(removedVsIncoming)
+        .unionByName(removedExactIn)
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       removed.count() // materialize while the shingle cache is warm
       incoming.join(removed, Seq(idCol), "left_anti")
@@ -496,7 +503,12 @@ object NearDup {
       vecCol: String, existingBands: DataFrame, existingVecs: DataFrame,
       threshold: Double, dims: Int, tables: Int = 4,
       planesPerTable: Int = 4, maxBucket: Int = 1024): DataFrame = {
-    val inBands = embeddingBands(incoming, idCol, vecCol, dims, tables,
+    // identical incoming vectors collapse first (see
+    // collapseExactVectors — a member is a cosine-1 in-batch dup of
+    // its smaller-id rep)
+    val (inReps, removedExactIn) = collapseExactVectors(incoming, idCol,
+      vecCol)
+    val inBands = embeddingBands(inReps, idCol, vecCol, dims, tables,
       planesPerTable)
     val inPairs = candidatePairs(inBands, idCol, maxBucket)
     val crossPairs = crossCandidates(inBands, existingBands, idCol,
@@ -505,7 +517,7 @@ object NearDup {
     def normed(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as), col(vecCol).as(s"__v_$as"))
         .withColumn(s"__n_$as", VectorOps.norm(col(s"__v_$as")))
-    val inN = normed(incoming, "in_id")
+    val inN = normed(inReps, "in_id")
     val exN = normed(existingVecs.join(
       crossPairs.select(col("ex_id").as(idCol)).distinct(),
       Seq(idCol), "left_semi"), "ex_id")
@@ -524,7 +536,8 @@ object NearDup {
         col("__n1"), col("__n2")) >= threshold)
       .select(col("d2").as(idCol))
     incoming.join(
-      removedVsExisting.unionByName(removedVsIncoming).distinct(),
+      removedVsExisting.unionByName(removedVsIncoming)
+        .unionByName(removedExactIn).distinct(),
       Seq(idCol), "left_anti")
   }
 
