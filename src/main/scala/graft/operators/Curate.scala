@@ -71,6 +71,20 @@ object Curate {
     NearDup.dedupByMinhash(exact, idCol, textCol, neardupThreshold)
   }
 
+  /** [[curate]] with CONNECTED-COMPONENT survivor selection in the
+    * near-dup stage (NearDup.dedupByComponents): exactly one
+    * representative per duplicate group instead of every locally
+    * minimal document — the policy choice is the only difference. */
+  def curateComponents(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxStopRatio: Double = 0.15,
+      neardupThreshold: Double = 0.8): DataFrame = {
+    val gated = rowLocalGates(df, textCol, minTokens, maxTokens,
+      maxStopRatio)
+    val exact = exactDedup(gated, idCol, textCol)
+    NearDup.dedupByComponents(exact, idCol, textCol, neardupThreshold)
+  }
+
   /** One-row curation funnel report: survivor counts after each stage.
     * The four row-local/fingerprint counts come from ONE scan-aggregate
     * (stage predicates as flags, exact survivors as a conditional

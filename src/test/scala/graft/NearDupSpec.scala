@@ -124,6 +124,28 @@ class NearDupSpec extends SparkSpec {
     assert(byComp == Set(1L, 4L))
   }
 
+  test("curateComponents == curate except for the survivor policy") {
+    import graft.operators.Curate
+    // long docs that pass the quality/lang gates, with a bridge group:
+    // base text must clear minTokens=20 and carry English stopwords
+    val base = "the quick brown fox jumps over a lazy dog near the " +
+      "river bank and walks to the old mill in town every day"
+    val w = base.split(" ")
+    val bridge = w.mkString(" ")
+    val prefix = w.dropRight(3).mkString(" ")
+    val suffix = w.drop(2).mkString(" ")
+    val docs = Seq((1L, prefix), (2L, suffix), (3L, bridge))
+      .toDF("doc_id", "text")
+    val byMin = Curate.curate(docs, "doc_id", "text",
+      maxStopRatio = 0.5, neardupThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byComp = Curate.curateComponents(docs, "doc_id", "text",
+      maxStopRatio = 0.5, neardupThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byComp.subsetOf(byMin))
+    assert(byComp.contains(1L))
+  }
+
   test("simhash64 low half == simhash32 (same base hash, wider vote)") {
     val docs = Seq((1L, textA), (2L, textC), (3L, textE))
       .toDF("doc_id", "text")
