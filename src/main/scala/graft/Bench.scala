@@ -40,7 +40,9 @@ object Bench {
         // the composed dedup operators persist small result frames that
         // Spark's CacheManager would share across reps (and across
         // queries with matching sub-plans) — a warm rep must re-run the
-        // pipeline, not read the previous rep's cache
+        // pipeline, not read the previous rep's cache. release() is the
+        // operators' own drain hook; clearCache sweeps anything else.
+        CacheRegistry.release()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -49,12 +51,19 @@ object Bench {
       if (times.isEmpty) (name, -1.0, -1.0) // failed query, old sentinel
       else (name, times(times.length / 2), times.head)
     }
+    // ms precision is below run-to-run noise; the short fixed width
+    // also keeps the MAIN line compact — the driver captures only the
+    // TAIL of this process's output, and a line longer than its window
+    // gets truncated mid-JSON and recorded as unparseable (BENCH_r03).
+    // queries_min goes on its OWN earlier line for the same reason.
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val qmin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_min","queries_min":$qmin}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

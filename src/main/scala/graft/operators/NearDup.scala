@@ -39,24 +39,37 @@ object NearDup {
     * from it. `__ntk` (token count) rides along so downstream
     * emptiness filters never have to re-evaluate the shingle
     * expression — on an UNPERSISTED frame every extra reference to
-    * `__shraw` is a full rebuild after CollapseProject inlines it. */
+    * `__shraw` is a full rebuild after CollapseProject inlines it.
+    *
+    * `__fp` is md5 of the RAW text — NOT `TextOps.fingerprint`'s
+    * canonicalized (lower+trim) form. The collapse below is exact only
+    * for byte-identical texts: canonical variants ("A B C" vs "a b c")
+    * share a fingerprint but have DIFFERENT case-sensitive token and
+    * shingle sets, so collapsing them would drop a member whose true
+    * shingle Jaccard to the rep can be 0 — silently diverging from the
+    * exact-Jaccard policy every dedup operator here documents. */
   private def rawShingles(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.withColumn("__tk", TextOps.tokens(col(textCol)))
       .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"),
         size(col("__tk")).as("__ntk"),
-        TextOps.fingerprint(col(textCol)).as("__fp"))
+        md5(col(textCol)).as("__fp"))
 
   /** Collapse exact-text duplicate classes before any LSH machinery:
-    * (pruned shingle frame holding one representative per fingerprint
-    * class, removed-member ids). Identical texts have identical
-    * shingle sets — J = 1 ≥ any threshold and identical band values —
-    * so a member's removal is always witnessed at rep level; dropping
-    * members first is exact, and it disarms the mass-duplication
-    * pathology (a 2048-copy document becomes ONE banded row instead
-    * of 2048 rows cliquing in every bucket). Only ≥3-token docs
-    * collapse: shorter docs have no shingles, are never candidates,
-    * and identical copies of them must keep surviving. */
+    * (pruned shingle frame holding one representative per raw-text
+    * class, removed-member ids). The class key is md5 of the RAW text
+    * (see [[rawShingles]]): byte-identical texts — and only those —
+    * have identical shingle sets, so J = 1 ≥ any threshold and
+    * identical band values, and a member's removal is always witnessed
+    * at rep level; dropping members first is exact, and it disarms the
+    * mass-duplication pathology (a 2048-copy document becomes ONE
+    * banded row instead of 2048 rows cliquing in every bucket).
+    * Case/whitespace variants do NOT collapse here — they flow through
+    * the LSH + exact-Jaccard verify like any other pair (the
+    * canonicalized policy lives in `Curate.exactDedup`, a separate,
+    * documented stage). Only ≥3-token docs collapse: shorter docs have
+    * no shingles, are never candidates, and identical copies of them
+    * must keep surviving. */
   private def collapseExactClasses(sh: DataFrame,
       idCol: String): (DataFrame, DataFrame) = {
     val eligible = sh.filter(col("__ntk") >= 3)
@@ -485,9 +498,10 @@ object NearDup {
           .cast("double") /
           size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
         .select(col("d2").as(idCol))
-      val removed = removedVsExisting.unionByName(removedVsIncoming)
-        .unionByName(removedExactIn)
-        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val removed = graft.CacheRegistry.track(
+        removedVsExisting.unionByName(removedVsIncoming)
+          .unionByName(removedExactIn)
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
       removed.count() // materialize while the shingle cache is warm
       incoming.join(removed, Seq(idCol), "left_anti")
     } finally inShRaw.unpersist(blocking = false)
@@ -552,7 +566,10 @@ object NearDup {
     * removed-id set is materialized eagerly while the shingles are
     * still cached, then the (tiny, id-only) set stays cached for the
     * caller's action and the wide shingle frame is released — at
-    * 100 TB the corpus-sized intermediate never outlives the operator. */
+    * 100 TB the corpus-sized intermediate never outlives the operator.
+    * The cached id-frame is registered with [[graft.CacheRegistry]];
+    * long-lived sessions call `CacheRegistry.release()` after their
+    * action to drain it (releasing early only costs a recompute). */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
@@ -560,11 +577,12 @@ object NearDup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val (shReps, removedExact) = collapseExactClasses(sh, idCol)
-      val removed = verifiedMinhashPairs(shReps, idCol, threshold, k,
-        bands, maxBucket)
-        .select(col("d2").as(idCol))
-        .unionByName(removedExact).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val removed = graft.CacheRegistry.track(
+        verifiedMinhashPairs(shReps, idCol, threshold, k,
+          bands, maxBucket)
+          .select(col("d2").as(idCol))
+          .unionByName(removedExact).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
       removed.count() // materialize while the shingle cache is warm
       df.join(removed, Seq(idCol), "left_anti")
     } finally sh.unpersist(blocking = false)
@@ -677,10 +695,11 @@ object NearDup {
       // connectedComponents checkpoints the edge list up front, while
       // the shingle cache is warm
       val comps = connectedComponents(edges, "d1", "d2")
-      val removed = comps.filter(col("component") < col("id"))
-        .select(col("id").as(idCol))
-        .unionByName(removedExact).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val removed = graft.CacheRegistry.track(
+        comps.filter(col("component") < col("id"))
+          .select(col("id").as(idCol))
+          .unionByName(removedExact).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
       removed.count()
       df.join(removed, Seq(idCol), "left_anti")
     } finally sh.unpersist(blocking = false)

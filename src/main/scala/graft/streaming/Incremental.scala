@@ -100,9 +100,18 @@ object Incremental {
     *
     * At-least-once safety: replayed ids are dropped against the
     * accepted corpus before dedup, so a crash-replay cannot duplicate
-    * corpus rows. Bands are appended BEFORE corpus rows: the only
-    * crash window duplicates band rows (harmless — candidate
-    * generation is distinct) instead of losing them. */
+    * corpus rows. Bands land BEFORE corpus rows, and land
+    * IDEMPOTENTLY — each micro-batch overwrites its own
+    * `batch=<batchId>` leaf of the band table, so a crash-replay
+    * rewrites the same rows instead of appending duplicates.
+    * (Duplicated band rows would not be "harmless": they inflate the
+    * per-bucket count the hot-bucket guard reads, and past `maxBucket`
+    * the guard silently hub-collapses real candidates — recall loss,
+    * compounding on every replay.) The band-crash window that remains
+    * is benign: bands written, corpus append lost → replay recomputes
+    * the same survivors (the phantom band rows have no corpus doc, so
+    * the verify's inner join against corpus text drops them) and
+    * overwrites the same leaf. */
   def neardupStream(spark: SparkSession, bronzeGlob: String,
       corpusPath: String, bandsPath: String, checkpoint: String,
       idExpr: String, textExpr: String, threshold: Double = 0.8,
@@ -114,7 +123,7 @@ object Incremental {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         val incoming = batch
           .withColumn("doc_id", expr(idExpr))
@@ -133,8 +142,12 @@ object Incremental {
           "doc_id", "text", exBands, exDocs, threshold, k, bands,
           maxBucket).persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // overwrite THIS batch's leaf (not append): replaying the
+          // same batchId after a crash rewrites identical band rows
+          // instead of duplicating them — partition discovery on read
+          // adds a `batch` column downstream code never selects
           NearDup.minhashBands(survivors, "doc_id", "text", k, bands)
-            .write.mode("append").parquet(bandsPath)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           survivors.write.mode("append").parquet(corpusPath)
         } finally survivors.unpersist(blocking = false)
       }

@@ -60,8 +60,11 @@ object Explain {
   def codegenSpans(plan: String): Int = {
     val finalSection = plan.indexOf("== Final Plan ==") match {
       case -1 => plan
-      case i => plan.substring(i,
-        math.max(plan.indexOf("== Initial Plan ==", i), plan.length - 1))
+      case i =>
+        // slice strictly before the Initial Plan echo — its *(id)
+        // markers must not inflate the final-plan span count
+        val j = plan.indexOf("== Initial Plan ==", i)
+        plan.substring(i, if (j == -1) plan.length else j)
     }
     ("""\*\((\d+)\)""".r.findAllMatchIn(finalSection)
       .map(m => "s" + m.group(1)).toSet ++

@@ -180,4 +180,47 @@ class NearDupSpec extends SparkSpec {
       assert(twice == ids) // idempotent: dedup(dedup(x)) == dedup(x)
     }
   }
+
+  test("exact-class collapse keys on RAW text, not canonicalized") {
+    // upper/lower variants share TextOps.fingerprint (md5 of
+    // lower+trim) but their case-sensitive shingle sets are disjoint:
+    // true Jaccard = 0, far below threshold, so BOTH must survive the
+    // exact-Jaccard policy. A collapse keyed on the canonicalized
+    // fingerprint would silently drop doc 2 with no verify.
+    val upper = textA.toUpperCase
+    val docs = Seq((1L, textA), (2L, upper), (3L, textA), (4L, textC))
+      .toDF("doc_id", "text")
+    for (survivorSets <- Seq(
+      NearDup.dedupByMinhash(docs, "doc_id", "text", 0.8),
+      NearDup.dedupByComponents(docs, "doc_id", "text", 0.8))) {
+      val ids = survivorSets.select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // 3 collapses against byte-identical 1; 2 (case variant) survives
+      assert(ids == Seq(1L, 2L, 4L))
+    }
+    // incremental twin: byte-identical replays drop, case variants live
+    val existing = Seq((1L, textA)).toDF("doc_id", "text")
+    val exBands = NearDup.minhashBands(existing, "doc_id", "text", 12, 4)
+    val incoming = Seq((10L, upper), (11L, textA)).toDF("doc_id", "text")
+    val inc = NearDup.dedupByMinhashIncremental(incoming, "doc_id",
+      "text", exBands, existing, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == Seq(10L))
+  }
+
+  test("CacheRegistry drains the operators' persisted removed-id frames") {
+    CacheRegistry.release() // start from a clean registry
+    val docs = Seq((1L, textA), (2L, textA), (3L, textC))
+      .toDF("doc_id", "text")
+    val before = CacheRegistry.pending
+    NearDup.dedupByMinhash(docs, "doc_id", "text", 0.8).count()
+    assert(CacheRegistry.pending == before + 1)
+    CacheRegistry.release()
+    assert(CacheRegistry.pending == 0)
+    // releasing is safe even while results are still referenced:
+    // the frame just recomputes on the next action
+    val survivors = NearDup.dedupByMinhash(docs, "doc_id", "text", 0.8)
+    CacheRegistry.release()
+    assert(survivors.count() == 2)
+  }
 }
