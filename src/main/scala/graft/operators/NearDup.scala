@@ -168,7 +168,8 @@ object NearDup {
 
   /** Band the 64-bit simhash into `bands` buckets for candidate
     * generation — two docs within small hamming distance share at
-    * least one unchanged band with high probability. Output is
+    * least one unchanged band with high probability (guaranteed when
+    * hamming < bands, by pigeonhole). Output is
     * [[candidatePairsCarrying]]' (id, band_id, band_hash) shape with
     * the full `simhash` kept as payload, so the verify stage never
     * recomputes the signature. */
@@ -181,6 +182,60 @@ object NearDup {
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), width * b).bitwiseAND(mask)
           .cast("string").as("band_hash")))
+    sigs.select(col(idCol), col("simhash"),
+      explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"), col("simhash"))
+  }
+
+  /** Paired-block simhash banding (the Manku/Jain/Sarma WWW'07 trick,
+    * generalized): split the 64-bit signature into `maxHamming + 2`
+    * blocks and key one table on every block PAIR — C(m+2, 2) tables
+    * of ~2·(64/(m+2))-bit keys instead of m+1 tables of 64/(m+1)-bit
+    * keys. Recall guarantee is identical (≤ m flipped bits dirty at
+    * most m of m+2 blocks, so some pair of clean blocks — i.e. some
+    * table — still collides), but the near-doubled key width
+    * quadratically suppresses CHANCE collisions: on low-entropy
+    * corpora (narrow vocabulary → correlated signature bits) distinct
+    * signatures share a 16-bit quarter by the million, and every such
+    * bucket cliques into verify-then-fail pairs. Measured on the 10×
+    * pathology corpus this was the t18 cost driver. ~2.5× more band
+    * rows per doc (10 vs 4 at m=3) is the price — band rows are three
+    * narrow columns, the cheapest frame in the pipeline.
+    *
+    * For m=3 (the classic radius): 5 blocks of 13/13/13/13/12 bits,
+    * 10 tables keyed on ~25-bit block pairs. */
+  def simhashBandsPaired(sigs: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 6,
+      s"maxHamming=$maxHamming out of the supported 1..6 band-scheme range")
+    val blocks = maxHamming + 2
+    // block b covers [off(b), off(b+1)): base width + one spare bit
+    // for the first (64 % blocks) blocks
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    def width(b: Int): Int = base + (if (b < extra) 1 else 0)
+    def off(b: Int): Int = (0 until b).map(width).sum
+    def blockVal(b: Int): Column = {
+      val w = width(b)
+      // >>> then mask: the top block's sign bits must not smear
+      val shifted =
+        if (off(b) == 0) col("simhash")
+        else shiftrightunsigned(col("simhash"), off(b))
+      shifted.bitwiseAND(lit((1L << w) - 1))
+    }
+    val pairs = for {
+      i <- 0 until blocks
+      j <- (i + 1) until blocks
+    } yield (i, j)
+    val bandStructs = pairs.zipWithIndex.map { case ((i, j), t) =>
+      // pack the two block values into one long key: i's value in the
+      // high bits, j's in the low — widths are fixed per (i, j), so
+      // the packing is injective
+      struct(lit(t).as("band_id"),
+        (blockVal(i) * lit(1L << width(j)) + blockVal(j))
+          .cast("string").as("band_hash"))
+    }
     sigs.select(col(idCol), col("simhash"),
       explode(array(bandStructs: _*)).as("bd"))
       .select(col(idCol), col("bd.band_id").as("band_id"),
@@ -222,10 +277,13 @@ object NearDup {
     clique.unionByName(star).dropDuplicates("d1", "d2")
   }
 
-  /** Remove SimHash near-duplicates: candidates from shared 16-bit
-    * bands, verified by hamming distance <= `maxHamming` on the full
-    * 64-bit signatures (carried through the pair expansion — the
-    * signature aggregation runs exactly once), smaller id survives.
+  /** Remove SimHash near-duplicates: candidates from shared
+    * paired-block tables ([[simhashBandsPaired]] — recall-equivalent
+    * to quarter bands at radius `maxHamming`, with quadratically
+    * fewer chance collisions), verified by hamming distance <=
+    * `maxHamming` on the full 64-bit signatures (carried through the
+    * pair expansion — the signature aggregation runs exactly once),
+    * smaller id survives.
     * Same guard/policy story as [[dedupByMinhash]]; SimHash trades
     * MinHash's set-overlap estimate for a weighted-token distance that
     * is cheaper per doc (no shingle explosion) and catches small edits.
@@ -247,15 +305,9 @@ object NearDup {
     * same-banded pair with rep(A). Because buckets shrink to distinct
     * signatures, the hub-star guard also fires less often, so results
     * can differ from the pre-collapse operator exactly where that
-    * guard was approximating (more true pairs verified, never fewer).
-    * Residual cost driver on narrow-vocabulary corpora: correlated
-    * signature bits make DISTINCT sigs share 16-bit band values by
-    * chance, and those cliques verify-then-fail; real-vocabulary
-    * entropy spreads them, and the guard bounds the adversarial
-    * case. */
+    * guard was approximating (more true pairs verified, never fewer). */
   def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4,
-      maxBucket: Int = 1024): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val sigs = simhash64(df, idCol, textCol)
     val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
     val removedIdentical = sigs
@@ -263,7 +315,8 @@ object NearDup {
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
     val verified = candidatePairsCarrying(
-      simhashBands(reps, idCol, bands), idCol, "simhash", maxBucket)
+      simhashBandsPaired(reps, idCol, maxHamming), idCol, "simhash",
+      maxBucket)
       .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)
     val removed = verified.select(col("d2").as(idCol))
       .unionByName(removedIdentical).distinct()

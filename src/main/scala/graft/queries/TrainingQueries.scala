@@ -356,10 +356,14 @@ object TrainingQueries {
 
     // ---- end-to-end SimHash near-dup dedup: shared-band candidates ->
     // hamming-distance verify -> keep-min-id survivors
-    // (operators.NearDup.dedupBySimhash). Oracle replicates banding
-    // (4 x 16-bit; the mask makes Spark's arithmetic and any logical
-    // shift agree), candidate join, bit_count(xor) verify and the
-    // removal policy. maxHamming=3 is the classic 64-bit radius — no
+    // (operators.NearDup.dedupBySimhash). The oracle bands 4 x 16-bit
+    // while the operator uses paired-block tables
+    // (NearDup.simhashBandsPaired) — DELIBERATELY different candidate
+    // generation: both schemes guarantee every hamming<=3 pair becomes
+    // a candidate (pigeonhole), and the bit_count(xor) verify then
+    // reduces BOTH to exactly {pairs with hamming<=3}, so the survivor
+    // sets agree while the gate cross-checks the recall guarantee
+    // itself. maxHamming=3 is the classic 64-bit radius — no
     // per-corpus tuning now that the signature doesn't saturate.
     QueryDef(
       "t18_simhash_survivors",

@@ -181,6 +181,52 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("simhashBandsPaired: every hamming<=3 pair shares a table") {
+    // pigeonhole guarantee, exercised bit-for-bit: flip 3 bits of a
+    // base signature at positions chosen to straddle block boundaries
+    // (incl. the sign bit — the unsigned shift must not smear it),
+    // band both, assert a shared (band_id, band_hash)
+    val base = 0x5DEECE66DABCDEF1L
+    val flipSets = Seq(
+      Seq(0, 1, 2), Seq(12, 13, 14), Seq(25, 26, 38),
+      Seq(0, 31, 63), Seq(61, 62, 63), Seq(51, 52, 53), Seq(7, 33, 59))
+    flipSets.zipWithIndex.foreach { case (flips, i) =>
+      val variant = flips.foldLeft(base)((s, b) => s ^ (1L << b))
+      val sigs = Seq((1L, base), (2L, variant)).toDF("doc_id", "simhash")
+      val shared = NearDup.simhashBandsPaired(sigs, "doc_id")
+        .groupBy("band_id", "band_hash")
+        .agg(countDistinct("doc_id").as("n"))
+        .filter(col("n") === 2).count()
+      assert(shared >= 1, s"flip set $i $flips shared no table")
+    }
+    // and ~26-bit keys: two UNRELATED signatures share nothing
+    val unrelated = Seq((1L, base), (2L, 0x123456789ABCDEF0L))
+      .toDF("doc_id", "simhash")
+    assert(NearDup.simhashBandsPaired(unrelated, "doc_id")
+      .groupBy("band_id", "band_hash")
+      .agg(countDistinct("doc_id").as("n"))
+      .filter(col("n") === 2).count() == 0)
+  }
+
+  test("dedupBySimhash == brute-force hamming<=3 keep-min-id") {
+    // the banding scheme must not change the semantics: survivors are
+    // exactly the docs with no smaller-id partner at hamming<=3,
+    // computed here by brute force over the signature set
+    val docs = Seq(
+      (1L, textA), (2L, textA + " iota"), (3L, textC), (4L, textE),
+      (5L, textA), (6L, textC + " ten"), (7L, "x y z"), (8L, "x y z"))
+      .toDF("doc_id", "text")
+    val sigs = NearDup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = sigs.collect {
+      case (id, s) if !sigs.exists { case (id2, s2) =>
+        id2 < id && java.lang.Long.bitCount(s ^ s2) <= 3 } => id
+    }.toSeq
+    val got = NearDup.dedupBySimhash(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("exact-class collapse keys on RAW text, not canonicalized") {
     // upper/lower variants share TextOps.fingerprint (md5 of
     // lower+trim) but their case-sensitive shingle sets are disjoint:
