@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * through a pluggable decoder.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested. The IMAGE codec is real too — `ImageDecoder` /
+  * and tested. The IMAGE codec is real — `ImageDecoder` /
   * `ImageResizer` wrap the JDK's javax.imageio (PNG/JPEG/BMP/GIF, no
-  * external jars). Audio/video remain STUBBED (`FakeDecoder`,
-  * `FakeFrameSampler`) — this container has no codec libraries for
-  * them, so the fakes are deterministic placeholders with the same
-  * signature a JNI/FFI decoder would have.
+  * external jars) — and so is the AUDIO codec for the container
+  * formats the JDK ships (`AudioDecoder` wraps javax.sound.sampled:
+  * WAV/AIFF/AU, 8/16-bit PCM). Only VIDEO remains STUBBED
+  * (`FakeFrameSampler`; compressed audio like mp3/ogg also falls back)
+  * — this container genuinely has no codecs for those, so the fakes
+  * are deterministic placeholders with the same signature a JNI/FFI
+  * decoder would have. `JdkDecoder` routes each modality to its real
+  * codec where one exists.
   *
   * Scale design: rows carry bytes, so operations must be
   * partition-local (mapPartitions — one decoder instance per task, no
@@ -81,11 +85,83 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder via the JDK (`javax.sound.sampled` ships with
+    * every JRE — WAV/AIFF/AU container parsing and 8/16-bit PCM need
+    * no external jars): decodes the payload and emits an 8-segment
+    * RMS-energy envelope as the feature — the audio twin of
+    * [[ImageDecoder]]'s luminance histogram. Deterministic, row-local,
+    * one decoder per task. Non-audio kinds fall back to
+    * [[FakeDecoder]]; an audio payload the JDK cannot parse (or a
+    * compressed codec like mp3 — genuinely absent from this container)
+    * throws, like the image path: corrupt media is quarantined
+    * upstream, not silently fingerprinted. */
+  object AudioDecoder extends Decoder {
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "audio") FakeDecoder.decode(kind, bytes)
+      else {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED,
+            s"unsupported audio encoding $enc (PCM only)")
+          val bits = fmt.getSampleSizeInBits
+          require(bits == 8 || bits == 16,
+            s"unsupported sample width $bits (8/16-bit PCM only)")
+          val raw = ais.readAllBytes()
+          val n = raw.length / (bits / 8)
+          require(n > 0, "empty audio payload")
+          val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+          val big = fmt.isBigEndian
+          val sumSq = new Array[Double](8)
+          val cnt = new Array[Long](8)
+          var i = 0
+          while (i < n) {
+            val v: Double =
+              if (bits == 8) {
+                val b = raw(i) & 0xff
+                (if (unsigned) b - 128 else raw(i).toInt) / 128.0
+              } else {
+                val off = i * 2
+                val s =
+                  if (big) ((raw(off) << 8) | (raw(off + 1) & 0xff)).toShort
+                  else ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort
+                (if (unsigned) (s & 0xffff) - 32768 else s.toInt) / 32768.0
+              }
+            val seg = (i.toLong * 8 / n).toInt
+            sumSq(seg) += v * v
+            cnt(seg) += 1
+            i += 1
+          }
+          Array.tabulate(8)(s =>
+            if (cnt(s) == 0) 0f
+            else math.sqrt(sumSq(s) / cnt(s)).toFloat)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** Routes each modality to its REAL JDK codec where one exists
+    * (image → javax.imageio, audio → javax.sound.sampled) and to the
+    * declared fake where none does (video). The default decoder a
+    * production pipeline in this container should use. */
+  object JdkDecoder extends Decoder {
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
+      kind match {
+        case "image" => ImageDecoder.decode(kind, bytes)
+        case "audio" => AudioDecoder.decode(kind, bytes)
+        case _ => FakeDecoder.decode(kind, bytes)
+      }
+  }
+
   /** Deterministic stand-in: fixed-length feature derived from byte
     * content — stable across runs/partitions so tests can assert.
-    * The image half of the boundary has a REAL implementation
-    * ([[ImageDecoder]]); this fake remains for audio/video and for
-    * synthetic-payload tests. */
+    * The image and (PCM) audio halves of the boundary have REAL
+    * implementations ([[ImageDecoder]], [[AudioDecoder]]); this fake
+    * remains for video and for synthetic-payload tests. */
   object FakeDecoder extends Decoder {
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](8)

@@ -251,4 +251,52 @@ class StreamingMultimodalSpec extends SparkSpec {
       extractFeatures(junk, ImageDecoder).collect()
     }
   }
+
+  test("multimodal: REAL audio decode through javax.sound.sampled") {
+    import Multimodal._
+    // a real WAV: 16-bit signed little-endian mono PCM at 8 kHz —
+    // first half a 440 Hz sine at amplitude 0.5, second half silence
+    val rate = 8000f
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames / 2) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(
+      MediaRecord(1L, "audio", "audio/wav", 0, 0, 1000L, wav),
+      MediaRecord(2L, "video", "video/mp4", 4, 4, 900L,
+        Array[Byte](9, 8, 7))).toDS()
+    val feats = extractFeatures(media, JdkDecoder).collect()
+      .map(f => f.media_id -> f).toMap
+
+    // 8-segment RMS envelope: a constant-amplitude sine has
+    // RMS = A/sqrt(2) ≈ 0.3536 in each of the first 4 segments,
+    // exact zero in the silent last 4
+    val env = feats(1L).feature
+    assert(env.length == 8)
+    for (s <- 0 until 4)
+      assert(math.abs(env(s) - 0.5 / math.sqrt(2)) < 0.01,
+        s"segment $s RMS ${env(s)}")
+    for (s <- 4 until 8) assert(env(s) == 0f, s"segment $s not silent")
+    // video routes to the declared fake
+    assert(feats(2L).feature.toSeq ==
+      FakeDecoder.decode("video", Array[Byte](9, 8, 7)).toSeq)
+
+    // a payload no JDK audio reader parses fails loudly
+    val junk = Seq(MediaRecord(3L, "audio", "audio/mpeg", 0, 0, 0L,
+      Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      extractFeatures(junk, JdkDecoder).collect()
+    }
+  }
 }
