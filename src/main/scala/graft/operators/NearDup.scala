@@ -526,6 +526,7 @@ object NearDup {
 
       val inSh = shReps.select(col(idCol).as("in_id"),
         array_distinct(col("__shraw")).as("__sh_in_id"))
+        .withColumn("__sz_in", size(col("__sh_in_id")))
       // only candidate existing docs are read + shingled
       val exCand = existingDocs.join(
         crossPairs.select(col("ex_id").as(idCol)).distinct(),
@@ -534,22 +535,27 @@ object NearDup {
         .withColumn("__tk", TextOps.tokens(col(textCol)))
         .select(col(idCol).as("ex_id"),
           TextOps.shingles3(col("__tk")).as("__sh_ex_id"))
+        .withColumn("__sz_ex", size(col("__sh_ex_id")))
 
-      def jac(a: String, b: String): Column =
-        size(array_intersect(col(a), col(b))).cast("double") /
-          size(array_union(col(a), col(b)))
-      val removedVsExisting = crossPairs
-        .join(inSh, "in_id").join(exSh, "ex_id")
-        .filter(jac("__sh_in_id", "__sh_ex_id") >= threshold)
+      // one set op per pair (|A∪B| = |A|+|B|−|A∩B|) behind a
+      // size-ratio prefilter — see verifiedMinhashPairs
+      def verify(a: String, b: String, sa: String, sb: String,
+          pairs: DataFrame): DataFrame = pairs
+        .filter(col(sa) >= col(sb) * threshold &&
+          col(sb) >= col(sa) * threshold)
+        .withColumn("__i", size(array_intersect(col(a), col(b))))
+        .filter(col("__i").cast("double") /
+          (col(sa) + col(sb) - col("__i")) >= threshold)
+      val removedVsExisting = verify("__sh_in_id", "__sh_ex_id",
+        "__sz_in", "__sz_ex",
+        crossPairs.join(inSh, "in_id").join(exSh, "ex_id"))
         .select(col("in_id").as(idCol))
-      val removedVsIncoming = inPairs
-        .join(inSh.select(col("in_id").as("d1"),
-          col("__sh_in_id").as("__sh1")), "d1")
-        .join(inSh.select(col("in_id").as("d2"),
-          col("__sh_in_id").as("__sh2")), "d2")
-        .filter(size(array_intersect(col("__sh1"), col("__sh2")))
-          .cast("double") /
-          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+      val removedVsIncoming = verify("__sh1", "__sh2", "__sz1", "__sz2",
+        inPairs
+          .join(inSh.select(col("in_id").as("d1"),
+            col("__sh_in_id").as("__sh1"), col("__sz_in").as("__sz1")), "d1")
+          .join(inSh.select(col("in_id").as("d2"),
+            col("__sh_in_id").as("__sh2"), col("__sz_in").as("__sz2")), "d2"))
         .select(col("d2").as(idCol))
       val removed = graft.CacheRegistry.track(
         removedVsExisting.unionByName(removedVsIncoming)
@@ -643,7 +649,15 @@ object NearDup {
 
   /** Verified (exact-Jaccard >= threshold) near-dup pairs (d1 < d2)
     * over a persisted [[rawShingles]] frame — the shared tail of the
-    * minhash dedup family. */
+    * minhash dedup family.
+    *
+    * The Jaccard itself is computed with ONE set operation, not two:
+    * |A∪B| = |A| + |B| − |A∩B|, with set sizes carried as ints from
+    * the shingle frame — array_union built a second per-pair hash set
+    * only to take its size. A size-ratio prefilter runs before the
+    * intersect: J ≥ t forces t ≤ |A|/|B| ≤ 1/t, so grossly mismatched
+    * pairs (the typical chance band collision) never pay for the set
+    * intersection at all. */
   private def verifiedMinhashPairs(sh: DataFrame, idCol: String,
       threshold: Double, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val cands = candidatePairs(
@@ -652,12 +666,18 @@ object NearDup {
     // empty-array guard rides inside shingles3Raw)
     val shD = sh.select(col(idCol),
       array_distinct(col("__shraw")).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
     cands
-      .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1")), "d1")
-      .join(shD.select(col(idCol).as("d2"), col("__sh").as("__sh2")), "d2")
-      .filter(
-        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
-          size(array_union(col("__sh1"), col("__sh2"))) >= threshold)
+      .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1"),
+        col("__sz").as("__sz1")), "d1")
+      .join(shD.select(col(idCol).as("d2"), col("__sh").as("__sh2"),
+        col("__sz").as("__sz2")), "d2")
+      .filter(col("__sz1") >= col("__sz2") * threshold &&
+        col("__sz2") >= col("__sz1") * threshold)
+      .withColumn("__i",
+        size(array_intersect(col("__sh1"), col("__sh2"))))
+      .filter(col("__i").cast("double") /
+        (col("__sz1") + col("__sz2") - col("__i")) >= threshold)
       .select(col("d1"), col("d2"))
   }
 
