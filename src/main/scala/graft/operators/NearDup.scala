@@ -488,6 +488,77 @@ object NearDup {
       .select(col("in_id"), col("ex_id")).distinct()
   }
 
+  /** [[crossCandidates]] variant that carries a narrow per-id payload
+    * column through the cross expansion — (in_id, ex_id, __p_in_id,
+    * __p_ex_id) — so a signature-verifiable family (SimHash) never
+    * re-joins its signatures. Same both-sides hub guard and
+    * touched-bucket pruning. */
+  private def crossCandidatesCarrying(inBands: DataFrame,
+      existingBands: DataFrame, idCol: String, payloadCol: String,
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("band_id", "band_hash")
+    val w = Window.partitionBy(keys.map(col): _*)
+    def side(bands: DataFrame, as: String): DataFrame =
+      bands
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__hub", min(col(idCol)).over(w))
+        .filter(col("__bsz") <= maxBucket || col(idCol) === col("__hub"))
+        .select(col(idCol).as(as), col(payloadCol).as(s"__p_$as"),
+          col("band_id"), col("band_hash"))
+    val touchedEx = existingBands.join(
+      inBands.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    side(inBands, "in_id").join(side(touchedEx, "ex_id"), keys)
+      .select(col("in_id"), col("ex_id"),
+        col("__p_in_id"), col("__p_ex_id")).distinct()
+  }
+
+  /** Incremental SimHash dedup — the SimHash member of the
+    * incremental family: dedup `incoming` against itself AND an
+    * existing corpus whose paired-block band table
+    * ([[simhashBandsPaired]] output, `simhash` payload included) was
+    * materialized by a previous run. Existing documents are canonical
+    * and always win; an incoming document is dropped if its 64-bit
+    * signature is within `maxHamming` of ANY existing signature or of
+    * a smaller-id incoming signature.
+    *
+    * State shape: band rows already carry the full signature, so
+    * verification is a bit_count on the candidate rows themselves —
+    * no text, no re-join, nothing but the band table is ever read
+    * from the existing side (contrast [[dedupByMinhashIncremental]],
+    * which must re-shingle candidate existing DOCS because minhash
+    * signatures cannot verify exactly). Candidate generation is
+    * guarded on both sides and pruned to touched buckets
+    * ([[crossCandidatesCarrying]]) — per-run join cost ∝ delta.
+    *
+    * Returns incoming survivors; the caller appends
+    * `simhashBandsPaired(simhash64(survivors))` to the band table. */
+  def dedupBySimhashIncremental(incoming: DataFrame, idCol: String,
+      textCol: String, existingBands: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    val sigs = simhash64(incoming, idCol, textCol)
+    // identical in-batch signatures collapse first (see dedupBySimhash)
+    val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
+    val removedIdentical = sigs
+      .join(reps.withColumnRenamed(idCol, "__rep"), "simhash")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val inBands = simhashBandsPaired(reps, idCol, maxHamming)
+    val removedVsIncoming = candidatePairsCarrying(inBands, idCol,
+      "simhash", maxBucket)
+      .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)
+      .select(col("d2").as(idCol))
+    val removedVsExisting = crossCandidatesCarrying(inBands,
+      existingBands, idCol, "simhash", maxBucket)
+      .filter(bit_count(col("__p_in_id").bitwiseXOR(col("__p_ex_id")))
+        <= maxHamming)
+      .select(col("in_id").as(idCol))
+    incoming.join(
+      removedVsExisting.unionByName(removedVsIncoming)
+        .unionByName(removedIdentical).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Incremental near-dup: dedup `incoming` against itself AND an
     * existing corpus whose banded signatures were materialized by a
     * previous run ([[minhashBands]] output persisted as a table — the

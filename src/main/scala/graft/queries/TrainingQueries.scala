@@ -746,5 +746,117 @@ object TrainingQueries {
               |  CAST(SUM(CAST(${DuckSql.dot("embedding", "embedding", Dims)}
               |       AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm2
               |FROM embeddings GROUP BY 1""".stripMargin)),
+
+    // ---- paired-block simhash candidate pairs: the Manku-style
+    // banding NearDup.simhashBandsPaired actually uses inside
+    // dedupBySimhash, gated on its own — the oracle replicates the
+    // 5-block (13/13/13/13/12-bit) pair packing arithmetically, so
+    // the gate proves block extraction, injective packing, and the
+    // candidate join bit-for-bit. (DuckDB's signed >> then & mask
+    // equals Spark's unsigned shift then mask: mask width never
+    // exceeds 64-off, so sign-extended bits are always masked off.)
+    QueryDef(
+      "t25_simhash_paired_pairs",
+      (s, dir) => graft.operators.NearDup.candidatePairs(
+        graft.operators.NearDup.simhashBandsPaired(
+          graft.operators.NearDup.simhash64(
+            spread(s, docs(s, dir)), "doc_id", "text"), "doc_id"),
+        "doc_id", maxBucket = 1024)
+        .agg(count(lit(1)).as("n_candidate_pairs")),
+      Some(s"""WITH sig AS ($simhashSql),
+              |bands AS (${pairedBandSelectsSql("sig")})
+              |SELECT COUNT(*) AS n_candidate_pairs FROM (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b
+              |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              |   AND a.doc_id < b.doc_id)""".stripMargin)),
+
+    // ---- incremental SimHash dedup (operators.NearDup
+    // .dedupBySimhashIncremental) gated by splitting the corpus on id
+    // parity: even docs are the existing corpus (band table
+    // materialized first), odd docs arrive as the increment. The
+    // oracle states the POLICY directly — an odd doc is dropped iff
+    // some even doc or some smaller odd doc is within hamming 3 —
+    // which equals the operator's banded computation because paired-
+    // block banding is recall-complete at radius 3 and the verify is
+    // exact.
+    QueryDef(
+      "t26_simhash_incremental",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        val ex = d.filter(col("doc_id") % 2 === 0)
+        val in = d.filter(col("doc_id") % 2 === 1)
+        val exBands = graft.operators.NearDup.simhashBandsPaired(
+          graft.operators.NearDup.simhash64(ex, "doc_id", "text"),
+          "doc_id")
+        graft.operators.NearDup.dedupBySimhashIncremental(
+          in, "doc_id", "text", exBands).select(col("doc_id"))
+      },
+      Some(s"""WITH sig AS ($simhashSql),
+              |removed AS (SELECT DISTINCT i.doc_id FROM sig i JOIN sig o
+              |  ON i.doc_id % 2 = 1 AND o.doc_id <> i.doc_id
+              | AND (o.doc_id % 2 = 0 OR o.doc_id < i.doc_id)
+              | AND bit_count(xor(i.simhash, o.simhash)) <= 3)
+              |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+              |  AND doc_id NOT IN (SELECT doc_id FROM removed)"""
+        .stripMargin)),
+
+    // ---- incremental MinHash dedup (operators.NearDup
+    // .dedupByMinhashIncremental) gated the same way: even docs are
+    // canonical with their band table materialized, odd docs dedup
+    // against them and themselves. MinHash banding is probabilistic,
+    // so the oracle replicates the banded candidate generation (same
+    // signatures as t07) restricted to the incremental pair shape —
+    // odd vs even, or odd vs smaller odd — then the exact-Jaccard
+    // verify and removal.
+    QueryDef(
+      "t27_minhash_incremental",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        val ex = d.filter(col("doc_id") % 2 === 0)
+        val in = d.filter(col("doc_id") % 2 === 1)
+        val exBands = graft.operators.NearDup.minhashBands(
+          ex, "doc_id", "text", MinhashK, Bands)
+        graft.operators.NearDup.dedupByMinhashIncremental(
+          in, "doc_id", "text", exBands, ex, threshold = 0.8,
+          k = MinhashK, bands = Bands).select(col("doc_id"))
+      },
+      Some(s"""WITH bands AS ($minhashBandsSql),
+              |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+              |  FROM documents),
+              |cand AS (SELECT DISTINCT i.doc_id AS di, o.doc_id AS dx
+              |  FROM bands i JOIN bands o
+              |    ON i.band_id = o.band_id AND i.band_hash = o.band_hash
+              |   AND i.doc_id % 2 = 1 AND o.doc_id <> i.doc_id
+              |   AND (o.doc_id % 2 = 0 OR o.doc_id < i.doc_id)),
+              |removed AS (SELECT DISTINCT di FROM cand
+              |  JOIN sh s1 ON s1.doc_id = cand.di
+              |  JOIN sh s2 ON s2.doc_id = cand.dx
+              |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+              |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8)
+              |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+              |  AND doc_id NOT IN (SELECT di FROM removed)"""
+        .stripMargin)),
   )
+
+  /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
+    * at maxHamming = 3: blocks of 13/13/13/13/12 bits at offsets
+    * 0/13/26/39/52, one UNION ALL arm per block pair, band_hash =
+    * hi-block value shifted past the lo-block width plus the lo-block
+    * value (injective — widths are fixed per pair). */
+  private def pairedBandSelectsSql(sigRel: String): String = {
+    val widths = Seq(13, 13, 13, 13, 12)
+    val offs = widths.scanLeft(0)(_ + _)
+    val pairs = for {
+      i <- 0 until 5
+      j <- (i + 1) until 5
+    } yield (i, j)
+    pairs.zipWithIndex.map { case ((i, j), t) =>
+      val maskI = (1L << widths(i)) - 1
+      val maskJ = (1L << widths(j)) - 1
+      s"SELECT doc_id, $t AS band_id, " +
+        s"((simhash >> ${offs(i)}) & $maskI) * ${1L << widths(j)} + " +
+        s"((simhash >> ${offs(j)}) & $maskJ) AS band_hash FROM $sigRel"
+    }.mkString(" UNION ALL ")
+  }
 }

@@ -227,6 +227,34 @@ class NearDupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedupBySimhashIncremental: existing wins, brute-force parity") {
+    val existing = Seq((1L, textA), (2L, textE)).toDF("doc_id", "text")
+    val exBands = NearDup.simhashBandsPaired(
+      NearDup.simhash64(existing, "doc_id", "text"), "doc_id")
+    val incoming = Seq((10L, textA), (11L, textC), (12L, textC),
+      (13L, textC + " ten")).toDF("doc_id", "text")
+    val got = NearDup.dedupBySimhashIncremental(incoming, "doc_id",
+      "text", exBands)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the documented policy, brute-forced over the signatures: an
+    // incoming doc is dropped iff within hamming 3 of ANY existing
+    // signature or of a smaller-id incoming signature
+    val exSigs = NearDup.simhash64(existing, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    val inSigs = NearDup.simhash64(incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = inSigs.collect {
+      case (id, s) if !exSigs.exists(e =>
+        java.lang.Long.bitCount(s ^ e) <= 3) &&
+        !inSigs.exists { case (id2, s2) =>
+          id2 < id && java.lang.Long.bitCount(s ^ s2) <= 3 } => id
+    }.toSeq
+    assert(got == expected)
+    // fixed sanity: 10 is hamming-0 vs existing 1; 12 is hamming-0 vs
+    // in-batch 11; 11 is genuinely new
+    assert(!got.contains(10L) && got.contains(11L) && !got.contains(12L))
+  }
+
   test("exact-class collapse keys on RAW text, not canonicalized") {
     // upper/lower variants share TextOps.fingerprint (md5 of
     // lower+trim) but their case-sensitive shingle sets are disjoint:
