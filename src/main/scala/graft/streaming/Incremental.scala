@@ -155,6 +155,56 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming embedding-dedup corpus builder — the embedding twin of
+    * [[neardupStream]]: each micro-batch of vectors is deduped against
+    * itself AND the materialized SRP-LSH band index of every vector
+    * ever accepted ([[NearDup.dedupByEmbeddingIncremental]]), then
+    * survivors append to the corpus table and their bands land
+    * idempotently in this batch's `batch=<batchId>` leaf of the band
+    * table (same crash-replay reasoning as [[neardupStream]]:
+    * replayed batches rewrite, never duplicate). `vecExpr` is SQL over
+    * `raw_data` producing an `array<double>`. */
+  def embeddingDedupStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, bandsPath: String, checkpoint: String,
+      idExpr: String, vecExpr: String, threshold: Double, dims: Int,
+      tables: Int = 4, planesPerTable: Int = 4,
+      maxBucket: Int = 1024): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .withColumn("vec_id", expr(idExpr))
+          .withColumn("vec", expr(vecExpr))
+          .filter(col("vec_id").isNotNull && col("vec").isNotNull)
+          .select("vec_id", "vec")
+          .dropDuplicates("vec_id")
+        val exVecs = MergeOps.readIfExists(ss, corpusPath)
+          .getOrElse(incoming.limit(0))
+        val exBands = MergeOps.readIfExists(ss, bandsPath)
+          .getOrElse(NearDup.embeddingBands(incoming.limit(0), "vec_id",
+            "vec", dims, tables, planesPerTable))
+        val fresh = incoming.join(exVecs.select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        val survivors = NearDup.dedupByEmbeddingIncremental(fresh,
+          "vec_id", "vec", exBands, exVecs, threshold, dims, tables,
+          planesPerTable, maxBucket).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          NearDup.embeddingBands(survivors, "vec_id", "vec", dims,
+            tables, planesPerTable)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          survivors.write.mode("append").parquet(corpusPath)
+        } finally survivors.unpersist(blocking = false)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming event-time dedup: exactly-one-row-per-key within the
     * watermark horizon — the streaming form of the D-family keep-first
     * (an at-least-once bronze replay must not duplicate silver).

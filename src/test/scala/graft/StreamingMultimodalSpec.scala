@@ -107,6 +107,55 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bandIds.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("embeddingDedupStream: two drains == one batch dedup of the union") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-ed")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    // unit-ish vectors: vA ~ vA2 (cosine ~1), vB and vC unrelated
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian())
+    }
+    val vA = vec(1)
+    val vA2 = vA.map(_ * 1.01) // near-parallel: cosine ~ 1
+    val vB = vec(2)
+    val vC = vec(3)
+    def line(id: Long, v: Seq[Double]) =
+      s"""{"id": $id, "vec": [${v.mkString(", ")}]}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val vecExpr = "from_json(get_json_object(raw_data, '$.vec'), 'array<double>')"
+
+    // drain 1: 2 duplicates 1 in-batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, vA), line(2, vA2), line(3, vB)).mkString("\n").getBytes)
+    Incremental.embeddingDedupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, vecExpr,
+      threshold = 0.99, dims = 8)
+    assert(spark.read.parquet(s"$root/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // drain 2: 4 duplicates EXISTING 1 (via the band index), 5 is new
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(4, vA), line(5, vC)).mkString("\n").getBytes)
+    Incremental.embeddingDedupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, vecExpr,
+      threshold = 0.99, dims = 8)
+    val streamed = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 3L, 5L))
+
+    // equivalence with one batch dedup over the union
+    val union = Seq((1L, vA), (2L, vA2), (3L, vB), (4L, vA), (5L, vC))
+      .toDF("vec_id", "vec")
+    val batch = NearDup.dedupByEmbedding(union, "vec_id", "vec",
+      threshold = 0.99, dims = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("dedupStream: cross-batch replays collapse within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
