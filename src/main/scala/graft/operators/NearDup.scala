@@ -88,21 +88,20 @@ object NearDup {
     val rowsPerBand = k / bands
     // raw (non-distinct) shingles: min is duplicate-invariant, so the
     // signature skips the array_distinct pass entirely. The <3-token
-    // gate reads __ntk, not size(__shraw): a fold over an EMPTY
-    // shingle array would give every short doc the identical
-    // all-MaxValue signature — one giant false bucket — and sizing
-    // __shraw directly would rebuild the shingle expression.
-    val hs = sh
+    // gate reads __ntk, not size(__shraw): an EMPTY shingle array
+    // yields the identical all-MaxValue signature — one giant false
+    // bucket — and sizing __shraw directly would rebuild the shingle
+    // expression. The signature itself is the native MinhashSig
+    // expression (digest bytes → k running minima in one pass,
+    // bit-equal to the composed md5+conv+fold recipe the t07 oracle
+    // replicates — parity spec-pinned as well).
+    val sig = sh
       .filter(col("__ntk") >= 3)
-      .select(col(idCol), transform(col("__shraw"),
-        x => TextOps.tokenHash32(x)).as("__hs"))
-    val sig = hs.withColumn("__mins",
-      aggregate(col("__hs"),
-        array_repeat(lit(Long.MaxValue), k),
-        (acc, h) => array((0 until k).map(p =>
-          least(get(acc, lit(p)),
-            (lit(TextOps.minhashA(p)) * h + lit(TextOps.minhashB(p)))
-              % lit(TextOps.MinhashP))): _*)))
+      .select(col(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.MinhashSig(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__shraw")), k)).as("__mins"))
       .select(col(idCol) +:
         (0 until k).map(p => get(col("__mins"), lit(p)).as(s"h$p")): _*)
     val bandStructs = (0 until bands).map { b =>

@@ -43,6 +43,39 @@ class ExpressionAndPropertySpec extends SparkSpec {
     assert(sql.getLong(0) == got(0).get.asInstanceOf[Long])
   }
 
+  test("native MinhashSig == composed md5+conv+fold, slot by slot") {
+    import graft.functions.TextOps
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "unicode ü 日本語 tokens with wide chars mixed in here",
+      "a b", // <3 tokens: empty shingle array -> all MaxValue slots
+      "x y z") // exactly 3 tokens: one shingle
+    val k = 12
+    val sh = texts.toDF("text")
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .select(col("text"), TextOps.shingles3Raw(col("tk")).as("shraw"))
+    val composed = sh.withColumn("hs",
+      transform(col("shraw"), x => TextOps.tokenHash32(x)))
+      .withColumn("mins", aggregate(col("hs"),
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, h) => array((0 until k).map(p =>
+          least(get(acc, lit(p)),
+            (lit(TextOps.minhashA(p)) * h + lit(TextOps.minhashB(p)))
+              % lit(TextOps.MinhashP))): _*)))
+    val native = sh.withColumn("mins",
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.MinhashSig(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("shraw")),
+          k)))
+    val c = composed.select("text", "mins").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val n = native.select("text", "mins").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (t <- texts) assert(n(t) == c(t), s"mismatch for '$t'")
+    assert(n("a b").forall(_ == Long.MaxValue))
+  }
+
   test("property: D1 gold equals latest-loaded version per (scope, id)") {
     import graft.gold.Pipedrive
     val versionGen = Gen.listOfN(40, for {
