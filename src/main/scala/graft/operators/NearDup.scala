@@ -31,15 +31,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object NearDup {
 
-  /** Raw (positional, non-distinct) 3-gram shingle frame —
-    * (idCol, __shraw, __ntk). The single most expensive projection of
-    * the text dedup family; the composed operators build it ONCE,
-    * persist it, and derive BOTH the minhash signature (hash of each
-    * raw shingle) and the exact-Jaccard verify sets (array_distinct)
-    * from it. `__ntk` (token count) rides along so downstream
-    * emptiness filters never have to re-evaluate the shingle
-    * expression — on an UNPERSISTED frame every extra reference to
-    * `__shraw` is a full rebuild after CollapseProject inlines it.
+  /** DISTINCT 3-gram shingle frame — (idCol, __shraw, __ntk). The
+    * single most expensive projection of the text dedup family; the
+    * composed operators build it ONCE, persist it, and derive BOTH the
+    * minhash signature and the exact-Jaccard verify sets from it.
+    * Distincting happens HERE, at build time, not per consumer:
+    * minhash minima are duplicate-invariant (min over a multiset =
+    * min over its set), the verify needs the set anyway, and every
+    * duplicate shingle dropped before the persist is bytes the cache
+    * never stores and every later stage never deserializes — on this
+    * frame, cache IO is the measured cost driver, not CPU. `__ntk`
+    * (token count) rides along so downstream emptiness filters never
+    * re-evaluate the shingle expression — on an UNPERSISTED frame
+    * every extra reference to `__shraw` is a full rebuild after
+    * CollapseProject inlines it.
     *
     * `__fp` is md5 of the RAW text — NOT `TextOps.fingerprint`'s
     * canonicalized (lower+trim) form. The collapse below is exact only
@@ -51,7 +56,8 @@ object NearDup {
   private def rawShingles(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.withColumn("__tk", TextOps.tokens(col(textCol)))
-      .select(col(idCol), TextOps.shingles3Raw(col("__tk")).as("__shraw"),
+      .select(col(idCol),
+        array_distinct(TextOps.shingles3Raw(col("__tk"))).as("__shraw"),
         size(col("__tk")).as("__ntk"),
         md5(col(textCol)).as("__fp"))
 
@@ -86,15 +92,15 @@ object NearDup {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a multiple of bands=$bands")
     val rowsPerBand = k / bands
-    // raw (non-distinct) shingles: min is duplicate-invariant, so the
-    // signature skips the array_distinct pass entirely. The <3-token
-    // gate reads __ntk, not size(__shraw): an EMPTY shingle array
-    // yields the identical all-MaxValue signature — one giant false
-    // bucket — and sizing __shraw directly would rebuild the shingle
-    // expression. The signature itself is the native MinhashSig
-    // expression (digest bytes → k running minima in one pass,
-    // bit-equal to the composed md5+conv+fold recipe the t07 oracle
-    // replicates — parity spec-pinned as well).
+    // minhash minima are duplicate-invariant, so the distinct frame
+    // gives the exact same signature the raw multiset would. The
+    // <3-token gate reads __ntk, not size(__shraw): an EMPTY shingle
+    // array yields the identical all-MaxValue signature — one giant
+    // false bucket — and sizing __shraw directly would rebuild the
+    // shingle expression. The signature itself is the native
+    // MinhashSig expression (digest bytes → k running minima in one
+    // pass, bit-equal to the composed md5+conv+fold recipe the t07
+    // oracle replicates — parity spec-pinned as well).
     val sig = sh
       .filter(col("__ntk") >= 3)
       .select(col(idCol),
@@ -595,7 +601,7 @@ object NearDup {
         maxBucket)
 
       val inSh = shReps.select(col(idCol).as("in_id"),
-        array_distinct(col("__shraw")).as("__sh_in_id"))
+        col("__shraw").as("__sh_in_id"))
         .withColumn("__sz_in", size(col("__sh_in_id")))
       // only candidate existing docs are read + shingled
       val exCand = existingDocs.join(
@@ -732,10 +738,9 @@ object NearDup {
       threshold: Double, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val cands = candidatePairs(
       minhashBandsFromShingles(sh, idCol, k, bands), idCol, maxBucket)
-    // array_distinct(__shraw) == TextOps.shingles3 (same <3-token
-    // empty-array guard rides inside shingles3Raw)
-    val shD = sh.select(col(idCol),
-      array_distinct(col("__shraw")).as("__sh"))
+    // __shraw is already distinct (rawShingles distincts at build) ==
+    // TextOps.shingles3 (same <3-token empty-array guard inside)
+    val shD = sh.select(col(idCol), col("__shraw").as("__sh"))
       .withColumn("__sz", size(col("__sh")))
     cands
       .join(shD.select(col(idCol).as("d1"), col("__sh").as("__sh1"),
