@@ -132,6 +132,147 @@ object Ann {
       .select(col(idCol), col("__b.cell").as("cell"), col("__b.d2").as("d2"))
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the memory side of 100-TB ANN. IVF
+  // prunes WHICH vectors a query touches; PQ shrinks WHAT each touch
+  // costs: a d-dim float vector (4d bytes) becomes `m` small codes
+  // (m bytes, one per d/m-dim subspace), and query-time distance is a
+  // table lookup instead of d multiplications. At 10⁹ × 64-dim floats
+  // (256 GB of raw vectors) the PQ-coded corpus is 4 GB — it fits in
+  // the page cache of a single executor wave, which is the difference
+  // between an in-memory scan and a disk-bound one.
+  // --------------------------------------------------------------------
+
+  /** (id, sub, sv) sub-vector frame: vector split into `m` contiguous
+    * `dsub`-dim slices. Row-local (posexplode of a transform) — the
+    * split never shuffles. */
+  private def subvectors(vectors: DataFrame, idCol: String,
+      vecCol: String, m: Int, dsub: Int): DataFrame =
+    vectors.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+
+  /** Assign every sub-vector to its nearest code in its subspace.
+    * Output: (idCol, sub, code). Same narrow map-side-combined argmin
+    * as [[ivfAssignCells]] — the shuffle carries (id, sub, code), never
+    * the sub-vectors, and `books` (m × ksub rows) is broadcast. */
+  def pqAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val d2: Column = VectorOps.norm2(
+      zip_with(col("sv"), col("cv"), (x, y) => x - y))
+    subvectors(vectors, idCol, vecCol, m, dsub)
+      .join(broadcast(books.select(col("sub"), col("code"), col("cv"))),
+        Seq("sub"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(d2.as("d2"), col("code").as("code"))).as("__b"))
+      .select(col(idCol), col("sub"), col("__b.code").as("code"))
+  }
+
+  /** Per-subspace distributed k-means — [[trainCentroids]] run over all
+    * `m` subspaces AT ONCE (one corpus pass per iteration trains every
+    * codebook; m sequential trainings would pay m passes).
+    *
+    * Output: (sub, code, cv) with `code` in [0, ksub). Init is
+    * deterministic: code c of every subspace is the c-th smallest-id
+    * vector's sub-slice (no RNG — any engine trains to the same books).
+    * Means are floor(x·10⁶)-exact per (sub, code, dim), empty codes
+    * keep their previous codeword; the driver holds m × ksub × dsub
+    * doubles between iterations (the collect truncates plan lineage).
+    * Determinism is gate-proven: t28/t29 replicate full trainings in
+    * DuckDB hash-exact. */
+  def trainPq(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m > 0 && dsub > 0 && ksub > 0 && iters >= 0)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subs = subvectors(vectors, idCol, vecCol, m, dsub)
+    var books = subs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("sub").orderBy(col(idCol).asc)))
+      .filter(col("__rn") <= ksub)
+      .select(col("sub"), (col("__rn") - 1).cast("int").as("code"),
+        col("sv").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = pqAssign(vectors, idCol, vecCol, books, m, dsub)
+      val means = subs.join(assigned, Seq(idCol, "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(floor(col("x") * lit(1e6))).as("s"), count(lit(1)).as("n"))
+        .withColumn("mv", col("s").cast("double") / (lit(1e6) * col("n")))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cv_new"))
+      val rows = books.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+      books = rows.toSeq.toDF("sub", "code", "cv")
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: (idCol, codes) where `codes[s]` is the
+    * nearest codeword of subspace s. This is THE compressed
+    * representation — 8 + m bytes per vector — that downstream ADC
+    * search scans instead of the raw corpus. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dsub: Int): DataFrame =
+    pqAssign(vectors, idCol, vecCol, books, m, dsub)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k search over a PQ-encoded corpus:
+    * for each probe, distance ≈ Σ_s LUT[s][codes[s]] where LUT[s][c] =
+    * ‖probe_slice(s) − codeword(s,c)‖² — m array lookups per candidate
+    * instead of d multiplications, and the raw corpus is never read.
+    *
+    * Output: (p_id, rn, c_id, ad2) — `ad2` the approximate squared L2,
+    * rounded, ties on candidate id. A probe never matches itself.
+    *
+    * Scale shape: the LUT frame is (probes × m × ksub) rows, folded to
+    * one nested array per probe and BROADCAST; scoring is a row-local
+    * sequential fold over the codes array (whole-stage codegen, no
+    * shuffle), so the only shuffle in the operator is the final
+    * per-probe top-k on narrow (p_id, c_id, ad2) rows. For probe sets
+    * too large to broadcast, shard the probes and union. */
+  def pqSearchAdc(codes: DataFrame, codesIdCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      books: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
+    require(k > 0)
+    val pd: Column = VectorOps.norm2(zip_with(
+      slice(col(probeVecCol), col("sub") * dsub + 1, lit(dsub)),
+      col("cv"), (x, y) => x - y))
+    val lut = probes.crossJoin(broadcast(books))
+      .select(col(probeIdCol).as("p_id"), col("sub"), col("code"),
+        pd.as("pd"))
+      .groupBy("p_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("pd")))),
+        x => x.getField("pd")).as("lsub"))
+      .groupBy("p_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("lsub")))),
+        x => x.getField("lsub")).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col(codesIdCol) =!= col("p_id"))
+      .select(col("p_id"), col(codesIdCol).as("c_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)), 6).as("ad2"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id")
+          .orderBy(col("ad2").asc, col("c_id").asc)))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "c_id", "ad2")
+  }
+
   /** Full IVF search: for each probe row, the top-`k` nearest corpus
     * vectors by exact cosine among the `nprobe` nearest cells.
     * Output: (probe id as p_id, rn, candidate id as c_id, cos).

@@ -24,6 +24,10 @@ object TrainingQueries {
   private val Bands = 4
   private val SimhashBits = 64
   private val LshPlanes = 16
+  private val PqM = 4 // PQ subspaces
+  private val PqDsub = Dims / PqM
+  private val PqKsub = 8 // codes per subspace
+  private val PqIters = 2
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -834,6 +838,83 @@ object TrainingQueries {
               |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
               |  AND doc_id NOT IN (SELECT di FROM removed)"""
         .stripMargin)),
+
+    // ---- product-quantization codebook training + corpus encode
+    // (operators.Ann.trainPq / pqEncode): per-subspace distributed
+    // Lloyd with deterministic first-ksub init and floor(x·10⁶)-exact
+    // means — the memory side of 100-TB ANN (a 64-dim float vector
+    // becomes m=4 byte-codes). The oracle replicates the FULL training
+    // (2 iterations, every subspace) and the final assignment
+    // hash-exact, like t23 does for the coarse quantizer.
+    QueryDef(
+      "t28_pq_encode",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        graft.operators.Ann.pqEncode(e, "vec_id", "v", books, PqM, PqDsub)
+          .select(col("vec_id") +:
+            (0 until PqM).map(i => get(col("codes"), lit(i)).as(s"c$i")): _*)
+      },
+      Some {
+        val pivot = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN sub = $i THEN code END) AS c$i")
+          .mkString(", ")
+        s"""WITH ${pqLloydSql(PqM, PqDsub, PqKsub, PqIters)},
+           |enc AS (SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, b$PqIters c)
+           |SELECT vec_id, $pivot FROM enc WHERE rn = 1 GROUP BY vec_id"""
+          .stripMargin
+      }),
+
+    // ---- ADC search over the PQ-encoded corpus (operators.Ann
+    // .pqSearchAdc): per-probe lookup table of sub-distances to every
+    // codeword, candidate distance = Σ_s LUT[s][code_s] — the corpus
+    // scan touches only the (id, codes) frame, never raw vectors. The
+    // oracle replicates training, encode, LUT, the 4-term left-assoc
+    // distance sum, and the (ad2, id) top-k order.
+    QueryDef(
+      "t29_pq_search",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        val codes = graft.operators.Ann.pqEncode(e, "vec_id", "v",
+          books, PqM, PqDsub)
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Ann.pqSearchAdc(codes, "vec_id", probes,
+          "vec_id", "v", books, PqM, PqDsub, k = 3)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        s"""WITH ${pqLloydSql(PqM, PqDsub, PqKsub, PqIters)},
+           |enc AS (SELECT vec_id, sub, code FROM (
+           |  SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, b$PqIters c) WHERE rn = 1),
+           |lut AS (SELECT p.vec_id AS p_id, c.sub, c.code,
+           |    ${pqD2Sql("p", "c", PqDsub)} AS pd
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           |       b$PqIters c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |  WHERE e.vec_id <> l.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j)
+           |SELECT p_id, rn, c_id, ad2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |WHERE rn <= 3""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
@@ -855,5 +936,61 @@ object TrainingQueries {
         s"((simhash >> ${offs(i)}) & $maskI) * ${1L << widths(j)} + " +
         s"((simhash >> ${offs(j)}) & $maskJ) AS band_hash FROM $sigRel"
     }.mkString(" UNION ALL ")
+  }
+
+  /** Squared L2 between vector-relation `e`'s sub-slice and PQ-codebook
+    * relation `c`'s per-dim columns m0..m{dsub-1}: the sub-slice is
+    * positional indexing `embedding[c.sub·dsub + i + 1]` — a
+    * left-assoc addition chain matching Spark's sequential fold. */
+  private def pqD2Sql(e: String, c: String, dsub: Int): String =
+    (0 until dsub).map { i =>
+      val d = s"(CAST($e.embedding[$c.sub * $dsub + ${i + 1}] AS DOUBLE)" +
+        s" - $c.m$i)"
+      s"$d * $d"
+    }.mkString("(", " + ", ")")
+
+  /** WITH-chain replicating Ann.trainPq in DuckDB — lloydSql's shape
+    * run per subspace, all subspaces at once: b0 = code c of subspace
+    * s is the c-th smallest-id vector's slice [s·dsub+1, (s+1)·dsub];
+    * then per iteration k: pa_k (assign each (vector, subspace) to its
+    * nearest code), ps_k (per-(sub, code, dim) floor(x·10⁶) BIGINT
+    * sums — exact, order-free), b_k (mean as one double division,
+    * empty codes COALESCE to the previous codeword). Codewords are
+    * per-dim columns m0..m{dsub-1} keyed by (sub, code). */
+  private def pqLloydSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val subList = (0 until m).mkString("[", ", ", "]")
+    val initCols = (0 until dsub)
+      .map(i => s"CAST(e.embedding[ss.sub * $dsub + ${i + 1}] AS DOUBLE)" +
+        s" AS m$i")
+      .mkString(", ")
+    val sb = new StringBuilder(
+      s"""b0 AS (SELECT ss.sub, CAST(e.rn - 1 AS INTEGER) AS code, $initCols
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT $ksub) e,
+         |       (SELECT unnest($subList) AS sub) ss)""".stripMargin)
+    for (k <- 1 to iters) {
+      val prev = s"b${k - 1}"
+      val sumCols = (0 until dsub)
+        .map(i => s"SUM(CAST(floor(CAST(e.embedding[a.sub * $dsub + " +
+          s"${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val meanCols = (0 until dsub)
+        .map(i => s"COALESCE(CAST(q.s$i AS DOUBLE) / (1000000.0 * q.n), " +
+          s"p.m$i) AS m$i")
+        .mkString(", ")
+      sb ++= s""",
+         |pa$k AS (SELECT e.vec_id, c.sub, c.code,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+         |      ORDER BY ${pqD2Sql("e", "c", dsub)} ASC, c.code ASC) AS rn
+         |  FROM embeddings e, $prev c),
+         |ps$k AS (SELECT a.sub, a.code, COUNT(*) AS n, $sumCols
+         |  FROM (SELECT vec_id, sub, code FROM pa$k WHERE rn = 1) a
+         |  JOIN embeddings e USING (vec_id) GROUP BY a.sub, a.code),
+         |b$k AS (SELECT p.sub, p.code, $meanCols
+         |  FROM $prev p LEFT JOIN ps$k q
+         |    ON q.sub = p.sub AND q.code = p.code)""".stripMargin
+    }
+    sb.toString
   }
 }

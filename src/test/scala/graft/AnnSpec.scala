@@ -60,6 +60,66 @@ class AnnSpec extends SparkSpec {
     assert(allSame(2L) == Seq(5.0, 5.0))
   }
 
+  test("trainPq: per-subspace objective non-increasing, deterministic") {
+    // PQ objective = sum over subspaces of within-code squared error;
+    // each subspace is an independent k-means, so Lloyd monotonicity
+    // holds for the sum
+    def objective(iters: Int): Double = {
+      val books = Ann.trainPq(vecs, "id", "v", m = 2, dsub = 4,
+        ksub = 3, iters = iters)
+      val subs = vecs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(1)),
+          s => slice(col("v"), s * 4 + 1, lit(4)))).as(Seq("sub", "sv")))
+      val assigned = Ann.pqAssign(vecs, "id", "v", books, m = 2, dsub = 4)
+      subs.join(assigned, Seq("id", "sub"))
+        .join(books, Seq("sub", "code"))
+        .select(VectorOps.norm2(zip_with(col("sv"), col("cv"),
+          (x, y) => x - y)).cast("decimal(28,10)").as("d2"))
+        .agg(sum("d2").cast("double")).collect()(0).getDouble(0)
+    }
+    val objectives = (0 to 3).map(objective)
+    objectives.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective increased: $objectives")
+    }
+    assert(objectives.last < objectives.head)
+    // determinism across partitionings
+    val a = Ann.trainPq(vecs, "id", "v", 2, 4, 3, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val b = Ann.trainPq(vecs.repartition(7), "id", "v", 2, 4, 3, 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("pqEncode + pqSearchAdc: ADC top-1 finds the same-blob neighbors") {
+    val books = Ann.trainPq(vecs, "id", "v", m = 2, dsub = 4,
+      ksub = 4, iters = 3)
+    val codes = Ann.pqEncode(vecs, "id", "v", books, m = 2, dsub = 4)
+    assert(codes.count() == 41)
+    // every code vector has m entries within [0, ksub)
+    val bad = codes.filter(size(col("codes")) =!= 2 ||
+      exists(col("codes"), c => c < 0 || c >= 4)).count()
+    assert(bad == 0)
+    val probes = vecs.filter(col("id").isin(0L, 25L))
+    val res = Ann.pqSearchAdc(codes, "id", probes, "id", "v", books,
+      m = 2, dsub = 4, k = 5).collect()
+    assert(res.length == 10)
+    // with well-separated blobs, every ADC neighbor of a probe comes
+    // from the probe's own blob (codewords separate the blobs)
+    res.foreach { r =>
+      val (p, c) = (r.getLong(0), r.getLong(2))
+      if (p < 20) assert(c < 20, s"probe $p matched cross-blob $c")
+      else assert(c >= 20 && c < 41, s"probe $p matched cross-blob $c")
+    }
+    // ad2 non-decreasing in rank for each probe
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(byRank == byRank.sorted)
+    }
+  }
+
   test("ivfSearch on trained centroids returns exact top-k inside cells") {
     val cents = Ann.trainCentroids(vecs, "id", "v", nlist = 2, iters = 2)
     val probes = vecs.filter(col("id") === 0L)
