@@ -28,6 +28,9 @@ object TrainingQueries {
   private val PqDsub = Dims / PqM
   private val PqKsub = 8 // codes per subspace
   private val PqIters = 2
+  private val SampleRates = Map(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625)
+  private val SplitFractions = Seq(0.6, 0.2)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -914,6 +917,48 @@ object TrainingQueries {
            |  SELECT *, row_number() OVER (PARTITION BY p_id
            |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
            |WHERE rn <= 3""".stripMargin
+      }),
+
+    // ---- deterministic stratified hash sampling + split assignment
+    // (operators.Sample): corpus mixing by per-language rates (salted
+    // md5 bucket of the id — row-local, partitioning-independent,
+    // coordinated across tables) and disjoint train/val/test split
+    // ranges over the survivors. Rates/bounds are floor-quantized to
+    // 10⁻⁶ by the SAME Scala expression that the oracle literals are
+    // generated from, so both engines compare against identical
+    // integers. es is deliberately absent from the rates map (rate-0
+    // strata drop via the inner broadcast join).
+    QueryDef(
+      "t30_hash_sample",
+      (s, dir) => {
+        val sampled = graft.operators.Sample.stratifiedSample(
+          docs(s, dir), "doc_id", "lang", SampleRates, "graft")
+        graft.operators.Sample.hashSplit(sampled, "doc_id",
+          SplitFractions, "graft-split")
+          .select("doc_id", "lang", "split")
+      },
+      Some {
+        val rateRows = SampleRates.toSeq.sorted.map { case (k, f) =>
+          s"('$k', ${(f * graft.operators.Sample.Buckets).toLong})"
+        }.mkString(", ")
+        val bounds = SplitFractions.scanLeft(0.0)(_ + _)
+          .map(c => (c * graft.operators.Sample.Buckets).toLong)
+        val splitCase = SplitFractions.indices.map { i =>
+          s"WHEN sb >= ${bounds(i)} AND sb < ${bounds(i + 1)} THEN $i"
+        }.mkString("CASE ", " ", " ELSE -1 END")
+        val bucket = DuckSql.hexToLong(
+          "md5('graft|' || CAST(d.doc_id AS VARCHAR))", 8)
+        val sbucket = DuckSql.hexToLong(
+          "md5('graft-split|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH rates(lang, rb) AS (VALUES $rateRows),
+           |sampled AS (
+           |  SELECT d.doc_id, d.lang FROM documents d
+           |  JOIN rates r ON r.lang = d.lang
+           |  WHERE $bucket % 1000000 < r.rb),
+           |sb AS (SELECT doc_id, lang, $sbucket % 1000000 AS sb
+           |  FROM sampled)
+           |SELECT doc_id, lang, $splitCase AS split FROM sb"""
+          .stripMargin
       }),
   )
 

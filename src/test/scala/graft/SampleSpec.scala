@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Sample
+import org.apache.spark.sql.functions._
+
+/** Sample properties: partitioning-independence, cross-table
+  * coordination, split disjointness/coverage, salt independence. */
+class SampleSpec extends SparkSpec {
+
+  private def ids = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+  }
+
+  test("hashSample: deterministic and partitioning-independent") {
+    val a = Sample.hashSample(ids, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sample.hashSample(ids.repartition(17), "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // rate is approximately honored (md5 buckets are uniform)
+    assert(math.abs(a.size - 600) < 120, s"got ${a.size} of 2000 at 0.3")
+  }
+
+  test("hashSample: the same (salt, id) decision coordinates across tables") {
+    import spark.implicits._
+    val other = (0L until 2000L).map(i => (i, s"payload$i"))
+      .toDF("id", "payload")
+    val a = Sample.hashSample(ids, "id", 0.25, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sample.hashSample(other, "id", 0.25, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // and a different salt draws a genuinely different sample
+    val c = Sample.hashSample(ids, "id", 0.25, "s2").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("stratifiedSample: per-stratum rates, absent strata drop") {
+    val out = Sample.stratifiedSample(ids, "id", "stratum",
+      Map("a" -> 1.0), "s")
+    val strata = out.select("stratum").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(strata == Seq("a")) // b absent from map => dropped
+    assert(out.count() == ids.filter(col("stratum") === "a").count())
+  }
+
+  test("hashSplit: splits are disjoint, exhaustive over bounds, stable") {
+    val out = Sample.hashSplit(ids, "id", Seq(0.5, 0.3, 0.2), "sp")
+    assert(out.count() == 2000)
+    // sum to 1.0 => no -1 remainder
+    assert(out.filter(col("split") === -1).count() == 0)
+    val sizes = out.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2))
+    assert(math.abs(sizes(0) - 1000L) < 150)
+    // under-allocated fractions leave a -1 remainder
+    val rem = Sample.hashSplit(ids, "id", Seq(0.1), "sp")
+    assert(rem.filter(col("split") === -1).count() > 0)
+    // a row's split never depends on partitioning
+    val a = out.select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = Sample.hashSplit(ids.repartition(13), "id",
+      Seq(0.5, 0.3, 0.2), "sp").select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b)
+  }
+}
