@@ -960,6 +960,34 @@ object TrainingQueries {
            |SELECT doc_id, lang, $splitCase AS split FROM sb"""
           .stripMargin
       }),
+
+    // ---- TF-IDF top-k keywords (operators.Keywords.tfidfTopK):
+    // corpus-statistics document fingerprinting — one explode feeds
+    // both aggregates (document frequency derives from the already-
+    // aggregated tf frame, so token instances shuffle once). ln is
+    // bit-identical between the JVM and DuckDB on every ratio
+    // (N+1)/(df+1) this corpus produces (verified exhaustively for
+    // df in [0, N]), and the score rounds to 6 before the (score desc,
+    // token asc) top-k order.
+    QueryDef(
+      "t31_tfidf_topk",
+      (s, dir) => graft.operators.Keywords.tfidfTopK(
+        spread(s, docs(s, dir)), "doc_id", "text", k = 5),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+              |  FROM t GROUP BY 1, 2),
+              |dfreq AS (SELECT token, COUNT(*) AS dfreq
+              |  FROM tf GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n FROM documents),
+              |scored AS (SELECT doc_id, token,
+              |    round(tf * ln((n.n + 1) / (dfreq + 1.0)), 6) AS score
+              |  FROM tf JOIN dfreq USING (token), n)
+              |SELECT doc_id, rank, token, score FROM (
+              |  SELECT doc_id, token, score, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY score DESC, token ASC)
+              |    AS rank FROM scored)
+              |WHERE rank <= 5""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
