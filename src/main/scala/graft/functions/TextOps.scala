@@ -67,6 +67,22 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Positional (non-distinct) n-gram token spans, the generalized
+    * [[shingles3Raw]]: n parallel slices zipped pairwise — the same
+    * construction, for the same reason (every slice evaluates `toks`
+    * once per ROW; no lambda body ever references an outer column, so
+    * no optimizer rewrite can reintroduce the O(tokens²) blowup).
+    * Documents shorter than n yield an empty array. */
+  def ngramsRaw(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    val m = size(toks) - (n - 1) // span positions
+    val slices = (0 until n).map(i => slice(toks, lit(i + 1), m))
+    when(m >= 1,
+      slices.reduce((acc, s) =>
+        zip_with(acc, s, (x, y) => concat(x, lit(" "), y))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** MinHash via affine permutations over ONE base hash per shingle:
     * h_k(x) = (A_k * h32(x) + B_k) mod P. One md5 per shingle total
     * (not one per permutation) — at 100 TB the md5 is the dominant

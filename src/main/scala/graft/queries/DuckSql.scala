@@ -41,4 +41,12 @@ object DuckSql {
   def shingles3(toks: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
+
+  /** Positional (non-distinct) n-gram span list — the DuckDB mirror of
+    * TextOps.ngramsRaw: positions 1 .. len-n+1. */
+  def ngramsRaw(toks: String, n: Int): String = {
+    val join = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), " +
+      s"i -> $join)"
+  }
 }

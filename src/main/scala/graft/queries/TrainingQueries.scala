@@ -988,6 +988,34 @@ object TrainingQueries {
               |    PARTITION BY doc_id ORDER BY score DESC, token ASC)
               |    AS rank FROM scored)
               |WHERE rank <= 5""".stripMargin)),
+
+    // ---- repeated n-gram span statistics (operators.SpanStats
+    // .duplicatedNgramStats): the substring-level duplication signal
+    // document-level dedup misses — per doc, how many sliding 5-token
+    // spans also occur elsewhere in the corpus (self-repetition
+    // included). Span instances aggregate to (doc, gram)
+    // multiplicities before any shuffle; global counts and the join
+    // back reuse that frame.
+    QueryDef(
+      "t32_ngram_spans",
+      (s, dir) => graft.operators.SpanStats.duplicatedNgramStats(
+        spread(s, docs(s, dir)), "doc_id", "text", n = 5),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id,
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram FROM t),
+              |loc AS (SELECT doc_id, gram, COUNT(*) AS c_local
+              |  FROM g GROUP BY 1, 2),
+              |tot AS (SELECT gram, CAST(SUM(c_local) AS BIGINT) AS c_glob
+              |  FROM loc GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(SUM(c_local) AS BIGINT) AS n_spans,
+              |  CAST(SUM(CASE WHEN c_glob > 1 THEN c_local ELSE 0 END)
+              |    AS BIGINT) AS n_dup_spans,
+              |  round(CAST(SUM(CASE WHEN c_glob > 1 THEN c_local ELSE 0 END)
+              |      AS DOUBLE)
+              |    / CAST(SUM(c_local) AS DOUBLE), 6) AS dup_ratio
+              |FROM loc JOIN tot USING (gram) GROUP BY doc_id"""
+        .stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

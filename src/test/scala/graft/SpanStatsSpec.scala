@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.SpanStats
+import org.apache.spark.sql.functions._
+
+/** ngramsRaw construction + duplicated-span semantics. */
+class SpanStatsSpec extends SparkSpec {
+
+  test("ngramsRaw: positional spans, short docs empty, n=1 is tokens") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+      .select(col("text"),
+        TextOps.ngramsRaw(TextOps.tokens(col("text")), 3).as("g3"),
+        TextOps.ngramsRaw(TextOps.tokens(col("text")), 1).as("g1"))
+    val byText = df.collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](1).toList,
+        r.getSeq[String](2).toList)).toMap
+    assert(byText("a b c d")._1 == List("a b c", "b c d"))
+    assert(byText("a b")._1 == Nil) // shorter than n
+    assert(byText("x")._2 == List("x")) // n=1 == tokens
+  }
+
+  test("duplicatedNgramStats: cross-doc and self-repetition both count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t"), // shares its only span with doc 2
+      (2L, "p q r s t"),
+      (3L, "a b c a b c a b"), // self-repeated "a b c a b" etc? no —
+      // spans of 5: "a b c a b", "b c a b c", "c a b c a", "a b c a b"
+      // -> first and last identical: self-repetition
+      (4L, "u v w x y") // unique span
+    ).toDF("doc_id", "text")
+    val out = SpanStats.duplicatedNgramStats(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1L, 1L, 1.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    // doc 3: 4 spans, the duplicated pair contributes 2
+    assert(out(3L)._1 == 4L && out(3L)._2 == 2L)
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("duplicatedNgramStats: docs shorter than n produce no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = SpanStats.duplicatedNgramStats(docs, "doc_id", "text", 5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
