@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing — the shard-assignment step of a
+  * training-data pipeline: documents fill fixed-budget training shards
+  * in deterministic id order (shard = exclusive-prefix-tokens DIV
+  * budget, "contiguous fill": a document straddling a boundary starts
+  * its tokens in the earlier shard, so shard width is ≤ budget + one
+  * document).
+  *
+  * The naive expression — a running sum over `ORDER BY id` with no
+  * partition — is the classic scale trap: Spark executes an
+  * unpartitioned window on ONE task, so the whole corpus funnels
+  * through a single core. This operator computes the same prefix sum
+  * in two levels instead:
+  *
+  *   1. rows bucket by id RANGE (order-preserving: every id in bucket
+  *      b sorts before every id in bucket b+1);
+  *   2. per-bucket token totals — one narrow groupBy, `nBuckets` rows
+  *      — collect to the driver, which prefix-sums them into
+  *      per-bucket offsets (exact integer arithmetic);
+  *   3. a window WITHIN each bucket (parallel across buckets) adds the
+  *      bucket-local exclusive prefix to the broadcast offset.
+  *
+  * Identical output to the single-partition window at any
+  * partitioning, with max task size corpus/nBuckets. Value-range
+  * bucketing keeps buckets contiguous for ANY id distribution; heavily
+  * skewed ids just imbalance bucket sizes (raise nBuckets — each extra
+  * bucket costs one 16-byte driver row).
+  */
+object Pack {
+
+  /** Assign each row a `shard` id: exclusive-prefix-sum of
+    * `countCol` in `idCol` order, DIV `budget`. Adds nothing else;
+    * row count and columns are otherwise preserved. */
+  def packByBudget(df: DataFrame, idCol: String, countCol: String,
+      budget: Long, nBuckets: Int = 1024): DataFrame = {
+    require(budget > 0 && nBuckets > 0)
+    val bounds = df.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).collect()(0)
+    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // bucket = (id - lo) DIV ceil(span / nBuckets): contiguous id
+    // ranges, <= nBuckets buckets, overflow-free integer arithmetic
+    val span = math.max(hi - lo + 1, 1L)
+    val width = math.max((span + nBuckets - 1) / nBuckets, 1L)
+    val bucket: Column = // integer DIV: exact and monotone at any id
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${width}L")
+    val totals = df.groupBy(bucket.as("__bkt"))
+      .agg(sum(col(countCol)).cast("long").as("__tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .toSeq
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, tot)) => (b, acc + tot)
+    }.sliding(2).map { case Seq((_, off), (b, _)) => (b, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__bkt", "__off")
+    val localPrefix = sum(col(countCol)).over(
+      Window.partitionBy("__bkt").orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__bkt", bucket)
+      .join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("__pfx", coalesce(localPrefix, lit(0L)) + col("__off"))
+      .withColumn("shard", expr(s"__pfx DIV $budget"))
+      .drop("__bkt", "__off", "__pfx")
+  }
+}

@@ -1016,6 +1016,30 @@ object TrainingQueries {
               |    / CAST(SUM(c_local) AS DOUBLE), 6) AS dup_ratio
               |FROM loc JOIN tot USING (gram) GROUP BY doc_id"""
         .stripMargin)),
+
+    // ---- token-budget sequence packing (operators.Pack.packByBudget):
+    // shard = exclusive-prefix-tokens DIV budget in id order, computed
+    // as a TWO-LEVEL prefix sum (range-bucket totals -> driver offsets
+    // -> bucket-local windows) so no task ever sees more than
+    // corpus/nBuckets rows — the oracle is the single-partition window
+    // the operator deliberately avoids, proving the decomposition
+    // exact. nBuckets=7 at sf0.01 exercises >1 bucket.
+    QueryDef(
+      "t33_pack_shards",
+      (s, dir) => graft.operators.Pack.packByBudget(
+        spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2000L, nBuckets = 7)
+        .select("doc_id", "n_tokens", "shard"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    0) // 2000 AS BIGINT) AS shard
+              |FROM t""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Pack
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pack.packByBudget: two-level prefix sum == single-window reference
+  * at any bucket count and partitioning. */
+class PackSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    // sparse, unevenly spaced ids exercise range bucketing
+    (0L until 300L).map(i => (i * i * 7 % 9973, 10L + i % 90))
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids
+      .toDF("id", "cnt")
+  }
+
+  private def reference(budget: Long) =
+    corpus.withColumn("shard",
+      expr(s"CAST(coalesce(sum(cnt) OVER (ORDER BY id ROWS BETWEEN " +
+        s"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV $budget AS BIGINT)"))
+      .select("id", "shard")
+
+  test("packByBudget matches the single-window reference for any nBuckets") {
+    val ref = reference(500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (nb <- Seq(1, 3, 17, 1024)) {
+      val got = Pack.packByBudget(corpus, "id", "cnt", 500L, nb)
+        .select("id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == ref, s"nBuckets=$nb diverged")
+    }
+  }
+
+  test("packByBudget is partitioning-independent and preserves rows") {
+    val a = Pack.packByBudget(corpus, "id", "cnt", 750L, 13)
+      .select("id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Pack.packByBudget(corpus.repartition(19), "id", "cnt", 750L, 13)
+      .select("id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.size == corpus.count())
+    // shards are contiguous from 0 and token-bounded by budget + max doc
+    val withCnt = Pack.packByBudget(corpus, "id", "cnt", 750L, 13)
+    val shardTotals = withCnt.groupBy("shard").agg(sum("cnt").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxShard = shardTotals.keys.max
+    assert(shardTotals.keySet == (0L to maxShard).toSet)
+    val maxCnt = 99L
+    assert(shardTotals.filter(_._1 < maxShard)
+      .values.forall(_ <= 750L + maxCnt))
+  }
+
+  test("packByBudget: empty input returns empty with shard column") {
+    val empty = Pack.packByBudget(corpus.filter(col("id") < 0),
+      "id", "cnt", 100L)
+    assert(empty.columns.contains("shard"))
+    assert(empty.count() == 0)
+  }
+}
