@@ -273,6 +273,66 @@ object Ann {
       .select("p_id", "rn", "c_id", "ad2")
   }
 
+  /** Composed IVF-PQ search — the production 100-TB ANN shape: IVF
+    * prunes WHICH vectors a probe touches (only the `nprobe` nearest
+    * cells), PQ prices WHAT each touch costs (ADC table lookups over
+    * m byte-codes instead of d-dim float math; the raw corpus is never
+    * read at query time).
+    *
+    * Output: (p_id, rn, c_id, ad2) like [[pqSearchAdc]], restricted to
+    * candidates in probed cells.
+    *
+    * Scale shape: the persistent index is the narrow
+    * (id, cell, codes) frame — 8 + 8 + m bytes per corpus vector.
+    * Per query: centroids broadcast once for probe-cell selection, the
+    * (probe-cells ⨝ probe-LUT) frame is broadcast, candidates stream
+    * through a row-local fold, and the only shuffle is the final
+    * per-probe top-k over narrow rows. */
+  def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, books: DataFrame, m: Int, dsub: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val index = ivfAssignCells(vectors, idCol, vecCol, centroids,
+      centIdCol, centVecCol).drop("d2")
+      .join(pqEncode(vectors, idCol, vecCol, books, m, dsub), Seq(idCol))
+      .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+    val pcells = probes.crossJoin(broadcast(centroids))
+      .withColumn("__d2", VectorOps.norm2(
+        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__d2").asc, col(centIdCol).asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol).as("p_id"), col(centIdCol).as("cell"))
+    val pd: Column = VectorOps.norm2(zip_with(
+      slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)),
+      col("cv"), (x, y) => x - y))
+    val lut = probes.crossJoin(broadcast(books))
+      .select(col(idCol).as("p_id"), col("sub"), col("code"), pd.as("pd"))
+      .groupBy("p_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("pd")))),
+        x => x.getField("pd")).as("lsub"))
+      .groupBy("p_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("lsub")))),
+        x => x.getField("lsub")).as("lut"))
+    val probeSide = pcells.join(lut, Seq("p_id"))
+    val scored = index.join(broadcast(probeSide), Seq("cell"))
+      .filter(col("c_id") =!= col("p_id"))
+      .select(col("p_id"), col("c_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)), 6).as("ad2"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id")
+          .orderBy(col("ad2").asc, col("c_id").asc)))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "c_id", "ad2")
+  }
+
   /** Full IVF search: for each probe row, the top-`k` nearest corpus
     * vectors by exact cosine among the `nprobe` nearest cells.
     * Output: (probe id as p_id, rn, candidate id as c_id, cos).

@@ -1040,6 +1040,70 @@ object TrainingQueries {
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
               |    0) // 2000 AS BIGINT) AS shard
               |FROM t""".stripMargin)),
+
+    // ---- composed IVF-PQ search (operators.Ann.ivfPqSearch): the
+    // production ANN shape — trained coarse quantizer prunes to nprobe
+    // cells, trained PQ codebooks score candidates by ADC lookup; the
+    // raw corpus is never read at query time. The oracle composes the
+    // two independently-gated trainings (t23's Lloyd chain + t28's
+    // per-subspace chain share one WITH clause) and replicates cell
+    // pruning, encode, LUT, and the top-k order end-to-end.
+    QueryDef(
+      "t34_ivfpq_search",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
+        val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Ann.ivfPqSearch(e, "vec_id", "v", probes,
+          cents, "cent_id", "cv", books, PqM, PqDsub, k = 3, nprobe = 2)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        s"""WITH ${lloydSql(8, 2)},
+           |${pqLloydSql(PqM, PqDsub, PqKsub, PqIters)},
+           |cents AS (SELECT * FROM c2),
+           |cells AS (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |pcells AS (SELECT p_id, cell FROM (
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c)
+           |  WHERE rn <= 2),
+           |enc AS (SELECT vec_id, sub, code FROM (
+           |  SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, b$PqIters c) WHERE rn = 1),
+           |lut AS (SELECT p.vec_id AS p_id, c.sub, c.code,
+           |    ${pqD2Sql("p", "c", PqDsub)} AS pd
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           |       b$PqIters c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e
+           |  JOIN cells cl ON cl.c_id = e.vec_id
+           |  JOIN pcells pc ON pc.cell = cl.cell
+           |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |    AND l.p_id = pc.p_id
+           |  WHERE e.vec_id <> pc.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j)
+           |SELECT p_id, rn, c_id, ad2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |WHERE rn <= 3""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -120,6 +120,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearch: probing every cell degenerates to plain ADC search") {
+    val cents = Ann.trainCentroids(vecs, "id", "v", nlist = 3, iters = 2)
+    val books = Ann.trainPq(vecs, "id", "v", m = 2, dsub = 4,
+      ksub = 4, iters = 2)
+    val codes = Ann.pqEncode(vecs, "id", "v", books, m = 2, dsub = 4)
+    val probes = vecs.filter(col("id").isin(0L, 25L))
+    val full = Ann.pqSearchAdc(codes, "id", probes, "id", "v", books,
+      m = 2, dsub = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val ivfpq = Ann.ivfPqSearch(vecs, "id", "v", probes, cents,
+      "cent_id", "cv", books, m = 2, dsub = 4, k = 3, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(ivfpq == full)
+    // and with nprobe=1 every candidate comes from the probe's own cell
+    val pruned = Ann.ivfPqSearch(vecs, "id", "v", probes, cents,
+      "cent_id", "cv", books, m = 2, dsub = 4, k = 3, nprobe = 1)
+    val cellOf = Ann.ivfAssignCells(vecs, "id", "v", cents, "cent_id",
+      "cv").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.collect().foreach { r =>
+      assert(cellOf(r.getLong(2)) == cellOf(r.getLong(0)),
+        s"candidate ${r.getLong(2)} outside probe ${r.getLong(0)}'s cell")
+    }
+  }
+
   test("ivfSearch on trained centroids returns exact top-k inside cells") {
     val cents = Ann.trainCentroids(vecs, "id", "v", nlist = 2, iters = 2)
     val probes = vecs.filter(col("id") === 0L)
