@@ -85,6 +85,35 @@ object Curate {
     NearDup.dedupByComponents(exact, idCol, textCol, neardupThreshold)
   }
 
+  /** Corpus → training shards, end-to-end: [[curate]] (quality gate →
+    * language filter → exact dedup → near-dup dedup), an optional
+    * deterministic downsample ([[Sample.hashSample]] — row-local,
+    * reproducible, coordinated by salt), then token-budget shard
+    * assignment ([[Pack.packByBudget]]'s two-level prefix sum).
+    * Output: curated survivor rows + (n_tokens, shard).
+    *
+    * Every stage is individually oracle-gated (t19/t16, t30, t33);
+    * this is the one-call composition a pipeline actually runs. The
+    * stage order matters at 100 TB: curation prunes before sampling
+    * only because near-dup semantics must see the full corpus —
+    * sampling first would change WHICH duplicates exist; packing runs
+    * last so shards are dense over exactly the surviving documents. */
+  def curateToShards(df: DataFrame, idCol: String, textCol: String,
+      shardBudget: Long, sampleFraction: Double = 1.0,
+      salt: String = "graft", minTokens: Int = 20,
+      maxTokens: Int = 100000, maxStopRatio: Double = 0.15,
+      neardupThreshold: Double = 0.8): DataFrame = {
+    val curated = curate(df, idCol, textCol, minTokens, maxTokens,
+      maxStopRatio, neardupThreshold)
+    val sampled =
+      if (sampleFraction >= 1.0) curated
+      else Sample.hashSample(curated, idCol, sampleFraction, salt)
+    Pack.packByBudget(
+      sampled.withColumn("n_tokens",
+        size(TextOps.tokens(col(textCol))).cast("long")),
+      idCol, "n_tokens", shardBudget)
+  }
+
   /** One-row curation funnel report: survivor counts after each stage.
     * The four row-local/fingerprint counts come from ONE scan-aggregate
     * (stage predicates as flags, exact survivors as a conditional

@@ -146,6 +146,36 @@ class NearDupSpec extends SparkSpec {
     assert(byComp.contains(1L))
   }
 
+  test("curateToShards: curate -> sample -> pack composition is consistent") {
+    import graft.operators.{Curate, Pack, Sample}
+    val base = "the quick brown fox jumps over a lazy dog near the " +
+      "river bank and walks to the old mill in town every day"
+    val w = base.split(" ")
+    // 30 distinct clean docs (unique suffix token) + one near-dup pair
+    val docs = ((0L until 30L).map(i => (i, base + s" marker$i")) :+
+      (100L, base + " marker0 extra")).toDF("doc_id", "text")
+    val out = Curate.curateToShards(docs, "doc_id", "text",
+      shardBudget = 100L, sampleFraction = 1.0,
+      maxStopRatio = 0.5, neardupThreshold = 0.7)
+    val rows = out.select("doc_id", "n_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // survivors ⊆ input, each carries its token count
+    assert(rows.map(_._1).toSet.subsetOf(
+      docs.collect().map(_.getLong(0)).toSet))
+    assert(rows.forall(_._2 == w.length + 1) ||
+      rows.exists(_._1 == 100L)) // doc 100 has one more token if kept
+    // shards are the packing of survivors in id order: dense from 0
+    val shards = rows.map(_._3).toSet
+    assert(shards == (0L to shards.max).toSet)
+    // sampling composes: a 0.5 sample is a subset of the full run
+    val sampled = Curate.curateToShards(docs, "doc_id", "text",
+      shardBudget = 100L, sampleFraction = 0.5,
+      maxStopRatio = 0.5, neardupThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(rows.map(_._1).toSet))
+    assert(sampled.size < rows.length)
+  }
+
   test("simhash64 low half == simhash32 (same base hash, wider vote)") {
     val docs = Seq((1L, textA), (2L, textC), (3L, textE))
       .toDF("doc_id", "text")
