@@ -17,7 +17,8 @@ object Explain {
         "a10_duration", "d1_dedup_latest", "t10_ann_cosine_topk",
         "t08_minhash_pairs", "t16_neardup_survivors",
         "t17_ann_ivf_search", "t19_curate_survivors",
-        "t20_embedding_dedup")
+        "t20_embedding_dedup", "t29_pq_search", "t30_hash_sample",
+        "t32_ngram_spans", "t33_pack_shards", "t34_ivfpq_search")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
