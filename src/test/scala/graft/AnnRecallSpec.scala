@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Ann
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Honest quality measurement for the approximate search family:
+  * recall@k of IVF (exact rerank in probed cells), PQ-ADC (approximate
+  * distance over the whole corpus), and IVF-PQ (both approximations)
+  * against the exact L2 top-k, on the driver-provided embeddings
+  * (real testdata, not blob fixtures — near-orthogonal synthetic
+  * vectors are the HARD case for ANN, so these floors are
+  * conservative). Floors are pinned from measured values with margin;
+  * a structural regression (wrong cells, broken LUT indexing, a
+  * codebook that stopped training) craters them to near-zero. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val K = 10
+  private val NProbes = 20
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+
+  private lazy val probes = corpus.filter(col("vec_id") < NProbes)
+
+  /** Exact squared-L2 top-K per probe (the ground truth). */
+  private lazy val exact: Map[Long, Set[Long]] = {
+    val d2 = VectorOps.norm2(zip_with(col("pv"), col("v"), (x, y) => x - y))
+    probes.select(col("vec_id").as("p_id"), col("v").as("pv"))
+      .crossJoin(corpus)
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("vec_id").as("c_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("d2").asc, col("c_id").asc)))
+      .filter(col("rn") <= K)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+  }
+
+  private def recallOf(res: DataFrame): Double = {
+    val got = res.collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val hits = exact.map { case (p, truth) =>
+      got.getOrElse(p, Set.empty).count(truth) }.sum
+    hits.toDouble / (exact.size * K)
+  }
+
+  test("recall@10 floors: IVF, PQ-ADC, IVF-PQ vs exact top-k") {
+    val cents = Ann.trainCentroids(corpus, "vec_id", "v", nlist = 8,
+      iters = 2)
+    val books = Ann.trainPq(corpus, "vec_id", "v", m = 4, dsub = 16,
+      ksub = 8, iters = 2)
+    val codes = Ann.pqEncode(corpus, "vec_id", "v", books, m = 4,
+      dsub = 16)
+
+    // IVF with exact rerank: recall loss comes only from cell pruning
+    val ivf = Ann.ivfSearch(corpus, "vec_id", "v", probes, cents,
+      "cent_id", "cv", k = K, nprobe = 4)
+      .select(col("p_id"), col("rn"), col("c_id"))
+    val rIvf = recallOf(ivf)
+
+    // PQ-ADC over the whole corpus: loss comes only from quantization
+    val adc = Ann.pqSearchAdc(codes, "vec_id", probes, "vec_id", "v",
+      books, m = 4, dsub = 16, k = K)
+    val rAdc = recallOf(adc)
+
+    // IVF-PQ: both losses compose
+    val ivfpq = Ann.ivfPqSearch(corpus, "vec_id", "v", probes, cents,
+      "cent_id", "cv", books, m = 4, dsub = 16, k = K, nprobe = 4)
+    val rIvfPq = recallOf(ivfpq)
+
+    // a finer quantizer (8 subspaces x 16 codes vs 4 x 8) must buy
+    // recall — the knob a production tuning run turns
+    val booksFine = Ann.trainPq(corpus, "vec_id", "v", m = 8, dsub = 8,
+      ksub = 16, iters = 2)
+    val codesFine = Ann.pqEncode(corpus, "vec_id", "v", booksFine,
+      m = 8, dsub = 8)
+    val rAdcFine = recallOf(Ann.pqSearchAdc(codesFine, "vec_id", probes,
+      "vec_id", "v", booksFine, m = 8, dsub = 8, k = K))
+
+    info(f"recall@$K%d ivf=$rIvf%.3f adc=$rAdc%.3f " +
+      f"adcFine=$rAdcFine%.3f ivfpq=$rIvfPq%.3f")
+    // floors at ~half the measured values (uniform-random 64-dim
+    // vectors are the quantization worst case; real embedding
+    // manifolds compress far better). Structural breakage — wrong
+    // cells, broken LUT indexing, untrained codebooks — lands at
+    // chance level (K/corpus = 0.02) or zero, far below these.
+    assert(rIvf >= 0.5, f"IVF recall collapsed: $rIvf%.3f")
+    assert(rAdc >= 0.08, f"PQ-ADC recall collapsed: $rAdc%.3f")
+    assert(rIvfPq >= 0.08, f"IVF-PQ recall collapsed: $rIvfPq%.3f")
+    assert(rAdcFine > rAdc,
+      f"finer quantizer did not improve recall: $rAdcFine%.3f <= $rAdc%.3f")
+  }
+}
