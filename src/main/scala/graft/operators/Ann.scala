@@ -273,6 +273,96 @@ object Ann {
       .select("p_id", "rn", "c_id", "ad2")
   }
 
+  /** Residual frame: (idCol, cell, rv) where rv = v − centroid(cell).
+    * Residuals are what production IVF-PQ quantizes (FAISS
+    * IndexIVFPQ): within a cell, vectors share the cell mean, so the
+    * residual distribution is tighter than the raw one and the same
+    * codebook budget buys less quantization error. One broadcast
+    * assignment pass + one broadcast join back to subtract. */
+  def residuals(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame =
+    ivfAssign(vectors, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .join(broadcast(centroids
+        .select(col(centIdCol).as("cell"), col(centVecCol).as("__cv"))),
+        Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("__cv"), (x, y) => x - y).as("rv"))
+
+  /** Train ONE shared PQ codebook on the residual corpus (classic
+    * IVF-PQ: codebooks are shared across cells, trained on residuals).
+    * Same determinism contract as [[trainPq]]. */
+  def trainPqResidual(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame =
+    trainPq(residuals(vectors, idCol, vecCol, centroids, centIdCol,
+      centVecCol), idCol, "rv", m, dsub, ksub, iters)
+
+  /** PQ-encode residuals: (idCol, cell, codes) — the complete
+    * residual IVF-PQ index row. */
+  def pqEncodeResidual(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      books: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val res = residuals(vectors, idCol, vecCol, centroids, centIdCol,
+      centVecCol)
+    res.select(col(idCol), col("cell"))
+      .join(pqEncode(res, idCol, "rv", books, m, dsub), Seq(idCol))
+  }
+
+  /** Residual IVF-PQ search: candidates come from the `nprobe` nearest
+    * cells and score by ADC over RESIDUAL lookup tables — for probe p
+    * and cell c, LUT[s][j] = ‖slice(p − centroid_c, s) − codeword(s,j)‖²,
+    * so the table is per (probe, cell): nprobe × m × ksub entries per
+    * probe, still broadcast-sized. Same output contract as
+    * [[ivfPqSearch]]; same scale shape (the coded index is scanned
+    * row-locally; only the top-k shuffles). */
+  def ivfPqSearchResidual(vectors: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String, books: DataFrame,
+      m: Int, dsub: Int, k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val index = pqEncodeResidual(vectors, idCol, vecCol, centroids,
+      centIdCol, centVecCol, books, m, dsub)
+      .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+    val pcells = probes.crossJoin(broadcast(centroids))
+      .withColumn("__d2", VectorOps.norm2(
+        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__d2").asc, col(centIdCol).asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol).as("p_id"),
+        col(centIdCol).as("cell"),
+        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)
+          .as("__prv"))
+    val pd: Column = VectorOps.norm2(zip_with(
+      slice(col("__prv"), col("sub") * dsub + 1, lit(dsub)),
+      col("cv"), (x, y) => x - y))
+    val lut = pcells.crossJoin(broadcast(books))
+      .select(col("p_id"), col("cell"), col("sub"), col("code"),
+        pd.as("pd"))
+      .groupBy("p_id", "cell", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("pd")))),
+        x => x.getField("pd")).as("lsub"))
+      .groupBy("p_id", "cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("lsub")))),
+        x => x.getField("lsub")).as("lut"))
+    val scored = index.join(broadcast(lut), Seq("cell"))
+      .filter(col("c_id") =!= col("p_id"))
+      .select(col("p_id"), col("c_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)), 6).as("ad2"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id")
+          .orderBy(col("ad2").asc, col("c_id").asc)))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "c_id", "ad2")
+  }
+
   /** Composed IVF-PQ search — the production 100-TB ANN shape: IVF
     * prunes WHICH vectors a probe touches (only the `nprobe` nearest
     * cells), PQ prices WHAT each touch costs (ADC table lookups over

@@ -1104,6 +1104,81 @@ object TrainingQueries {
            |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
            |WHERE rn <= 3""".stripMargin
       }),
+
+    // ---- RESIDUAL IVF-PQ search (operators.Ann.ivfPqSearchResidual):
+    // the FAISS-IndexIVFPQ design — one shared PQ codebook trained on
+    // v − centroid(cell), lookup tables per (probe, probed cell). The
+    // oracle builds the residual corpus as a CTE (coarse Lloyd chain →
+    // assignment → per-dim subtraction), trains the codebooks on it
+    // with the SAME generated chain as t28 (pqLloydSqlFrom), and
+    // replicates encode, the per-cell LUTs, and the top-k order.
+    QueryDef(
+      "t35_ivfpq_residual",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
+        val books = graft.operators.Ann.trainPqResidual(e, "vec_id", "v",
+          cents, "cent_id", "cv", PqM, PqDsub, PqKsub, PqIters)
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Ann.ivfPqSearchResidual(e, "vec_id", "v", probes,
+          cents, "cent_id", "cv", books, PqM, PqDsub, k = 3, nprobe = 2)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        def residList(v: String, c: String) = (1 to Dims)
+          .map(i => s"CAST($v.embedding[$i] AS DOUBLE) - $c.m${i - 1}")
+          .mkString("list_value(", ", ", ")")
+        s"""WITH ${lloydSql(8, 2)},
+           |cents AS (SELECT * FROM c2),
+           |cells AS (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |resid AS MATERIALIZED (SELECT e.vec_id, cl.cell,
+           |    ${residList("e", "c")} AS rv
+           |  FROM embeddings e
+           |  JOIN cells cl ON cl.c_id = e.vec_id
+           |  JOIN cents c ON c.cent_id = cl.cell),
+           |${pqLloydSqlFrom("resid", "rv", PqM, PqDsub, PqKsub, PqIters)},
+           |enc AS (SELECT vec_id, cell, sub, code FROM (
+           |  SELECT e.vec_id, e.cell, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2SqlOn("e", "rv", "c", PqDsub)} ASC,
+           |        c.code ASC) AS rn
+           |  FROM resid e, b$PqIters c) WHERE rn = 1),
+           |pcells AS (SELECT p_id, cell FROM (
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c)
+           |  WHERE rn <= 2),
+           |presid AS MATERIALIZED (SELECT pc.p_id, pc.cell,
+           |    ${residList("p", "c")} AS prv
+           |  FROM pcells pc
+           |  JOIN embeddings p ON p.vec_id = pc.p_id
+           |  JOIN cents c ON c.cent_id = pc.cell),
+           |lut AS (SELECT pr.p_id, pr.cell, c.sub, c.code,
+           |    ${pqD2SqlOn("pr", "prv", "c", PqDsub)} AS pd
+           |  FROM presid pr, b$PqIters c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e
+           |  JOIN lut l ON l.cell = e.cell AND l.sub = e.sub
+           |    AND l.code = e.code
+           |  WHERE e.vec_id <> l.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j)
+           |SELECT p_id, rn, c_id, ad2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |WHERE rn <= 3""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
@@ -1129,14 +1204,18 @@ object TrainingQueries {
 
   /** Squared L2 between vector-relation `e`'s sub-slice and PQ-codebook
     * relation `c`'s per-dim columns m0..m{dsub-1}: the sub-slice is
-    * positional indexing `embedding[c.sub·dsub + i + 1]` — a
-    * left-assoc addition chain matching Spark's sequential fold. */
-  private def pqD2Sql(e: String, c: String, dsub: Int): String =
+    * positional indexing `vcol[c.sub·dsub + i + 1]` — a left-assoc
+    * addition chain matching Spark's sequential fold. */
+  private def pqD2SqlOn(e: String, vcol: String, c: String,
+      dsub: Int): String =
     (0 until dsub).map { i =>
-      val d = s"(CAST($e.embedding[$c.sub * $dsub + ${i + 1}] AS DOUBLE)" +
+      val d = s"(CAST($e.$vcol[$c.sub * $dsub + ${i + 1}] AS DOUBLE)" +
         s" - $c.m$i)"
       s"$d * $d"
     }.mkString("(", " + ", ")")
+
+  private def pqD2Sql(e: String, c: String, dsub: Int): String =
+    pqD2SqlOn(e, "embedding", c, dsub)
 
   /** WITH-chain replicating Ann.trainPq in DuckDB — lloydSql's shape
     * run per subspace, all subspaces at once: b0 = code c of subspace
@@ -1146,22 +1225,28 @@ object TrainingQueries {
     * sums — exact, order-free), b_k (mean as one double division,
     * empty codes COALESCE to the previous codeword). Codewords are
     * per-dim columns m0..m{dsub-1} keyed by (sub, code). */
-  private def pqLloydSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+  private def pqLloydSql(m: Int, dsub: Int, ksub: Int, iters: Int): String =
+    pqLloydSqlFrom("embeddings", "embedding", m, dsub, ksub, iters)
+
+  /** Same chain over any (vec_id, `vcol` list) relation — lets the
+    * residual gate (t35) train codebooks on a residual CTE. */
+  private def pqLloydSqlFrom(rel: String, vcol: String, m: Int,
+      dsub: Int, ksub: Int, iters: Int): String = {
     val subList = (0 until m).mkString("[", ", ", "]")
     val initCols = (0 until dsub)
-      .map(i => s"CAST(e.embedding[ss.sub * $dsub + ${i + 1}] AS DOUBLE)" +
+      .map(i => s"CAST(e.$vcol[ss.sub * $dsub + ${i + 1}] AS DOUBLE)" +
         s" AS m$i")
       .mkString(", ")
     val sb = new StringBuilder(
       s"""b0 AS (SELECT ss.sub, CAST(e.rn - 1 AS INTEGER) AS code, $initCols
-         |  FROM (SELECT vec_id, embedding,
+         |  FROM (SELECT vec_id, $vcol,
          |          row_number() OVER (ORDER BY vec_id) AS rn
-         |        FROM embeddings ORDER BY vec_id LIMIT $ksub) e,
+         |        FROM $rel ORDER BY vec_id LIMIT $ksub) e,
          |       (SELECT unnest($subList) AS sub) ss)""".stripMargin)
     for (k <- 1 to iters) {
       val prev = s"b${k - 1}"
       val sumCols = (0 until dsub)
-        .map(i => s"SUM(CAST(floor(CAST(e.embedding[a.sub * $dsub + " +
+        .map(i => s"SUM(CAST(floor(CAST(e.$vcol[a.sub * $dsub + " +
           s"${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
         .mkString(", ")
       val meanCols = (0 until dsub)
@@ -1171,11 +1256,12 @@ object TrainingQueries {
       sb ++= s""",
          |pa$k AS (SELECT e.vec_id, c.sub, c.code,
          |    row_number() OVER (PARTITION BY e.vec_id, c.sub
-         |      ORDER BY ${pqD2Sql("e", "c", dsub)} ASC, c.code ASC) AS rn
-         |  FROM embeddings e, $prev c),
+         |      ORDER BY ${pqD2SqlOn("e", vcol, "c", dsub)} ASC,
+         |        c.code ASC) AS rn
+         |  FROM $rel e, $prev c),
          |ps$k AS (SELECT a.sub, a.code, COUNT(*) AS n, $sumCols
          |  FROM (SELECT vec_id, sub, code FROM pa$k WHERE rn = 1) a
-         |  JOIN embeddings e USING (vec_id) GROUP BY a.sub, a.code),
+         |  JOIN $rel e USING (vec_id) GROUP BY a.sub, a.code),
          |b$k AS (SELECT p.sub, p.code, $meanCols
          |  FROM $prev p LEFT JOIN ps$k q
          |    ON q.sub = p.sub AND q.code = p.code)""".stripMargin

@@ -94,4 +94,55 @@ class AnnRecallSpec extends SparkSpec {
     assert(rAdcFine > rAdc,
       f"finer quantizer did not improve recall: $rAdcFine%.3f <= $rAdc%.3f")
   }
+
+  test("residual IVF-PQ beats raw IVF-PQ on clustered data") {
+    // Residual quantization wins when cells carry real offsets: shift
+    // each vector by +20 along dimension (label mod 64) — ten tight
+    // clusters. A raw codebook must span the shifted range; the
+    // residual codebook only spans within-cluster spread (the FAISS
+    // IndexIVFPQ rationale). On the uniform testdata the two tie
+    // (centroid offsets are tiny) — clustered is where the design
+    // pays, so that is what gets pinned.
+    val labeled = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("v0"))
+      .select(col("vec_id"),
+        zip_with(col("v0"),
+          transform(sequence(lit(0), lit(63)),
+            i => when(i === col("label") % 64, lit(20.0))
+              .otherwise(lit(0.0))),
+          (x, o) => x + o).as("v"))
+    val cProbes = labeled.filter(col("vec_id") < NProbes)
+    val d2 = VectorOps.norm2(zip_with(col("pv"), col("v"), (x, y) => x - y))
+    val truth = cProbes.select(col("vec_id").as("p_id"), col("v").as("pv"))
+      .crossJoin(labeled)
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("vec_id").as("c_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("d2").asc, col("c_id").asc)))
+      .filter(col("rn") <= K)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+    def recallVs(res: DataFrame): Double = {
+      val got = res.collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+      truth.map { case (p, t) => got.getOrElse(p, Set.empty).count(t) }
+        .sum.toDouble / (truth.size * K)
+    }
+    val cents = Ann.trainCentroids(labeled, "vec_id", "v", nlist = 10,
+      iters = 3)
+    val raw = Ann.trainPq(labeled, "vec_id", "v", m = 4, dsub = 16,
+      ksub = 8, iters = 2)
+    val rRaw = recallVs(Ann.ivfPqSearch(labeled, "vec_id", "v", cProbes,
+      cents, "cent_id", "cv", raw, m = 4, dsub = 16, k = K, nprobe = 4))
+    val res = Ann.trainPqResidual(labeled, "vec_id", "v", cents,
+      "cent_id", "cv", m = 4, dsub = 16, ksub = 8, iters = 2)
+    val rRes = recallVs(Ann.ivfPqSearchResidual(labeled, "vec_id", "v",
+      cProbes, cents, "cent_id", "cv", res, m = 4, dsub = 16, k = K,
+      nprobe = 4))
+    info(f"clustered recall@$K%d raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes > rRaw,
+      f"residual codebook did not improve recall: $rRes%.3f <= $rRaw%.3f")
+  }
 }
