@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate analytics — the sub-linear-memory answers
+  * a 100-TB profiling pass needs where exact answers would shuffle the
+  * corpus: distinct cardinalities (HyperLogLog++), quantiles
+  * (Greenwald-Khanna), and frequent items. All three are Spark
+  * built-ins (map-side partial sketches merge associatively — one
+  * narrow shuffle of fixed-size sketch state per group, never the
+  * values), surfaced here with the error-contract documented and
+  * spec-tested instead of assumed.
+  *
+  * No DuckDB oracle: sketch state is engine-specific by nature (the
+  * gate queries use exact counts; these operators exist for the scales
+  * where exact is the wrong plan). Accuracy bounds are pinned in
+  * SketchesSpec against exact answers on data large enough for the
+  * estimate to be non-trivial.
+  */
+object Sketches {
+
+  /** Per-group approximate distinct + total counts:
+    * (groupCols..., n_rows, approx_distinct). `rsd` is HLL++ relative
+    * standard deviation (default 5%; memory ∝ 1/rsd²). */
+  def distinctProfile(df: DataFrame, groupCols: Seq[String],
+      col_ : String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(col(col_), rsd).as("approx_distinct"))
+
+  /** Per-group approximate quantiles of a numeric column, one row per
+    * group: (groupCols..., q_<pct>...). `accuracy` is the
+    * Greenwald-Khanna inverse-epsilon (default 1000 → ε = 0.1%). */
+  def quantileProfile(df: DataFrame, groupCols: Seq[String],
+      col_ : String, percentiles: Seq[Double],
+      accuracy: Int = 1000): DataFrame = {
+    val pArr = array(percentiles.map(lit): _*)
+    val q = percentile_approx(col(col_), pArr, lit(accuracy)).as("__q")
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(q)
+    percentiles.zipWithIndex.foldLeft(grouped) { case (acc, (p, i)) =>
+      acc.withColumn(s"q_${(p * 100).round}", element_at(col("__q"), i + 1))
+    }.drop("__q")
+  }
+
+  /** Approximate membership prune: build a Bloom filter over
+    * `keyCol` of `small` (expectedItems/fpp sized) and return rows of
+    * `large` whose `keyCol` might be in it — the classic pre-join
+    * reducer when the join side is too big to broadcast but its KEY
+    * SET fits a filter: false positives only (never drops a match),
+    * so a later exact join stays correct while shuffling only the
+    * surviving fraction. The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` predicate (what runtime row-level
+    * filtering injects) over the serialized filter literal — NOT a
+    * Scala UDF, so the scan stage stays in whole-stage codegen. */
+  def bloomPrune(large: DataFrame, small: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(col(keyCol).cast("long"),
+      expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bos.toByteArray,
+            org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          col(keyCol).cast("long"))))
+    large.filter(probe)
+  }
+}

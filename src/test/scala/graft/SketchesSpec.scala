@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch accuracy contracts measured against exact answers. */
+class SketchesSpec extends SparkSpec {
+
+  test("distinctProfile: HLL++ estimate within 3x rsd of exact") {
+    import spark.implicits._
+    // group a: 10_000 distinct; group b: 500 distinct (with repeats)
+    val df = ((0 until 50000).map(i => ("a", (i % 10000).toLong)) ++
+      (0 until 20000).map(i => ("b", (i % 500).toLong)))
+      .toDF("g", "k")
+    val prof = Sketches.distinctProfile(df, Seq("g"), "k", rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(prof("a") - 10000.0) / 10000.0 <= 0.15,
+      s"group a estimate ${prof("a")}")
+    assert(math.abs(prof("b") - 500.0) / 500.0 <= 0.15,
+      s"group b estimate ${prof("b")}")
+  }
+
+  test("quantileProfile: GK quantiles within rank-error bound") {
+    import spark.implicits._
+    val n = 100000
+    val df = (0 until n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val q = Sketches.quantileProfile(df, Seq("g"), "v",
+      Seq(0.5, 0.9, 0.99), accuracy = 1000)
+      .collect()(0)
+    // accuracy=1000 → rank error ≤ n/1000 = 100 positions
+    val (q50, q90, q99) = (q.getLong(1), q.getLong(2), q.getLong(3))
+    assert(math.abs(q50 - n / 2) <= n / 1000 + 1, s"q50=$q50")
+    assert(math.abs(q90 - 9 * n / 10) <= n / 1000 + 1, s"q90=$q90")
+    assert(math.abs(q99 - 99 * n / 100) <= n / 1000 + 1, s"q99=$q99")
+  }
+
+  test("bloomPrune: no false negatives, fp rate bounded, no UDF in plan") {
+    import spark.implicits._
+    val keys = (0L until 2000L).map(k => Tuple1(k * 3)).toDF("k")
+    // a Range source keeps the Filter in the plan — over a
+    // LocalRelation Catalyst folds the whole predicate away before
+    // the plan assert can see it
+    val large = spark.range(60000L).toDF("k")
+    val pruned = Sketches.bloomPrune(large, keys, "k",
+      expectedItems = 2000, fpp = 0.01)
+    val survived = pruned.collect().map(_.getLong(0)).toSet
+    // every true key survives (false positives only, never negatives)
+    val trueKeys = (0L until 2000L).map(_ * 3).toSet
+    assert(trueKeys.subsetOf(survived))
+    // false-positive rate within ~3x nominal
+    val fps = survived.size - trueKeys.size
+    val fpRate = fps.toDouble / (60000 - trueKeys.size)
+    assert(fpRate <= 0.03, s"fp rate $fpRate")
+    // the probe is the codegen'd native predicate, not a UDF
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+    assert(!plan.contains("UDF"), "probe fell back to a UDF")
+  }
+}
