@@ -27,6 +27,29 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  // -- row-local text cleaning (the pre-tokenize normalization pass of
+  // a corpus pipeline; pure projections, patterns restricted to syntax
+  // Java regex and RE2 agree on so the t37 gate can prove parity) --
+
+  /** Drop URLs (http/https through the next whitespace). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "https?://[^ ]+", " ")
+
+  /** Replace email addresses with a placeholder token (PII hygiene). */
+  def maskEmails(text: Column): Column =
+    regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<email>")
+
+  /** Collapse space runs and trim — keeps cleaned text tokenizer-
+    * compatible (tokens() splits on single spaces). */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "  *", " "))
+
+  /** The composed cleaning pass: URLs out, emails masked, whitespace
+    * normalized. */
+  def cleanText(text: Column): Column =
+    collapseWhitespace(maskEmails(stripUrls(text)))
+
   /** BPE-ish token count: word pieces + isolated punctuation. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))

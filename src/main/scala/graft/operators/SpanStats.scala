@@ -46,4 +46,39 @@ object SpanStats {
       .withColumn("dup_ratio",
         round(col("n_dup_spans") / col("n_spans"), 6))
   }
+
+  /** Benchmark decontamination signal: per document, how many sliding
+    * `n`-token spans also occur in the BENCHMARK corpus — the standard
+    * eval-leakage check before training (a doc sharing long token
+    * spans with a test set is contaminated even if globally unique).
+    * Output: (idCol, n_spans, n_contaminated, contamination_ratio),
+    * ratio 0.0 for span-less docs (they cannot leak).
+    *
+    * Scale shape: the benchmark's DISTINCT gram set is tiny next to
+    * the corpus (eval sets are small by definition) — it broadcasts,
+    * so hit-counting is a broadcast semi join on the exploded corpus
+    * and the only corpus-wide shuffle is the per-doc count. Total
+    * span counts never explode at all (row-local array size). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = bench.select(
+      explode(TextOps.ngramsRaw(TextOps.tokens(col(benchTextCol)), n))
+        .as("gram")).distinct()
+    val totals = docs.select(col(idCol),
+      size(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
+        .cast("long").as("n_spans"))
+    val hits = docs.select(col(idCol),
+      explode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
+        .as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination_ratio",
+        when(col("n_spans") > 0,
+          round(col("n_contaminated") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -1179,6 +1179,66 @@ object TrainingQueries {
            |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
            |WHERE rn <= 3""".stripMargin
       }),
+
+    // ---- benchmark decontamination (operators.SpanStats
+    // .contamination): per-document 5-token-span overlap against a
+    // benchmark set (docs with id % 10 = 0 stand in for the eval
+    // corpus) — the standard eval-leakage check before training.
+    // Benchmark grams are distinct + broadcast; total span counts are
+    // row-local array sizes (never exploded).
+    QueryDef(
+      "t36_contamination",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        graft.operators.SpanStats.contamination(
+          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 10 === 0), "text", n = 5)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |bg AS (SELECT DISTINCT
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 10 = 0),
+              |tot AS (SELECT doc_id,
+              |    CAST(len(${DuckSql.ngramsRaw("toks", 5)}) AS BIGINT)
+              |      AS n_spans
+              |  FROM t WHERE doc_id % 10 <> 0),
+              |g AS (SELECT doc_id,
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 10 <> 0),
+              |hits AS (SELECT doc_id, COUNT(*) AS n_cont
+              |  FROM g JOIN bg USING (gram) GROUP BY 1)
+              |SELECT tot.doc_id, tot.n_spans,
+              |  COALESCE(h.n_cont, 0) AS n_contaminated,
+              |  CASE WHEN tot.n_spans > 0 THEN
+              |    round(CAST(COALESCE(h.n_cont, 0) AS DOUBLE)
+              |      / CAST(tot.n_spans AS DOUBLE), 6)
+              |  ELSE 0.0 END AS contamination_ratio
+              |FROM tot LEFT JOIN hits h USING (doc_id)"""
+        .stripMargin)),
+
+    // ---- row-local text cleaning (TextOps.cleanText): URL strip,
+    // email masking, whitespace collapse — the pre-tokenize
+    // normalization pass, patterns restricted to syntax Java regex
+    // and RE2 agree on. The corpus text is clean, so the gate
+    // synthesizes a dirty suffix (URL + email from row values) and
+    // proves both engines normalize it identically.
+    QueryDef(
+      "t37_clean_text",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.cleanText(concat(col("text"),
+            lit(" see http://ex.a/"), col("doc_id").cast("string"),
+            lit(" or  mail "), col("lang"), lit("@ex.com now")))
+            .as("cleaned")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' see http://ex.a/' || CAST(doc_id AS VARCHAR)
+             |      || ' or  mail ' || lang || '@ex.com now',
+             |    'https?://[^ ]+', ' ', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+             |      '<email>', 'g'),
+             |    '  *', ' ', 'g')) AS cleaned
+             |FROM documents""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -41,6 +41,40 @@ class SpanStatsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("contamination: benchmark overlap counted, clean and short docs 0.0") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // one span, fully in bench
+      (2L, "p q r s t u"), // two spans, none in bench
+      (3L, "x y"), // span-less
+      (4L, "zzz alpha beta gamma delta epsilon zeta") // 3 spans, 2 hit
+    ).toDF("doc_id", "text")
+    val out = SpanStats.contamination(corpus, "doc_id", "text",
+      bench, "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0))) // span-less: ratio 0, row kept
+    assert(out(4L)._1 == 3L && out(4L)._2 == 2L)
+  }
+
+  test("cleanText: urls stripped, emails masked, whitespace collapsed") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val rows = Seq(
+      "go to https://a.b/c?d=1 then  mail bob.smith+x@mail.co today",
+      "  spaced   out  ",
+      "no dirt here").toDF("t")
+      .select(TextOps.cleanText(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(0) == "go to then mail <email> today")
+    assert(rows(1) == "spaced out")
+    assert(rows(2) == "no dirt here")
+  }
+
   test("duplicatedNgramStats: docs shorter than n produce no row") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b c d e f")).toDF("doc_id", "text")
