@@ -57,6 +57,40 @@ object Sample {
       .drop("__rate_buckets")
   }
 
+  /** Sample each stratum DOWN to a target token budget ("~1M tokens
+    * per language"): rate_s = budget_s / Σ tokens_s, computed inside
+    * the plan (one narrow per-stratum aggregate joined back broadcast)
+    * and applied as the same salted-bucket decision as
+    * [[stratifiedSample]] — so the draw stays deterministic,
+    * partitioning-independent, and coordinated. Strata already under
+    * budget keep every row (rate clamps to 1); strata absent from the
+    * budgets map drop. Expected sampled tokens per stratum ≈ budget
+    * (hash uniformity; exact only in expectation — a hard cap needs
+    * [[Pack.packByBudget]]'s prefix sums instead).
+    *
+    * rate_buckets = min(10⁶, budget·10⁶ DIV Σtokens) is EXACT integer
+    * arithmetic (reproducible across engines — the t38 gate);
+    * budget·10⁶ must fit a long, hence the < 2⁴² bound (~4.4 T tokens
+    * per stratum, far above any single-stratum target). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String,
+      stratumCol: String, tokenCol: String, budgets: Map[String, Long],
+      salt: String = "graft"): DataFrame = {
+    require(budgets.values.forall(b => b >= 0 && b < (1L << 42)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(stratumCol, "__budget")
+    val rates = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .filter(col("__tot") > 0) // zero-token strata: nothing to sample
+      .join(budgetDf, Seq(stratumCol))
+      .select(col(stratumCol),
+        least(lit(Buckets),
+          expr(s"__budget * $Buckets DIV __tot")).as("__rate_buckets"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), salt) < col("__rate_buckets"))
+      .drop("__rate_buckets")
+  }
+
   /** Disjoint deterministic splits (train/val/test): adds a `split`
     * column = index into `fractions` by contiguous bucket ranges
     * (split i covers [Σ_{j<i} f_j, Σ_{j<=i} f_j)·10⁶), or -1 for rows

@@ -31,6 +31,9 @@ object TrainingQueries {
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625)
   private val SplitFractions = Seq(0.6, 0.2)
+  // en far above its corpus total (rate clamps to 1); es absent (drops)
+  private val TokenBudgets = Map(
+    "en" -> 1000000L, "de" -> 2000L, "fr" -> 1000L, "zh" -> 500L)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -1239,6 +1242,41 @@ object TrainingQueries {
              |      '<email>', 'g'),
              |    '  *', ' ', 'g')) AS cleaned
              |FROM documents""".stripMargin)),
+
+    // ---- token-budget proportional sampling (operators.Sample
+    // .sampleToTokenBudget): downsample each language to ~a target
+    // token count — rate_buckets = min(10⁶, budget·10⁶ DIV Σtokens)
+    // is exact integer arithmetic computed inside the plan, applied
+    // as the same salted-bucket decision as t30. en's budget exceeds
+    // its total (rate clamps to 1, all rows kept); es is absent from
+    // the budgets map (dropped).
+    QueryDef(
+      "t38_token_budget_sample",
+      (s, dir) => graft.operators.Sample.sampleToTokenBudget(
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", TokenBudgets, "graft")
+        .select("doc_id", "lang", "n_tokens"),
+      Some {
+        val budgetRows = TokenBudgets.toSeq.sorted
+          .map { case (k, b) => s"('$k', $b)" }.mkString(", ")
+        val bucket = DuckSql.hexToLong(
+          "md5('graft|' || CAST(t.doc_id AS VARCHAR))", 8)
+        s"""WITH t AS (SELECT doc_id, lang,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |budgets(lang, budget) AS (VALUES $budgetRows),
+           |rates AS (SELECT t.lang,
+           |    least(1000000, CAST(b.budget AS BIGINT) * 1000000 // tot)
+           |      AS rb
+           |  FROM (SELECT lang, SUM(n_tokens) AS tot FROM t GROUP BY 1
+           |        HAVING SUM(n_tokens) > 0) t
+           |  JOIN budgets b ON b.lang = t.lang)
+           |SELECT t.doc_id, t.lang, t.n_tokens
+           |FROM t JOIN rates r ON r.lang = t.lang
+           |WHERE $bucket % 1000000 < r.rb""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -47,6 +47,32 @@ class SampleSpec extends SparkSpec {
     assert(out.count() == ids.filter(col("stratum") === "a").count())
   }
 
+  test("sampleToTokenBudget: ~budget tokens kept per stratum, clamp, drop") {
+    import spark.implicits._
+    val docs = (0L until 3000L)
+      .map(i => (i, if (i % 3 == 0) "big" else if (i % 3 == 1) "small"
+        else "unbudgeted", 100L))
+      .toDF("id", "stratum", "n_tokens")
+    // big: 100k tokens total, budget 20k => ~20% kept
+    // small: 100k total, budget 1B => clamp, ALL kept
+    // unbudgeted: absent => dropped
+    val out = graft.operators.Sample.sampleToTokenBudget(docs, "id",
+      "stratum", "n_tokens", Map("big" -> 20000L, "small" -> 1000000000L))
+    val kept = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("unbudgeted"))
+    assert(kept("small") == 1000L) // clamp keeps every row
+    val bigTokens = kept("big") * 100L
+    assert(bigTokens > 10000L && bigTokens < 30000L,
+      s"big stratum sampled to $bigTokens tokens for a 20k budget")
+    // deterministic across partitionings
+    val again = graft.operators.Sample.sampleToTokenBudget(
+      docs.repartition(13), "id", "stratum", "n_tokens",
+      Map("big" -> 20000L, "small" -> 1000000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hashSplit: splits are disjoint, exhaustive over bounds, stable") {
     val out = Sample.hashSplit(ids, "id", Seq(0.5, 0.3, 0.2), "sp")
     assert(out.count() == 2000)
