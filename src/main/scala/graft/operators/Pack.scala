@@ -41,7 +41,14 @@ object Pack {
     require(budget > 0 && nBuckets > 0)
     val bounds = df.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).collect()(0)
-    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L))
+    if (bounds.isNullAt(0)) {
+      // empty input — but a non-empty frame whose ids cast to null
+      // (non-numeric id column) must fail loudly, not pack everything
+      // into shard 0
+      require(df.isEmpty,
+        s"packByBudget: id column '$idCol' has no numeric values")
+      return df.withColumn("shard", lit(0L))
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // bucket = (id - lo) DIV ceil(span / nBuckets): contiguous id
     // ranges, <= nBuckets buckets, overflow-free integer arithmetic

@@ -35,6 +35,8 @@ object Sketches {
   def quantileProfile(df: DataFrame, groupCols: Seq[String],
       col_ : String, percentiles: Seq[Double],
       accuracy: Int = 1000): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0.0 && p <= 1.0))
     val pArr = array(percentiles.map(lit): _*)
     val q = percentile_approx(col(col_), pArr, lit(accuracy)).as("__q")
     val grouped = df.groupBy(groupCols.map(col): _*).agg(q)
