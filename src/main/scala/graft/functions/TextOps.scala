@@ -62,40 +62,28 @@ object TextOps {
       array_distinct(shingles3Raw(toks)))
       .otherwise(array().cast("array<string>"))
 
-  /** Positional (non-distinct) 3-gram shingles. MinHash only needs
-    * these: min over a multiset equals min over its set, so skipping
-    * the distinct saves the dedup pass on the signature path.
+  /** Positional (non-distinct) 3-gram shingles = [[ngramsRaw]] at
+    * n = 3. MinHash only needs these: min over a multiset equals min
+    * over its set, so skipping the distinct saves the dedup pass on
+    * the signature path. (The slice/zip_with construction and the
+    * O(tokens²) optimizer-rewrite trap it avoids are documented once,
+    * on ngramsRaw.) */
+  def shingles3Raw(toks: Column): Column = ngramsRaw(toks, 3)
+
+  /** Positional (non-distinct) n-gram token spans: n parallel slices
+    * zipped pairwise. Documents shorter than n yield an empty array.
     *
-    * PERF — why zip_with over slices and NOT
-    * `transform(sequence(0, n-3), i -> toks[i] || toks[i+1] || ...)`:
+    * PERF — why slices/zip_with and NOT
+    * `transform(sequence(0, m-1), i -> toks[i] || toks[i+1] || ...)`:
     * a lambda body that references `toks` evaluates the EXPRESSION
     * behind it per element — and after CollapseProject inlines a
     * `withColumn` alias, that expression is the whole `split(text)`.
-    * Three gets per shingle made the stage O(tokens²) per document
-    * (measured 33 s for a 52k-doc corpus vs 0.4 s fixed — the r1/r2
-    * "materialize tokens first" note only shrank the constant; any
-    * later collapse silently re-introduced the blowup). The slices
-    * below each evaluate `toks` once per ROW regardless of how the
-    * optimizer rewrites the plan, and the zip_with lambdas touch only
-    * their element arguments. */
-  def shingles3Raw(toks: Column): Column = {
-    val n = size(toks)
-    val a = slice(toks, lit(1), n - 2) // toks[0 .. n-3]
-    val b = slice(toks, lit(2), n - 2) // toks[1 .. n-2]
-    val c = slice(toks, lit(3), n - 2) // toks[2 .. n-1]
-    when(n >= 3,
-      zip_with(
-        zip_with(a, b, (x, y) => concat(x, lit(" "), y)),
-        c, (xy, z) => concat(xy, lit(" "), z)))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Positional (non-distinct) n-gram token spans, the generalized
-    * [[shingles3Raw]]: n parallel slices zipped pairwise — the same
-    * construction, for the same reason (every slice evaluates `toks`
-    * once per ROW; no lambda body ever references an outer column, so
-    * no optimizer rewrite can reintroduce the O(tokens²) blowup).
-    * Documents shorter than n yield an empty array. */
+    * n gets per span made the stage O(tokens²) per document (measured
+    * 33 s for a 52k-doc corpus vs 0.4 s fixed; "materialize tokens
+    * first" only shrank the constant — any later collapse silently
+    * re-introduced the blowup). Each slice below evaluates `toks`
+    * once per ROW regardless of how the optimizer rewrites the plan,
+    * and the zip_with lambdas touch only their element arguments. */
   def ngramsRaw(toks: Column, n: Int): Column = {
     require(n >= 1)
     val m = size(toks) - (n - 1) // span positions

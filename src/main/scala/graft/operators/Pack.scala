@@ -33,21 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  private val IntegralIdTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
   /** Assign each row a `shard` id: exclusive-prefix-sum of
     * `countCol` in `idCol` order, DIV `budget`. Adds nothing else;
     * row count and columns are otherwise preserved. */
   def packByBudget(df: DataFrame, idCol: String, countCol: String,
       budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(budget > 0 && nBuckets > 0)
-    val bounds = df.agg(min(col(idCol)).cast("long"),
+    // id must be integral: a numeric-STRING id would bucket by numeric
+    // cast but window-order lexicographically ("10" < "9"), silently
+    // diverging from the single-window prefix sum
+    require(IntegralIdTypes.contains(df.schema(idCol).dataType),
+      s"packByBudget: id column '$idCol' must be an integral type, " +
+        s"got ${df.schema(idCol).dataType}")
+    // the operator runs two driver aggregates (bounds, bucket totals)
+    // plus the consumer's action over the same input plan — persist it
+    // so an expensive upstream (curateToShards runs the whole curation
+    // pipeline here) computes once, not three times. Registered with
+    // CacheRegistry: long-lived sessions release via
+    // CacheRegistry.release() (Bench does, per rep).
+    val src = graft.CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bounds = src.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).collect()(0)
-    if (bounds.isNullAt(0)) {
-      // empty input — but a non-empty frame whose ids cast to null
-      // (non-numeric id column) must fail loudly, not pack everything
-      // into shard 0
-      require(df.isEmpty,
-        s"packByBudget: id column '$idCol' has no numeric values")
-      return df.withColumn("shard", lit(0L))
+    if (bounds.isNullAt(0)) { // empty input (or all-null ids)
+      return src.withColumn("shard", lit(0L))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // bucket = (id - lo) DIV ceil(span / nBuckets): contiguous id
@@ -56,20 +70,20 @@ object Pack {
     val width = math.max((span + nBuckets - 1) / nBuckets, 1L)
     val bucket: Column = // integer DIV: exact and monotone at any id
       expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${width}L")
-    val totals = df.groupBy(bucket.as("__bkt"))
+    val totals = src.groupBy(bucket.as("__bkt"))
       .agg(sum(col(countCol)).cast("long").as("__tot"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       .toSeq
     val offsets = totals.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (b, tot)) => (b, acc + tot)
     }.sliding(2).map { case Seq((_, off), (b, _)) => (b, off) }.toSeq
-    val spark = df.sparkSession
+    val spark = src.sparkSession
     import spark.implicits._
     val offDf = offsets.toDF("__bkt", "__off")
     val localPrefix = sum(col(countCol)).over(
       Window.partitionBy("__bkt").orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, -1))
-    df.withColumn("__bkt", bucket)
+    src.withColumn("__bkt", bucket)
       .join(broadcast(offDf), Seq("__bkt"))
       .withColumn("__pfx", coalesce(localPrefix, lit(0L)) + col("__off"))
       .withColumn("shard", expr(s"__pfx DIV $budget"))

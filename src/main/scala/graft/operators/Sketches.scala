@@ -37,6 +37,9 @@ object Sketches {
       accuracy: Int = 1000): DataFrame = {
     require(percentiles.nonEmpty &&
       percentiles.forall(p => p >= 0.0 && p <= 1.0))
+    require(percentiles.map(p => (p * 100).round).distinct.size ==
+      percentiles.size,
+      "percentiles collide after rounding to whole-percent column names")
     val pArr = array(percentiles.map(lit): _*)
     val q = percentile_approx(col(col_), pArr, lit(accuracy)).as("__q")
     val grouped = df.groupBy(groupCols.map(col): _*).agg(q)
@@ -57,8 +60,23 @@ object Sketches {
     * Scala UDF, so the scan stage stays in whole-stage codegen. */
   def bloomPrune(large: DataFrame, small: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(col(keyCol).cast("long"),
-      expectedItems, fpp)
+    import org.apache.spark.sql.types._
+    // the probe expression accepts long or string keys; anything else
+    // must fail loudly — a blanket cast("long") would turn string keys
+    // into NULLs and silently drop EVERY row, violating the
+    // no-false-negatives contract
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val key = (large.schema(keyCol).dataType,
+        small.schema(keyCol).dataType) match {
+      case (StringType, StringType) => col(keyCol)
+      case (a, b) if integral(a) && integral(b) =>
+        col(keyCol).cast("long")
+      case (a, b) => throw new IllegalArgumentException(
+        s"bloomPrune: key '$keyCol' must be integral or string on both " +
+          s"sides, got $a / $b")
+    }
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val probe = org.apache.spark.sql.GraftColumnBridge.column(
@@ -66,8 +84,7 @@ object Sketches {
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(bos.toByteArray,
             org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.GraftColumnBridge.expression(
-          col(keyCol).cast("long"))))
+        org.apache.spark.sql.GraftColumnBridge.expression(key)))
     large.filter(probe)
   }
 }
