@@ -63,7 +63,20 @@ object Bench {
     val qmin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
     println(s"""{"metric":"queries_min","queries_min":$qmin}""")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val mainLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    println(mainLine)
+    // The driver captures only the TAIL of stdout, so the queries_min
+    // line was lost in r3/r4 ("parsed": null). Persist the full record
+    // — medians AND mins in one object — to a file read whole.
+    val full =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // bench output stays best-effort
     spark.stop()
   }
 }

@@ -59,19 +59,36 @@ object Pack {
     val src = graft.CacheRegistry.track(df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bounds = src.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).collect()(0)
+      max(col(idCol)).cast("long"),
+      count(lit(1)) - count(col(idCol))).collect()(0)
     if (bounds.isNullAt(0)) { // empty input (or all-null ids)
       return src.withColumn("shard", lit(0L))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // a MIX of null and non-null ids has no defined place in the id
+    // order — fail with the contract error, not a downstream NPE
+    require(bounds.getLong(2) == 0L,
+      s"packByBudget: id column '$idCol' has ${bounds.getLong(2)} null " +
+        "rows; null ids have no position in the packing order")
     // bucket = (id - lo) DIV ceil(span / nBuckets): contiguous id
-    // ranges, <= nBuckets buckets, overflow-free integer arithmetic
-    val span = math.max(hi - lo + 1, 1L)
-    val width = math.max((span + nBuckets - 1) / nBuckets, 1L)
+    // ranges, <= nBuckets buckets. Ids spanning more than the long
+    // range (lo deeply negative, hi huge) would wrap hi-lo+1 negative
+    // and collapse width to 1 — reject that loudly instead
+    val span =
+      try math.max(Math.addExact(Math.subtractExact(hi, lo), 1L), 1L)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"packByBudget: id range [$lo, $hi] exceeds the long span; " +
+            "re-key ids into a narrower range first")
+      }
+    // ceil-div written overflow-free ((span-1)/n + 1, span >= 1)
+    val width = math.max((span - 1) / nBuckets + 1, 1L)
     val bucket: Column = // integer DIV: exact and monotone at any id
       expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${width}L")
+    // all-null countCol buckets sum to NULL — treat as 0 contribution
+    // (matches the window side, where sum-over-nulls coalesces to 0)
     val totals = src.groupBy(bucket.as("__bkt"))
-      .agg(sum(col(countCol)).cast("long").as("__tot"))
+      .agg(coalesce(sum(col(countCol)).cast("long"), lit(0L)).as("__tot"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       .toSeq
     val offsets = totals.scanLeft((Long.MinValue, 0L)) {

@@ -26,6 +26,19 @@ object Sample {
     * resolution (rate → floor(rate·10⁶) buckets). */
   val Buckets = 1000000L
 
+  /** Split-range bounds in INTEGER bucket space: bound i is the
+    * running sum of each fraction's own `(f·10⁶).toLong` bucket count
+    * — never a truncated cumulative double (0.5+0.3+0.2 accumulates to
+    * 0.9999999999999999, whose truncation would leave buckets
+    * [999999, 10⁶) silently unassigned to any split). When the
+    * fractions are meant to cover everything (sum within 1e-9 of 1),
+    * the final bound snaps to exactly [[Buckets]]. Public so oracle
+    * generators compare against the identical integers. */
+  def splitBounds(fractions: Seq[Double]): Seq[Long] = {
+    val b = fractions.scanLeft(0L)((acc, f) => acc + (f * Buckets).toLong)
+    if (math.abs(fractions.sum - 1.0) <= 1e-9) b.init :+ Buckets else b
+  }
+
   /** Salted hash bucket of an id in [0, 10⁶). */
   def hashBucket(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))),
@@ -101,8 +114,7 @@ object Sample {
       salt: String = "graft"): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_ >= 0.0) &&
       fractions.sum <= 1.0 + 1e-9)
-    val bounds = fractions.scanLeft(0.0)(_ + _)
-      .map(c => (c * Buckets).toLong)
+    val bounds = splitBounds(fractions)
     val b = hashBucket(col(idCol), salt)
     val assigned = fractions.indices.reverse.foldLeft(lit(-1)) {
       (acc, i) => when(b >= bounds(i) && b < bounds(i + 1), lit(i))

@@ -61,15 +61,19 @@ object Sketches {
   def bloomPrune(large: DataFrame, small: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    // the probe expression accepts long or string keys; anything else
-    // must fail loudly — a blanket cast("long") would turn string keys
-    // into NULLs and silently drop EVERY row, violating the
-    // no-false-negatives contract
+    // BloomFilterMightContain typechecks its value to LongType only
+    // (and evals via mightContainLong), so EVERY key reaches the
+    // filter as a long: integrals cast, strings hashed with xxhash64
+    // on BOTH the build and probe sides (same hash → same bit
+    // pattern; the fpp contract absorbs hash collisions as ordinary
+    // false positives, never false negatives). Anything else must
+    // fail loudly — a blanket cast("long") would turn string keys
+    // into NULLs and silently drop EVERY row.
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
     val key = (large.schema(keyCol).dataType,
         small.schema(keyCol).dataType) match {
-      case (StringType, StringType) => col(keyCol)
+      case (StringType, StringType) => xxhash64(col(keyCol))
       case (a, b) if integral(a) && integral(b) =>
         col(keyCol).cast("long")
       case (a, b) => throw new IllegalArgumentException(

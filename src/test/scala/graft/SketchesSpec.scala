@@ -56,4 +56,25 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan.take(500))
     assert(!plan.contains("UDF"), "probe fell back to a UDF")
   }
+
+  test("bloomPrune: string keys hash consistently on both sides") {
+    import spark.implicits._
+    // BloomFilterMightContain only accepts longs, so string keys ride
+    // through xxhash64 on BOTH the build and probe sides
+    val keys = (0 until 500).map(i => Tuple1(s"key-${i * 7}")).toDF("k")
+    val large = spark.range(20000L)
+      .select(concat(lit("key-"), col("id")).as("k"))
+    val pruned = Sketches.bloomPrune(large, keys, "k",
+      expectedItems = 500, fpp = 0.01)
+    val survived = pruned.collect().map(_.getString(0)).toSet
+    val trueKeys = (0 until 500).map(i => s"key-${i * 7}").toSet
+    assert(trueKeys.subsetOf(survived), "string key dropped: false negative")
+    val fpRate = (survived.size - trueKeys.size).toDouble /
+      (20000 - trueKeys.size)
+    assert(fpRate <= 0.03, s"fp rate $fpRate")
+    // mixed-type keys still rejected loudly
+    intercept[IllegalArgumentException] {
+      Sketches.bloomPrune(spark.range(10).toDF("k"), keys, "k", 10)
+    }
+  }
 }
