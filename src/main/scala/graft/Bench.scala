@@ -33,6 +33,22 @@ object Bench {
     // one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
+    // Machine-speed canary: a fixed CPU+shuffle job, data-independent,
+    // reported alongside the queries. Round-over-round comparisons on a
+    // shared box are only meaningful canary-normalized — the r4
+    // "heavy-family drift" turned out to be the box itself: round-3's
+    // own end commit, re-benched in round 5, ran t24 1.6x slower than
+    // round 3 recorded it.
+    val canary = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(200000000L)
+          .selectExpr("id % 1000 AS k", "id AS v")
+          .groupBy("k").sum("v").count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.length / 2)
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -64,13 +80,13 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"queries_min","queries_min":$qmin}""")
     val mainLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"canary":${f"$canary%.3f"},"queries":$qs,"sf":"$sfDir"}"""
     println(mainLine)
     // The driver captures only the TAIL of stdout, so the queries_min
     // line was lost in r3/r4 ("parsed": null). Persist the full record
     // — medians AND mins in one object — to a file read whole.
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"canary":${f"$canary%.3f"},"queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(

@@ -778,7 +778,13 @@ object NearDup {
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var done = e.isEmpty
+    // convergence = the edge SET is unchanged. Checked as count-equal
+    // (counts carried across iterations, never recomputed) and, only
+    // when counts match, an anti-join emptiness probe — both sides are
+    // already-distinct checkpointed frames, so except()'s re-distinct
+    // of each side would be two wasted shuffles per round
+    var prevN = e.count()
+    var done = prevN == 0
     var iter = 0
     while (!done && iter < maxIter) {
       // large-star: every neighbor LARGER than u attaches to the
@@ -801,8 +807,10 @@ object NearDup {
         .unionByName(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      done = ss.count() == e.count() &&
-        ss.except(e).isEmpty
+      val n = ss.count()
+      done = n == prevN &&
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      prevN = n
       e = ss
       iter += 1
     }
