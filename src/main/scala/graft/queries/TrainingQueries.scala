@@ -202,20 +202,28 @@ object TrainingQueries {
               |        % ${TextOps.RollingP}) AS rhash
               |  FROM documents) GROUP BY 1""".stripMargin)),
 
-    // ---- token counting: whitespace + BPE-ish regex
+    // ---- token counting: whitespace + REAL corpus-trained BPE
+    // (functions.Bpe — native codegen'd kernel; the oracle replays the
+    // pinned merge table with a recursive CTE over the word dictionary)
     QueryDef(
       "t03_token_stats",
       (s, dir) => docs(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextOps.tokens(col("text")))).as("total_tokens"),
-          sum(TextOps.bpeishTokenCount(col("text"))).as("total_bpeish"),
+          sum(graft.functions.Bpe.tokenCount(col("text"),
+            graft.functions.Bpe.GateMerges)).as("total_bpe"),
           sum("n_chars").as("total_chars")),
-      Some("""SELECT source, COUNT(*) AS n_docs,
+      Some(s"""WITH RECURSIVE
+             |${graft.functions.Bpe.duckSql(
+                 graft.functions.Bpe.GateMerges,
+                 "documents", "doc_id", "text")}
+             |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-             |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpeish,
+             |  CAST(SUM(bc.n_tokens) AS BIGINT) AS total_bpe,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM documents GROUP BY 1""".stripMargin)),
+             |FROM documents d JOIN __bpe_counts bc USING (doc_id)
+             |GROUP BY 1""".stripMargin)),
 
     // ---- quality scoring: length / stopword-ratio / token stats
     QueryDef(
@@ -1031,12 +1039,16 @@ object TrainingQueries {
       (s, dir) => graft.operators.Pack.packByBudget(
         spread(s, docs(s, dir))
           .select(col("doc_id"),
-            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+            graft.functions.Bpe.tokenCount(col("text"),
+              graft.functions.Bpe.GateMerges).as("n_tokens")),
         "doc_id", "n_tokens", budget = 2000L, nBuckets = 7)
         .select("doc_id", "n_tokens", "shard"),
-      Some(s"""WITH t AS (SELECT doc_id,
-              |    CAST(len($toksSql) AS BIGINT) AS n_tokens
-              |  FROM documents)
+      Some(s"""WITH RECURSIVE
+              |${graft.functions.Bpe.duckSql(
+                  graft.functions.Bpe.GateMerges,
+                  "documents", "doc_id", "text")},
+              |t AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+              |  FROM __bpe_counts)
               |SELECT doc_id, n_tokens,
               |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1260,7 +1272,8 @@ object TrainingQueries {
       (s, dir) => graft.operators.Sample.sampleToTokenBudget(
         docs(s, dir)
           .select(col("doc_id"), col("lang"),
-            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+            graft.functions.Bpe.tokenCount(col("text"),
+              graft.functions.Bpe.GateMerges).as("n_tokens")),
         "doc_id", "lang", "n_tokens", TokenBudgets, "graft")
         .select("doc_id", "lang", "n_tokens"),
       Some {
@@ -1268,9 +1281,13 @@ object TrainingQueries {
           .map { case (k, b) => s"('$k', $b)" }.mkString(", ")
         val bucket = DuckSql.hexToLong(
           "md5('graft|' || CAST(t.doc_id AS VARCHAR))", 8)
-        s"""WITH t AS (SELECT doc_id, lang,
-           |    CAST(len($toksSql) AS BIGINT) AS n_tokens
-           |  FROM documents),
+        s"""WITH RECURSIVE
+           |${graft.functions.Bpe.duckSql(
+               graft.functions.Bpe.GateMerges,
+               "documents", "doc_id", "text")},
+           |t AS (SELECT d.doc_id, d.lang,
+           |    CAST(bc.n_tokens AS BIGINT) AS n_tokens
+           |  FROM documents d JOIN __bpe_counts bc USING (doc_id)),
            |budgets(lang, budget) AS (VALUES $budgetRows),
            |rates AS (SELECT t.lang,
            |    least(1000000, CAST(b.budget AS BIGINT) * 1000000 // tot)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE: hand-computed training + apply pins, determinism, codegen. */
+class BpeSpec extends SparkSpec {
+
+  test("trainLocal: classic dictionary learns the expected merges") {
+    // Sennrich's toy dictionary. Round-1 pair counts: (e,s) = 6+3+3 =
+    // 12 ties (s,t) = 12 and wins lexicographically; then (es,t) = 12;
+    // then (l,o) = 10 ties (o,w) and wins; then (lo,w) = 10.
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 3L))
+    val merges = Bpe.trainLocal(dict, 4)
+    assert(merges ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("apply: pinned string -> token pins under GateMerges") {
+    import spark.implicits._
+    val df = Seq(
+      ("customer", 1L), // trained whole-word merge chain
+      ("batches", 3L), // batch + e + s
+      ("zzz qq", 5L), // no merges apply: 3 + 2 chars
+      ("join order value", 3L), // three whole-word fusions
+      ("", 0L), // empty text: zero tokens
+      ("  spaced   out  ", 9L)) // empty words skipped; no merges hit:
+      // spaced = s+p+a+c+e+d (6), out = o+u+t (3)
+      .toDF("text", "expected")
+    val got = df.select(col("text"), col("expected"),
+      Bpe.tokenCount(col("text"), Bpe.GateMerges).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (t, want, n) =>
+      assert(n == want, s"'$t' expected $want tokens, got $n")
+    }
+    // token array agrees with count and concatenates back to the text
+    val toks = spark.sql("SELECT 1").select(
+      Bpe.tokens(lit("join order value"), Bpe.GateMerges).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("join", "order", "value"))
+  }
+
+  test("apply: lowest-rank-first leftmost semantics, not left-to-right") {
+    import spark.implicits._
+    // merges: rank0 (b,c), rank1 (a,b). "abc": left-to-right greedy
+    // would fuse (a,b) first -> [ab, c]; canonical BPE fuses the
+    // LOWEST-RANK pair (b,c) first -> [a, bc], and (a,bc) has no rank.
+    val m = Seq(("b", "c"), ("a", "b"))
+    val toks = Seq("abc").toDF("text")
+      .select(Bpe.tokens(col("text"), m).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("a", "bc"))
+  }
+
+  test("tokenCount stays in whole-stage codegen (no UDF)") {
+    val df = spark.range(100)
+      .select(concat(lit("customer value "), col("id")).as("text"))
+      .select(Bpe.tokenCount(col("text"), Bpe.GateMerges).as("n"))
+    // '*(n)' is the whole-stage-codegen stage marker in the compact
+    // plan string — the Project carrying bpe_token_count must be
+    // inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+    assert(!plan.contains("UDF"))
+    assert(df.agg(sum("n")).collect()(0).getLong(0) > 0)
+  }
+
+  test("train: distributed dictionary training is deterministic") {
+    import spark.implicits._
+    val corpus = Seq.fill(20)("low lower newest widest lowest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // every word has count 20 here (unlike the weighted toy dict), so
+    // round 1 ties (e,s),(l,o),(o,w),(s,t),(w,e) at 60 and (e,s) wins
+    // lexicographically, then (es,t), then (l,o), then (lo,w)
+    val a = Bpe.train(corpus, "text", 4)
+    val b = Bpe.train(corpus.repartition(7), "text", 4)
+    assert(a == b)
+    assert(a == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+}
