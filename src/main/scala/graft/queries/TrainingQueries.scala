@@ -1299,6 +1299,59 @@ object TrainingQueries {
            |FROM t JOIN rates r ON r.lang = t.lang
            |WHERE $bucket % 1000000 < r.rb""".stripMargin
       }),
+
+    // ---- END-TO-END corpus -> training shards
+    // (operators.Curate.curateToShards): the one-call composition a
+    // pipeline actually runs — curate (quality -> lang -> exact dedup
+    // -> minhash near-dup), deterministic 0.8 downsample, token-budget
+    // shard packing — against ONE oracle that replays the whole chain:
+    // the t19 survivor CTEs, the t30 salted-bucket decision, and the
+    // t33 single-window prefix sum the packing operator decomposes.
+    QueryDef(
+      "t39_curate_to_shards",
+      (s, dir) => graft.operators.Curate.curateToShards(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        shardBudget = 2000L, sampleFraction = 0.8)
+        .select("doc_id", "n_tokens", "shard"),
+      Some {
+        val bands = minhashBandsSqlFrom("curated")
+        val bucket = DuckSql.hexToLong(
+          "md5('graft|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH toks0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |q AS (SELECT doc_id FROM toks0
+           |  WHERE len(tk) BETWEEN 20 AND 100000
+           |    AND round(CAST(len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)})) AS DOUBLE)
+           |        / len(tk), 4) <= 0.15
+           |    AND len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEn)}))
+           |        <> len(list_filter(tk, t -> t IN ${inList(TextOps.StopwordsEs)}))),
+           |exact AS (SELECT d.doc_id, d.text,
+           |    row_number() OVER (PARTITION BY md5(lower(trim(d.text)))
+           |      ORDER BY d.doc_id ASC) AS rn
+           |  FROM documents d JOIN q USING (doc_id)),
+           |curated AS (SELECT doc_id, text FROM exact WHERE rn = 1),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+           |  FROM curated),
+           |removed AS (SELECT DISTINCT d2 FROM cands
+           |  JOIN sh s1 ON s1.doc_id = cands.d1
+           |  JOIN sh s2 ON s2.doc_id = cands.d2
+           |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8),
+           |samp AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |  FROM curated
+           |  WHERE doc_id NOT IN (SELECT d2 FROM removed)
+           |    AND $bucket % 1000000 < 800000)
+           |SELECT doc_id, n_tokens,
+           |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |    0) // 2000 AS BIGINT) AS shard
+           |FROM samp""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
