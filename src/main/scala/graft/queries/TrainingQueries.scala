@@ -1352,6 +1352,64 @@ object TrainingQueries {
            |    0) // 2000 AS BIGINT) AS shard
            |FROM samp""".stripMargin
       }),
+
+    // ---- sketch gates. Sketch STATE is engine-specific, so the
+    // cross-engine contract is (a) the exact reference values, which
+    // DuckDB recomputes independently, and (b) an accuracy verdict:
+    // Spark compares its own sketch estimate against the exact value
+    // the oracle hash-verifies, and emits a boolean the oracle expects
+    // to be TRUE. A drifting sketch flips the boolean and fails the
+    // hash — a real gate, not a spec assertion.
+    QueryDef(
+      "t40_sketch_distinct",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val prof = graft.operators.Sketches.distinctProfile(
+          li, Seq("l_returnflag"), "l_orderkey", rsd = 0.05)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        prof.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("n_rows"),
+            col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct")) <=
+              lit(0.15) * col("exact_distinct")).as("ok"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT l_orderkey) AS exact_distinct,
+             |  TRUE AS ok
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "t41_sketch_quantile",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val q = graft.operators.Sketches.quantileProfile(
+          li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9),
+          accuracy = 1000)
+        // rank-error check of the GK estimates against the raw rows:
+        // count(<= q_p) must reach rank p·n − margin and count(< q_p)
+        // must not pass p·n + margin, margin = 2·n/accuracy + 1
+        val counts = li.join(broadcast(q), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("l_extendedprice") <= col("q_50"), 1))
+              .as("__le50"),
+            count(when(col("l_extendedprice") < col("q_50"), 1))
+              .as("__lt50"),
+            count(when(col("l_extendedprice") <= col("q_90"), 1))
+              .as("__le90"),
+            count(when(col("l_extendedprice") < col("q_90"), 1))
+              .as("__lt90"))
+        val m = col("n_rows") * 2.0 / 1000.0 + 1.0
+        counts.select(col("l_returnflag"), col("n_rows"),
+          (col("__le50") >= col("n_rows") * 0.5 - m &&
+            col("__lt50") <= col("n_rows") * 0.5 + m).as("ok_q50"),
+          (col("__le90") >= col("n_rows") * 0.9 - m &&
+            col("__lt90") <= col("n_rows") * 0.9 + m).as("ok_q90"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  TRUE AS ok_q50, TRUE AS ok_q90
+             |FROM lineitem GROUP BY 1""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
