@@ -1410,6 +1410,63 @@ object TrainingQueries {
       Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
              |  TRUE AS ok_q50, TRUE AS ok_q90
              |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- embedding-space decontamination (operators.Decontam):
+    // paraphrased eval leakage — no shared 5-token spans, but nearest
+    // benchmark vector above a cosine floor. Exact variant: benchmark
+    // vectors broadcast, one corpus pass, per-doc max. The oracle
+    // recomputes every pair cosine independently.
+    QueryDef(
+      "t42_embedding_contamination",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+        graft.operators.Decontam.embeddingContamination(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "v",
+          e.filter(col("vec_id") % 10 === 0), "v", threshold = 0.9)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+              |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+              |  FROM embeddings),
+              |pairs AS (SELECT c.vec_id,
+              |    round(${DuckSql.dot("c.embedding", "b.embedding", Dims)}
+              |          / (c.nrm * b.nrm), 6) AS cos
+              |  FROM n c, n b
+              |  WHERE c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+              |SELECT vec_id, MAX(cos) AS max_bench_cos,
+              |  MAX(cos) >= 0.9 AS embedding_contaminated
+              |FROM pairs GROUP BY vec_id""".stripMargin)),
+
+    // IVF-pruned variant, gated at the nprobe = nlist degenerate point
+    // where cell pruning provably changes nothing: the full pruned
+    // plan (coarse train, corpus assignment, probe ranking, cell-local
+    // scoring) must still reproduce the exact answer bit-for-bit.
+    // Sub-degenerate nprobe recall is pinned in DecontamSpec.
+    QueryDef(
+      "t43_embedding_contamination_ivf",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
+        graft.operators.Decontam.embeddingContaminationIvf(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "v",
+          e.filter(col("vec_id") % 10 === 0), "v", threshold = 0.85,
+          cents, "cent_id", "cv", nprobe = 8)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+              |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+              |  FROM embeddings),
+              |pairs AS (SELECT c.vec_id,
+              |    round(${DuckSql.dot("c.embedding", "b.embedding", Dims)}
+              |          / (c.nrm * b.nrm), 6) AS cos
+              |  FROM n c, n b
+              |  WHERE c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+              |SELECT vec_id, MAX(cos) AS max_bench_cos,
+              |  MAX(cos) >= 0.85 AS embedding_contaminated
+              |FROM pairs GROUP BY vec_id""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
