@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.CommitLogTableFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** CommitLogTableFormat: snapshot isolation under injected crashes.
+  * The pipeline-semantics coverage lives in the bound full suites
+  * (EvoPipelineCommitLogSpec / PipedriveZendeskCommitLogSpec); this
+  * spec drives the commit protocol's internal steps directly to model
+  * a writer dying at each point. */
+class CommitLogFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsRoot(path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def snap(path: String): Set[(Long, String)] =
+    CommitLogTableFormat.read(spark, path).get
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("upsert commits are versioned and read back merged") {
+    val path = tmpDir("cl") + "/t"
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    CommitLogTableFormat.upsert(spark, v1, path, Seq("k"), "ver")
+    assert(snap(path) == Set((1L, "a"), (2L, "b")))
+    val v2 = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
+    CommitLogTableFormat.upsert(spark, v2, path, Seq("k"), "ver")
+    assert(snap(path) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    val (f, root) = fsRoot(path)
+    assert(CommitLogTableFormat.currentVersion(f, root).contains(2L))
+  }
+
+  test("crash after data write, before manifest: readers see old snapshot") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "old")).toDF("k", "v"), path)
+    val (f, root) = fsRoot(path)
+    // the writer dies here: version-2 data files fully written, no
+    // manifest rename
+    val orphaned = CommitLogTableFormat.writeDataFiles(spark,
+      Seq((1L, "new"), (2L, "new")).toDF("k", "v"), root, 2L)
+    assert(orphaned.nonEmpty)
+    assert(snap(path) == Set((1L, "old")), "uncommitted data leaked")
+    assert(CommitLogTableFormat.currentVersion(f, root).contains(1L))
+    // recovery is just re-running the write: a fresh commit (v2 again,
+    // new uuid dir) lands atomically
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "new"), (2L, "new")).toDF("k", "v"), path)
+    assert(snap(path) == Set((1L, "new"), (2L, "new")))
+  }
+
+  test("crash mid-manifest (abandoned tmp) is invisible to readers") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "old")).toDF("k", "v"), path)
+    val (f, root) = fsRoot(path)
+    // a half-written manifest temp the dying writer never renamed
+    val tmp = new Path(new Path(root, "_log"), ".tmp-deadwriter")
+    val out = f.create(tmp, false)
+    out.write("version=2\ndata/v2-bogus/part-0.parquet\n".getBytes)
+    out.close()
+    assert(CommitLogTableFormat.currentVersion(f, root).contains(1L))
+    assert(snap(path) == Set((1L, "old")))
+  }
+
+  test("a lost commit race throws instead of silently dropping") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a")).toDF("k", "v"), path)
+    val (f, root) = fsRoot(path)
+    val files = CommitLogTableFormat.writeDataFiles(spark,
+      Seq((1L, "b")).toDF("k", "v"), root, 2L)
+    CommitLogTableFormat.commitManifest(spark, root, 2L, files)
+    // a second writer that also computed version 2 must fail loudly
+    intercept[java.io.IOException] {
+      CommitLogTableFormat.commitManifest(spark, root, 2L, files)
+    }
+    assert(snap(path) == Set((1L, "b")))
+  }
+
+  test("multi-partition replace is all-or-nothing by construction") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3"))
+        .toDF("k", "v", "part"), path)
+    // replacing p1+p2 is ONE commit: no reader can observe p1 replaced
+    // but p2 not (the swap emulation's mixed mid-state cannot exist —
+    // visibility is a single manifest rename)
+    CommitLogTableFormat.replacePartitions(spark,
+      Seq((10L, "x", "p1"), (20L, "y", "p2")).toDF("k", "v", "part"),
+      path, "part")
+    assert(snap(path) == Set((10L, "x"), (20L, "y"), (3L, "c")))
+    val (f, root) = fsRoot(path)
+    assert(CommitLogTableFormat.currentVersion(f, root).contains(2L))
+  }
+
+  test("vacuum drops unreferenced files, latest snapshot intact") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a")).toDF("k", "v"), path)
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "b")).toDF("k", "v"), path)
+    val (f, root) = fsRoot(path)
+    // plus an orphan from a crashed writer
+    CommitLogTableFormat.writeDataFiles(spark,
+      Seq((9L, "z")).toDF("k", "v"), root, 3L)
+    CommitLogTableFormat.vacuum(spark, path)
+    assert(snap(path) == Set((1L, "b")))
+    val dataDirs = f.listStatus(new Path(root, "data")).toSeq
+    assert(dataDirs.size == 1, s"vacuum left ${dataDirs.size} data dirs")
+    val manifests = f.listStatus(new Path(root, "_log")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+    assert(manifests == Seq("00000000000000000002.json"))
+  }
+
+  test("empty snapshot commits keep the schema readable") {
+    val path = tmpDir("cl") + "/t"
+    val empty = Seq((1L, "a")).toDF("k", "v").filter(col("k") < 0)
+    CommitLogTableFormat.fullRefresh(spark, empty, path)
+    val back = CommitLogTableFormat.read(spark, path).get
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 0)
+  }
+}

@@ -288,3 +288,12 @@ class EvoPipelineInMemorySpec extends EvoPipelineSpec {
   override protected lazy val format: graft.operators.TableFormat =
     new graft.operators.InMemoryTableFormat
 }
+
+/** Third binding: the transactional commit-log format — the full
+  * pipeline runs with manifest-resolved reads and atomic
+  * rename-committed writes (see CommitLogFormatSpec for the
+  * crash-injection coverage). */
+class EvoPipelineCommitLogSpec extends EvoPipelineSpec {
+  override protected lazy val format: graft.operators.TableFormat =
+    graft.operators.CommitLogTableFormat
+}

@@ -367,3 +367,9 @@ class PipedriveZendeskInMemorySpec extends PipedriveZendeskSpec {
   override protected lazy val format: graft.operators.TableFormat =
     new graft.operators.InMemoryTableFormat
 }
+
+/** Third binding: the transactional commit-log format. */
+class PipedriveZendeskCommitLogSpec extends PipedriveZendeskSpec {
+  override protected lazy val format: graft.operators.TableFormat =
+    graft.operators.CommitLogTableFormat
+}
