@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking — boundary positions derive from the
+  * CONTENT (hash of the trailing `window` characters ≡ 0 mod
+  * `modulus`), not from fixed offsets, so an insertion early in a
+  * document shifts only the chunk it lands in and re-synchronizes at
+  * the next content boundary. That is what makes chunk-level dedup
+  * robust to edits: fixed-size blocks would misalign every block after
+  * the edit; content-defined blocks keep all downstream chunks
+  * byte-identical (the rsync/LBFS recipe, and how corpus pipelines
+  * dedup boilerplate fragments embedded in otherwise-distinct pages).
+  *
+  * Everything is row-local built-in HOFs over the text column — no
+  * UDF, no shuffle until the caller aggregates chunks. The boundary
+  * hash here is md5-of-window (exact, engine-portable — the t45 gate
+  * mirrors it literally in DuckDB); a production variant swaps in the
+  * O(1)-per-position Rabin fingerprint behind the same boundary
+  * predicate ([[graft.functions.TextOps.rollingHash]] is that
+  * recurrence) once profiling says the window hash dominates.
+  *
+  * HOF rule (see TextOps.ngramsRaw): lambdas reference only their
+  * element argument and plain column attributes — `substring(text, ...)`
+  * per element is O(window), never a re-evaluated expression tree.
+  */
+object Chunk {
+
+  /** Boundary predicate: md5 of the `w`-char window ending at 1-based
+    * position `i`, folded to a long, ≡ 0 mod `modulus`. */
+  private def isBoundary(text: Column, i: Column, w: Int,
+      modulus: Int): Column =
+    conv(substring(md5(substring(text, i - (w - 1), lit(w))), 1, 8),
+      16, 10).cast("long") % modulus === 0
+
+  /** Split each document into content-defined chunks:
+    * (idCol, chunk_idx, chunk) with chunk_idx from 0 in document
+    * order; concat of chunks re-assembles the text exactly. Documents
+    * shorter than `window` (including empty) are one whole-text chunk;
+    * zero-length texts yield no rows. Expected chunk length ≈
+    * `modulus` characters. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, modulus: Int = 64): DataFrame = {
+    require(window >= 1 && modulus >= 1)
+    val text = col(textCol)
+    val len = length(text)
+    // boundary END positions: i in [window, len-1] with the window
+    // hash ≡ 0 — a boundary AT len would only split off an empty tail
+    val bnds = when(len > window,
+      filter(sequence(lit(window), len - 1),
+        i => isBoundary(text, i, window, modulus)))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(bnds, b => b + 1))
+    val ends = concat(bnds, array(len))
+    df.filter(len > 0)
+      .withColumn("__chunks", zip_with(starts, ends,
+        (s, e) => substring(text, s, e - s + 1)))
+      .select(col(idCol), posexplode(col("__chunks"))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** Chunk-level duplication statistics per document — the
+    * boilerplate-fragment signal document-level dedup misses:
+    * (idCol, n_chunks, n_dup_chunks, dup_ratio) where a chunk is
+    * duplicated iff its exact text occurs at more than one position
+    * corpus-wide. Same aggregate shape as
+    * [[SpanStats.duplicatedNgramStats]]: chunk instances collapse to
+    * (doc, chunk-hash) multiplicities before anything shuffles. */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, modulus: Int = 64): DataFrame = {
+    val local = contentDefinedChunks(df, idCol, textCol, window, modulus)
+      .select(col(idCol), md5(col("chunk")).as("__h"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("c_local"))
+    val global = local.groupBy("__h")
+      .agg(sum("c_local").as("c_glob"))
+    local.join(global, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("c_local").as("n_chunks"),
+        sum(when(col("c_glob") > 1, col("c_local")).otherwise(lit(0L)))
+          .as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks") / col("n_chunks"), 6))
+  }
+}

@@ -104,6 +104,43 @@ object Sample {
       .drop("__rate_buckets")
   }
 
+  /** Temperature-scaled mixture sampling — the standard multi-source
+    * training-mix recipe: stratum s gets budget share
+    * w_s = tot_s^α / Σ_t tot_t^α of `totalBudget` tokens, so α = 1
+    * reproduces natural proportions and α → 0 flattens toward uniform
+    * (low-resource strata upweighted). Rates clamp to 1 (a stratum
+    * already under its share keeps every row; the unused share is NOT
+    * redistributed — deliberate, the α-weights stay interpretable).
+    *
+    * All stratum math happens in-plan on the tiny per-stratum frame
+    * (one narrow aggregate + a 1-row total joined back broadcast);
+    * the corpus pass is the same salted-bucket decision as every
+    * sampler here — row-local, deterministic, coordinated. The weight
+    * chain is float (pow), so w_s rounds to 9 digits before the
+    * bucket quantization — both engines reproduce the identical
+    * literal rates (the t44 gate). */
+  def temperatureMixture(df: DataFrame, idCol: String,
+      stratumCol: String, tokenCol: String, alpha: Double,
+      totalBudget: Long, salt: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(totalBudget >= 0 && totalBudget < (1L << 42))
+    val tots = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .filter(col("__tot") > 0)
+    val total = tots.agg(
+      sum(pow(col("__tot"), lit(alpha))).as("__ptot"))
+    val rates = tots.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        least(lit(Buckets),
+          floor(lit(totalBudget.toDouble) *
+            round(pow(col("__tot"), lit(alpha)) / col("__ptot"), 9) *
+            lit(Buckets) / col("__tot")).cast("long"))
+          .as("__rate_buckets"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), salt) < col("__rate_buckets"))
+      .drop("__rate_buckets")
+  }
+
   /** Disjoint deterministic splits (train/val/test): adds a `split`
     * column = index into `fractions` by contiguous bucket ranges
     * (split i covers [Σ_{j<i} f_j, Σ_{j<=i} f_j)·10⁶), or -1 for rows

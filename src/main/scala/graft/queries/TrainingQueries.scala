@@ -1467,6 +1467,109 @@ object TrainingQueries {
               |SELECT vec_id, MAX(cos) AS max_bench_cos,
               |  MAX(cos) >= 0.85 AS embedding_contaminated
               |FROM pairs GROUP BY vec_id""".stripMargin)),
+
+    // ---- temperature-scaled mixture sampling (operators.Sample
+    // .temperatureMixture): stratum budget share w_s = tot_s^α/Σtot^α
+    // — the standard multilingual data-mix recipe (α=1 natural, α→0
+    // uniform). The float weight chain rounds to 9 digits before
+    // bucket quantization so both engines derive identical rates.
+    QueryDef(
+      "t44_temperature_mixture",
+      (s, dir) => graft.operators.Sample.temperatureMixture(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", alpha = 0.5,
+        totalBudget = 200000L)
+        .select("doc_id", "lang", "n_chars"),
+      Some {
+        val bucket = DuckSql.hexToLong(
+          "md5('graft|' || CAST(d.doc_id AS VARCHAR))", 8)
+        s"""WITH tots AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tot
+           |  FROM documents GROUP BY 1 HAVING SUM(n_chars) > 0),
+           |p AS (SELECT SUM(pow(tot, 0.5)) AS ptot FROM tots),
+           |rates AS (SELECT lang,
+           |    least(1000000, CAST(floor(200000.0
+           |      * round(pow(tot, 0.5) / ptot, 9)
+           |      * 1000000 / tot) AS BIGINT)) AS rb
+           |  FROM tots, p)
+           |SELECT d.doc_id, d.lang, d.n_chars
+           |FROM documents d JOIN rates r ON r.lang = d.lang
+           |WHERE $bucket % 1000000 < r.rb""".stripMargin
+      }),
+
+    // ---- content-defined chunking (operators.Chunk): boundaries from
+    // the trailing-8-char window hash ≡ 0 mod 64, so edits re-sync at
+    // the next content boundary — the rsync/LBFS recipe at corpus
+    // scale. Oracle rebuilds every boundary and chunk literally.
+    QueryDef(
+      "t45_cdc_chunks",
+      (s, dir) => graft.operators.Chunk.contentDefinedChunks(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        window = 8, modulus = 64)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5")),
+      Some {
+        val wh = DuckSql.hexToLong(
+          "md5(substring(text, CAST(i AS INT) - 7, 8))", 8)
+        s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
+           |    CASE WHEN length(text) > 8 THEN
+           |      list_filter(range(8, length(text)), i -> $wh % 64 = 0)
+           |    ELSE CAST([] AS BIGINT[]) END AS bnds
+           |  FROM documents WHERE length(text) > 0),
+           |c AS (SELECT doc_id, text,
+           |    list_concat([CAST(1 AS BIGINT)],
+           |      list_transform(bnds, x -> x + 1)) AS starts,
+           |    list_concat(bnds, [CAST(len AS BIGINT)]) AS ends
+           |  FROM b),
+           |ch AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(starts) + 1),
+           |      k -> {'idx': k - 1,
+           |            'h': md5(substring(text, CAST(starts[k] AS INT),
+           |                 CAST(ends[k] - starts[k] + 1 AS INT)))})) AS u
+           |  FROM c)
+           |SELECT doc_id, CAST(u['idx'] AS INT) AS chunk_idx,
+           |  u['h'] AS chunk_md5
+           |FROM ch""".stripMargin
+      }),
+
+    // chunk-level duplication stats — the boilerplate-fragment signal
+    // document-level dedup misses (same aggregate shape as t32's span
+    // stats, at content-defined-chunk granularity)
+    QueryDef(
+      "t46_chunk_dup_stats",
+      (s, dir) => graft.operators.Chunk.chunkDupStats(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        window = 8, modulus = 64),
+      Some {
+        val wh = DuckSql.hexToLong(
+          "md5(substring(text, CAST(i AS INT) - 7, 8))", 8)
+        s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
+           |    CASE WHEN length(text) > 8 THEN
+           |      list_filter(range(8, length(text)), i -> $wh % 64 = 0)
+           |    ELSE CAST([] AS BIGINT[]) END AS bnds
+           |  FROM documents WHERE length(text) > 0),
+           |c AS (SELECT doc_id, text,
+           |    list_concat([CAST(1 AS BIGINT)],
+           |      list_transform(bnds, x -> x + 1)) AS starts,
+           |    list_concat(bnds, [CAST(len AS BIGINT)]) AS ends
+           |  FROM b),
+           |ch AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(starts) + 1),
+           |      k -> md5(substring(text, CAST(starts[k] AS INT),
+           |           CAST(ends[k] - starts[k] + 1 AS INT))))) AS h
+           |  FROM c),
+           |loc AS (SELECT doc_id, h, COUNT(*) AS c_local
+           |  FROM ch GROUP BY 1, 2),
+           |gl AS (SELECT h, SUM(c_local) AS c_glob
+           |  FROM loc GROUP BY 1)
+           |SELECT doc_id,
+           |  CAST(SUM(c_local) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN c_glob > 1 THEN c_local ELSE 0 END)
+           |    AS BIGINT) AS n_dup_chunks,
+           |  round(CAST(SUM(CASE WHEN c_glob > 1 THEN c_local ELSE 0 END)
+           |      AS DOUBLE)
+           |    / CAST(SUM(c_local) AS DOUBLE), 6) AS dup_ratio
+           |FROM loc JOIN gl USING (h) GROUP BY doc_id""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -18,7 +18,10 @@ object Explain {
         "t08_minhash_pairs", "t16_neardup_survivors",
         "t17_ann_ivf_search", "t19_curate_survivors",
         "t20_embedding_dedup", "t29_pq_search", "t30_hash_sample",
-        "t32_ngram_spans", "t33_pack_shards", "t34_ivfpq_search")
+        "t32_ngram_spans", "t33_pack_shards", "t34_ivfpq_search",
+        "t35_ivfpq_residual", "t39_curate_to_shards",
+        "t40_sketch_distinct", "t42_embedding_contamination",
+        "t43_embedding_contamination_ivf")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Chunk
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking: lossless reassembly, edit locality (the
+  * property fixed-size blocking lacks), determinism, dup stats. */
+class ChunkSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String) = {
+    import spark.implicits._
+    Seq((id, text)).toDF("doc_id", "text")
+  }
+
+  private def chunksOf(text: String): Seq[String] =
+    Chunk.contentDefinedChunks(doc(1L, text), "doc_id", "text",
+      window = 8, modulus = 16)
+      .orderBy("chunk_idx").collect().map(_.getString(2)).toSeq
+
+  test("chunks reassemble to the exact text; short/empty edge cases") {
+    val t = "the quick brown fox jumps over the lazy dog " * 5
+    val cs = chunksOf(t)
+    assert(cs.size > 1, "modulus 16 on a 220-char text must split")
+    assert(cs.mkString == t)
+    assert(cs.forall(_.nonEmpty))
+    assert(chunksOf("short") == Seq("short")) // below window: one chunk
+    assert(Chunk.contentDefinedChunks(doc(1L, ""), "doc_id", "text")
+      .count() == 0)
+  }
+
+  test("edit locality: a prefix edit re-syncs at the next boundary") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val edited = "X" + base
+    val a = chunksOf(base)
+    val b = chunksOf(edited)
+    // fixed-size blocking would shift EVERY block; content-defined
+    // boundaries depend only on the trailing window, so the chunk sets
+    // re-align after the edited region — the tail chunks are identical
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }
+    assert(common.size >= a.size - 2,
+      s"tail failed to re-sync: ${a.size} vs shared ${common.size}")
+    assert(b.mkString == edited)
+  }
+
+  test("chunking is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"document number $i " + ("content " * (i % 7 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val a = Chunk.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val b = Chunk.contentDefinedChunks(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+  }
+
+  test("chunkDupStats: shared boilerplate fragment is flagged") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for updates " * 3
+    val docs = Seq(
+      (1L, "unique article one body text here today " * 3 + boiler),
+      (2L, "completely different second story lines " * 3 + boiler),
+      // non-repeating: self-repetition legitimately counts as
+      // duplication (chunks recur corpus-wide), so doc 3 must not
+      // repeat itself either
+      (3L, (0 until 20).map(i => s"unique$i word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stats = Chunk.chunkDupStats(docs, "doc_id", "text",
+      window = 8, modulus = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the boilerplate tail chunks are byte-identical across docs 1+2
+    assert(stats(1L)._2 > 0, s"doc1 ${stats(1L)} saw no dup chunks")
+    assert(stats(2L)._2 > 0)
+    assert(stats(3L)._2 == 0, s"doc3 ${stats(3L)} false positive")
+  }
+}

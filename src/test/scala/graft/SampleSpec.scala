@@ -94,6 +94,35 @@ class SampleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureMixture: alpha=1 is proportional, small alpha flattens") {
+    import spark.implicits._
+    // big stratum: 1800 docs x 100 tokens; small: 200 x 100
+    val docs = (0L until 2000L)
+      .map(i => (i, if (i < 1800) "big" else "small", 100L))
+      .toDF("id", "stratum", "n")
+    def kept(alpha: Double, budget: Long): Map[String, Long] =
+      Sample.temperatureMixture(docs, "id", "stratum", "n", alpha, budget)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // alpha=1: budget shares follow natural proportions, so BOTH
+    // strata thin by the same rate budget/total = 50%
+    val nat = kept(1.0, 100000L)
+    assert(math.abs(nat("big") / 1800.0 - 0.5) < 0.08, nat.toString)
+    assert(math.abs(nat("small") / 200.0 - 0.5) < 0.12, nat.toString)
+    // alpha=0.25 pushes shares toward uniform: the small stratum's
+    // sampling rate must now exceed the big one's
+    val flat = kept(0.25, 100000L)
+    assert(flat("small") / 200.0 > flat("big") / 1800.0 + 0.2,
+      flat.toString)
+    // deterministic under repartition
+    val again = Sample.temperatureMixture(docs.repartition(13), "id",
+      "stratum", "n", 0.25, 100000L).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == Sample.temperatureMixture(docs, "id", "stratum",
+      "n", 0.25, 100000L).select("id")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("splitBounds: integer accumulation leaves no float-dust gap") {
     // 0.5+0.3+0.2 accumulates to 0.9999999999999999 as doubles; a
     // truncated cumulative sum would end at 999999 and orphan the top
