@@ -51,6 +51,34 @@ object Chunk {
       filter(sequence(lit(window), len - 1),
         i => isBoundary(text, i, window, modulus)))
       .otherwise(array().cast("array<int>"))
+    sliceByBounds(df, idCol, textCol, bnds)
+  }
+
+  /** [[contentDefinedChunks]] with the O(1)-per-position Rabin window
+    * fingerprint ([[graft.expressions.RollingBounds]], codegen'd) as
+    * the boundary predicate — same contract, different (cheaper) hash,
+    * so boundary POSITIONS differ from the md5 variant but every
+    * property (lossless reassembly, edit re-sync, expected chunk
+    * length ≈ modulus) is identical. This is the variant a 100-TB
+    * corpus pass runs: the md5 predicate pays a digest per position,
+    * this pays one multiply-add. */
+  def contentDefinedChunksRolling(df: DataFrame, idCol: String,
+      textCol: String, window: Int = 8, modulus: Int = 64): DataFrame = {
+    require(window >= 1 && modulus >= 1)
+    val bnds = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.RollingBounds(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        window, modulus))
+    sliceByBounds(df, idCol, textCol, bnds)
+  }
+
+  /** Slice text into chunks delimited by boundary END positions
+    * (shared by both predicates): chunk k spans
+    * (bounds(k-1), bounds(k)], with 1 and len as outer sentinels. */
+  private def sliceByBounds(df: DataFrame, idCol: String,
+      textCol: String, bnds: Column): DataFrame = {
+    val text = col(textCol)
+    val len = length(text)
     val starts = concat(array(lit(1)), transform(bnds, b => b + 1))
     val ends = concat(bnds, array(len))
     df.filter(len > 0)

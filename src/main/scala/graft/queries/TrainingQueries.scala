@@ -1570,6 +1570,46 @@ object TrainingQueries {
            |    / CAST(SUM(c_local) AS DOUBLE), 6) AS dup_ratio
            |FROM loc JOIN gl USING (h) GROUP BY doc_id""".stripMargin
       }),
+
+    // Rabin-fingerprint CDC (expressions.RollingBounds, codegen'd):
+    // the O(1)-per-position boundary predicate a 100-TB pass runs —
+    // the oracle recomputes every window hash as the explicit 8-term
+    // polynomial (mod is homomorphic, so full-sum-then-mod equals the
+    // expression's incremental mod)
+    QueryDef(
+      "t47_cdc_rolling",
+      (s, dir) => graft.operators.Chunk.contentDefinedChunksRolling(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        window = 8, modulus = 64)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5")),
+      Some {
+        val wh = (0 until 8).map { j =>
+          val pow = java.math.BigInteger.valueOf(TextOps.RollingB)
+            .pow(7 - j)
+          s"CAST(ascii(substring(text, CAST(i AS INT) - ${7 - j}, 1)) " +
+            s"AS BIGINT) * $pow"
+        }.mkString("(", " + ", s") % ${TextOps.RollingP}")
+        s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
+           |    CASE WHEN length(text) > 8 THEN
+           |      list_filter(range(8, length(text)), i -> $wh % 64 = 0)
+           |    ELSE CAST([] AS BIGINT[]) END AS bnds
+           |  FROM documents WHERE length(text) > 0),
+           |c AS (SELECT doc_id, text,
+           |    list_concat([CAST(1 AS BIGINT)],
+           |      list_transform(bnds, x -> x + 1)) AS starts,
+           |    list_concat(bnds, [CAST(len AS BIGINT)]) AS ends
+           |  FROM b),
+           |ch AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(starts) + 1),
+           |      k -> {'idx': k - 1,
+           |            'h': md5(substring(text, CAST(starts[k] AS INT),
+           |                 CAST(ends[k] - starts[k] + 1 AS INT)))})) AS u
+           |  FROM c)
+           |SELECT doc_id, CAST(u['idx'] AS INT) AS chunk_idx,
+           |  u['h'] AS chunk_md5
+           |FROM ch""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -56,6 +56,39 @@ class ChunkSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rolling-fingerprint variant: same contract, codegen'd predicate") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog " * 5
+    val df = Chunk.contentDefinedChunksRolling(doc(1L, t), "doc_id",
+      "text", window = 8, modulus = 16)
+    val cs = df.orderBy("chunk_idx").collect().map(_.getString(2)).toSeq
+    assert(cs.size > 1 && cs.mkString == t && cs.forall(_.nonEmpty))
+    // short/empty contracts match the md5 variant
+    assert(Chunk.contentDefinedChunksRolling(doc(1L, "short"), "doc_id",
+      "text").collect().map(_.getString(2)).toSeq == Seq("short"))
+    assert(Chunk.contentDefinedChunksRolling(doc(1L, ""), "doc_id",
+      "text").count() == 0)
+    // the predicate is a codegen'd native expression, not a UDF — a
+    // Range source keeps the expression in the plan (over a
+    // LocalRelation, Catalyst folds it into the LocalTableScan before
+    // the assert can see it)
+    val ranged = Chunk.contentDefinedChunksRolling(
+      spark.range(10).select(col("id").as("doc_id"),
+        concat(lit("some text payload repeated here "), col("id"))
+          .as("text")),
+      "doc_id", "text", 8, 16)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("rolling_bounds"), plan.take(300))
+    assert(!plan.contains("UDF"))
+    // expected chunk length tracks the modulus
+    val big = (0 until 200).map(i => s"w$i t$i c$i").mkString(" ")
+    val n16 = Chunk.contentDefinedChunksRolling(doc(1L, big), "doc_id",
+      "text", 8, 16).count()
+    val n64 = Chunk.contentDefinedChunksRolling(doc(1L, big), "doc_id",
+      "text", 8, 64).count()
+    assert(n16 > n64, s"modulus 16 gave $n16 chunks vs 64 -> $n64")
+  }
+
   test("chunkDupStats: shared boilerplate fragment is flagged") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter for updates " * 3
