@@ -50,7 +50,10 @@ object TextOps {
   def cleanText(text: Column): Column =
     collapseWhitespace(maskEmails(stripUrls(text)))
 
-  /** BPE-ish token count: word pieces + isolated punctuation. */
+  /** Regex token-count heuristic (word pieces + isolated punctuation)
+    * — the cheap prefilter tier. REAL token counts come from the
+    * corpus-trained byte-pair encoder ([[Bpe.tokenCount]]), which the
+    * budget operators and their gates (t03/t33/t38) now use. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 

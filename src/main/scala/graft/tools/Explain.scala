@@ -21,7 +21,8 @@ object Explain {
         "t32_ngram_spans", "t33_pack_shards", "t34_ivfpq_search",
         "t35_ivfpq_residual", "t39_curate_to_shards",
         "t40_sketch_distinct", "t42_embedding_contamination",
-        "t43_embedding_contamination_ivf")
+        "t43_embedding_contamination_ivf", "t44_temperature_mixture",
+        "t47_cdc_rolling")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
