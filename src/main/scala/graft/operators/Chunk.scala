@@ -96,8 +96,16 @@ object Chunk {
     * [[SpanStats.duplicatedNgramStats]]: chunk instances collapse to
     * (doc, chunk-hash) multiplicities before anything shuffles. */
   def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, modulus: Int = 64): DataFrame = {
-    val local = contentDefinedChunks(df, idCol, textCol, window, modulus)
+      window: Int = 8, modulus: Int = 64,
+      rolling: Boolean = false): DataFrame = {
+    // the stats are hash-agnostic; `rolling = true` uses the Rabin
+    // predicate — measured 17× cheaper at sf0.1 (t47 0.3 s vs t45
+    // 5.1 s), the right default at scale (the gate pins the md5 form)
+    val chunks =
+      if (rolling)
+        contentDefinedChunksRolling(df, idCol, textCol, window, modulus)
+      else contentDefinedChunks(df, idCol, textCol, window, modulus)
+    val local = chunks
       .select(col(idCol), md5(col("chunk")).as("__h"))
       .groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("c_local"))

@@ -1610,6 +1610,61 @@ object TrainingQueries {
            |  u['h'] AS chunk_md5
            |FROM ch""".stripMargin
       }),
+
+    // ---- combined decontamination report (Decontam.fullReport):
+    // both leakage signals per document — n-gram span overlap AND
+    // embedding proximity — in one frame; the oracle composes the t36
+    // span chain with the t42 cosine chain (docs and embeddings are
+    // 1:1 on id in the testdata).
+    QueryDef(
+      "t48_contamination_report",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+        val joined = d.join(e, d("doc_id") === e("vec_id"))
+          .select(d("doc_id"), d("text"), col("v"))
+        graft.operators.Decontam.fullReport(
+          joined.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          "v", joined.filter(col("doc_id") % 10 === 0), "text", "v",
+          n = 5, threshold = 0.9)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |bg AS (SELECT DISTINCT
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 10 = 0),
+              |tot AS (SELECT doc_id,
+              |    CAST(len(${DuckSql.ngramsRaw("toks", 5)}) AS BIGINT)
+              |      AS n_spans
+              |  FROM t WHERE doc_id % 10 <> 0),
+              |g AS (SELECT doc_id,
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 10 <> 0),
+              |hits AS (SELECT doc_id, COUNT(*) AS n_cont
+              |  FROM g JOIN bg USING (gram) GROUP BY 1),
+              |n AS (SELECT vec_id, embedding,
+              |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+              |  FROM embeddings),
+              |pairs AS (SELECT c.vec_id,
+              |    round(${DuckSql.dot("c.embedding", "b.embedding", Dims)}
+              |          / (c.nrm * b.nrm), 6) AS cos
+              |  FROM n c, n b
+              |  WHERE c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
+              |emb AS (SELECT vec_id, MAX(cos) AS mbc
+              |  FROM pairs GROUP BY 1)
+              |SELECT tot.doc_id, tot.n_spans,
+              |  COALESCE(h.n_cont, 0) AS n_contaminated,
+              |  CASE WHEN tot.n_spans > 0 THEN
+              |    round(CAST(COALESCE(h.n_cont, 0) AS DOUBLE)
+              |      / CAST(tot.n_spans AS DOUBLE), 6)
+              |  ELSE 0.0 END AS contamination_ratio,
+              |  e.mbc AS max_bench_cos,
+              |  e.mbc >= 0.9 AS embedding_contaminated,
+              |  (e.mbc >= 0.9 OR COALESCE(h.n_cont, 0) > 0)
+              |    AS contaminated
+              |FROM tot LEFT JOIN hits h USING (doc_id)
+              |JOIN emb e ON e.vec_id = tot.doc_id""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
