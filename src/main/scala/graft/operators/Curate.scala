@@ -52,7 +52,7 @@ object Curate {
     * the corpus is never re-split per stage. (The composed near-dup
     * stage re-tokenizes only the curated survivors, and persists its
     * shingle frame internally — see NearDup.dedupByMinhash.) */
-  private def rowLocalGates(df: DataFrame, textCol: String,
+  private[graft] def rowLocalGates(df: DataFrame, textCol: String,
       minTokens: Int, maxTokens: Int, maxStopRatio: Double): DataFrame =
     df.withColumn("__tk", TextOps.tokens(col(textCol)))
       .filter(size(col("__tk")).between(minTokens, maxTokens))

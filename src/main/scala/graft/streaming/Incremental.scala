@@ -115,7 +115,36 @@ object Incremental {
   def neardupStream(spark: SparkSession, bronzeGlob: String,
       corpusPath: String, bandsPath: String, checkpoint: String,
       idExpr: String, textExpr: String, threshold: Double = 0.8,
-      k: Int = 12, bands: Int = 4, maxBucket: Int = 1024): Unit = {
+      k: Int = 12, bands: Int = 4, maxBucket: Int = 1024): Unit =
+    neardupStreamImpl(spark, bronzeGlob, corpusPath, bandsPath,
+      checkpoint, idExpr, textExpr, threshold, k, bands, maxBucket,
+      identity)
+
+  /** Streaming CURATE corpus builder: [[neardupStream]] with
+    * `Curate`'s row-local quality + language gates applied to each
+    * micro-batch BEFORE the incremental near-dup — the streaming form
+    * of `Curate.curate`. The gates are pure projections, so they prune
+    * the batch before anything shuffles or touches the band index;
+    * exact cross-batch duplicates need no separate fingerprint store
+    * (an exact dup is a Jaccard-1 near-dup, caught by the band index
+    * at any threshold ≤ 1). Same idempotent `batch=<id>` band-leaf
+    * crash-replay contract as [[neardupStream]]. */
+  def curateStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, bandsPath: String, checkpoint: String,
+      idExpr: String, textExpr: String, minTokens: Int = 20,
+      maxTokens: Int = 100000, maxStopRatio: Double = 0.15,
+      threshold: Double = 0.8, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): Unit =
+    neardupStreamImpl(spark, bronzeGlob, corpusPath, bandsPath,
+      checkpoint, idExpr, textExpr, threshold, k, bands, maxBucket,
+      batch => graft.operators.Curate.rowLocalGates(batch, "text",
+        minTokens, maxTokens, maxStopRatio))
+
+  private def neardupStreamImpl(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, bandsPath: String, checkpoint: String,
+      idExpr: String, textExpr: String, threshold: Double,
+      k: Int, bands: Int, maxBucket: Int,
+      prep: DataFrame => DataFrame): Unit = {
     val stream = spark.readStream
       .format("text")
       .load(bronzeGlob)
@@ -125,12 +154,12 @@ object Incremental {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        val incoming = batch
+        val incoming = prep(batch
           .withColumn("doc_id", expr(idExpr))
           .withColumn("text", expr(textExpr))
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .select("doc_id", "text")
-          .dropDuplicates("doc_id")
+          .dropDuplicates("doc_id"))
         val exDocs = MergeOps.readIfExists(ss, corpusPath)
           .getOrElse(incoming.limit(0))
         val exBands = MergeOps.readIfExists(ss, bandsPath)

@@ -107,6 +107,55 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bandIds.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("curateStream: two drains == one batch curate of the union") {
+    import graft.operators.Curate
+    val root = tmpDir("stream-cu")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    // pass the row-local gates: >= 20 tokens, stopword ratio <= 0.15
+    // (one 'the' in 25), en stopword signal
+    def good(tag: String) = (1 to 24).map(i => s"$tag$i").mkString(" ") +
+      " the"
+    val g1 = good("alpha")
+    val g2 = good("omega")
+    val short = "way too short the"              // fails quality gate
+    val und = (1 to 24).map(i => s"und$i").mkString(" ") + " und25"
+    def line(id: Long, text: String) = s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+
+    // drain 1: 2 dups 1 in-batch; 3 fails quality; 4 fails lang-id
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, g1), line(2, g1), line(3, short), line(4, und))
+        .mkString("\n").getBytes)
+    Incremental.curateStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+
+    // drain 2: 5 duplicates EXISTING 1 (via the band index); 6 is new
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(5, g1), line(6, g2)).mkString("\n").getBytes)
+    Incremental.curateStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    val streamed = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 6L))
+
+    // equivalence: one batch curate over the union of both days
+    val union = Seq((1L, g1), (2L, g1), (3L, short), (4L, und),
+      (5L, g1), (6L, g2)).toDF("doc_id", "text")
+    val batch = Curate.curate(union, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+    // rejected docs never reached the band index
+    val bandIds = spark.read.parquet(s"$root/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bandIds.toSeq == Seq(1L, 6L))
+  }
+
   test("embeddingDedupStream: two drains == one batch dedup of the union") {
     import graft.operators.NearDup
     val root = tmpDir("stream-ed")
