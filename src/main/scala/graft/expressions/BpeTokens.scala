@@ -88,6 +88,46 @@ final class BpeKernel private (mergeList: Array[String])
     total
   }
 
+  // vocab-id lookup for tokenIdArray — built against the SAME merge
+  // table, so every merge product resolves; only non-ASCII atoms fall
+  // through to <unk> (id 1)
+  @transient private lazy val vocabIds: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    var id = 2
+    var c = 32
+    while (c <= 126) { m.put(c.toChar.toString, id); id += 1; c += 1 }
+    var i = 0
+    while (i < mergeList.length) {
+      m.put(mergeList(i).replace(" ", ""), id); id += 1; i += 1
+    }
+    m
+  }
+
+  /** Token ids of a whitespace-joined text in [[vocabIds]]' space
+    * (0 = pad, 1 = unk). */
+  def tokenIdArray(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer]()
+    var start = 0
+    val n = s.length
+    while (start < n) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = n
+      if (end > start) {
+        val toks = applyWord(s.substring(start, end))
+        var i = 0
+        while (i < toks.length) {
+          out.add(vocabIds.getOrDefault(toks(i), 1)); i += 1
+        }
+      }
+      start = end + 1
+    }
+    val arr = new Array[Any](out.size)
+    var k = 0
+    while (k < out.size) { arr(k) = out.get(k).intValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** All BPE tokens of a whitespace-joined text, in order. */
   def tokenize(text: UTF8String): GenericArrayData = {
     val s = text.toString
@@ -156,6 +196,41 @@ case class BpeTokenCount(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
+/** `bpe_token_ids(text)`: ARRAY<INT> of vocabulary ids
+  * ([[graft.functions.Bpe.vocab]] space: 0 pad, 1 unk, ASCII atoms,
+  * merge products by rank) — what the sequence packer stores. */
+case class BpeTokenIds(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  @transient private lazy val kernel = BpeKernel.forMerges(merges)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType,
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_ids requires STRING input, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.tokenIdArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeKernel", kernel,
+      classOf[BpeKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokenIdArray($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenIds = copy(child = newChild)
 }
 
 /** `bpe_tokens(text)`: the token array itself (spec/debug surface —

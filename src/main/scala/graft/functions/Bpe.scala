@@ -126,6 +126,24 @@ object Bpe {
     merges.result()
   }
 
+  /** Vocabulary induced by a merge table: ids 0/1 are the `<pad>` /
+    * `<unk>` specials, then the printable-ASCII atoms (codes 32–126)
+    * in code order, then the merge products in rank order. Total and
+    * deterministic: any token not in the table (non-ASCII atom) maps
+    * to `<unk>`. This is the id space [[tokenIds]] emits and the
+    * sequence packer stores. */
+  def vocab(merges: Seq[(String, String)]): Seq[String] =
+    Seq("<pad>", "<unk>") ++
+      (32 to 126).map(c => c.toChar.toString) ++
+      merges.map { case (a, b) => a + b }
+
+  /** BPE token ids of `text` under a merge table ([[vocab]] id
+    * space) — the sequence-packing input. */
+  def tokenIds(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BpeTokenIds(
+        GraftColumnBridge.expression(text), merges))
+
   /** BPE token count of `text` under a merge table. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(

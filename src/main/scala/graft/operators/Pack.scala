@@ -43,7 +43,18 @@ object Pack {
     * row count and columns are otherwise preserved. */
   def packByBudget(df: DataFrame, idCol: String, countCol: String,
       budget: Long, nBuckets: Int = 1024): DataFrame = {
-    require(budget > 0 && nBuckets > 0)
+    require(budget > 0)
+    withGlobalOffset(df, idCol, countCol, nBuckets)
+      .withColumn("shard", expr(s"__off DIV $budget"))
+      .drop("__off")
+  }
+
+  /** df + `__off`: each row's EXCLUSIVE prefix sum of `countCol` in
+    * `idCol` order — the two-level decomposition documented on the
+    * object, shared by [[packByBudget]] and [[packSequences]]. */
+  private[operators] def withGlobalOffset(df: DataFrame, idCol: String,
+      countCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
     // id must be integral: a numeric-STRING id would bucket by numeric
     // cast but window-order lexicographically ("10" < "9"), silently
     // diverging from the single-window prefix sum
@@ -62,7 +73,7 @@ object Pack {
       max(col(idCol)).cast("long"),
       count(lit(1)) - count(col(idCol))).collect()(0)
     if (bounds.isNullAt(0)) { // empty input (or all-null ids)
-      return src.withColumn("shard", lit(0L))
+      return src.withColumn("__off", lit(0L))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // a MIX of null and non-null ids has no defined place in the id
@@ -96,14 +107,63 @@ object Pack {
     }.sliding(2).map { case Seq((_, off), (b, _)) => (b, off) }.toSeq
     val spark = src.sparkSession
     import spark.implicits._
-    val offDf = offsets.toDF("__bkt", "__off")
+    val offDf = offsets.toDF("__bkt", "__bkoff")
     val localPrefix = sum(col(countCol)).over(
       Window.partitionBy("__bkt").orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, -1))
     src.withColumn("__bkt", bucket)
       .join(broadcast(offDf), Seq("__bkt"))
-      .withColumn("__pfx", coalesce(localPrefix, lit(0L)) + col("__off"))
-      .withColumn("shard", expr(s"__pfx DIV $budget"))
-      .drop("__bkt", "__off", "__pfx")
+      .withColumn("__off",
+        coalesce(localPrefix, lit(0L)) + col("__bkoff"))
+      .drop("__bkt", "__bkoff")
+  }
+
+  /** Pack per-document token-id arrays into FIXED-LENGTH training
+    * sequences — the terminal "emit training rows" step: documents
+    * concatenate in `idCol` order into one global token stream, which
+    * splits every `seqLen` tokens. Output:
+    * (seq_id, n_tokens, token_ids), every sequence exactly `seqLen`
+    * tokens except the last.
+    *
+    * Scale shape: a document's global token OFFSET comes from the same
+    * two-level prefix sum as [[packByBudget]] (never a one-task global
+    * window); the document then row-locally SLICES itself into the
+    * sequences it spans (a doc touches ceil(len/seqLen)+1 sequences),
+    * and each sequence assembles its few pieces with one narrow
+    * groupBy — max rows per task bounded by corpus/nBuckets, max
+    * pieces per sequence bounded by the docs that overlap it. Empty
+    * documents contribute nothing. */
+  def packSequences(df: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nBuckets: Int = 1024): DataFrame = {
+    require(seqLen > 0)
+    val withOff = withGlobalOffset(
+      df.select(col(idCol), col(idsCol))
+        .withColumn("__n", size(col(idsCol)).cast("long")),
+      idCol, "__n", nBuckets)
+    val pieces = withOff
+      .filter(col("__n") > 0)
+      .withColumn("__piece", explode(transform(
+        sequence(expr(s"__off DIV $seqLen"),
+          expr(s"(__off + __n - 1) DIV $seqLen")),
+        s => {
+          // this doc's slice landing in sequence s: global positions
+          // [max(s·L, off), min((s+1)·L, off+n) )
+          val from = greatest(s * seqLen, col("__off"))
+          val until = least((s + lit(1)) * seqLen,
+            col("__off") + col("__n"))
+          struct(
+            s.cast("long").as("seq_id"),
+            (from % seqLen).cast("int").as("pos"),
+            slice(col(idsCol), (from - col("__off") + 1).cast("int"),
+              (until - from).cast("int")).as("ids"))
+        })))
+      .select(col("__piece.seq_id"), col("__piece.pos"),
+        col("__piece.ids"))
+    pieces.groupBy("seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        p => p.getField("ids"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .select("seq_id", "n_tokens", "token_ids")
   }
 }

@@ -1665,6 +1665,67 @@ object TrainingQueries {
               |    AS contaminated
               |FROM tot LEFT JOIN hits h USING (doc_id)
               |JOIN emb e ON e.vec_id = tot.doc_id""".stripMargin)),
+
+    // ---- fixed-length training sequences (Pack.packSequences over
+    // Bpe.tokenIds): the terminal "emit training rows" step —
+    // documents concatenate in id order into one token stream split
+    // every 512 ids. The oracle rebuilds ordered per-word token LISTS
+    // from the same recursive merge chain (min_by(len) = final
+    // state), flattens them in word order, assigns global positions
+    // with the single window the operator's two-level decomposition
+    // must reproduce, and hashes each sequence's id string.
+    QueryDef(
+      "t49_pack_sequences",
+      (s, dir) => graft.operators.Pack.packSequences(
+        spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenIds(col("text"),
+              graft.functions.Bpe.GateMerges).as("ids")),
+        "doc_id", "ids", seqLen = 512, nBuckets = 7)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(concat_ws(",",
+            transform(col("token_ids"), i => i.cast("string"))))
+            .as("seq_md5")),
+      Some {
+        val vl = graft.functions.Bpe.vocab(graft.functions.Bpe.GateMerges)
+          .map(v => "'" + v.replace("'", "''") + "'")
+          .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE
+           |${graft.functions.Bpe.duckSql(
+               graft.functions.Bpe.GateMerges,
+               "documents", "doc_id", "text")},
+           |wt AS (SELECT w, min_by(s, len(s)) AS syms
+           |  FROM __bpe_rec GROUP BY w),
+           |dw AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+           |      AS ws
+           |  FROM documents),
+           |dwx AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+           |    unnest(ws) AS w FROM dw),
+           |tok AS (SELECT doc_id, wi,
+           |    generate_subscripts(wt.syms, 1) AS si,
+           |    unnest(wt.syms) AS sym
+           |  FROM dwx JOIN wt USING (w)),
+           |ids AS (SELECT doc_id,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY wi, si) - 1 AS ti,
+           |    coalesce(nullif(list_position($vl, sym), 0), 2) - 1
+           |      AS id
+           |  FROM tok),
+           |n AS (SELECT doc_id, COUNT(*) AS nt FROM ids GROUP BY 1),
+           |off AS (SELECT doc_id,
+           |    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS o
+           |  FROM n),
+           |gp AS (SELECT i.doc_id, o.o + i.ti AS g, i.id
+           |  FROM ids i JOIN off o USING (doc_id))
+           |SELECT CAST(g // 512 AS BIGINT) AS seq_id,
+           |  CAST(COUNT(*) AS INT) AS n_tokens,
+           |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY g))
+           |    AS seq_md5
+           |FROM gp GROUP BY 1""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

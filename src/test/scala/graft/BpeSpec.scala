@@ -41,6 +41,21 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("join", "order", "value"))
   }
 
+  test("tokenIds: vocab space is total, deterministic, round-trippable") {
+    import spark.implicits._
+    val v = Bpe.vocab(Bpe.GateMerges)
+    assert(v.take(2) == Seq("<pad>", "<unk>"))
+    assert(v(2) == " " && v.contains("customer"))
+    val ids = Seq(("customer x Ω", 0)).toDF("text", "d")
+      .select(Bpe.tokenIds(col("text"), Bpe.GateMerges).as("i"))
+      .collect()(0).getSeq[Int](0)
+    // customer -> its merge-product id; x -> ASCII atom id; Ω -> unk
+    assert(ids.size == 3)
+    assert(v(ids(0)) == "customer")
+    assert(v(ids(1)) == "x")
+    assert(ids(2) == 1, s"non-ASCII atom must map to <unk>, got ${ids(2)}")
+  }
+
   test("apply: lowest-rank-first leftmost semantics, not left-to-right") {
     import spark.implicits._
     // merges: rank0 (b,c), rank1 (a,b). "abc": left-to-right greedy

@@ -60,6 +60,37 @@ class PackSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("packSequences: fixed lengths, exact stream reassembly, stable") {
+    import spark.implicits._
+    // uneven docs incl. one longer than seqLen and one empty
+    val docs = (0L until 40L).map { i =>
+      (i * 13 % 997, (0 until (if (i == 7) 60 else (i % 9).toInt))
+        .map(j => (i * 100 + j).toInt).toSeq)
+    }.groupBy(_._1).map(_._2.head).toSeq.toDF("id", "ids")
+    val seqs = graft.operators.Pack.packSequences(docs, "id", "ids",
+      seqLen = 16, nBuckets = 5)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    // every sequence is FULL except the last; ids are 0..n-1 dense
+    assert(seqs.map(_._1) == seqs.indices.map(_.toLong))
+    seqs.init.foreach { case (sid, n, ids) =>
+      assert(n == 16 && ids.size == 16, s"seq $sid not full")
+    }
+    // concatenating sequences reproduces the doc streams in id order
+    val stream = seqs.flatMap(_._3)
+    val expected = docs.collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      .sortBy(_._1).flatMap(_._2).toSeq
+    assert(stream == expected)
+    // decomposition-independent: other bucket counts and partitionings
+    for (nb <- Seq(1, 3, 17)) {
+      val again = graft.operators.Pack.packSequences(
+        docs.repartition(7), "id", "ids", 16, nb)
+        .orderBy("seq_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+      assert(again == seqs, s"nBuckets=$nb diverged")
+    }
+  }
+
   test("packByBudget: mixed null ids fail the contract, not an NPE") {
     import spark.implicits._
     val mixed = Seq((java.lang.Long.valueOf(1L), 10L),
