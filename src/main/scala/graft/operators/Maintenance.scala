@@ -74,6 +74,81 @@ object Maintenance {
     }
   }
 
+  /** Compact a STREAMING BAND INDEX (the `batch=<id>`-leaved tables
+    * [[graft.streaming.Incremental.neardupStream]] and friends write):
+    * every micro-batch adds one leaf, so a year of 5-minute batches is
+    * ~100k directories — the classic small-file problem, and per-batch
+    * reads re-list all of them. Folds every leaf EXCEPT the newest
+    * batch into one consolidated leaf.
+    *
+    * Two safety properties drive the shape:
+    *  - the newest batch leaf is never touched: it is the only one the
+    *    stream's checkpoint can still replay, and a replay OVERWRITES
+    *    its `batch=<id>` leaf — which must therefore still exist as
+    *    the replay's target, not be folded into a consolidated leaf
+    *    the overwrite would not reach;
+    *  - crash safety via a `_compact_pending` marker: consolidated
+    *    data is fully written into a NEGATIVE leaf (`batch=-(maxId+2)`
+    *    — monotone, never colliding with real ids or earlier
+    *    consolidations) before any source leaf is deleted, and the
+    *    marker lists the leaves to remove. A crash between writes and
+    *    deletes leaves duplicate band rows VISIBLE but recoverable:
+    *    the next call (or stream start) finishes the deletes first.
+    *    Transient duplicates only inflate band-bucket counts toward
+    *    the hot-bucket guard — recall-conservative, never wrong.
+    *
+    * Returns the number of leaves folded (0 = nothing to do). */
+  def compactBands(spark: SparkSession, bandsPath: String,
+      targetFiles: Int = 8): Int = {
+    val root = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val marker = new org.apache.hadoop.fs.Path(bandsPath + "_compact_pending")
+    // finish a crashed predecessor's deletes before anything else
+    if (fs.exists(marker)) {
+      val len = fs.getFileStatus(marker).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(marker)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty)
+        .foreach(rel => fs.delete(
+          new org.apache.hadoop.fs.Path(root, rel), true))
+      fs.delete(marker, false)
+    }
+    val leaves = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("batch=").toLong).toOption.map(n -> _))
+    if (leaves.size <= 2) return 0 // nothing worth folding
+    val maxId = leaves.map(_._2).max
+    val fold = leaves.filter(_._2 != maxId)
+    val consolidatedId = -(math.max(maxId, -leaves.map(_._2).min) + 2)
+    val rows = spark.read.parquet(
+      fold.map(l => s"$bandsPath/${l._1}"): _*)
+    val tmp = bandsPath + "__tmp"
+    rows.repartition(targetFiles).write
+      .mode(SaveMode.Overwrite).parquet(tmp)
+    // publish the consolidated leaf, then record the delete list and
+    // only then remove the folded leaves (crash-recoverable above)
+    val dest = new org.apache.hadoop.fs.Path(root,
+      s"batch=$consolidatedId")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dest failed")
+    val out = fs.create(marker, false)
+    try out.write(fold.map(_._1).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fold.foreach(l => fs.delete(
+      new org.apache.hadoop.fs.Path(root, l._1), true))
+    fs.delete(marker, false)
+    spark.catalog.refreshByPath(bandsPath)
+    fold.size
+  }
+
   /** File-count + size stats for a table (the health-check side). */
   def tableStats(spark: SparkSession, path: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)

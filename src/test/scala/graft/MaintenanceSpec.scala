@@ -8,6 +8,57 @@ import org.apache.spark.sql.functions._
 class MaintenanceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compactBands folds old leaves, spares the newest, stays correct") {
+    import graft.operators.NearDup
+    val root = tmpDir("bandcompact")
+    val bandsPath = s"$root/bands"
+    // 4 micro-batch leaves of real minhash bands
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, s"document body number $i with plenty of " +
+        s"distinct words alpha$i beta$i gamma$i")).toDF("doc_id", "text")
+    for (b <- 0 to 3)
+      NearDup.minhashBands(docs(Seq(b * 10L, b * 10L + 1)), "doc_id",
+        "text", 12, 4)
+        .write.mode("overwrite").parquet(s"$bandsPath/batch=$b")
+    val before = spark.read.parquet(bandsPath)
+      .drop("batch").collect().map(_.toString).sorted.toSeq
+
+    val folded = Maintenance.compactBands(spark, bandsPath)
+    assert(folded == 3)
+    val fs = new org.apache.hadoop.fs.Path(bandsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(
+      new org.apache.hadoop.fs.Path(bandsPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    // newest real leaf survives (the only replayable one); the rest
+    // folded into one negative leaf
+    assert(leaves == Seq("batch=-5", "batch=3"), leaves.toString)
+    val after = spark.read.parquet(bandsPath)
+      .drop("batch").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+
+    // the compacted index still drives incremental dedup: a duplicate
+    // of existing doc 0 must be dropped via the consolidated bands
+    val exDocs = docs(Seq(0L, 1L, 10L, 11L, 20L, 21L, 30L, 31L))
+    val dupOf0 = Seq((100L, exDocs.filter(col("doc_id") === 0L)
+      .collect()(0).getString(1))).toDF("doc_id", "text")
+    val survivors = NearDup.dedupByMinhashIncremental(dupOf0, "doc_id",
+      "text", spark.read.parquet(bandsPath), exDocs, threshold = 0.8)
+    assert(survivors.count() == 0, "dup survived against compacted index")
+
+    // crash recovery: a marker listing a stale leaf gets finished first
+    NearDup.minhashBands(docs(Seq(77L)), "doc_id", "text", 12, 4)
+      .write.mode("overwrite").parquet(s"$bandsPath/batch=99")
+    val marker = new org.apache.hadoop.fs.Path(bandsPath + "_compact_pending")
+    val out = fs.create(marker, false)
+    out.write("batch=99".getBytes); out.close()
+    Maintenance.compactBands(spark, bandsPath) // recovery path runs
+    assert(!fs.exists(marker))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bandsPath/batch=99")))
+    assert(spark.read.parquet(bandsPath).drop("batch")
+      .collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("compact shrinks file count, preserves data, clusters by key") {
     val path = tmpDir("compact") + "/t"
     (1L to 1000L).map(i => (i, i % 7, s"v$i")).toDF("id", "k", "v")
