@@ -597,6 +597,9 @@ object NearDup {
       val (shReps, removedExactIn) = collapseExactClasses(inShRaw, idCol)
       val inBands = minhashBandsFromShingles(shReps, idCol, k, bands)
       val inPairs = candidatePairs(inBands, idCol, maxBucket)
+      // crossPairs fans out into exCand AND the cross verify; measured
+      // (round 5): persisting it does NOT help — ReuseExchange already
+      // shares the banded shuffle between the two consumers
       val crossPairs = crossCandidates(inBands, existingBands, idCol,
         maxBucket)
 

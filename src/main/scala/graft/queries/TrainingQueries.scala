@@ -1538,10 +1538,17 @@ object TrainingQueries {
       "t46_chunk_dup_stats",
       (s, dir) => graft.operators.Chunk.chunkDupStats(
         spread(s, docs(s, dir)), "doc_id", "text",
-        window = 8, modulus = 64),
+        window = 8, modulus = 64, rolling = true),
       Some {
-        val wh = DuckSql.hexToLong(
-          "md5(substring(text, CAST(i AS INT) - 7, 8))", 8)
+        // rolling predicate (the production path, 37x cheaper than the
+        // md5 window at sf1 — t45 keeps the md5 form gated): the
+        // oracle recomputes each window hash as the explicit polynomial
+        val wh = (0 until 8).map { j =>
+          val pow = java.math.BigInteger.valueOf(TextOps.RollingB)
+            .pow(7 - j)
+          s"CAST(ascii(substring(text, CAST(i AS INT) - ${7 - j}, 1)) " +
+            s"AS BIGINT) * $pow"
+        }.mkString("(", " + ", s") % ${TextOps.RollingP}")
         s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
            |    CASE WHEN length(text) > 8 THEN
            |      list_filter(range(8, length(text)), i -> $wh % 64 = 0)
