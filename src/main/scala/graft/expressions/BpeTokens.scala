@@ -90,7 +90,9 @@ final class BpeKernel private (mergeList: Array[String])
 
   // vocab-id lookup for tokenIdArray — built against the SAME merge
   // table, so every merge product resolves; only non-ASCII atoms fall
-  // through to <unk> (id 1)
+  // through to <unk> (id 1). putIfAbsent = FIRST occurrence wins,
+  // matching Bpe.vocab's indexOf and the oracle's list_position when
+  // two merges concatenate to the same product string.
   @transient private lazy val vocabIds: java.util.HashMap[String, Int] = {
     val m = new java.util.HashMap[String, Int]()
     var id = 2
@@ -98,10 +100,17 @@ final class BpeKernel private (mergeList: Array[String])
     while (c <= 126) { m.put(c.toChar.toString, id); id += 1; c += 1 }
     var i = 0
     while (i < mergeList.length) {
-      m.put(mergeList(i).replace(" ", ""), id); id += 1; i += 1
+      m.putIfAbsent(mergeList(i).replace(" ", ""), id); id += 1; i += 1
     }
     m
   }
+
+  // Executor-side deserialization routes back through the pool: the
+  // expression ships the kernel via plan references, and WITHOUT this
+  // every task would deserialize a private instance with a cold memo
+  // cache — the per-JVM sharing the design claims would hold only on
+  // the driver.
+  private def readResolve(): Object = BpeKernel.forMergeList(mergeList)
 
   /** Token ids of a whitespace-joined text in [[vocabIds]]' space
     * (0 = pad, 1 = unk). */
@@ -151,18 +160,21 @@ final class BpeKernel private (mergeList: Array[String])
 }
 
 object BpeKernel {
-  // one kernel (→ one memo cache) per distinct merge table per JVM
+  // one kernel (→ one memo cache) per distinct merge table per JVM —
+  // keyed by the canonical "a b" list so driver construction and
+  // executor readResolve land on the same instance
   private val pool =
-    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)],
-      BpeKernel]()
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], BpeKernel]()
 
   def forMerges(merges: Seq[(String, String)]): BpeKernel = {
     require(merges.forall { case (a, b) =>
       a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ")
     }, "BPE merge symbols must be non-empty and space-free")
-    pool.computeIfAbsent(merges,
-      m => new BpeKernel(m.map { case (a, b) => a + " " + b }.toArray))
+    forMergeList(merges.map { case (a, b) => a + " " + b }.toArray)
   }
+
+  private[expressions] def forMergeList(list: Array[String]): BpeKernel =
+    pool.computeIfAbsent(list.toSeq, _ => new BpeKernel(list))
 }
 
 /** `bpe_token_count(text)`: LONG count of BPE tokens under a fixed

@@ -27,8 +27,10 @@ object Decontam {
 
   /** Exact variant: (idCol, max_bench_cos, embedding_contaminated)
     * for every corpus row — max cosine against ANY benchmark vector,
-    * flagged at `threshold`. Pair cosines round to 6 digits before the
-    * max (monotone, so order-free) for cross-engine stability. */
+    * flagged at `threshold`; an empty benchmark yields every row with
+    * NULL score and `false` (same contract as the IVF variant). Pair
+    * cosines round to 6 digits before the max (monotone, so
+    * order-free) for cross-engine stability. */
   def embeddingContamination(corpus: DataFrame, idCol: String,
       vecCol: String, bench: DataFrame, benchVecCol: String,
       threshold: Double): DataFrame = {
@@ -36,14 +38,19 @@ object Decontam {
       .withColumn("__cn", VectorOps.norm(col("__cv")))
     val b = bench.select(col(benchVecCol).as("__bv"))
       .withColumn("__bn", VectorOps.norm(col("__bv")))
-    c.crossJoin(broadcast(b))
+    val scored = c.crossJoin(broadcast(b))
       .select(col(idCol),
         VectorOps.cosine(col("__cv"), col("__bv"),
           col("__cn"), col("__bn")).as("__cos"))
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("max_bench_cos"))
+    // left join from the corpus side: an EMPTY benchmark (a filter
+    // that matched nothing) must yield every corpus row un-flagged,
+    // not an empty frame — same contract as the IVF variant, and what
+    // keeps fullReport's inner join from silently dropping the corpus
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("embedding_contaminated",
-        col("max_bench_cos") >= threshold)
+        coalesce(col("max_bench_cos") >= threshold, lit(false)))
   }
 
   /** IVF-pruned variant: corpus rows score only against bench vectors

@@ -87,15 +87,19 @@ object Maintenance {
     *    its `batch=<id>` leaf — which must therefore still exist as
     *    the replay's target, not be folded into a consolidated leaf
     *    the overwrite would not reach;
-    *  - crash safety via a `_compact_pending` marker: consolidated
-    *    data is fully written into a NEGATIVE leaf (`batch=-(maxId+2)`
-    *    — monotone, never colliding with real ids or earlier
-    *    consolidations) before any source leaf is deleted, and the
-    *    marker lists the leaves to remove. A crash between writes and
-    *    deletes leaves duplicate band rows VISIBLE but recoverable:
-    *    the next call (or stream start) finishes the deletes first.
-    *    Transient duplicates only inflate band-bucket counts toward
-    *    the hot-bucket guard — recall-conservative, never wrong.
+    *  - crash safety via a `_compact_pending` marker written BEFORE
+    *    the publishing rename, naming the consolidated leaf
+    *    (`batch=-(maxId+2)` — monotone, never colliding with real ids
+    *    or earlier consolidations) and the source leaves. Recovery on
+    *    the next call reads the marker and branches on whether the
+    *    consolidated leaf exists: published → finish the source
+    *    deletes; not published → discard marker + tmp, index
+    *    untouched. A crash between publish and deletes leaves
+    *    duplicate band rows VISIBLE but transient (removed by the
+    *    next call before any new fold, so they can never be folded
+    *    twice); transient duplicates only inflate band-bucket counts
+    *    toward the hot-bucket guard — recall-conservative, never
+    *    wrong.
     *
     * Returns the number of leaves folded (0 = nothing to do). */
   def compactBands(spark: SparkSession, bandsPath: String,
@@ -104,18 +108,31 @@ object Maintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val marker = new org.apache.hadoop.fs.Path(bandsPath + "_compact_pending")
-    // finish a crashed predecessor's deletes before anything else
+    val tmp = new org.apache.hadoop.fs.Path(bandsPath + "__tmp")
+    // Recovery protocol. The marker's FIRST line is the consolidated
+    // leaf, the rest are the folded source leaves, and the marker is
+    // written BEFORE the publishing rename — so its presence plus the
+    // existence of the consolidated leaf decides which side of the
+    // crash we are on:
+    //  - consolidated leaf exists → the publish happened; finish the
+    //    source deletes (duplicates were transient);
+    //  - consolidated leaf missing → the publish never happened; the
+    //    index is untouched, so just discard marker + tmp. Either way
+    //    a re-run can never fold both copies of the same rows.
     if (fs.exists(marker)) {
       val len = fs.getFileStatus(marker).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(marker)
       try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty)
-        .foreach(rel => fs.delete(
+      val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val dest = new org.apache.hadoop.fs.Path(root, lines.head)
+      if (fs.exists(dest))
+        lines.tail.foreach(rel => fs.delete(
           new org.apache.hadoop.fs.Path(root, rel), true))
       fs.delete(marker, false)
     }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a dead writer
     val leaves = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -126,22 +143,20 @@ object Maintenance {
     val maxId = leaves.map(_._2).max
     val fold = leaves.filter(_._2 != maxId)
     val consolidatedId = -(math.max(maxId, -leaves.map(_._2).min) + 2)
+    val destName = s"batch=$consolidatedId"
     val rows = spark.read.parquet(
       fold.map(l => s"$bandsPath/${l._1}"): _*)
-    val tmp = bandsPath + "__tmp"
     rows.repartition(targetFiles).write
-      .mode(SaveMode.Overwrite).parquet(tmp)
-    // publish the consolidated leaf, then record the delete list and
-    // only then remove the folded leaves (crash-recoverable above)
-    val dest = new org.apache.hadoop.fs.Path(root,
-      s"batch=$consolidatedId")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
-      throw new java.io.IOException(
-        s"rename $tmp -> $dest failed")
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // marker FIRST (naming dest + folds), THEN the publishing rename,
+    // THEN the deletes — every crash point lands in a recovery case
     val out = fs.create(marker, false)
-    try out.write(fold.map(_._1).mkString("\n")
+    try out.write((destName +: fold.map(_._1)).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(root, destName)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
     fold.foreach(l => fs.delete(
       new org.apache.hadoop.fs.Path(root, l._1), true))
     fs.delete(marker, false)

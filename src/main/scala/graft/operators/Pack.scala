@@ -72,15 +72,18 @@ object Pack {
     val bounds = src.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long"),
       count(lit(1)) - count(col(idCol))).collect()(0)
-    if (bounds.isNullAt(0)) { // empty input (or all-null ids)
+    // ANY null id — mixed or all-null — has no defined place in the
+    // packing order: fail with the contract error, not a downstream
+    // NPE (mixed) or silently overlapping offsets (all-null, which
+    // would collapse every document to __off = 0 and interleave
+    // packSequences output). Only genuinely EMPTY input passes through.
+    require(bounds.getLong(2) == 0L,
+      s"pack: id column '$idCol' has ${bounds.getLong(2)} null " +
+        "rows; null ids have no position in the packing order")
+    if (bounds.isNullAt(0)) { // empty input
       return src.withColumn("__off", lit(0L))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // a MIX of null and non-null ids has no defined place in the id
-    // order — fail with the contract error, not a downstream NPE
-    require(bounds.getLong(2) == 0L,
-      s"packByBudget: id column '$idCol' has ${bounds.getLong(2)} null " +
-        "rows; null ids have no position in the packing order")
     // bucket = (id - lo) DIV ceil(span / nBuckets): contiguous id
     // ranges, <= nBuckets buckets. Ids spanning more than the long
     // range (lo deeply negative, hi huge) would wrap hi-lo+1 negative

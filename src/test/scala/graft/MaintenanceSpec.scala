@@ -46,15 +46,29 @@ class MaintenanceSpec extends SparkSpec {
       "text", spark.read.parquet(bandsPath), exDocs, threshold = 0.8)
     assert(survivors.count() == 0, "dup survived against compacted index")
 
-    // crash recovery: a marker listing a stale leaf gets finished first
+    // crash recovery, published side: the marker names an EXISTING
+    // consolidated leaf (batch=-5) + a source leaf whose delete the
+    // crash interrupted — recovery must finish that delete
     NearDup.minhashBands(docs(Seq(77L)), "doc_id", "text", 12, 4)
       .write.mode("overwrite").parquet(s"$bandsPath/batch=99")
     val marker = new org.apache.hadoop.fs.Path(bandsPath + "_compact_pending")
     val out = fs.create(marker, false)
-    out.write("batch=99".getBytes); out.close()
+    out.write("batch=-5\nbatch=99".getBytes); out.close()
     Maintenance.compactBands(spark, bandsPath) // recovery path runs
     assert(!fs.exists(marker))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bandsPath/batch=99")))
+    assert(spark.read.parquet(bandsPath).drop("batch")
+      .collect().map(_.toString).sorted.toSeq == before)
+
+    // crash recovery, unpublished side: the marker names a
+    // consolidated leaf that never landed — recovery must NOT delete
+    // the listed source leaf (the index was untouched by the crash)
+    val out2 = fs.create(marker, false)
+    out2.write("batch=-99\nbatch=3".getBytes); out2.close()
+    Maintenance.compactBands(spark, bandsPath)
+    assert(!fs.exists(marker))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsPath/batch=3")),
+      "unpublished recovery deleted a live source leaf")
     assert(spark.read.parquet(bandsPath).drop("batch")
       .collect().map(_.toString).sorted.toSeq == before)
   }
