@@ -1733,6 +1733,45 @@ object TrainingQueries {
            |    AS seq_md5
            |FROM gp GROUP BY 1""".stripMargin
       }),
+
+    // ---- char-trigram LM quality score (operators.Quality
+    // .charLmScore): the CCNet-style perplexity-proxy filter — docs
+    // scored by avg ln P(c3|c1c2) under an add-one-smoothed model
+    // estimated from the doc_id % 10 = 0 reference slice. The oracle
+    // recomputes counts, prefix totals, charset size, and the ln
+    // (t31 precedent: JVM and DuckDB ln agree bit-for-bit here).
+    QueryDef(
+      "t50_char_lm_quality",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        graft.operators.Quality.charLmScore(
+          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 10 === 0), "text")
+      },
+      Some("""WITH tri AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, length(text) - 1),
+             |      i -> substring(lower(text), CAST(i AS INT), 3)))
+             |      AS t
+             |  FROM documents WHERE length(text) >= 3),
+             |rt AS (SELECT t, COUNT(*) AS c3 FROM tri
+             |  WHERE doc_id % 10 = 0 GROUP BY 1),
+             |rp AS (SELECT substring(t, 1, 2) AS p, SUM(c3) AS c2
+             |  FROM rt GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT ch) AS vs FROM (
+             |  SELECT unnest(string_split(lower(text), '')) AS ch
+             |  FROM documents WHERE doc_id % 10 = 0)),
+             |dt AS (SELECT doc_id, t, COUNT(*) AS n FROM tri
+             |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2)
+             |SELECT dt.doc_id,
+             |  CAST(SUM(dt.n) AS BIGINT) AS n_trigrams,
+             |  round(SUM(ln(CAST(COALESCE(rt.c3, 0) + 1 AS DOUBLE)
+             |      / CAST(COALESCE(rp.c2, 0) + v.vs AS DOUBLE)) * dt.n)
+             |    / SUM(dt.n), 6) AS avg_logprob
+             |FROM dt
+             |LEFT JOIN rt ON rt.t = dt.t
+             |LEFT JOIN rp ON rp.p = substring(dt.t, 1, 2)
+             |CROSS JOIN v
+             |GROUP BY dt.doc_id""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
