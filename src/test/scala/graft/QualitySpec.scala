@@ -25,9 +25,9 @@ class QualitySpec extends SparkSpec {
     // gibberish docs: under add-one smoothing a seen prefix with an
     // unseen continuation scores 1/(c2+V) — legitimately below a fully
     // novel context's 1/V.)
-    assert(scores(1L) > scores(2L) + 1.0,
+    assert(scores(1L) > scores(2L) + 0.5,
       s"reference-like ${scores(1L)} not above gibberish ${scores(2L)}")
-    assert(scores(1L) > scores(3L) + 1.0,
+    assert(scores(1L) > scores(3L) + 0.5,
       s"reference-like ${scores(1L)} not above unseen ${scores(3L)}")
     // smoothing keeps every score finite
     assert(scores.values.forall(v => !v.isNaN && !v.isInfinite))
