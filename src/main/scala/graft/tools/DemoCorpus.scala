@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.Tables
 import graft.functions.Bpe
-import graft.operators.{Chunk, Curate, Decontam, Pack, Sample}
+import graft.operators.{Chunk, Curate, Decontam, Pack, Quality, Sample}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -49,14 +49,25 @@ object DemoCorpus {
     println(s"[corpus] decontaminated    = ${clean.count()}" +
       s" (flagged ${report.filter(col("contaminated")).count()})")
 
-    // 3. temperature-mixed sampling by language
-    val withLang = clean.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    // 3. LM quality score (CCNet-style perplexity proxy) — keep docs
+    // whose char-trigram likelihood under the benchmark-slice LM is
+    // above the corpus median
+    val lm = Quality.charLmScore(clean, "doc_id", "text",
+      bench.select("text"), "text")
+    val cut = lm.stat.approxQuantile("avg_logprob", Array(0.5), 0.01)(0)
+    val likely = clean.join(
+      lm.filter(col("avg_logprob") >= cut).select("doc_id"), Seq("doc_id"))
+    println(s"[corpus] LM-quality kept   = ${likely.count()}" +
+      f" (median logprob cut $cut%.3f)")
+
+    // 4. temperature-mixed sampling by language
+    val withLang = likely.join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("n_tok", Bpe.tokenCount(col("text"), Bpe.GateMerges))
     val mixed = Sample.temperatureMixture(withLang, "doc_id", "lang",
       "n_tok", alpha = 0.7, totalBudget = 50000L)
     println(s"[corpus] after mixture     = ${mixed.count()}")
 
-    // 4. tokenize + pack fixed-length training sequences
+    // 5. tokenize + pack fixed-length training sequences
     val seqs = Pack.packSequences(
       mixed.select(col("doc_id"),
         Bpe.tokenIds(col("text"), Bpe.GateMerges).as("ids")),
