@@ -1772,6 +1772,54 @@ object TrainingQueries {
              |LEFT JOIN rp ON rp.p = substring(dt.t, 1, 2)
              |CROSS JOIN v
              |GROUP BY dt.doc_id""".stripMargin)),
+
+    // ---- Gopher-style repetition signals (operators.Repetition
+    // .repetitionSignals): modal-2-gram fraction, duplicated-5-gram
+    // fraction, longest token run — computed ZERO-SHUFFLE by sorting
+    // each row's own gram array and run-length folding it. The oracle
+    // computes the same values by the explode → GROUP BY (doc, gram)
+    // route and gaps-and-islands for runs — a completely different
+    // algorithm, same numbers.
+    QueryDef(
+      "t51_repetition_signals",
+      (s, dir) => graft.operators.Repetition.repetitionSignals(
+        spread(s, docs(s, dir)), "doc_id", "text"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+             |g2 AS (SELECT doc_id, t[x] || ' ' || t[x+1] AS g
+             |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(x)),
+             |c2 AS (SELECT doc_id, MAX(c) AS top2_cnt FROM (
+             |    SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |g5 AS (SELECT doc_id, t[x] || ' ' || t[x+1] || ' ' ||
+             |    t[x+2] || ' ' || t[x+3] || ' ' || t[x+4] AS g
+             |  FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS u(x)),
+             |c5 AS (SELECT doc_id,
+             |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5_cnt
+             |  FROM (
+             |    SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |runs AS (SELECT doc_id, MAX(rl) AS max_token_run FROM (
+             |    SELECT doc_id, tok, grp, COUNT(*) AS rl FROM (
+             |      SELECT doc_id, x, t[x] AS tok,
+             |        x - ROW_NUMBER() OVER (
+             |          PARTITION BY doc_id, t[x] ORDER BY x) AS grp
+             |      FROM tk, UNNEST(generate_series(1, len(t))) AS u(x))
+             |    GROUP BY 1, 2, 3)
+             |  GROUP BY 1)
+             |SELECT tk.doc_id, CAST(len(t) AS INT) AS n_tokens,
+             |  COALESCE(runs.max_token_run, 0) AS max_token_run,
+             |  COALESCE(c2.top2_cnt, 0) AS top2_cnt,
+             |  CAST(COALESCE(c5.dup5_cnt, 0) AS BIGINT) AS dup5_cnt,
+             |  CASE WHEN len(t) - 1 > 0 THEN
+             |    round(CAST(COALESCE(c2.top2_cnt, 0) AS DOUBLE)
+             |      / (len(t) - 1), 6) ELSE 0.0 END AS top2_frac,
+             |  CASE WHEN len(t) - 4 > 0 THEN
+             |    round(CAST(COALESCE(c5.dup5_cnt, 0) AS DOUBLE)
+             |      / (len(t) - 4), 6) ELSE 0.0 END AS dup5_frac
+             |FROM tk
+             |LEFT JOIN c2 USING (doc_id)
+             |LEFT JOIN c5 USING (doc_id)
+             |LEFT JOIN runs USING (doc_id)""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
