@@ -50,6 +50,25 @@ object TextOps {
   def cleanText(text: Column): Column =
     collapseWhitespace(maskEmails(stripUrls(text)))
 
+  /** Replace phone-like digit runs (optional leading +, digits and
+    * dashes, ≥ 7 chars total) with a placeholder. The class excludes
+    * '.' so IPv4 literals are left for [[maskIps]] — the two patterns
+    * are disjoint and composition order can't change the result. */
+  def maskPhones(text: Column): Column =
+    regexp_replace(text, "\\+?[0-9][0-9\\-]{5,}[0-9]", "<phone>")
+
+  /** Replace IPv4 literals with a placeholder. */
+  def maskIps(text: Column): Column =
+    regexp_replace(text,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<ip>")
+
+  /** The composed PII scrub: emails, phones, IPv4s masked. Like
+    * [[cleanText]], patterns are restricted to syntax Java regex and
+    * RE2 agree on — the t52 gate proves engine parity on synthesized
+    * dirt. */
+  def scrubPii(text: Column): Column =
+    maskIps(maskPhones(maskEmails(text)))
+
   /** Regex token-count heuristic (word pieces + isolated punctuation)
     * — the cheap prefilter tier. REAL token counts come from the
     * corpus-trained byte-pair encoder ([[Bpe.tokenCount]]), which the

@@ -75,6 +75,20 @@ class SpanStatsSpec extends SparkSpec {
     assert(rows(2) == "no dirt here")
   }
 
+  test("scrubPii: emails, phones, IPv4s masked; clean text untouched") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val rows = Seq(
+      "reach me at +55-123-555-0199 or a.b@mail.co from 10.2.0.41 ok",
+      "short digits 123-45 stay, year 2026 stays, 1.2.3.4 goes",
+      "plain sentence with no identifiers at all").toDF("t")
+      .select(TextOps.scrubPii(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(0) == "reach me at <phone> or <email> from <ip> ok")
+    assert(rows(1) == "short digits 123-45 stay, year 2026 stays, <ip> goes")
+    assert(rows(2) == "plain sentence with no identifiers at all")
+  }
+
   test("duplicatedNgramStats: docs shorter than n produce no row") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b c d e f")).toDF("doc_id", "text")
