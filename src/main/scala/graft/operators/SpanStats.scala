@@ -81,4 +81,58 @@ object SpanStats {
           round(col("n_contaminated") / col("n_spans"), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** Cross-document boilerplate REMOVAL (the C4/RefinedWeb span-dedup
+    * recipe, applied at token level): every token position covered by
+    * an `n`-gram that occurs in at least `minDocs` DISTINCT documents
+    * is cut, and the text is rebuilt from the survivors. Distinct-doc
+    * counting (not instances) keeps self-repetition out of scope —
+    * that is [[graft.operators.Repetition]]'s signal; this operator
+    * targets spans shared ACROSS documents (headers, footers, license
+    * blocks, templated prose).
+    *
+    * Output: (idCol, cleaned, n_removed). Fully-boilerplate documents
+    * come out as empty strings — downstream length filters drop them.
+    *
+    * Scale shape: positional grams explode once and aggregate to
+    * distinct (doc, gram) before the global distinct-doc count (the
+    * t32 discipline: instances never cross a shuffle). The
+    * boilerplate gram set is corpus-derived — potentially large, so it
+    * joins by gram (AQE splits the Zipf-hot ones), NOT broadcast. Per
+    * document the covered positions collapse to ONE array row
+    * (bounded by doc length), the join back to the corpus is
+    * id-keyed and narrow, and the rebuild is row-local: an indexed
+    * `filter` over the token array — the corpus text itself never
+    * shuffles. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      "span length must be >= 1 and minDocs >= 2")
+    val posGrams = docs.select(col(idCol),
+      posexplode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n)))
+      .toDF(idCol, "__p", "__gram")
+    val boiler = posGrams.select(col(idCol), col("__gram")).distinct()
+      .groupBy("__gram").agg(count(lit(1)).as("__dc"))
+      .filter(col("__dc") >= minDocs)
+      .select("__gram")
+    val covered = posGrams
+      .join(boiler, Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__p")).as("__starts"))
+      .select(col(idCol),
+        array_distinct(flatten(transform(col("__starts"),
+          s => sequence(s, s + lit(n - 1))))).as("__cov"))
+    docs.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(TextOps.tokens(col(textCol)),
+              (t, i) => !array_contains(col("__cov"), i)), " "))
+          .as("cleaned"),
+        // explicit null branch: size(null) is config-dependent
+        // (-1 legacy, null ANSI) — neither is the 0 we mean
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long"))
+          .as("n_removed"))
+  }
 }

@@ -1849,6 +1849,44 @@ object TrainingQueries {
              |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
              |      '<ip>', 'g') AS scrubbed
              |FROM documents""".stripMargin)),
+
+    // ---- cross-document boilerplate removal (SpanStats
+    // .removeDuplicatedSpans): the C4/RefinedWeb span-dedup recipe —
+    // token positions covered by a 5-gram present in ≥ 2 distinct
+    // documents are cut and the text rebuilt. The oracle recomputes
+    // coverage by exploding every token position and anti-joining
+    // (vs the operator's per-doc covered-array rebuild — different
+    // plan, same text).
+    QueryDef(
+      "t53_remove_dup_spans",
+      (s, dir) => graft.operators.SpanStats.removeDuplicatedSpans(
+        spread(s, docs(s, dir)), "doc_id", "text", n = 5),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+             |pg AS (SELECT doc_id, x - 1 AS p,
+             |    t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' ||
+             |      t[x+3] || ' ' || t[x+4] AS g
+             |  FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS u(x)),
+             |boiler AS (SELECT g FROM (
+             |    SELECT g, COUNT(DISTINCT doc_id) AS dc FROM pg
+             |    GROUP BY 1) WHERE dc >= 2),
+             |cov AS (SELECT DISTINCT doc_id, p + o AS cp
+             |  FROM pg JOIN boiler USING (g),
+             |    UNNEST(generate_series(0, 4)) AS v(o)),
+             |nr AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov
+             |  GROUP BY 1),
+             |sel AS (SELECT tk.doc_id, x, t[x] AS tok
+             |  FROM tk, UNNEST(generate_series(1, len(t))) AS u(x)),
+             |kept AS (SELECT s.doc_id, s.x, s.tok FROM sel s
+             |  LEFT JOIN cov c ON c.doc_id = s.doc_id AND c.cp = s.x - 1
+             |  WHERE c.doc_id IS NULL),
+             |agg AS (SELECT doc_id,
+             |    string_agg(tok, ' ' ORDER BY x) AS cleaned
+             |  FROM kept GROUP BY 1)
+             |SELECT tk.doc_id, COALESCE(agg.cleaned, '') AS cleaned,
+             |  CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+             |FROM tk
+             |LEFT JOIN agg USING (doc_id)
+             |LEFT JOIN nr USING (doc_id)""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

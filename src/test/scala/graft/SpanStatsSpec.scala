@@ -89,6 +89,41 @@ class SpanStatsSpec extends SparkSpec {
     assert(rows(2) == "plain sentence with no identifiers at all")
   }
 
+  test("removeDuplicatedSpans: shared spans cut, self-repetition kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v a b c d e"), // shares "x y z w v" with doc 2
+      (2L, "q r x y z w v s t"),
+      (3L, "unique words only here now"),
+      (4L, "p p p p p p p p p p")) // self-repeated, single doc
+      .toDF("doc_id", "text")
+    val out = SpanStats.removeDuplicatedSpans(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (("a b c d e", 5L)))
+    assert(out(2L) == (("q r s t", 5L)))
+    assert(out(3L) == (("unique words only here now", 0L)))
+    // distinct-doc counting: within-doc repetition is NOT boilerplate
+    assert(out(4L) == (("p p p p p p p p p p", 0L)))
+  }
+
+  test("removeDuplicatedSpans: identical docs empty out; minDocs guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val out = SpanStats.removeDuplicatedSpans(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (("", 6L)) && out(2L) == (("", 6L)))
+    assert(out(3L)._2 == 0L)
+    // raising minDocs above the duplication degree keeps everything
+    val strict = SpanStats
+      .removeDuplicatedSpans(docs, "doc_id", "text", 5, minDocs = 3)
+      .collect().map(r => r.getLong(2)).sum
+    assert(strict == 0L)
+  }
+
   test("duplicatedNgramStats: docs shorter than n produce no row") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b c d e f")).toDF("doc_id", "text")
