@@ -147,6 +147,36 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** All committed snapshot versions, ascending. Immutable data files
+    * plus full-manifest commits mean every listed version is readable
+    * with [[readAt]] until [[vacuum]] reclaims it. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (f, root) = fs(spark, path)
+    val dir = logDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .sorted
+  }
+
+  /** Time travel: the snapshot exactly as committed at `version`, or
+    * None if that version never existed or was vacuumed. Reproducing
+    * "the corpus a model was trained on" is a first-class need of a
+    * training-data pipeline — a manifest is that reproducibility
+    * token. */
+  def readAt(spark: SparkSession, path: String,
+      version: Long): Option[DataFrame] = {
+    val (f, root) = fs(spark, path)
+    if (!f.exists(manifestPath(root, version))) None
+    else Some {
+      val files = readManifest(f, root, version)
+        .map(rel => new Path(root, rel).toString)
+      spark.read.parquet(files: _*)
+    }
+  }
+
   def upsert(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], versionCol: String,
       preserveOnUpdate: Seq[String], partitionCols: Seq[String]): Unit = {

@@ -117,6 +117,29 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(manifests == Seq("00000000000000000002.json"))
   }
 
+  test("time travel: every committed version reads back until vacuum") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a")).toDF("k", "v"), path)
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a2")).toDF("k", "v"), path)
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((2L, "c")).toDF("k", "v"), path)
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(1L, 2L, 3L))
+    def at(v: Long) = CommitLogTableFormat.readAt(spark, path, v).get
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(at(1L) == Set((1L, "a")))
+    assert(at(2L) == Set((1L, "a2")))
+    assert(at(3L) == Set((2L, "c")))
+    assert(CommitLogTableFormat.readAt(spark, path, 9L).isEmpty)
+    CommitLogTableFormat.vacuum(spark, path)
+    // history reclaimed; the current snapshot is unaffected
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(3L))
+    assert(CommitLogTableFormat.readAt(spark, path, 2L).isEmpty)
+    assert(at(3L) == Set((2L, "c")) && snap(path) == Set((2L, "c")))
+  }
+
   test("empty snapshot commits keep the schema readable") {
     val path = tmpDir("cl") + "/t"
     val empty = Seq((1L, "a")).toDF("k", "v").filter(col("k") < 0)
