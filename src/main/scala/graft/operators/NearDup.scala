@@ -405,6 +405,42 @@ object NearDup {
     df.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): vectors are assigned to their nearest centroid
+    * cell ([[Ann.ivfAssign]]) and exact cosine runs only WITHIN each
+    * cell — pairs across cells are never priced. Smaller id survives.
+    *
+    * The cluster prefilter is the alternative to [[dedupByEmbedding]]'s
+    * LSH tables: LSH bounds the candidate set per bucket
+    * probabilistically; cells bound it geometrically (semantic near-
+    * dups sit near the same centroid, so the same cell). At 100 TB the
+    * recipe is nlist ≈ √N cells from a sampled [[Ann.trainCentroids]]
+    * run — the per-cell quadratic is then ~N total, the pair join
+    * shuffles by cell, and hot cells are AQE-split. Exact-duplicate
+    * vectors are collapsed to one representative first, so a
+    * mass-duplicated corpus cannot make any single cell quadratic in
+    * the duplicate count. */
+  def dedupBySemanticCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      threshold: Double): DataFrame = {
+    val (repsDf, removedExact) = collapseExactVectors(df, idCol, vecCol)
+    val assigned = Ann.ivfAssign(repsDf, idCol, vecCol, centroids,
+      centIdCol, centVecCol)
+      .withColumn("__nrm", VectorOps.norm(col(vecCol)))
+    val a = assigned.select(col(idCol).as("__id1"),
+      col(vecCol).as("__v1"), col("cell"), col("__nrm").as("__n1"))
+    val b = assigned.select(col(idCol).as("__id2"),
+      col(vecCol).as("__v2"), col("cell"), col("__nrm").as("__n2"))
+    val removedSem = a.join(b, Seq("cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
+        col("__n1"), col("__n2")) >= threshold)
+      .select(col("__id2").as(idCol))
+    df.join(removedSem.unionByName(removedExact).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Embedding twin of [[dedupByComponents]]: the verified-cosine pair
     * graph collapsed to components, exactly one vector (min id) per
     * component survives. */

@@ -1887,6 +1887,48 @@ object TrainingQueries {
              |FROM tk
              |LEFT JOIN agg USING (doc_id)
              |LEFT JOIN nr USING (doc_id)""".stripMargin)),
+
+    // ---- SemDeDup-style semantic dedup (NearDup.dedupBySemanticCells):
+    // nearest-centroid cells bound the exact-cosine quadratic — pairs
+    // are priced only within a cell, min id survives. Same fixed
+    // centroid set as t15 (vec_id < 8) so the oracle stays a window +
+    // self-join, no Lloyd chain. The oracle computes the full
+    // within-cell expansion; the operator's exact-vector collapse is
+    // result-neutral (identical vectors share a cell and cos = 1).
+    QueryDef(
+      "t54_semantic_dedup",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"),
+            VectorOps.asDouble(col("embedding")).as("cv"))
+        graft.operators.NearDup.dedupBySemanticCells(
+          e, "vec_id", "v", cents, "cent_id", "cv", threshold = 0.4)
+          .select(col("vec_id"))
+      },
+      Some {
+        val diff = (1 to Dims).map(i =>
+          "(CAST(e.embedding[" + i + "] AS DOUBLE) - CAST(c.embedding[" +
+            i + "] AS DOUBLE))").map(d => s"$d * $d")
+          .mkString("(", " + ", ")")
+        s"""WITH assigned AS (
+           |  SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $diff ASC, c.vec_id ASC) AS rn
+           |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) c),
+           |a AS (SELECT vec_id, embedding, cell,
+           |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+           |  FROM assigned WHERE rn = 1),
+           |removed AS (SELECT DISTINCT y.vec_id
+           |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |  WHERE round(${DuckSql.dot("x.embedding", "y.embedding", Dims)}
+           |      / (x.nrm * y.nrm), 6) >= 0.4)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -312,6 +312,25 @@ class NearDupSpec extends SparkSpec {
     assert(inc == Seq(10L))
   }
 
+  test("dedupBySemanticCells: within-cell near-dups go, cross-cell stay") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cent_id", "cv")
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 0.0)), // cell 0, survives (min id)
+      (2L, Seq(9.9, 0.1, 0.0, 0.0)), // cell 0, cos~1 with 1 -> removed
+      (3L, Seq(0.0, 10.0, 0.0, 0.0)), // cell 1, survives
+      (4L, Seq(10.0, 0.0, 0.0, 0.0)), // exact dup of 1 -> removed
+      (5L, Seq(0.6, 0.55, 0.0, 0.0)), // cell 0, cos .74 with 1 -> stays
+      (6L, Seq(0.55, 0.6, 0.0, 0.0))) // cell 1: cos .996 with 5 BUT
+      // different cells — both survive (the geometric prefilter's
+      // documented recall boundary, like an LSH miss)
+      .toDF("vec_id", "v")
+    val out = NearDup.dedupBySemanticCells(
+      vecs, "vec_id", "v", cents, "cent_id", "cv", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 5L, 6L))
+  }
+
   test("CacheRegistry drains the operators' persisted removed-id frames") {
     CacheRegistry.release() // start from a clean registry
     val docs = Seq((1L, textA), (2L, textA), (3L, textC))
