@@ -49,42 +49,102 @@ object Quality {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** One reference LM as three small frames (all broadcastable):
+    * trigram counts, prefix totals, charset size — column names
+    * suffixed so two models can join the same corpus frame. */
+  private def lmModel(reference: DataFrame, refTextCol: String,
+      suffix: String) = {
+    val tris = reference
+      .select(explode(charTrigrams(col(refTextCol))).as("__tri"))
+      .groupBy("__tri").agg(count(lit(1)).as(s"__c3$suffix"))
+    val prefix = tris
+      .withColumn("__pre", substring(col("__tri"), 1, 2))
+      .groupBy("__pre").agg(sum(s"__c3$suffix").as(s"__c2$suffix"))
+    val vocab = reference
+      .select(explode(split(lower(col(refTextCol)), "")).as("__ch"))
+      .agg(countDistinct(col("__ch")).as(s"__v$suffix"))
+    (tris, prefix, vocab)
+  }
+
+  /** Per-(doc, trigram) multiplicities — the single corpus pass every
+    * scorer shares. */
+  private def docTrigrams(docs: DataFrame, idCol: String,
+      textCol: String) = docs
+    .select(col(idCol), explode(charTrigrams(col(textCol))).as("__tri"))
+    .groupBy(col(idCol), col("__tri"))
+    .agg(count(lit(1)).as("__n"))
+    .withColumn("__pre", substring(col("__tri"), 1, 2))
+
+  /** ln P(c₃|c₁c₂) column under the `suffix` model, for a frame that
+    * has joined that model's count tables. */
+  private def lp(suffix: String): org.apache.spark.sql.Column =
+    log((coalesce(col(s"__c3$suffix"), lit(0L)) + lit(1)).cast("double") /
+      (coalesce(col(s"__c2$suffix"), lit(0L)) + col(s"__v$suffix"))
+        .cast("double"))
+
   /** Per-document char-trigram log-likelihood under an LM estimated
     * from `reference`: (idCol, n_trigrams, avg_logprob). Documents
     * shorter than 3 chars have no trigrams and no output row. Higher
     * (closer to 0) = more reference-like; threshold downstream. */
   def charLmScore(docs: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String): DataFrame = {
-    // reference pass: trigram counts, prefix totals, charset size
-    val refTris = reference
-      .select(explode(charTrigrams(col(refTextCol))).as("__tri"))
-      .groupBy("__tri").agg(count(lit(1)).as("__c3"))
-    val refPrefix = refTris
-      .withColumn("__pre", substring(col("__tri"), 1, 2))
-      .groupBy("__pre").agg(sum("__c3").as("__c2"))
-    val vocab = reference
-      .select(explode(split(lower(col(refTextCol)), "")).as("__ch"))
-      .agg(countDistinct(col("__ch")).as("__v"))
-
-    // corpus pass: per-(doc, trigram) multiplicities, then broadcast
-    // joins against the trigram and prefix tables; unseen trigrams
-    // still need the prefix total when the PREFIX is known, hence the
-    // separate prefix join
-    val docTris = docs
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("__tri"))
-      .groupBy(col(idCol), col("__tri"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__pre", substring(col("__tri"), 1, 2))
-    docTris
+    val (refTris, refPrefix, vocab) = lmModel(reference, refTextCol, "")
+    // corpus pass, then broadcast joins against the trigram and prefix
+    // tables; unseen trigrams still need the prefix total when the
+    // PREFIX is known, hence the separate prefix join
+    docTrigrams(docs, idCol, textCol)
       .join(broadcast(refTris), Seq("__tri"), "left")
       .join(broadcast(refPrefix), Seq("__pre"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("__lp",
-        log((coalesce(col("__c3"), lit(0L)) + lit(1)).cast("double") /
-          (coalesce(col("__c2"), lit(0L)) + col("__v")).cast("double")))
+      .withColumn("__lp", lp(""))
       .groupBy(col(idCol))
       .agg(sum("__n").cast("long").as("n_trigrams"),
         round(sum(col("__lp") * col("__n")) / sum("__n"), 6)
           .as("avg_logprob"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", hashed-n-gram
+    * variant at the char-trigram granularity): each document is scored
+    * under TWO LMs — one estimated from a TARGET corpus (the
+    * distribution you want more of) and one from a RAW reference (the
+    * distribution you have) — and the weight is the per-trigram
+    * log-likelihood ratio. weight > 0 reads "more target-like than
+    * raw-like"; select by threshold or sample ∝ exp(weight)
+    * downstream.
+    *
+    * Output: (idCol, n_trigrams, lp_target, lp_raw, weight, selected)
+    * with `selected` = weight ≥ `minWeight`. The per-model scores are
+    * rounded exactly like [[charLmScore]] (one rounding point each),
+    * so weight ≡ round(score_target − score_raw, 6) of the two
+    * published scores.
+    *
+    * Scale shape: BOTH model tables are charset-bounded broadcasts,
+    * and the corpus explodes to (doc, trigram) ONCE — a fused scorer,
+    * not two [[charLmScore]] passes (which would price the corpus
+    * explode and its shuffle twice). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String,
+      minWeight: Double = 0.0): DataFrame = {
+    val (tTris, tPrefix, tVocab) = lmModel(target, targetTextCol, "_t")
+    val (rTris, rPrefix, rVocab) = lmModel(raw, rawTextCol, "_r")
+    docTrigrams(docs, idCol, textCol)
+      .join(broadcast(tTris), Seq("__tri"), "left")
+      .join(broadcast(tPrefix), Seq("__pre"), "left")
+      .join(broadcast(rTris), Seq("__tri"), "left")
+      .join(broadcast(rPrefix), Seq("__pre"), "left")
+      .crossJoin(broadcast(tVocab))
+      .crossJoin(broadcast(rVocab))
+      .withColumn("__lp_t", lp("_t"))
+      .withColumn("__lp_r", lp("_r"))
+      .groupBy(col(idCol))
+      .agg(sum("__n").cast("long").as("n_trigrams"),
+        round(sum(col("__lp_t") * col("__n")) / sum("__n"), 6)
+          .as("lp_target"),
+        round(sum(col("__lp_r") * col("__n")) / sum("__n"), 6)
+          .as("lp_raw"))
+      .withColumn("weight", round(col("lp_target") - col("lp_raw"), 6))
+      .withColumn("selected", col("weight") >= minWeight)
   }
 }

@@ -1929,6 +1929,62 @@ object TrainingQueries {
            |SELECT vec_id FROM embeddings
            |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
       }),
+
+    // ---- DSIR-style importance weights (Quality.dsirWeights): docs
+    // scored under a TARGET LM (doc_id%10=0 slice) and a RAW LM
+    // (doc_id%10=1 slice) in one fused corpus pass; weight = the
+    // rounded log-likelihood ratio, selected = weight >= 0. The
+    // oracle rebuilds both models from the same shared trigram CTE
+    // (MATERIALIZED — inlining would re-execute it per model).
+    QueryDef(
+      "t55_dsir_weights",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        graft.operators.Quality.dsirWeights(
+          d.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
+          d.filter(col("doc_id") % 10 === 0), "text",
+          d.filter(col("doc_id") % 10 === 1), "text")
+      },
+      Some("""WITH tri AS MATERIALIZED (SELECT doc_id,
+             |    unnest(list_transform(range(1, length(text) - 1),
+             |      i -> substring(lower(text), CAST(i AS INT), 3)))
+             |      AS t
+             |  FROM documents WHERE length(text) >= 3),
+             |tt AS (SELECT t, COUNT(*) AS c3t FROM tri
+             |  WHERE doc_id % 10 = 0 GROUP BY 1),
+             |tp AS (SELECT substring(t, 1, 2) AS p, SUM(c3t) AS c2t
+             |  FROM tt GROUP BY 1),
+             |tv AS (SELECT COUNT(DISTINCT ch) AS vt FROM (
+             |  SELECT unnest(string_split(lower(text), '')) AS ch
+             |  FROM documents WHERE doc_id % 10 = 0)),
+             |rr AS (SELECT t, COUNT(*) AS c3r FROM tri
+             |  WHERE doc_id % 10 = 1 GROUP BY 1),
+             |rp AS (SELECT substring(t, 1, 2) AS p, SUM(c3r) AS c2r
+             |  FROM rr GROUP BY 1),
+             |rv AS (SELECT COUNT(DISTINCT ch) AS vr FROM (
+             |  SELECT unnest(string_split(lower(text), '')) AS ch
+             |  FROM documents WHERE doc_id % 10 = 1)),
+             |dt AS (SELECT doc_id, t, COUNT(*) AS n FROM tri
+             |  WHERE doc_id % 10 >= 2 GROUP BY 1, 2),
+             |sc AS (SELECT dt.doc_id,
+             |    CAST(SUM(dt.n) AS BIGINT) AS n_trigrams,
+             |    round(SUM(ln(CAST(COALESCE(tt.c3t, 0) + 1 AS DOUBLE)
+             |        / CAST(COALESCE(tp.c2t, 0) + tv.vt AS DOUBLE))
+             |      * dt.n) / SUM(dt.n), 6) AS lp_target,
+             |    round(SUM(ln(CAST(COALESCE(rr.c3r, 0) + 1 AS DOUBLE)
+             |        / CAST(COALESCE(rp.c2r, 0) + rv.vr AS DOUBLE))
+             |      * dt.n) / SUM(dt.n), 6) AS lp_raw
+             |  FROM dt
+             |  LEFT JOIN tt ON tt.t = dt.t
+             |  LEFT JOIN tp ON tp.p = substring(dt.t, 1, 2)
+             |  LEFT JOIN rr ON rr.t = dt.t
+             |  LEFT JOIN rp ON rp.p = substring(dt.t, 1, 2)
+             |  CROSS JOIN tv CROSS JOIN rv
+             |  GROUP BY dt.doc_id)
+             |SELECT doc_id, n_trigrams, lp_target, lp_raw,
+             |  round(lp_target - lp_raw, 6) AS weight,
+             |  round(lp_target - lp_raw, 6) >= 0.0 AS selected
+             |FROM sc""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -33,6 +33,34 @@ class QualitySpec extends SparkSpec {
     assert(scores.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("dsirWeights: target-like docs weigh positive, raw-like negative") {
+    // raw model = same charset, different trigram distribution (each
+    // word char-reversed) — matched charsets keep the add-one-smoothed
+    // unseen-trigram probability 1/(c2+V) comparable across models, so
+    // the ratio is driven by what was SEEN, not by vocabulary size
+    def rev(s: String) = s.split(" ").map(_.reverse).mkString(" ")
+    val target = Seq(Tuple1(refText)).toDF("text")
+    val raw = Seq(Tuple1(rev(refText))).toDF("text")
+    val docs = Seq(
+      (1L, "the quick dog jumps over the lazy fox"), // target-like
+      (2L, rev("the quick dog jumps over the lazy fox"))) // raw-like
+      .toDF("doc_id", "text")
+    val out = Quality.dsirWeights(docs, "doc_id", "text",
+      target, "text", raw, "text")
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(m(1L)._1 > 0 && m(1L)._2, s"target-like weight ${m(1L)}")
+    assert(m(2L)._1 < 0 && !m(2L)._2, s"raw-like weight ${m(2L)}")
+    // the fused pass publishes exactly the two charLmScore scores
+    val lpT = Quality.charLmScore(docs, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lpR = Quality.charLmScore(docs, "doc_id", "text", raw, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pub = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+    assert(pub(1L) == ((lpT(1L), lpR(1L))) && pub(2L) == ((lpT(2L), lpR(2L))))
+  }
+
   test("trigram counts are exact; short docs have no row") {
     val ref = Seq(Tuple1(refText)).toDF("text")
     val docs = Seq((1L, "abcde"), (2L, "ab")).toDF("doc_id", "text")
