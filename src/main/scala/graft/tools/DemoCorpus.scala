@@ -1,17 +1,20 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.Bpe
-import graft.operators.{Chunk, Curate, Decontam, Pack, Quality, Sample}
+import graft.functions.{Bpe, TextOps}
+import graft.operators.{Ann, Chunk, Curate, Decontam, NearDup, Pack,
+  Quality, Repetition, Sample, SpanStats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Usage example + smoke driver for the TRAINING-DATA side: the full
   * corpus pipeline — curate (quality → language → exact → near-dup
-  * dedup) → benchmark decontamination (n-gram + embedding) →
-  * temperature-mixed sampling → BPE tokenization → fixed-length
-  * training sequences — over the sf0.001 testdata, printing the
-  * funnel at each stage.
+  * dedup) → repetition gate → PII scrub → cross-document span
+  * removal → benchmark decontamination (n-gram + embedding) →
+  * SemDeDup semantic dedup → LM-quality cut → DSIR importance
+  * weights → temperature-mixed sampling → BPE tokenization →
+  * fixed-length training sequences — over the sf0.001 testdata,
+  * printing the funnel at each stage.
   *   sbt "runMain graft.tools.DemoCorpus [sfDir]"
   */
 object DemoCorpus {
@@ -32,22 +35,52 @@ object DemoCorpus {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     println(s"[corpus] input docs        = ${docs.count()}")
 
+    // Stage results are checkpointed at each funnel boundary: every
+    // printed count is an action, and without it each one would
+    // recompute the whole upstream chain (near-dup dedup included).
+    // localCheckpoint (not persist) also TRUNCATES the logical plan —
+    // ten stacked stages of inlined fold/regex/join expressions
+    // otherwise grow the analyzed tree until plan analysis itself
+    // OOMs the driver. Same reason a real pipeline materializes
+    // between stages.
+    def stage(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint()
+
     // 1. curate: quality -> language -> exact dedup -> minhash near-dup
-    val curated = Curate.curate(docs, "doc_id", "text")
+    val curated = stage(Curate.curate(docs, "doc_id", "text"))
     println(s"[corpus] curated survivors = ${curated.count()}")
 
-    // 2. decontaminate against a benchmark slice (both signals)
-    val joined = curated.join(embs, curated("doc_id") === embs("vec_id"))
-      .select(curated("doc_id"), col("text"), col("v"))
+    // 1b. Gopher repetition gate, PII scrub, and cross-document
+    // boilerplate span removal (docs emptied by the rewrite drop out)
+    val gated = Repetition.repetitionFilter(curated, "doc_id", "text")
+    val scrubbed = gated
+      .withColumn("text", TextOps.scrubPii(col("text")))
+    val rewritten = stage(SpanStats
+      .removeDuplicatedSpans(scrubbed, "doc_id", "text", n = 8,
+        minDocs = 3)
+      .filter(length(col("cleaned")) > 0)
+      .select(col("doc_id"), col("cleaned").as("text")))
+    println(s"[corpus] repetition-gated  = ${gated.count()}," +
+      s" span-rewritten survivors = ${rewritten.count()}")
+
+    // 2. decontaminate against a benchmark slice (both signals),
+    // then SemDeDup semantic dedup on trained centroids
+    val joined = rewritten.join(embs,
+      rewritten("doc_id") === embs("vec_id"))
+      .select(rewritten("doc_id"), col("text"), col("v"))
     val bench = docs.filter(col("doc_id") % 10 === 0)
       .join(embs, docs("doc_id") === embs("vec_id"))
       .select(col("text"), col("v"))
     val report = Decontam.fullReport(joined, "doc_id", "text", "v",
       bench, "text", "v", n = 5, threshold = 0.9)
-    val clean = joined.join(
-      report.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
-    println(s"[corpus] decontaminated    = ${clean.count()}" +
+    val cleanNg = stage(joined.join(
+      report.filter(!col("contaminated")).select("doc_id"), Seq("doc_id")))
+    println(s"[corpus] decontaminated    = ${cleanNg.count()}" +
       s" (flagged ${report.filter(col("contaminated")).count()})")
+    val cents = Ann.trainCentroids(embs, "vec_id", "v",
+      nlist = 4, iters = 2)
+    val clean = stage(NearDup.dedupBySemanticCells(cleanNg, "doc_id",
+      "v", cents, "cent_id", "cv", threshold = 0.95))
+    println(s"[corpus] semantic dedup    = ${clean.count()}")
 
     // 3. LM quality score (CCNet-style perplexity proxy) — keep docs
     // whose char-trigram likelihood under the benchmark-slice LM is
@@ -55,10 +88,19 @@ object DemoCorpus {
     val lm = Quality.charLmScore(clean, "doc_id", "text",
       bench.select("text"), "text")
     val cut = lm.stat.approxQuantile("avg_logprob", Array(0.5), 0.01)(0)
-    val likely = clean.join(
-      lm.filter(col("avg_logprob") >= cut).select("doc_id"), Seq("doc_id"))
+    val likely = stage(clean.join(
+      lm.filter(col("avg_logprob") >= cut).select("doc_id"), Seq("doc_id")))
     println(s"[corpus] LM-quality kept   = ${likely.count()}" +
       f" (median logprob cut $cut%.3f)")
+
+    // 3b. DSIR importance weights: target = benchmark-slice LM,
+    // raw = a disjoint corpus slice — reported, not filtered (the
+    // demo corpus is too small to resample)
+    val dsir = Quality.dsirWeights(likely, "doc_id", "text",
+      bench.select("text"), "text",
+      docs.filter(col("doc_id") % 10 === 1).select("text"), "text")
+    println(s"[corpus] DSIR target-like  = " +
+      s"${dsir.filter(col("selected")).count()}/${dsir.count()}")
 
     // 4. temperature-mixed sampling by language
     val withLang = likely.join(docs.select("doc_id", "lang"), Seq("doc_id"))
