@@ -441,6 +441,50 @@ object NearDup {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental twin of [[dedupBySemanticCells]] — the daily-append
+    * pattern for embeddings: `incoming` vectors are deduped against an
+    * EXISTING corpus whose (id, vector, cell) index was materialized
+    * by a previous run ([[Ann.ivfAssign]] output persisted as a table;
+    * assignments are computed once per vector, ever, against the
+    * shared `centroids` asset) and against smaller-id incoming
+    * vectors. Existing vectors are canonical and always win — same
+    * policy as [[dedupByMinhashIncremental]].
+    *
+    * Returns incoming survivors; the caller appends their assignments
+    * to the index table. Cosine is priced only within a cell on both
+    * paths, and only incoming × (existing ∪ incoming) — the
+    * historical corpus never self-joins. */
+  def dedupBySemanticCellsIncremental(incoming: DataFrame, idCol: String,
+      vecCol: String, existingIndex: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String,
+      threshold: Double): DataFrame = {
+    val (repsDf, removedExact) = collapseExactVectors(incoming, idCol,
+      vecCol)
+    val inA = Ann.ivfAssign(repsDf, idCol, vecCol, centroids,
+      centIdCol, centVecCol)
+      .withColumn("__nrm", VectorOps.norm(col(vecCol)))
+    val i1 = inA.select(col(idCol).as("__id1"), col(vecCol).as("__v1"),
+      col("cell"), col("__nrm").as("__n1"))
+    val i2 = inA.select(col(idCol).as("__id2"), col(vecCol).as("__v2"),
+      col("cell"), col("__nrm").as("__n2"))
+    val ex = existingIndex.select(col(idCol).as("__xid"),
+      col(vecCol).as("__xv"), col("cell"))
+      .withColumn("__xn", VectorOps.norm(col("__xv")))
+    val crossRemoved = i2.join(ex, Seq("cell"))
+      .filter(VectorOps.cosine(col("__v2"), col("__xv"),
+        col("__n2"), col("__xn")) >= threshold)
+      .select(col("__id2").as(idCol))
+    val inRemoved = i1.join(i2, Seq("cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(VectorOps.cosine(col("__v1"), col("__v2"),
+        col("__n1"), col("__n2")) >= threshold)
+      .select(col("__id2").as(idCol))
+    incoming.join(
+      crossRemoved.unionByName(inRemoved).unionByName(removedExact)
+        .distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Embedding twin of [[dedupByComponents]]: the verified-cosine pair
     * graph collapsed to components, exactly one vector (min id) per
     * component survives. */

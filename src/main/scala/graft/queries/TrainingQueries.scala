@@ -1985,6 +1985,54 @@ object TrainingQueries {
              |  round(lp_target - lp_raw, 6) AS weight,
              |  round(lp_target - lp_raw, 6) >= 0.0 AS selected
              |FROM sc""".stripMargin)),
+
+    // ---- incremental SemDeDup (NearDup.dedupBySemanticCellsIncremental):
+    // the daily-append pattern for embeddings — incoming (odd ids)
+    // dedup against the existing corpus' materialized (id, vec, cell)
+    // index (even ids) and against smaller-id incoming; existing
+    // always wins. Same centroid set and threshold as t54.
+    QueryDef(
+      "t56_semantic_incremental",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"),
+            VectorOps.asDouble(col("embedding")).as("cv"))
+        val existingIndex = graft.operators.Ann.ivfAssign(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "v",
+          cents, "cent_id", "cv")
+        graft.operators.NearDup.dedupBySemanticCellsIncremental(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "v",
+          existingIndex, cents, "cent_id", "cv", threshold = 0.4)
+          .select(col("vec_id"))
+      },
+      Some {
+        val diff = (1 to Dims).map(i =>
+          "(CAST(e.embedding[" + i + "] AS DOUBLE) - CAST(c.embedding[" +
+            i + "] AS DOUBLE))").map(d => s"$d * $d")
+          .mkString("(", " + ", ")")
+        s"""WITH assigned AS (
+           |  SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $diff ASC, c.vec_id ASC) AS rn
+           |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) c),
+           |a AS (SELECT vec_id, embedding, cell,
+           |    sqrt(${DuckSql.dot("embedding", "embedding", Dims)}) AS nrm
+           |  FROM assigned WHERE rn = 1),
+           |removed AS (
+           |  SELECT DISTINCT i.vec_id FROM a i JOIN a x
+           |    ON i.cell = x.cell AND i.vec_id % 2 = 1
+           |   AND (x.vec_id % 2 = 0 OR x.vec_id < i.vec_id)
+           |   AND x.vec_id <> i.vec_id
+           |  WHERE round(${DuckSql.dot("i.embedding", "x.embedding", Dims)}
+           |      / (i.nrm * x.nrm), 6) >= 0.4)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id % 2 = 1
+           |  AND vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -331,6 +331,27 @@ class NearDupSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 5L, 6L))
   }
 
+  test("dedupBySemanticCellsIncremental: existing wins, batch min-id wins") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cent_id", "cv")
+    val existing = Seq((100L, Seq(10.0, 0.1, 0.0, 0.0))) // cell 0
+      .toDF("vec_id", "v")
+    val existingIndex = graft.operators.Ann.ivfAssign(
+      existing, "vec_id", "v", cents, "cent_id", "cv")
+    val incoming = Seq(
+      (1L, Seq(9.9, 0.0, 0.0, 0.0)), // ~existing 100 -> removed even
+      // though 1 < 100: existing is canonical
+      (2L, Seq(0.0, 10.0, 0.0, 0.0)), // cell 1, survives
+      (3L, Seq(0.1, 9.9, 0.0, 0.0)), // ~2, 2 < 3 -> removed
+      (5L, Seq(0.0, 10.0, 0.0, 0.0))) // exact dup of 2 -> removed
+      .toDF("vec_id", "v")
+    val out = NearDup.dedupBySemanticCellsIncremental(
+      incoming, "vec_id", "v", existingIndex, cents, "cent_id", "cv",
+      threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+  }
+
   test("CacheRegistry drains the operators' persisted removed-id frames") {
     CacheRegistry.release() // start from a clean registry
     val docs = Seq((1L, textA), (2L, textA), (3L, textC))
