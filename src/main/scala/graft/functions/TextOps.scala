@@ -50,12 +50,20 @@ object TextOps {
   def cleanText(text: Column): Column =
     collapseWhitespace(maskEmails(stripUrls(text)))
 
-  /** Replace phone-like digit runs (optional leading +, digits and
-    * dashes, ≥ 7 chars total) with a placeholder. The class excludes
-    * '.' so IPv4 literals are left for [[maskIps]] — the two patterns
-    * are disjoint and composition order can't change the result. */
+  /** Replace phone-like digit runs with a placeholder. Two shapes:
+    * international (leading '+', digits and dashes, ≥ 7 chars) and
+    * NANP (3-3-4 digit groups). Deliberately NOT "any long digit/dash
+    * run": that form also matches ISO dates (2026-08-13) and numeric
+    * ranges (1999-2026), silently corrupting ordinary text — and RE2
+    * has no lookahead to count digits, so shape alternation is the
+    * cross-engine-safe way to stay narrow. Callers add locale shapes
+    * as extra alternatives. The classes exclude '.' so IPv4 literals
+    * are left for [[maskIps]] — the patterns are disjoint and
+    * composition order can't change the result. */
   def maskPhones(text: Column): Column =
-    regexp_replace(text, "\\+?[0-9][0-9\\-]{5,}[0-9]", "<phone>")
+    regexp_replace(text,
+      "\\+[0-9][0-9\\-]{5,}[0-9]|[0-9]{3}-[0-9]{3}-[0-9]{4}",
+      "<phone>")
 
   /** Replace IPv4 literals with a placeholder. */
   def maskIps(text: Column): Column =

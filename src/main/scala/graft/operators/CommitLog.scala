@@ -55,16 +55,18 @@ object CommitLogTableFormat extends TableFormat {
   /** Highest committed version, or None. Only fully committed
     * manifests exist under their final name (rename is atomic), so
     * listing is resolution; `.tmp-*` leftovers are ignored. */
-  private[graft] def currentVersion(f: FileSystem,
-      root: Path): Option[Long] = {
+  private def listVersions(f: FileSystem, root: Path): Seq[Long] = {
     val dir = logDir(root)
-    if (!f.exists(dir)) return None
-    val versions = f.listStatus(dir).toSeq
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-    if (versions.isEmpty) None else Some(versions.max)
+      .sorted
   }
+
+  private[graft] def currentVersion(f: FileSystem,
+      root: Path): Option[Long] = listVersions(f, root).lastOption
 
   private def readManifest(f: FileSystem, root: Path,
       version: Long): Seq[String] = {
@@ -152,13 +154,7 @@ object CommitLogTableFormat extends TableFormat {
     * with [[readAt]] until [[vacuum]] reclaims it. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (f, root) = fs(spark, path)
-    val dir = logDir(root)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-      .sorted
+    listVersions(f, root)
   }
 
   /** Time travel: the snapshot exactly as committed at `version`, or
@@ -223,14 +219,22 @@ object CommitLogTableFormat extends TableFormat {
     commitSnapshot(spark, snapshot, path)
   }
 
-  /** Delete data files unreferenced by the LATEST manifest and all
-    * older manifests — time travel ends, disk comes back. Safe against
-    * crashes: files go before manifests, and the latest manifest's
-    * files are never touched. */
+  /** Delete old manifests and the data files unreferenced by the
+    * LATEST manifest — time travel ends, disk comes back. Crash-safe
+    * ORDER: manifests go FIRST, then data. A crash between the two
+    * leaves unreferenced data files only (the next vacuum reclaims
+    * them); the reverse order would leave a readable-looking old
+    * manifest whose files are gone — [[readAt]]/[[versions]] would
+    * advertise a snapshot that throws on first action. The latest
+    * manifest's files are never touched. */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val (f, root) = fs(spark, path)
     currentVersion(f, root).foreach { v =>
       val live = readManifest(f, root, v).toSet
+      for (m <- f.listStatus(logDir(root)).toSeq
+          .filter(_.getPath.getName.endsWith(".json"))
+          .filter(_.getPath.getName.stripSuffix(".json").toLong < v))
+        f.delete(m.getPath, false)
       val dataRoot = new Path(root, "data")
       if (f.exists(dataRoot)) {
         for (dir <- f.listStatus(dataRoot).toSeq.filter(_.isDirectory)) {
@@ -239,10 +243,6 @@ object CommitLogTableFormat extends TableFormat {
           if (!keep) f.delete(dir.getPath, true)
         }
       }
-      for (m <- f.listStatus(logDir(root)).toSeq
-          .filter(_.getPath.getName.endsWith(".json"))
-          .filter(_.getPath.getName.stripSuffix(".json").toLong < v))
-        f.delete(m.getPath, false)
     }
   }
 }

@@ -103,32 +103,32 @@ object Repetition {
         .otherwise(lit(0.0)).as("dup5_frac"))
   }
 
-  /** Keep documents that pass all repetition thresholds (defaults are
-    * the published Gopher cut-offs, token-weighted). Row-local filter:
-    * the signals are recomputed inline on each row and never joined
-    * back, so the operator stays a pure map + filter stage. */
+  /** Keep documents that pass all repetition thresholds. Defaults:
+    * top-2-gram 0.20 and duplicate-5-gram 0.15 follow the Gopher
+    * cut-offs (ours are token-weighted, the paper's are
+    * character-weighted — close but not identical masses);
+    * `maxTokenRun` is an extra guard with no Gopher counterpart.
+    * Thresholds compare the same 6-digit-rounded fractions
+    * [[repetitionSignals]] publishes, so a document classifies
+    * identically through either API. Pure map + filter: the predicate
+    * is inline on each row — no scratch columns (caller columns can
+    * never be clobbered), nothing joined back. */
   def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
-      maxTop2Frac: Double = 0.20, maxDup5Frac: Double = 0.30,
+      maxTop2Frac: Double = 0.20, maxDup5Frac: Double = 0.15,
       maxTokenRun: Int = 16): DataFrame = {
     require(maxTop2Frac > 0 && maxDup5Frac > 0 && maxTokenRun >= 1,
       "repetition thresholds must be positive")
-    val keep = docs.columns.map(col).toSeq
-    docs
-      .withColumn("__tk", TextOps.tokens(col(textCol)))
-      .withColumn("__s2",
-        sortedDupStats(array_sort(TextOps.ngramsRaw(col("__tk"), 2))))
-      .withColumn("__s5",
-        sortedDupStats(array_sort(TextOps.ngramsRaw(col("__tk"), 5))))
-      .withColumn("__run", maxRunLen(col("__tk")))
-      .filter {
-        val n2 = greatest(size(col("__tk")) - 1, lit(0)).cast("long")
-        val n5 = greatest(size(col("__tk")) - 4, lit(0)).cast("long")
-        (n2 === 0 ||
-          col("__s2")("best").cast("double") / n2 <= maxTop2Frac) &&
-        (n5 === 0 ||
-          col("__s5")("dup").cast("double") / n5 <= maxDup5Frac) &&
-        col("__run") <= maxTokenRun
-      }
-      .select(keep: _*)
+    val toks = TextOps.tokens(col(textCol))
+    val nTok = size(toks)
+    val n2 = greatest(nTok - 1, lit(0)).cast("long")
+    val n5 = greatest(nTok - 4, lit(0)).cast("long")
+    val s2 = sortedDupStats(array_sort(TextOps.ngramsRaw(toks, 2)))
+    val s5 = sortedDupStats(array_sort(TextOps.ngramsRaw(toks, 5)))
+    docs.filter(
+      (n2 === 0 ||
+        round(s2("best").cast("double") / n2, 6) <= maxTop2Frac) &&
+      (n5 === 0 ||
+        round(s5("dup").cast("double") / n5, 6) <= maxDup5Frac) &&
+      maxRunLen(toks) <= maxTokenRun)
   }
 }

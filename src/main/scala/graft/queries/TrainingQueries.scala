@@ -1821,11 +1821,14 @@ object TrainingQueries {
              |LEFT JOIN c5 USING (doc_id)
              |LEFT JOIN runs USING (doc_id)""".stripMargin)),
 
-    // ---- PII scrub (TextOps.scrubPii): emails, phone-like digit
-    // runs, IPv4 literals masked — row-local regexp projections, same
-    // Java↔RE2-agreeing-syntax discipline as t37. The corpus has no
-    // PII, so the gate synthesizes deterministic dirt from row values
-    // (t37 precedent) and proves both engines scrub it identically.
+    // ---- PII scrub (TextOps.scrubPii): emails, phone shapes
+    // (international +…, NANP 3-3-4), IPv4 literals masked — row-local
+    // regexp projections, same Java↔RE2-agreeing-syntax discipline as
+    // t37. The corpus has no PII, so the gate synthesizes
+    // deterministic dirt from row values (t37 precedent) — BOTH phone
+    // alternatives, plus an ISO date that must SURVIVE (the
+    // false-positive the narrow shapes exist to avoid) — and proves
+    // both engines scrub it identically.
     QueryDef(
       "t52_pii_scrub",
       (s, dir) => docs(s, dir)
@@ -1834,18 +1837,27 @@ object TrainingQueries {
             lit(" mail "), col("lang"), lit("@ex.com call +55-"),
             ((col("doc_id") % 900) + 100).cast("string"),
             lit("-555-01"), (col("doc_id") % 10).cast("string"),
+            lit(" or "), ((col("doc_id") % 900) + 100).cast("string"),
+            lit("-555-01"),
+            ((col("doc_id") % 90) + 10).cast("string"),
+            lit(" on 2026-08-"),
+            ((col("doc_id") % 20) + 10).cast("string"),
             lit(" from 10."), (col("doc_id") % 256).cast("string"),
             lit(".0."), (col("doc_id") % 100).cast("string"),
             lit(" end"))).as("scrubbed")),
       Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
              |    text || ' mail ' || lang || '@ex.com call +55-' ||
              |      CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-01' ||
-             |      CAST(doc_id % 10 AS VARCHAR) || ' from 10.' ||
+             |      CAST(doc_id % 10 AS VARCHAR) || ' or ' ||
+             |      CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-01' ||
+             |      CAST(10 + doc_id % 90 AS VARCHAR) || ' on 2026-08-' ||
+             |      CAST(10 + doc_id % 20 AS VARCHAR) || ' from 10.' ||
              |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
              |      CAST(doc_id % 100 AS VARCHAR) || ' end',
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
              |      '<email>', 'g'),
-             |    '\+?[0-9][0-9\-]{5,}[0-9]', '<phone>', 'g'),
+             |    '\+[0-9][0-9\-]{5,}[0-9]|[0-9]{3}-[0-9]{3}-[0-9]{4}',
+             |      '<phone>', 'g'),
              |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
              |      '<ip>', 'g') AS scrubbed
              |FROM documents""".stripMargin)),

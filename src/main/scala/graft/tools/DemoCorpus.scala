@@ -51,7 +51,8 @@ object DemoCorpus {
 
     // 1b. Gopher repetition gate, PII scrub, and cross-document
     // boilerplate span removal (docs emptied by the rewrite drop out)
-    val gated = Repetition.repetitionFilter(curated, "doc_id", "text")
+    val gated = stage(
+      Repetition.repetitionFilter(curated, "doc_id", "text"))
     val scrubbed = gated
       .withColumn("text", TextOps.scrubPii(col("text")))
     val rewritten = stage(SpanStats
@@ -96,9 +97,9 @@ object DemoCorpus {
     // 3b. DSIR importance weights: target = benchmark-slice LM,
     // raw = a disjoint corpus slice — reported, not filtered (the
     // demo corpus is too small to resample)
-    val dsir = Quality.dsirWeights(likely, "doc_id", "text",
+    val dsir = stage(Quality.dsirWeights(likely, "doc_id", "text",
       bench.select("text"), "text",
-      docs.filter(col("doc_id") % 10 === 1).select("text"), "text")
+      docs.filter(col("doc_id") % 10 === 1).select("text"), "text"))
     println(s"[corpus] DSIR target-like  = " +
       s"${dsir.filter(col("selected")).count()}/${dsir.count()}")
 
