@@ -918,6 +918,40 @@ object NearDup {
     * minimal doc: A~B, C~B keeps BOTH A and C; per-component exactly
     * one representative survives here). Same signature pipeline, same
     * verification, different removal set. */
+  /** Near-dup component id for EVERY document: (idCol, component)
+    * where component = the smallest id reachable through verified
+    * near-dup pairs (exact-text classes ride their rep's closure — see
+    * [[dedupByComponents]]'s collapse note; the minima coincide) and a
+    * document with no near-dup is its own component. This is the
+    * GROUPING key for duplication-aware decisions that must treat a
+    * near-dup family as one unit — [[Sample.leakageSafeSplit]] hashes
+    * it so train and eval can never split a family. */
+  def componentsByMinhash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val sh = rawShingles(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val eligible = sh.filter(col("__ntk") >= 3)
+      val reps = eligible.groupBy("__fp").agg(min(col(idCol)).as("__rep"))
+      val exactMap = eligible.join(reps, "__fp")
+        .select(col(idCol), col("__rep"))
+      val shReps = sh.join(
+        exactMap.filter(col(idCol) =!= col("__rep")).select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val edges = verifiedMinhashPairs(shReps, idCol, threshold, k,
+        bands, maxBucket)
+      val comps = connectedComponents(edges, "d1", "d2")
+        .select(col("id").as("__rep"), col("component"))
+      val mapped = exactMap.join(comps, Seq("__rep"), "left")
+        .select(col(idCol),
+          coalesce(col("component"), col("__rep")).as("component"))
+      df.select(col(idCol)).join(mapped, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("component"), col(idCol)).as("component"))
+    } finally sh.unpersist(blocking = false)
+  }
+
   def dedupByComponents(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {

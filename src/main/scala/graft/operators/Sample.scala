@@ -159,4 +159,24 @@ object Sample {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Leakage-safe train/eval split: near-duplicate documents always
+    * land on the SAME side. Plain [[hashSplit]] on document ids leaks
+    * — a near-dup pair split across train and eval is the classic
+    * contaminated-eval failure (the motivation of the dedup
+    * literature's split hygiene). Here the split decision hashes the
+    * near-dup COMPONENT id ([[NearDup.componentsByMinhash]]): every
+    * member of a family shares the component, so the whole family
+    * moves together. Output = input columns + (component, split).
+    *
+    * Scale shape: the component pass is the [[NearDup]] LSH machinery
+    * (no corpus×corpus); the split itself is the salted-bucket
+    * decision — row-local, partitioning-independent, reproducible. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      fractions: Seq[Double], threshold: Double = 0.8,
+      salt: String = "graft"): DataFrame = {
+    val comps = NearDup.componentsByMinhash(df, idCol, textCol,
+      threshold)
+    hashSplit(df.join(comps, Seq(idCol)), "component", fractions, salt)
+  }
 }

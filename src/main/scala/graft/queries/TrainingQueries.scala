@@ -2045,6 +2045,55 @@ object TrainingQueries {
            |WHERE vec_id % 2 = 1
            |  AND vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
       }),
+
+    // ---- leakage-safe split (Sample.leakageSafeSplit): the split
+    // decision hashes the near-dup COMPONENT id, so a near-dup family
+    // can never straddle train and eval. The oracle computes
+    // components by brute-force transitive closure (the t24 recursive
+    // reach — no exact-class collapse: identical docs verify at J = 1,
+    // so the closures and minima coincide) and replays the salted
+    // bucket arithmetic on the component.
+    QueryDef(
+      "t57_leakage_safe_split",
+      (s, dir) => graft.operators.Sample.leakageSafeSplit(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        SplitFractions, threshold = 0.8, salt = "graft-split")
+        .select("doc_id", "component", "split"),
+      Some {
+        val bounds = graft.operators.Sample.splitBounds(SplitFractions)
+        val splitCase = SplitFractions.indices.map { i =>
+          s"WHEN sb >= ${bounds(i)} AND sb < ${bounds(i + 1)} THEN $i"
+        }.mkString("CASE ", " ", " ELSE -1 END")
+        val sbucket = DuckSql.hexToLong(
+          "md5('graft-split|' || CAST(component AS VARCHAR))", 8)
+        s"""WITH RECURSIVE bands AS (SELECT * FROM ($minhashBandsSql)),
+           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+           |  FROM documents),
+           |verified AS (SELECT d1, d2 FROM cands
+           |  JOIN sh s1 ON s1.doc_id = cands.d1
+           |  JOIN sh s2 ON s2.doc_id = cands.d2
+           |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8),
+           |edges AS (SELECT d1 AS u, d2 AS v FROM verified
+           |  UNION SELECT d2, d1 FROM verified),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT d.doc_id,
+           |    LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS component
+           |  FROM documents d LEFT JOIN (
+           |    SELECT u, MIN(v) AS m FROM reach GROUP BY u) r
+           |    ON r.u = d.doc_id),
+           |sb AS (SELECT doc_id, component, $sbucket % 1000000 AS sb
+           |  FROM comp)
+           |SELECT doc_id, component, $splitCase AS split FROM sb"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

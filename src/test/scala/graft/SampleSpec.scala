@@ -137,4 +137,26 @@ class SampleSpec extends SparkSpec {
     assert(bounds.last == Sample.Buckets,
       s"top bound ${bounds.last} leaves buckets unassigned")
   }
+
+  test("leakageSafeSplit: a duplicate family never straddles splits") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog every day"
+    val docs = (Seq((1L, dup), (2L, dup), (3L, dup)) ++
+      (10L to 40L).map(i =>
+        (i, (1L to 12L).map(j => s"w${(i * 7 + j * 3) % 23}")
+          .mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Sample.leakageSafeSplit(docs, "doc_id", "text",
+      Seq(0.5, 0.5))
+    val rows = out.select("doc_id", "component", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // the family shares its min-id component AND its split decision
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).toSet.size == 1)
+    // all rows present, all assigned (fractions sum to 1)
+    assert(rows.size == 34 && rows.values.forall(_._2 >= 0))
+    // input columns preserved alongside (component, split)
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "component", "split"))
+  }
 }
