@@ -31,6 +31,8 @@ object TrainingQueries {
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625)
   private val SplitFractions = Seq(0.6, 0.2)
+  // bites every source at sf0.01 (uniform 25 docs/source)
+  private val SourceCap = 15
   // en far above its corpus total (rate clamps to 1); es absent (drops)
   private val TokenBudgets = Map(
     "en" -> 1000000L, "de" -> 2000L, "fr" -> 1000L, "zh" -> 500L)
@@ -2093,6 +2095,29 @@ object TrainingQueries {
            |  FROM comp)
            |SELECT doc_id, component, $splitCase AS split FROM sb"""
           .stripMargin
+      }),
+
+    // Per-source frequency cap (domain capping): keep at most
+    // SourceCap docs per source, chosen by salted-hash rank. The
+    // oracle is the textbook single window; the operator runs the
+    // skew-proof two-level refinement — same kept set by construction
+    // (lane-local rank bounds global rank), which is exactly what the
+    // gate pins down.
+    QueryDef(
+      "t58_source_cap",
+      (s, dir) => graft.operators.Sample.capPerGroup(
+        spread(s, docs(s, dir)), "source", "doc_id", SourceCap)
+        .select("doc_id", "source", "n_chars"),
+      Some {
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-cap|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH ranked AS (
+           |  SELECT doc_id, source, n_chars, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY $bucket % 1000000, doc_id) AS rn
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars FROM ranked
+           |WHERE rn <= $SourceCap""".stripMargin
       }),
   )
 

@@ -159,4 +159,35 @@ class SampleSpec extends SparkSpec {
     assert(out.columns.toSet ==
       Set("doc_id", "text", "component", "split"))
   }
+
+  test("capPerGroup: exact hash-ranked top-cap per group, skew-proof") {
+    import spark.implicits._
+    // skewed: group "big" has 500 rows, "small" has 3 (under cap)
+    val df = ((0L until 500L).map(i => (i, "big")) ++
+      Seq((1000L, "small"), (1001L, "small"), (1002L, "small")))
+      .toDF("id", "grp")
+    val out = Sample.capPerGroup(df, "grp", "id", cap = 10, lanes = 4)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // under-cap group keeps everything
+    assert(bySrc("small") == Set(1000L, 1001L, 1002L))
+    // capped group keeps exactly the 10 hash-smallest ids (the
+    // single-window reference answer, independent of lanes)
+    def bucket(i: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-cap|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % Sample.Buckets
+    }
+    val expect = (0L until 500L).sortBy(i => (bucket(i), i)).take(10)
+    assert(bySrc("big") == expect.toSet)
+    // deterministic under repartitioning and lane-count changes
+    val again = Sample.capPerGroup(df.repartition(13), "grp", "id",
+      cap = 10, lanes = 9).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == bySrc("big") ++ bySrc("small"))
+    // input columns preserved, helper columns dropped
+    assert(Sample.capPerGroup(df, "grp", "id", 10).columns.toSeq ==
+      Seq("id", "grp"))
+  }
 }
