@@ -161,13 +161,16 @@ object Multimodal {
     * content — stable across runs/partitions so tests can assert.
     * The image and (PCM) audio halves of the boundary have REAL
     * implementations ([[ImageDecoder]], [[AudioDecoder]]); this fake
-    * remains for video and for synthetic-payload tests. */
+    * remains for video and for synthetic-payload tests. The lanes are
+    * INTEGER byte sums (exact in f32 below 2²⁴ bytes of payload), so
+    * an independent engine can reproduce the feature bit-for-bit —
+    * the t59 gate recomputes it in DuckDB per byte position. */
   object FakeDecoder extends Decoder {
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](8)
       var i = 0
       while (i < bytes.length) {
-        acc(i % 8) += (bytes(i) & 0xff) / 255.0f
+        acc(i % 8) += (bytes(i) & 0xff)
         i += 1
       }
       acc

@@ -2119,6 +2119,65 @@ object TrainingQueries {
            |SELECT doc_id, source, n_chars FROM ranked
            |WHERE rn <= $SourceCap""".stripMargin
       }),
+
+    // Multimodal decode plumbing under the oracle: documents become a
+    // media frame (payload = UTF-8 text bytes, kind cycling by id),
+    // run through the REAL extractFeatures path — typed Dataset,
+    // per-partition decoder instance, binary never shuffled — with
+    // the deterministic FakeDecoder, whose integer byte-lane sums an
+    // independent engine reproduces bit-for-bit (f32-exact). The
+    // oracle recomputes every lane from byte positions. ASCII guard
+    // on BOTH sides keeps char-indexed DuckDB ord() = byte value.
+    QueryDef(
+      "t59_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")))
+          .select(
+            col("doc_id").as("media_id"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("kind"),
+            lit("application/octet-stream").as("mime"),
+            lit(0).as("width"), lit(0).as("height"),
+            lit(0L).as("duration_ms"),
+            encode(col("text"), "UTF-8").as("data"))
+          .as[graft.multimodal.Multimodal.MediaRecord]
+        val feats = graft.multimodal.Multimodal.extractFeatures(media)
+        feats.toDF().select(
+          Seq(col("media_id").as("doc_id"), col("kind"),
+            col("n_bytes")) ++
+            (0 until 8).map(j =>
+              element_at(col("feature"), j + 1).cast("double")
+                .as(s"f$j")): _*)
+      },
+      Some {
+        val cases = (0 until 8).map(j =>
+          s"COALESCE(SUM(CASE WHEN i % 8 = $j THEN byte END), 0) AS s$j")
+          .mkString(", ")
+        val fcols = (0 until 8).map(j =>
+          s"CAST(COALESCE(p.s$j, 0) AS DOUBLE) AS f$j").mkString(", ")
+        s"""WITH ascii_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)),
+           |b AS (
+           |  SELECT doc_id, unnest(range(length(text))) AS i, text
+           |  FROM ascii_docs),
+           |p AS (
+           |  SELECT doc_id, $cases
+           |  FROM (SELECT doc_id, i,
+           |          CAST(ord(substr(text, CAST(i + 1 AS INT), 1))
+           |            AS BIGINT) AS byte FROM b)
+           |  GROUP BY doc_id)
+           |SELECT a.doc_id,
+           |  CASE CAST(a.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+           |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |  CAST(octet_length(encode(a.text)) AS BIGINT) AS n_bytes,
+           |  $fcols
+           |FROM ascii_docs a LEFT JOIN p ON p.doc_id = a.doc_id"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -254,8 +254,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     val feats = extractFeatures(media).collect().sortBy(_.media_id)
     assert(feats.length == 2)
     assert(feats(0).n_bytes == 4L)
-    // deterministic fake decode: byte/255 accumulated round-robin
-    assert(math.abs(feats(0).feature(0) - 1 / 255.0f) < 1e-6)
+    // deterministic fake decode: integer byte sums round-robin (lane 0
+    // of payload [1,2,3,4] holds exactly byte 1 — f32-exact)
+    assert(feats(0).feature(0) == 1.0f)
     assert(feats(0).checksum ==
       ((((1L * 31 + 2) * 31 + 3) * 31) + 4))
 
