@@ -943,9 +943,15 @@ object NearDup {
         bands, maxBucket)
       val comps = connectedComponents(edges, "d1", "d2")
         .select(col("id").as("__rep"), col("component"))
-      val mapped = exactMap.join(comps, Seq("__rep"), "left")
-        .select(col(idCol),
-          coalesce(col("component"), col("__rep")).as("component"))
+      // materialize the narrow (id, component) map while the shingle
+      // cache is warm — the returned plan must not re-reference sh
+      // (post-unpersist that would re-shingle the corpus)
+      val mapped = graft.CacheRegistry.track(
+        exactMap.join(comps, Seq("__rep"), "left")
+          .select(col(idCol),
+            coalesce(col("component"), col("__rep")).as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      mapped.count()
       df.select(col(idCol)).join(mapped, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("component"), col(idCol)).as("component"))
