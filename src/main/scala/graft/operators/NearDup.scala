@@ -958,6 +958,35 @@ object NearDup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Canonical-survivor dedup: per near-dup family keep the BEST
+    * member by `rankCol` (highest wins; ties → smallest id), not the
+    * min-id one — the production policy ("keep the longest / highest
+    * -quality copy of a page") that [[dedupByComponents]]'s min-id
+    * rule approximates. Output = the surviving rows of `df` plus
+    * their `component` id.
+    *
+    * Scale shape: family membership is [[componentsByMinhash]] (LSH
+    * machinery, no corpus×corpus). The selection itself is
+    * deliberately AGGREGATION-shaped — `max(struct(rank, -id))` under
+    * `groupBy(component)` — not a `row_number() OVER (PARTITION BY
+    * component)` window: partial aggregation combines map-side, so a
+    * pathological million-member family costs one struct per task
+    * upstream of the shuffle, where a window would drag every member
+    * through a single unsplittable task. */
+  def canonicalByMinhash(df: DataFrame, idCol: String, textCol: String,
+      rankCol: String, threshold: Double, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val comps = componentsByMinhash(df, idCol, textCol, threshold, k,
+      bands, maxBucket)
+    val winners = df.select(col(idCol), col(rankCol))
+      .join(comps, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(max(struct(col(rankCol).as("r"),
+        (-col(idCol)).as("ni"))).as("__w"))
+      .select(col("component"), (-col("__w.ni")).as(idCol))
+    df.join(winners, Seq(idCol))
+  }
+
   def dedupByComponents(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {

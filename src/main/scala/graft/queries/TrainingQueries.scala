@@ -94,6 +94,38 @@ object TrainingQueries {
 
   private def minhashBandsSql: String = minhashBandsSqlFrom("documents")
 
+  /** Shared CTE chain (t57/t60): brute-force near-dup closure over
+    * documents — banded candidates → exact-Jaccard verify at 0.8 →
+    * symmetric edges → recursive reach → `comp(doc_id, component)`
+    * with component = min reachable id (self if no near-dup).
+    * Callers splice after `WITH RECURSIVE`. No exact-class collapse:
+    * identical docs verify at J = 1, so closures and minima coincide
+    * with the operators' rep-collapsed form. */
+  private def componentsClosureCtes: String =
+    s"""bands AS (SELECT * FROM ($minhashBandsSql)),
+       |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
+       |  FROM documents),
+       |verified AS (SELECT d1, d2 FROM cands
+       |  JOIN sh s1 ON s1.doc_id = cands.d1
+       |  JOIN sh s2 ON s2.doc_id = cands.d2
+       |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM verified
+       |  UNION SELECT d2, d1 FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS component
+       |  FROM documents d LEFT JOIN (
+       |    SELECT u, MIN(v) AS m FROM reach GROUP BY u) r
+       |    ON r.u = d.doc_id)""".stripMargin
+
   /** WITH-chain replicating Ann.trainCentroids in DuckDB: c0 = first
     * `nlist` vectors by id, then per iteration k: a_k (broadcast-assign
     * row_number), s_k (per-dim floor(x·10⁶) BIGINT sums — exact,
@@ -2068,32 +2100,34 @@ object TrainingQueries {
         }.mkString("CASE ", " ", " ELSE -1 END")
         val sbucket = DuckSql.hexToLong(
           "md5('graft-split|' || CAST(component AS VARCHAR))", 8)
-        s"""WITH RECURSIVE bands AS (SELECT * FROM ($minhashBandsSql)),
-           |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM bands a JOIN bands b
-           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-           |   AND a.doc_id < b.doc_id),
-           |sh AS (SELECT doc_id, ${DuckSql.shingles3(toksSql)} AS s
-           |  FROM documents),
-           |verified AS (SELECT d1, d2 FROM cands
-           |  JOIN sh s1 ON s1.doc_id = cands.d1
-           |  JOIN sh s2 ON s2.doc_id = cands.d2
-           |  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
-           |        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.8),
-           |edges AS (SELECT d1 AS u, d2 AS v FROM verified
-           |  UNION SELECT d2, d1 FROM verified),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-           |comp AS (SELECT d.doc_id,
-           |    LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS component
-           |  FROM documents d LEFT JOIN (
-           |    SELECT u, MIN(v) AS m FROM reach GROUP BY u) r
-           |    ON r.u = d.doc_id),
+        s"""WITH RECURSIVE $componentsClosureCtes,
            |sb AS (SELECT doc_id, component, $sbucket % 1000000 AS sb
            |  FROM comp)
            |SELECT doc_id, component, $splitCase AS split FROM sb"""
+          .stripMargin
+      }),
+
+    // Canonical-survivor dedup (NearDup.canonicalByMinhash): per
+    // near-dup family keep the LONGEST member (ties → smallest id) —
+    // the production "keep the best copy" policy. The oracle is the
+    // textbook closure + row_number window; the operator answers with
+    // a partial-aggregable max(struct) under groupBy(component) — no
+    // window, so a pathological million-member family combines
+    // map-side instead of serializing through one window task. Same
+    // winners by construction — which is what the gate pins.
+    QueryDef(
+      "t60_canonical_survivor",
+      (s, dir) => graft.operators.NearDup.canonicalByMinhash(
+        spread(s, docs(s, dir)), "doc_id", "text", "n_chars",
+        threshold = 0.8)
+        .select("doc_id", "component", "n_chars"),
+      Some {
+        s"""WITH RECURSIVE $componentsClosureCtes,
+           |r AS (SELECT c.doc_id, c.component, d.n_chars,
+           |    row_number() OVER (PARTITION BY c.component
+           |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+           |  FROM comp c JOIN documents d USING (doc_id))
+           |SELECT doc_id, component, n_chars FROM r WHERE rn = 1"""
           .stripMargin
       }),
 

@@ -105,6 +105,36 @@ class NearDupSpec extends SparkSpec {
     assert(twice == byComp)
   }
 
+  test("canonicalByMinhash: best-by-rank wins, ties break to min id") {
+    // same bridge family {1,2,3} as above; rank chooses the survivor
+    // instead of min-id. Doc 4 is a singleton and survives untouched.
+    val w = (1 to 12).map(i => s"word$i")
+    val bridge = w.mkString(" ")
+    val prefix = w.take(10).mkString(" ")
+    val suffix = w.drop(3).mkString(" ")
+    val docs = Seq(
+      (1L, prefix, 5L), (2L, suffix, 9L), (3L, bridge, 7L),
+      (4L, textE, 1L)).toDF("doc_id", "text", "quality")
+    val out = NearDup.canonicalByMinhash(
+      docs, "doc_id", "text", "quality", 0.65)
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "quality", "component"))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L)) // 2 has the family's top quality
+    // tie on rank -> smallest id: give 1 and 2 equal top quality
+    val tied = docs.withColumn("quality",
+      when(col("doc_id").isin(1L, 2L), 9L).otherwise(col("quality")))
+    val keptTied = NearDup.canonicalByMinhash(
+      tied, "doc_id", "text", "quality", 0.65)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 4L))
+    // partitioning-independent
+    val spread = NearDup.canonicalByMinhash(
+      docs.repartition(7), "doc_id", "text", "quality", 0.65)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spread == kept)
+  }
+
   test("dedupByEmbeddingComponents: bridge vector collapses the group") {
     // vectors 1 and 2 both within threshold of bridge 3 (each a slight
     // rotation toward 3) but not of each other; component policy keeps
