@@ -22,7 +22,11 @@ object Explain {
         "t35_ivfpq_residual", "t39_curate_to_shards",
         "t40_sketch_distinct", "t42_embedding_contamination",
         "t43_embedding_contamination_ivf", "t44_temperature_mixture",
-        "t47_cdc_rolling")
+        "t47_cdc_rolling", "t49_pack_sequences", "t50_char_lm_quality",
+        "t51_repetition_signals", "t53_remove_dup_spans",
+        "t54_semantic_dedup", "t55_dsir_weights",
+        "t57_leakage_safe_split", "t58_source_cap",
+        "t59_media_features", "t60_canonical_survivor")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
