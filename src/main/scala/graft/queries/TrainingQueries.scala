@@ -2212,6 +2212,55 @@ object TrainingQueries {
            |FROM ascii_docs a LEFT JOIN p ON p.doc_id = a.doc_id"""
           .stripMargin
       }),
+
+    // Video frame sampling under the oracle (t59's sibling for the
+    // one-to-many flatMap path): ASCII documents become video frames
+    // with duration (doc_id % 7)·100 ms; the REAL sampleFrames path —
+    // partition-local sampler, expansion before any shuffle, each row
+    // carrying only its own frame bytes — runs the deterministic
+    // 2-byte slicer, which the oracle reproduces per (frame, byte
+    // offset) with substr arithmetic. Zero-duration clips yield no
+    // frames on both sides; sub-cadence clips yield frame 0.
+    QueryDef(
+      "t61_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) > 0 && col("doc_id") % 3 === 2)
+          .select(
+            col("doc_id").as("media_id"),
+            lit("video").as("kind"),
+            lit("application/octet-stream").as("mime"),
+            lit(0).as("width"), lit(0).as("height"),
+            (col("doc_id") % 7 * 100).cast("long").as("duration_ms"),
+            encode(col("text"), "UTF-8").as("data"))
+          .as[graft.multimodal.Multimodal.MediaRecord]
+        graft.multimodal.Multimodal.sampleFrames(media, everyMs = 100)
+          .toDF()
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("ts_ms"), upper(hex(col("frame"))).as("frame_hex"))
+      },
+      Some {
+        s"""WITH v AS (
+           |  SELECT doc_id, text, length(text) AS len,
+           |    CAST(doc_id % 7 AS BIGINT) * 100 AS dur
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) > 0 AND doc_id % 3 = 2),
+           |f AS (
+           |  SELECT doc_id, len, text,
+           |    unnest(range(dur // 100)) AS i
+           |  FROM v)
+           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |  CAST(i * 100 AS BIGINT) AS ts_ms,
+           |  upper(hex(
+           |    substr(text, CAST((i * 100) % len AS INT) + 1, 1) ||
+           |    substr(text,
+           |      CAST(((i * 100) % len + 1) % len AS INT) + 1, 1)))
+           |    AS frame_hex
+           |FROM f""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
