@@ -325,8 +325,8 @@ object RelationalQueries {
     // ---- D4: DISTINCT projection
     QueryDef(
       "d4_distinct",
-      (s, dir) => Tables(s, dir, "events")
-        .select("user_id", "event_type").distinct(),
+      (s, dir) => graft.operators.Dedup.distinctOn(
+        Tables(s, dir, "events"), Seq("user_id", "event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
     // ---- W1: ranked window beyond rn=1 (top-3 per group, total tie-break)
