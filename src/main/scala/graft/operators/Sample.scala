@@ -214,4 +214,33 @@ object Sample {
       .withColumn("__grn", row_number().over(global))
       .filter(col("__grn") <= cap).drop("__grn")
   }
+
+  /** Append-mode frequency cap — prices the DELTA, not the corpus,
+    * and still returns EXACTLY the batch answer. The selection key
+    * (salted md5 bucket, id) is append-stable, and a group's cap-th
+    * threshold only ever TIGHTENS as the group grows, so a row
+    * [[capPerGroup]] once dropped can never re-enter: capping
+    * (existing kept ∪ incoming) equals capping the full history —
+    * dropped rows need never be read again. The incremental dedup
+    * family's contract (t26/t27), applied to domain capping.
+    *
+    * `existingKept` must be a prior capPerGroup output under the SAME
+    * (cap, salt, lanes); groups the delta never touches pass through
+    * by id without re-ranking (their kept set is provably unchanged —
+    * appending other groups never moves it). */
+  def capPerGroupIncremental(existingKept: DataFrame, incoming: DataFrame,
+      groupCol: String, idCol: String, cap: Int,
+      salt: String = "graft-cap", lanes: Int = 16): DataFrame = {
+    val inCols = existingKept.columns.map(col).toSeq
+    val touched = incoming.select(col(groupCol)).distinct()
+    // the USING-column joins hoist the key first — restore the
+    // caller's column order so the output schema matches the input
+    val affected = existingKept.join(touched, Seq(groupCol), "left_semi")
+      .select(inCols: _*)
+    val untouched = existingKept.join(touched, Seq(groupCol), "left_anti")
+      .select(inCols: _*)
+    untouched.unionByName(capPerGroup(
+      affected.unionByName(incoming.select(inCols: _*)),
+      groupCol, idCol, cap, salt, lanes))
+  }
 }

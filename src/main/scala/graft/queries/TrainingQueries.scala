@@ -2154,6 +2154,38 @@ object TrainingQueries {
            |WHERE rn <= $SourceCap""".stripMargin
       }),
 
+    // Append-mode frequency cap, id-parity style (the t26/t27
+    // contract applied to domain capping): even docs = the existing
+    // capped corpus, odd docs = the delta. Because the selection key
+    // is append-stable and a group's cap-th threshold only tightens,
+    // capping (existing kept ∪ delta) — never re-reading dropped
+    // history — must equal the batch cap over ALL documents, which is
+    // exactly the t58 oracle.
+    QueryDef(
+      "t62_source_cap_incremental",
+      (s, dir) => {
+        val all = spread(s, docs(s, dir))
+          .select("doc_id", "source", "n_chars")
+        val existingKept = graft.operators.Sample.capPerGroup(
+          all.filter(col("doc_id") % 2 === 0), "source", "doc_id",
+          SourceCap)
+        graft.operators.Sample.capPerGroupIncremental(
+          existingKept, all.filter(col("doc_id") % 2 === 1),
+          "source", "doc_id", SourceCap)
+          .select("doc_id", "source", "n_chars")
+      },
+      Some {
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-cap|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH ranked AS (
+           |  SELECT doc_id, source, n_chars, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY $bucket % 1000000, doc_id) AS rn
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars FROM ranked
+           |WHERE rn <= $SourceCap""".stripMargin
+      }),
+
     // Multimodal decode plumbing under the oracle: documents become a
     // media frame (payload = UTF-8 text bytes, kind cycling by id),
     // run through the REAL extractFeatures path — typed Dataset,

@@ -190,4 +190,40 @@ class SampleSpec extends SparkSpec {
     assert(Sample.capPerGroup(df, "grp", "id", 10).columns.toSeq ==
       Seq("id", "grp"))
   }
+
+  test("capPerGroupIncremental == batch cap; untouched groups ride through") {
+    import spark.implicits._
+    val all = ((0L until 200L).map(i => (i, "big")) ++
+      (1000L until 1003L).map(i => (i, "small")) ++
+      (2000L until 2040L).map(i => (i, "quiet"))).toDF("id", "grp")
+    val batch = Sample.capPerGroup(all, "grp", "id", cap = 8, lanes = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // delta touches big and small only; quiet's kept set must ride
+    // through untouched (and un-re-ranked)
+    val existing = Sample.capPerGroup(
+      all.filter(col("id") % 3 =!= 1), "grp", "id", cap = 8, lanes = 4)
+    val incr = Sample.capPerGroupIncremental(existing,
+      all.filter(col("id") % 3 === 1 && col("grp") =!= "quiet"),
+      "grp", "id", cap = 8, lanes = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // quiet never saw its %3==1 rows — compare against the batch
+    // answer over exactly the rows the incremental run has seen
+    val seen = Sample.capPerGroup(
+      all.filter(col("grp") =!= "quiet" || col("id") % 3 =!= 1),
+      "grp", "id", cap = 8, lanes = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(incr == seen)
+    // a delta covering every missing row reproduces the full batch
+    val full = Sample.capPerGroupIncremental(existing,
+      all.filter(col("id") % 3 === 1), "grp", "id", cap = 8, lanes = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(full == batch)
+    // once dropped, never re-admitted: feeding the incremental output
+    // back as existing with an empty-ish delta changes nothing
+    val again = Sample.capPerGroupIncremental(
+      Sample.capPerGroup(all, "grp", "id", cap = 8, lanes = 4),
+      all.limit(0), "grp", "id", cap = 8, lanes = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == batch)
+  }
 }
