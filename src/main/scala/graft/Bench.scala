@@ -1,18 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Headline-query benchmark. One JSON line on stdout:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Methodology: each query runs `SPARK_GRAFT_REPS` times (default 3)
   * and reports the MEDIAN — single-shot timings on a shared box vary
-  * ±10%+, which made one r2 "regression" unfalsifiable. The session is
-  * warmed (codegen, shuffle infra, parquet reader) before anything is
-  * measured; `queries_min` carries the per-query best for
-  * noise-floor reading. `SPARK_GRAFT_ONLY` (comma-separated names)
-  * restricts the run while iterating.
+  * ±10%+, which made one r2 "regression" unfalsifiable. Queries whose
+  * first-3 median exceeds [[Bench.AdaptiveThresholdSec]] get extra
+  * reps (5 total by default) so ONE contended rep cannot set the
+  * median — the r5 record doubled its headline number exactly that
+  * way. The session is warmed (codegen, shuffle infra, parquet
+  * reader) before anything is measured; `queries_min` carries the
+  * per-query best for noise-floor reading. `SPARK_GRAFT_ONLY`
+  * (comma-separated names) restricts the run while iterating.
+  *
+  * Variance instrumentation (r5 verdict #1): the full BENCH_LOCAL.json
+  * record carries, per query, the per-rep wall times plus per-rep
+  * deltas of executor GC time, shuffle/agg spill bytes, and
+  * cached-RDD-block drop events (a drop DURING a rep means Spark
+  * evicted a persisted frame mid-query — the "silent recompute"
+  * signature; a slow rep with flat counters is box contention).
+  * Counters come from a SparkListener over task metrics, reset at
+  * each rep boundary after the cache release.
   */
 object Bench {
+
+  /** Queries at or above this first-pass median get [[ExtraReps]]
+    * more reps before the final median is taken. */
+  private val AdaptiveThresholdSec = 2.0
+  private val ExtraReps = 2
+
+  /** Accumulates executor-side counters between [[reset]] calls.
+    * Listener events arrive asynchronously; [[drain]] waits for the
+    * listener bus to flush so a rep's counters don't leak into the
+    * next rep's window. */
+  private final class MetricsListener extends SparkListener {
+    val gcMs = new AtomicLong
+    val spillBytes = new AtomicLong
+    val cacheDrops = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+      val i = e.blockUpdatedInfo
+      // a cached RDD block leaving memory entirely (level drops to
+      // no-memory with nothing resident) — eviction or unpersist;
+      // within a measured rep only eviction produces these
+      if (i.blockId.isRDD && !i.storageLevel.useMemory
+          && i.memSize == 0 && i.diskSize == 0)
+        cacheDrops.incrementAndGet()
+    }
+    def reset(): Unit = { gcMs.set(0); spillBytes.set(0); cacheDrops.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,6 +75,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drainBus(): Unit = try { // flush pending listener events
+      // listenerBus is private[spark] at the Scala level but public in
+      // bytecode — reflection is the sanctioned-enough way to get the
+      // flush without a shim class inside org.apache.spark
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+    } catch { case _: Throwable => () }
     // Warm the session (codegen, shuffle infra, parquet reader +
     // filesystem metadata) so the first measured query doesn't absorb
     // one-time startup cost.
@@ -51,42 +109,80 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        // the composed dedup operators persist small result frames that
-        // Spark's CacheManager would share across reps (and across
-        // queries with matching sub-plans) — a warm rep must re-run the
-        // pipeline, not read the previous rep's cache. release() is the
-        // operators' own drain hook; clearCache sweeps anything else.
-        CacheRegistry.release()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }.sorted
-      if (times.isEmpty) (name, -1.0, -1.0) // failed query, old sentinel
-      else (name, times(times.length / 2), times.head)
+    case class Rep(sec: Double, gcMs: Long, spillBytes: Long, drops: Long)
+    def runRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Rep] = {
+      // the composed dedup operators persist small result frames that
+      // Spark's CacheManager would share across reps (and across
+      // queries with matching sub-plans) — a warm rep must re-run the
+      // pipeline, not read the previous rep's cache. release() is the
+      // operators' own drain hook; clearCache sweeps anything else.
+      CacheRegistry.release()
+      spark.catalog.clearCache()
+      drainBus()
+      metrics.reset()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        Some(Rep(sec, metrics.gcMs.get, metrics.spillBytes.get,
+          metrics.cacheDrops.get))
+      } catch { case _: Throwable => None }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = selected.map { case (name, fn) =>
+      var runs = (1 to reps).flatMap(_ => runRep(fn))
+      // adaptive: the slow family gets extra reps so a single
+      // contended rep can't set the median (only when the base pass
+      // used the default 3 — an explicit SPARK_GRAFT_REPS wins)
+      if (runs.nonEmpty && reps == 3
+          && median(runs.map(_.sec)) >= AdaptiveThresholdSec)
+        runs ++= (1 to ExtraReps).flatMap(_ => runRep(fn))
+      (name, runs)
+    }
+    def fmt(v: Double) = f"$v%.3f"
+    def obj(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val med = results.map { case (n, rs) =>
+      n -> (if (rs.isEmpty) -1.0 else median(rs.map(_.sec)))
+    }
+    val qs = obj(med.map { case (n, v) => n -> fmt(v) })
+    val qmin = obj(results.map { case (n, rs) =>
+      n -> fmt(if (rs.isEmpty) -1.0 else rs.map(_.sec).min)
+    })
+    // per-query per-rep detail: wall secs + the three variance
+    // counters, in rep order — the record that distinguishes "slow
+    // box" (flat counters) from "evicted cache recomputed" (drops>0,
+    // gc/spill spike on the slow rep)
+    val detail = obj(results.map { case (n, rs) =>
+      n -> obj(Seq(
+        "sec" -> rs.map(r => fmt(r.sec)).mkString("[", ",", "]"),
+        "gc_ms" -> rs.map(_.gcMs).mkString("[", ",", "]"),
+        "spill_mb" -> rs.map(r => fmt(r.spillBytes / 1e6))
+          .mkString("[", ",", "]"),
+        "cache_drops" -> rs.map(_.drops).mkString("[", ",", "]")))
+    })
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"queries_min","queries_min":$qmin}""")
     // ms precision is below run-to-run noise; the short fixed width
     // also keeps the MAIN line compact — the driver captures only the
     // TAIL of this process's output, and a line longer than its window
     // gets truncated mid-JSON and recorded as unparseable (BENCH_r03).
-    // queries_min goes on its OWN earlier line for the same reason.
-    def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-    val qs = obj(results.map(r => r._1 -> r._2))
-    val qmin = obj(results.map(r => r._1 -> r._3))
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"queries_min","queries_min":$qmin}""")
+    // queries_min and the rep detail go to the FILE record instead.
     val mainLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"canary":${f"$canary%.3f"},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"canary":${fmt(canary)},"queries":$qs,"sf":"$sfDir"}"""
     println(mainLine)
     // The driver captures only the TAIL of stdout, so the queries_min
     // line was lost in r3/r4 ("parsed": null). Persist the full record
-    // — medians AND mins in one object — to a file read whole.
+    // — medians, mins AND per-rep detail in one object — to a file
+    // read whole.
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"canary":${f"$canary%.3f"},"queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"canary":${fmt(canary)},"queries":$qs,"queries_min":$qmin,"rep_detail":$detail,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(

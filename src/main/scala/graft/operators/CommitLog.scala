@@ -28,11 +28,18 @@ import org.apache.spark.sql.functions.col
   *    per-partition renames expose mixed states mid-swap) commit
   *    atomically, because visibility IS the manifest.
   *
-  * Single writer per table assumed (as everywhere in this repo); the
-  * conditional-rename commit detects a lost race (rename onto an
-  * existing version fails) and throws rather than dropping a commit.
-  * Old versions stay readable until [[vacuum]] removes files
-  * unreferenced by the latest manifest.
+  * Concurrent writers are handled with optimistic concurrency: every
+  * mutation re-reads the current version, computes its snapshot
+  * against it, and publishes version+1 with an EXCLUSIVE create — on
+  * HDFS-semantics filesystems a rename that fails when the target
+  * exists, on the local filesystem an atomic hard-link (O(1),
+  * link(2) fails with EEXIST — no check-then-act window, unlike a
+  * POSIX rename, which silently overwrites). A writer that loses the
+  * race gets [[CommitConflictException]], re-reads the winner's
+  * snapshot, recomputes, and retries — so two concurrent `upsert`s
+  * both land, serialized as consecutive versions. Old versions stay
+  * readable until [[vacuum]] removes files unreferenced by the latest
+  * manifest.
   *
   * MERGE semantics are [[MergeOps.merge]]/[[Dedup.keepLatest]] — a
   * format binding chooses storage, never meaning. Data files carry
@@ -40,7 +47,19 @@ import org.apache.spark.sql.functions.col
   * prune by parquet row-group stats instead of directory names; a
   * production binding would add per-file min/max to the manifest.
   */
+/** A concurrent writer committed this version first. The caller's
+  * snapshot was computed against a stale base — retry means re-read,
+  * recompute, re-commit (what [[CommitLogTableFormat]]'s mutators do
+  * internally, bounded by `graft.commitlog.maxRetries`). */
+final class CommitConflictException(msg: String)
+  extends java.io.IOException(msg)
+
 object CommitLogTableFormat extends TableFormat {
+
+  /** Retries per mutation after a lost commit race. Each retry does a
+    * full re-read + recompute, so contention cost is per-writer work,
+    * never corruption; past the bound the conflict surfaces. */
+  private val MaxRetries = 5
 
   private def fs(spark: SparkSession, path: String) = {
     val p = new Path(path)
@@ -104,8 +123,16 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  /** Atomically publish `files` as `version`: temp write + one rename.
-    * The rename is the commit point. */
+  /** Atomically publish `files` as `version`: temp write (fully
+    * synced) + one EXCLUSIVE link/rename — the commit point. Two
+    * writers racing to the same version: exactly one wins, the loser
+    * gets [[CommitConflictException]].
+    *
+    * Filesystem note: HDFS rename fails when the destination exists,
+    * so rename IS the exclusive primitive there. POSIX rename
+    * OVERWRITES an existing target — an exists() pre-check would be
+    * TOCTOU — so on `file:` filesystems the commit is an atomic hard
+    * link instead (link(2) fails with EEXIST, kernel-enforced). */
   private[graft] def commitManifest(spark: SparkSession, root: Path,
       version: Long, files: Seq[String]): Unit = {
     val (f, _) = fs(spark, root.toString)
@@ -119,20 +146,46 @@ object CommitLogTableFormat extends TableFormat {
       out.hsync()
     } finally out.close()
     val target = manifestPath(root, version)
-    if (f.exists(target) || !f.rename(tmp, target)) {
+    def conflict() = {
       f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"commit of version $version at $root lost a race or failed")
+      throw new CommitConflictException(
+        s"commit of version $version at $root lost a race")
     }
+    if ("file" == f.getScheme) {
+      val toNio = (p: Path) => java.nio.file.Paths.get(
+        f.makeQualified(p).toUri.getPath)
+      try java.nio.file.Files.createLink(toNio(target), toNio(tmp))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        conflict()
+      }
+      f.delete(tmp, false)
+    } else if (f.exists(target) || !f.rename(tmp, target)) conflict()
     spark.catalog.refreshByPath(root.toString)
   }
 
-  private def commitSnapshot(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
+  /** Optimistic-concurrency mutation loop: read the current version,
+    * compute the new snapshot AGAINST THAT VERSION (readAt, not read —
+    * a commit landing mid-compute must not leak into this snapshot),
+    * write data files, try to commit base+1. A lost race discards the
+    * attempt (its data dir is unreferenced; vacuum reclaims it) and
+    * recomputes from the winner's snapshot, so concurrent upserts
+    * serialize instead of lost-updating each other. */
+  private def commitWith(spark: SparkSession, path: String)(
+      compute: Option[DataFrame] => DataFrame): Unit = {
     val (f, root) = fs(spark, path)
-    val version = currentVersion(f, root).getOrElse(0L) + 1L
-    val files = writeDataFiles(spark, df, root, version)
-    commitManifest(spark, root, version, files)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val base = currentVersion(f, root)
+      val snapshot = compute(base.flatMap(v => readAt(spark, path, v)))
+      val version = base.getOrElse(0L) + 1L
+      val files = writeDataFiles(spark, snapshot, root, version)
+      try { commitManifest(spark, root, version, files); done = true }
+      catch { case e: CommitConflictException =>
+        attempt += 1
+        if (attempt > MaxRetries) throw e
+      }
+    }
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -173,23 +226,42 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Export the snapshot committed at `version` as PLAIN parquet under
+    * `outPath` — no `_log`, no manifest, just part files any external
+    * engine (DuckDB, a BI tool, pandas) can scan directly. The
+    * engine-internal [[readAt]] answers "what was version v"; this is
+    * the interop half of that contract: the reference's BI layer reads
+    * the core tables straight off storage (README.md:115), and a
+    * commit-log table must offer the same door. Optional
+    * `partitionCols` emits a hive-partitioned layout for engines that
+    * prune by directory. Overwrites `outPath` (an export is a derived
+    * artifact, re-derivable from the manifest at any time). */
+  def exportSnapshot(spark: SparkSession, path: String, version: Long,
+      outPath: String, partitionCols: Seq[String] = Nil): Unit = {
+    val df = readAt(spark, path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"exportSnapshot: version $version does not exist at $path"))
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outPath)
+  }
+
   def upsert(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], versionCol: String,
       preserveOnUpdate: Seq[String], partitionCols: Seq[String]): Unit = {
     // partitionCols hints physical pruning, which the manifest binding
     // answers with row-group stats — semantics are identical either way
-    val snapshot = read(spark, path) match {
+    commitWith(spark, path) {
       case None =>
         Dedup.keepLatest(source, keys, Seq(col(versionCol)))
       case Some(target) =>
         MergeOps.merge(target, source, keys, versionCol, preserveOnUpdate)
     }
-    commitSnapshot(spark, snapshot, path)
   }
 
   def insertIgnore(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String]): Unit = {
-    val snapshot = read(spark, path) match {
+    commitWith(spark, path) {
       case None => source.dropDuplicates(keys)
       case Some(target) =>
         val cols = target.columns.toSeq
@@ -199,16 +271,15 @@ object CommitLogTableFormat extends TableFormat {
             .join(target.select(keys.map(col): _*).distinct(), keys,
               "left_anti"))
     }
-    commitSnapshot(spark, snapshot, path)
   }
 
   def fullRefresh(spark: SparkSession, source: DataFrame,
       path: String): Unit =
-    commitSnapshot(spark, source, path)
+    commitWith(spark, path)(_ => source)
 
   def replacePartitions(spark: SparkSession, source: DataFrame,
       path: String, partitionCol: String): Unit = {
-    val snapshot = read(spark, path) match {
+    commitWith(spark, path) {
       case None => source
       case Some(target) =>
         source.unionByName(
@@ -216,7 +287,6 @@ object CommitLogTableFormat extends TableFormat {
             Seq(partitionCol), "left_anti"),
           allowMissingColumns = true)
     }
-    commitSnapshot(spark, snapshot, path)
   }
 
   /** Delete old manifests and the data files unreferenced by the
@@ -231,9 +301,13 @@ object CommitLogTableFormat extends TableFormat {
     val (f, root) = fs(spark, path)
     currentVersion(f, root).foreach { v =>
       val live = readManifest(f, root, v).toSet
+      // same tolerant parse as listVersions: a stray non-numeric .json
+      // in _log is ignored, never a NumberFormatException mid-vacuum
       for (m <- f.listStatus(logDir(root)).toSeq
           .filter(_.getPath.getName.endsWith(".json"))
-          .filter(_.getPath.getName.stripSuffix(".json").toLong < v))
+          .filter(m => scala.util.Try(
+            m.getPath.getName.stripSuffix(".json").toLong)
+            .toOption.exists(_ < v)))
         f.delete(m.getPath, false)
       val dataRoot = new Path(root, "data")
       if (f.exists(dataRoot)) {

@@ -141,7 +141,12 @@ object Pack {
     require(seqLen > 0)
     val withOff = withGlobalOffset(
       df.select(col(idCol), col(idsCol))
-        .withColumn("__n", size(col(idsCol)).cast("long")),
+        // a NULL token array counts as an empty document: bare
+        // size(null) is -1 under legacy sizeOfNull, which would feed
+        // -1 into the bucket totals/prefix sums (shifting every later
+        // document's offset) while filter(__n > 0) drops the row
+        .withColumn("__n", when(col(idsCol).isNull, 0L)
+          .otherwise(size(col(idsCol)).cast("long"))),
       idCol, "__n", nBuckets)
     val pieces = withOff
       .filter(col("__n") > 0)

@@ -140,6 +140,105 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(at(3L) == Set((2L, "c")) && snap(path) == Set((2L, "c")))
   }
 
+  test("two concurrent upserts both land (optimistic retry)") {
+    // Both writers start from the same base version; the loser of the
+    // commit race must re-read the winner's snapshot, recompute its
+    // merge, and commit on top — neither writer's rows may be lost,
+    // and the versions must serialize as base+1, base+2.
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.upsert(spark,
+      Seq((1L, "base", 1L)).toDF("k", "v", "ver"), path, Seq("k"), "ver")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(
+        Seq((2L, "fromA", 2L)).toDF("k", "v", "ver"),
+        Seq((3L, "fromB", 2L)).toDF("k", "v", "ver")).map { src =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            barrier.await() // maximize the race window
+            CommitLogTableFormat.upsert(spark, src, path, Seq("k"), "ver")
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(snap(path) == Set((1L, "base"), (2L, "fromA"), (3L, "fromB")),
+      "a concurrent upsert was lost")
+    // linearizable history: each committed version is a superset of
+    // the previous one's keys (upserts only add here)
+    val vs = CommitLogTableFormat.versions(spark, path)
+    assert(vs == Seq(1L, 2L, 3L), s"versions not serialized: $vs")
+    val keysAt = vs.map(v => CommitLogTableFormat.readAt(spark, path, v)
+      .get.select("k").collect().map(_.getLong(0)).toSet)
+    keysAt.sliding(2).foreach { case Seq(prev, next) =>
+      assert(prev.subsetOf(next), s"snapshot went backwards: $keysAt")
+    }
+  }
+
+  test("a deterministic lost race retries against the winner's snapshot") {
+    // Interleave by hand through the private protocol: writer A and B
+    // both observe v1; B commits v2 first; A's commit of v2 conflicts.
+    val path = tmpDir("cl") + "/t"
+    val (f, root) = fsRoot(path)
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "base")).toDF("k", "v"), path)
+    val filesB = CommitLogTableFormat.writeDataFiles(spark,
+      Seq((1L, "base"), (2L, "fromB")).toDF("k", "v"), root, 2L)
+    val filesA = CommitLogTableFormat.writeDataFiles(spark,
+      Seq((1L, "base"), (3L, "fromA")).toDF("k", "v"), root, 2L)
+    CommitLogTableFormat.commitManifest(spark, root, 2L, filesB)
+    intercept[graft.operators.CommitConflictException] {
+      CommitLogTableFormat.commitManifest(spark, root, 2L, filesA)
+    }
+    // A's retry: re-read v2, recompute, commit v3 — the public upsert
+    // path does exactly this loop internally
+    CommitLogTableFormat.upsert(spark,
+      Seq((3L, "fromA", 2L)).toDF("k", "v", "ver"), path, Seq("k"), "ver")
+    assert(snap(path) == Set((1L, "base"), (2L, "fromB"), (3L, "fromA")))
+    assert(CommitLogTableFormat.currentVersion(f, root).contains(3L))
+  }
+
+  test("vacuum ignores stray non-numeric json in _log") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a")).toDF("k", "v"), path)
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "b")).toDF("k", "v"), path)
+    val (f, root) = fsRoot(path)
+    val stray = new Path(new Path(root, "_log"), "notes.json")
+    val out = f.create(stray, false)
+    out.write("not a manifest".getBytes)
+    out.close()
+    CommitLogTableFormat.vacuum(spark, path) // must not throw
+    assert(snap(path) == Set((1L, "b")))
+    assert(f.exists(stray), "vacuum deleted a file it does not own")
+  }
+
+  test("exportSnapshot: plain parquet readable externally, per version") {
+    val path = tmpDir("cl") + "/t"
+    CommitLogTableFormat.upsert(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver")
+    CommitLogTableFormat.upsert(spark,
+      Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver")
+    val out = tmpDir("cl-export")
+    CommitLogTableFormat.exportSnapshot(spark, path, 1L, s"$out/v1")
+    CommitLogTableFormat.exportSnapshot(spark, path, 2L, s"$out/v2")
+    def plain(dir: String) = spark.read.parquet(dir)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plain(s"$out/v1") == Set((1L, "a"), (2L, "b")))
+    assert(plain(s"$out/v2") == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // the exported tree is manifest-free plain parquet: no _log dir
+    val (f, _) = fsRoot(out)
+    assert(!f.exists(new Path(s"$out/v1/_log")))
+    intercept[IllegalArgumentException] {
+      CommitLogTableFormat.exportSnapshot(spark, path, 9L, s"$out/v9")
+    }
+  }
+
   test("empty snapshot commits keep the schema readable") {
     val path = tmpDir("cl") + "/t"
     val empty = Seq((1L, "a")).toDF("k", "v").filter(col("k") < 0)

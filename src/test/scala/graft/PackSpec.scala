@@ -91,6 +91,22 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: a NULL token array is an empty doc, not -1 tokens") {
+    import spark.implicits._
+    // legacy sizeOfNull makes bare size(null) = -1, which would shift
+    // every later document's offset left by one — doc 3's tokens must
+    // still start exactly where doc 1's ended
+    val docs = Seq(
+      (1L, Seq(10, 11, 12)),
+      (2L, null.asInstanceOf[Seq[Int]]),
+      (3L, Seq(30, 31))).toDF("id", "ids")
+    val seqs = graft.operators.Pack.packSequences(docs, "id", "ids",
+      seqLen = 4, nBuckets = 3)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](2))).toSeq
+    assert(seqs == Seq((0L, Seq(10, 11, 12, 30)), (1L, Seq(31))))
+  }
+
   test("packByBudget: mixed null ids fail the contract, not an NPE") {
     import spark.implicits._
     val mixed = Seq((java.lang.Long.valueOf(1L), 10L),
