@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Windowed audio feature math over a decoded samples column — pure
+  * native Column expressions (builtin higher-order functions, zero
+  * UDFs), so the per-sample arithmetic rides Catalyst like every other
+  * projection in this repo and an external engine can replay it
+  * exactly.
+  *
+  * Reproducibility contract: PCM samples are exact binary fractions
+  * (k/2^15 for 16-bit), so x² sums taken in DOUBLE are exact integers
+  * scaled by 2^-30 whenever k is bounded by ~2^11 per sample — no
+  * floating-point drift, any summation order, either engine. The t64
+  * gate leans on exactly this: DuckDB recomputes RMS/ZCR from the
+  * same integer sample values and must hash-match.
+  */
+object AudioOps {
+
+  /** Per-window features over `samplesCol` (array<float>), `nWindows`
+    * windows: array of structs (window, n, rms, zcr).
+    *
+    * Window membership matches [[graft.multimodal.Multimodal.AudioDecoder]]'s
+    * segment mapping: sample i belongs to window floor(i·nW/n), i.e.
+    * window w covers [ceil(w·n/nW), ceil((w+1)·n/nW)). `rms` is
+    * sqrt(Σx²/len) in double; `zcr` counts strict sign flips
+    * (xᵢ·xᵢ₊₁ < 0) between consecutive samples INSIDE the window.
+    * Empty windows (n < nWindows) emit n=0, rms=0, zcr=0. */
+  def windowFeatures(samplesCol: String, nWindows: Int): Column = {
+    require(nWindows > 0)
+    val c = s"`$samplesCol`"
+    def start(w: String) =
+      s"CAST((CAST($w AS BIGINT) * size($c) + ${nWindows - 1}) DIV $nWindows AS INT)"
+    val s0 = start("w")
+    val s1 = start("(w + 1)")
+    val seg = s"slice($c, $s0 + 1, $s1 - $s0)"
+    expr(
+      s"""transform(sequence(0, ${nWindows - 1}), w -> named_struct(
+         |  'window', CAST(w AS INT),
+         |  'n', $s1 - $s0,
+         |  'rms', IF($s1 > $s0,
+         |    sqrt(aggregate($seg, CAST(0 AS DOUBLE),
+         |      (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         |      / CAST($s1 - $s0 AS DOUBLE)),
+         |    CAST(0 AS DOUBLE)),
+         |  'zcr', aggregate($seg,
+         |    named_struct('p', CAST(NULL AS DOUBLE), 'c', 0),
+         |    (a, x) -> named_struct('p', CAST(x AS DOUBLE),
+         |      'c', a.c + IF(a.p IS NOT NULL AND a.p * CAST(x AS DOUBLE) < CAST(0 AS DOUBLE), 1, 0)),
+         |    a -> a.c)))""".stripMargin)
+  }
+}

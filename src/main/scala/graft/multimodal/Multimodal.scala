@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   * `ImageResizer` wrap the JDK's javax.imageio (PNG/JPEG/BMP/GIF, no
   * external jars) — and so is the AUDIO codec for the container
   * formats the JDK ships (`AudioDecoder` wraps javax.sound.sampled:
-  * WAV/AIFF/AU, 8/16-bit PCM). Only VIDEO remains STUBBED
-  * (`FakeFrameSampler`; compressed audio like mp3/ogg also falls back)
-  * — this container genuinely has no codecs for those, so the fakes
-  * are deterministic placeholders with the same signature a JNI/FFI
-  * decoder would have. `JdkDecoder` routes each modality to its real
-  * codec where one exists.
+  * WAV/AIFF/AU, 8/16-bit PCM, surfaced as typed samples by
+  * `decodeAudioSamples`). VIDEO is real for Motion-JPEG (raw streams
+  * and MJPEG-in-AVI): `MjpegCodec` splits the container on JPEG
+  * SOI/EOI markers and `sampleFramesDecoded`/`frameStats` decode the
+  * sampled frames through the same javax.imageio path — gated
+  * bit-exact by t63. What remains STUBBED, declared, are the codecs
+  * the JDK genuinely lacks: inter-frame video (H.264/VP9/AV1) and
+  * compressed audio (mp3/ogg/flac) fall back to deterministic fakes
+  * with the same signature a JNI/FFI decoder would have.
+  * `JdkDecoder` routes each modality to its real codec where one
+  * exists.
   *
   * Scale design: rows carry bytes, so operations must be
   * partition-local (mapPartitions — one decoder instance per task, no
@@ -96,50 +101,115 @@ object Multimodal {
     * throws, like the image path: corrupt media is quarantined
     * upstream, not silently fingerprinted. */
   object AudioDecoder extends Decoder {
+
+    /** The container/codec half alone: parse a WAV/AIFF/AU payload and
+      * return (sampleRate, normalized samples in [-1, 1]) — shared by
+      * the feature envelope below and [[decodeAudioSamples]]'s typed
+      * sample output. Sample values are exact in Float (k/128 or
+      * k/32768 for integer k), so downstream window arithmetic can be
+      * made bit-reproducible by an external engine. */
+    def pcmSamples(bytes: Array[Byte]): (Float, Array[Float]) = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported audio encoding $enc (PCM only)")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"unsupported sample width $bits (8/16-bit PCM only)")
+        val raw = ais.readAllBytes()
+        val n = raw.length / (bits / 8)
+        require(n > 0, "empty audio payload")
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val big = fmt.isBigEndian
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (bits == 8) {
+              val b = raw(i) & 0xff
+              ((if (unsigned) b - 128 else raw(i).toInt) / 128.0).toFloat
+            } else {
+              val off = i * 2
+              val s =
+                if (big) ((raw(off) << 8) | (raw(off + 1) & 0xff)).toShort
+                else ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort
+              ((if (unsigned) (s & 0xffff) - 32768 else s.toInt) / 32768.0)
+                .toFloat
+            }
+          i += 1
+        }
+        (fmt.getSampleRate, out)
+      } finally ais.close()
+    }
+
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       if (kind != "audio") FakeDecoder.decode(kind, bytes)
       else {
-        import javax.sound.sampled.{AudioFormat, AudioSystem}
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          val enc = fmt.getEncoding
-          require(enc == AudioFormat.Encoding.PCM_SIGNED ||
-            enc == AudioFormat.Encoding.PCM_UNSIGNED,
-            s"unsupported audio encoding $enc (PCM only)")
-          val bits = fmt.getSampleSizeInBits
-          require(bits == 8 || bits == 16,
-            s"unsupported sample width $bits (8/16-bit PCM only)")
-          val raw = ais.readAllBytes()
-          val n = raw.length / (bits / 8)
-          require(n > 0, "empty audio payload")
-          val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-          val big = fmt.isBigEndian
-          val sumSq = new Array[Double](8)
-          val cnt = new Array[Long](8)
-          var i = 0
-          while (i < n) {
-            val v: Double =
-              if (bits == 8) {
-                val b = raw(i) & 0xff
-                (if (unsigned) b - 128 else raw(i).toInt) / 128.0
-              } else {
-                val off = i * 2
-                val s =
-                  if (big) ((raw(off) << 8) | (raw(off + 1) & 0xff)).toShort
-                  else ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort
-                (if (unsigned) (s & 0xffff) - 32768 else s.toInt) / 32768.0
-              }
-            val seg = (i.toLong * 8 / n).toInt
-            sumSq(seg) += v * v
-            cnt(seg) += 1
-            i += 1
-          }
-          Array.tabulate(8)(s =>
-            if (cnt(s) == 0) 0f
-            else math.sqrt(sumSq(s) / cnt(s)).toFloat)
-        } finally ais.close()
+        val (_, samples) = pcmSamples(bytes)
+        val n = samples.length
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val v = samples(i).toDouble
+          val seg = (i.toLong * 8 / n).toInt
+          sumSq(seg) += v * v
+          cnt(seg) += 1
+          i += 1
+        }
+        Array.tabulate(8)(s =>
+          if (cnt(s) == 0) 0f
+          else math.sqrt(sumSq(s) / cnt(s)).toFloat)
+      }
+    }
+  }
+
+  /** Minimal mono PCM-16 WAV writer (RIFF/WAVE, fmt + data chunks,
+    * little-endian) — the synthesis half that lets specs and the t64
+    * gate drive the REAL javax.sound decode path with known sample
+    * values, the audio twin of [[aviMjpeg]]. */
+  def wavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** One decoded audio row: normalized samples + rate, metadata first
+    * so sample-free projections prune the array. */
+  case class AudioSamples(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      samples: Array[Float])
+
+  /** REAL audio decode to a typed samples column: per-partition
+    * decoder instance, payload bytes never shuffled (the samples array
+    * replaces them in place). Downstream feature math then stays in
+    * native Column expressions ([[graft.functions.AudioOps]]) instead
+    * of opaque per-row code. */
+  def decodeAudioSamples(media: Dataset[MediaRecord]): Dataset[AudioSamples] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { r =>
+        val (rate, s) = AudioDecoder.pcmSamples(r.data)
+        AudioSamples(r.media_id, rate.toInt, s.length, s)
       }
     }
   }
@@ -240,6 +310,183 @@ object Multimodal {
           FrameRecord(r.media_id, i, ts, r.width, r.height,
             sampler.frameAt(r.data, ts))
         }
+      }
+    }
+  }
+
+  /** REAL video codec boundary: split a container payload into its
+    * per-frame still-image payloads, index-ordered. Unlike
+    * [[FrameSampler]] (ts → opaque bytes, satisfiable by a stub), this
+    * boundary forces an implementation to produce DECODABLE frames. */
+  trait VideoCodec extends Serializable {
+    def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]]
+  }
+
+  /** REAL Motion-JPEG codec: scans the payload for JPEG SOI (FFD8) /
+    * EOI (FFD9) marker pairs and returns each delimited span — works
+    * on a raw MJPEG stream AND on MJPEG-in-AVI, because RIFF chunk
+    * framing between frames simply never opens a span. Sound because
+    * JPEG entropy-coded data is byte-stuffed (FF is always followed by
+    * 00 or a RST marker), so neither SOI nor EOI can occur inside a
+    * frame's compressed body. Limitation (documented, not hidden):
+    * a frame carrying an EMBEDDED JPEG thumbnail (EXIF APP1) would
+    * split early — strip thumbnails upstream or extend the scan to
+    * walk APPn segment lengths. */
+  object MjpegCodec extends VideoCodec {
+    override def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      var i = 0
+      var start = -1
+      while (i < bytes.length - 1) {
+        if ((bytes(i) & 0xff) == 0xff) {
+          val m = bytes(i + 1) & 0xff
+          if (m == 0xd8 && start < 0) { start = i; i += 2 }
+          else if (m == 0xd9 && start >= 0) {
+            out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+            start = -1
+            i += 2
+          } else i += 1
+        } else i += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Minimal MJPEG-in-AVI writer (RIFF/AVI envelope with a `movi`
+    * LIST of `00dc` compressed-video chunks — the standard layout) —
+    * the synthesis half that makes [[MjpegCodec]] testable end-to-end
+    * against a REAL container, used by specs and the t63 gate. Not a
+    * general AVI muxer: headers carry just enough (frame count,
+    * dimensions) for a marker-scanning or chunk-walking reader. */
+  def aviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(tag.getBytes("US-ASCII"))
+      b.write(le32(body.length))
+      b.write(body)
+      if (body.length % 2 == 1) b.write(0) // RIFF chunks pad to even
+      b.toByteArray
+    }
+    val movi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("movi".getBytes("US-ASCII"))
+      frames.foreach(f => b.write(chunk("00dc", f)))
+      b.toByteArray
+    }
+    val avih = chunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ le32(frames.size) ++ le32(0) ++ le32(1) ++
+      le32(0) ++ le32(width) ++ le32(height) ++ new Array[Byte](16))
+    val hdrl = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("hdrl".getBytes("US-ASCII"))
+      b.write(avih)
+      b.toByteArray
+    }
+    val riffBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("AVI ".getBytes("US-ASCII"))
+      b.write(chunk("LIST", hdrl))
+      b.write(chunk("LIST", movi))
+      b.toByteArray
+    }
+    bo.write("RIFF".getBytes("US-ASCII"))
+    bo.write(le32(riffBody.length))
+    bo.write(riffBody)
+    bo.toByteArray
+  }
+
+  /** Encode a solid-gray 8-bit JPEG frame — deterministic synthetic
+    * frame content whose DECODE is bit-exact (a uniform block is
+    * DC-only, and the DC round-trips at any quality; verified for all
+    * 256 gray values), which is what lets an external engine oracle a
+    * REAL lossy-codec pipeline by recomputing the gray value. */
+  def solidJpeg(gray: Int, width: Int, height: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, width, height)
+    } finally g2.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Per sampled frame: REAL pixel stats from a REAL decode.
+    * `mean_lum` uses the same integer luminance as [[ImageDecoder]]
+    * ((299r+587g+114b)/1000 — exact for gray: lum == gray). */
+  case class FrameStat(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      width: Int,
+      height: Int,
+      mean_lum: Double)
+
+  /** Sample one frame every `everyMs` from each video row through a
+    * REAL container codec: the payload splits into decodable frame
+    * payloads once per row, and sample timestamps map to source frames
+    * by uniform spacing (frame = ts·n/duration, clamped) — the
+    * constant-fps contract an index-less MJPEG stream carries.
+    * Partition-local like [[sampleFrames]]: expansion before any
+    * shuffle, each output row carries one frame's bytes. Rows whose
+    * payload contains no frames (corrupt/empty container) yield
+    * nothing, mirroring zero-duration clips. */
+  def sampleFramesDecoded(media: Dataset[MediaRecord], everyMs: Long,
+      codec: VideoCodec = MjpegCodec): Dataset[FrameRecord] = {
+    require(everyMs > 0)
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val fs = codec.frames(r.data)
+        if (fs.isEmpty) Iterator.empty
+        else {
+          val n = math.max(if (r.duration_ms > 0) 1 else 0,
+            (r.duration_ms / everyMs).toInt)
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            val src = math.min(fs.size - 1,
+              (ts * fs.size / math.max(r.duration_ms, 1L)).toInt)
+            FrameRecord(r.media_id, i, ts, r.width, r.height, fs(src))
+          }
+        }
+      }
+    }
+  }
+
+  /** Decode each sampled frame (javax.imageio — the same REAL path as
+    * [[ImageDecoder]]) and emit pixel stats: decoded dimensions + mean
+    * integer luminance. Partition-local; frame bytes never shuffle
+    * (the stat row is a few scalars). Undecodable frame payloads
+    * throw, matching the image path's quarantine-upstream contract. */
+  def frameStats(frames: Dataset[FrameRecord]): Dataset[FrameStat] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.frame))
+        require(img != null,
+          s"undecodable frame payload (media ${f.media_id} idx ${f.frame_idx})")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        FrameStat(f.media_id, f.frame_idx, f.ts_ms,
+          img.getWidth, img.getHeight, sum.toDouble / n)
       }
     }
   }

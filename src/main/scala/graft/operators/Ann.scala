@@ -378,15 +378,73 @@ object Ann {
     * (probe-cells ⨝ probe-LUT) frame is broadcast, candidates stream
     * through a row-local fold, and the only shuffle is the final
     * per-probe top-k over narrow rows. */
-  def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
-      probes: DataFrame, centroids: DataFrame, centIdCol: String,
-      centVecCol: String, books: DataFrame, m: Int, dsub: Int,
-      k: Int, nprobe: Int): DataFrame = {
-    require(k > 0 && nprobe > 0)
-    val index = ivfAssignCells(vectors, idCol, vecCol, centroids,
+  /** The persistent IVF-PQ index rows for `vectors` against frozen
+    * assets: (c_id, cell, codes) — 8 + 8 + m bytes per corpus vector,
+    * the thing a production deployment materializes to a table and
+    * [[ivfPqAppend]] grows. */
+  def ivfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      books: DataFrame, m: Int, dsub: Int): DataFrame =
+    ivfAssignCells(vectors, idCol, vecCol, centroids,
       centIdCol, centVecCol).drop("d2")
       .join(pqEncode(vectors, idCol, vecCol, books, m, dsub), Seq(idCol))
       .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+
+  /** Append-only index maintenance: encode ONLY `newVectors` against
+    * the FROZEN centroids + codebook and union onto the existing
+    * (c_id, cell, codes) frame. No existing row is touched, so a
+    * daily append costs O(delta), never O(corpus) — the amortized
+    * production shape ([[graft.operators.NearDup]]'s incremental
+    * band-index pattern applied to ANN assets).
+    *
+    * Equivalence contract (gated by t66): cell assignment and PQ
+    * encoding are deterministic row-local functions of the frozen
+    * assets, so append-encode followed by search equals
+    * rebuild-encode-the-union followed by search, bit for bit. The
+    * price of freezing is drift: appended vectors quantize against
+    * codewords trained before they existed — watch [[ivfCellStats]]
+    * and retrain when it flags. */
+  def ivfPqAppend(index: DataFrame, newVectors: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, books: DataFrame, m: Int, dsub: Int): DataFrame =
+    index.unionByName(ivfPqIndex(newVectors, idCol, vecCol, centroids,
+      centIdCol, centVecCol, books, m, dsub))
+
+  /** Per-cell occupancy + the retrain signal for a frozen-asset index:
+    * (cell, n, skew = n/avg-n, retrain = skew > bound). One narrow
+    * count per cell, one single-row global average broadcast back —
+    * no global window, no driver loop. A cell whose occupancy runs
+    * `skewBound`× past the mean means the frozen centroids no longer
+    * tile the data (append drift): probes hitting it scan `skew`×
+    * the candidates they should, and it is time to retrain. */
+  def ivfCellStats(index: DataFrame, skewBound: Double = 4.0): DataFrame = {
+    require(skewBound > 0)
+    val perCell = index.groupBy("cell").agg(count(lit(1)).as("n"))
+    val global = perCell.agg(avg(col("n")).as("avg_n"))
+    perCell.crossJoin(broadcast(global))
+      .select(col("cell"), col("n"),
+        (col("n") / col("avg_n")).as("skew"),
+        (col("n") / col("avg_n") > skewBound).as("retrain"))
+  }
+
+  def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, books: DataFrame, m: Int, dsub: Int,
+      k: Int, nprobe: Int): DataFrame =
+    ivfPqSearchIndexed(
+      ivfPqIndex(vectors, idCol, vecCol, centroids, centIdCol,
+        centVecCol, books, m, dsub),
+      probes, idCol, vecCol, centroids, centIdCol, centVecCol,
+      books, m, dsub, k, nprobe)
+
+  /** [[ivfPqSearch]] over a PREBUILT (c_id, cell, codes) index frame —
+    * the entry a deployment with a materialized, append-maintained
+    * index actually calls; the corpus vectors are never touched. */
+  def ivfPqSearchIndexed(index: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      centIdCol: String, centVecCol: String, books: DataFrame,
+      m: Int, dsub: Int, k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
     val pcells = probes.crossJoin(broadcast(centroids))
       .withColumn("__d2", VectorOps.norm2(
         zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))

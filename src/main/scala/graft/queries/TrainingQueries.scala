@@ -134,7 +134,12 @@ object TrainingQueries {
     * division; empty cells COALESCE to the previous centroid).
     * Centroids are per-dim columns m0..m{dims-1} — no list assembly,
     * so downstream distance expressions stay positional arithmetic. */
-  private def lloydSql(nlist: Int, iters: Int): String = {
+  private def lloydSql(nlist: Int, iters: Int): String =
+    lloydSqlFrom("embeddings", nlist, iters)
+
+  /** Same coarse-Lloyd chain over any (vec_id, embedding) relation —
+    * lets the frozen-asset gates (t66) train on a sub-corpus CTE. */
+  private def lloydSqlFrom(rel: String, nlist: Int, iters: Int): String = {
     val initCols = (1 to Dims)
       .map(i => s"CAST(embedding[$i] AS DOUBLE) AS m${i - 1}")
       .mkString(", ")
@@ -143,7 +148,7 @@ object TrainingQueries {
       s"$d * $d"
     }.mkString("(", " + ", ")")
     val sb = new StringBuilder(
-      s"c0 AS (SELECT vec_id AS cent_id, $initCols FROM embeddings " +
+      s"c0 AS (SELECT vec_id AS cent_id, $initCols FROM $rel " +
         s"ORDER BY vec_id LIMIT $nlist)")
     for (k <- 1 to iters) {
       val prev = s"c${k - 1}"
@@ -159,10 +164,10 @@ object TrainingQueries {
          |a$k AS (SELECT e.vec_id, c.cent_id,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${d2("e", "c")} ASC, c.cent_id ASC) AS rn
-         |  FROM embeddings e, $prev c),
+         |  FROM $rel e, $prev c),
          |s$k AS (SELECT a.cent_id, COUNT(*) AS n, $sumCols
          |  FROM (SELECT vec_id, cent_id FROM a$k WHERE rn = 1) a
-         |  JOIN embeddings e USING (vec_id) GROUP BY a.cent_id),
+         |  JOIN $rel e USING (vec_id) GROUP BY a.cent_id),
          |c$k AS (SELECT $prev.cent_id, $meanCols
          |  FROM $prev LEFT JOIN s$k ON s$k.cent_id = $prev.cent_id)"""
         .stripMargin
@@ -2292,6 +2297,237 @@ object TrainingQueries {
            |      CAST(((i * 100) % len + 1) % len AS INT) + 1, 1)))
            |    AS frame_hex
            |FROM f""".stripMargin
+      }),
+
+    // REAL video decode under the oracle (t61's successor — the
+    // declared video stub is gone): each video doc becomes an actual
+    // RIFF/AVI container of MJPEG frames (real JPEGs, JDK-encoded),
+    // split by MjpegCodec's SOI/EOI marker scan, frame-sampled at
+    // 100 ms, and DECODED back through javax.imageio for pixel stats.
+    // The oracle can replay a lossy codec because the frames are
+    // solid-gray: a uniform block is DC-only and the DC round-trips
+    // bit-exact at any quality (verified for all 256 grays), so
+    // mean integer luminance == the gray value the frame was built
+    // from, which DuckDB recomputes arithmetically.
+    QueryDef(
+      "t63_mjpeg_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) > 0 && col("doc_id") % 3 === 2)
+          .select(col("doc_id"), (col("doc_id") % 5 + 1).cast("int").as("nf"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, nf) =>
+              val frames = (0 until nf).map(i =>
+                mm.solidJpeg(((id * 37 + i * 53) % 256).toInt, 16, 16))
+              mm.MediaRecord(id, "video", "video/x-msvideo", 16, 16,
+                nf * 100L, mm.aviMjpeg(frames, 16, 16))
+            }
+          }
+        mm.frameStats(mm.sampleFramesDecoded(media, everyMs = 100)).toDF()
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("ts_ms"), col("width"), col("height"), col("mean_lum"))
+      },
+      Some {
+        s"""WITH v AS (
+           |  SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS nf
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) > 0 AND doc_id % 3 = 2),
+           |f AS (SELECT doc_id, unnest(range(nf)) AS i FROM v)
+           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |  CAST(i * 100 AS BIGINT) AS ts_ms,
+           |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           |  CAST((doc_id * 37 + i * 53) % 256 AS DOUBLE) AS mean_lum
+           |FROM f""".stripMargin
+      }),
+
+    // REAL audio decode + native windowed features under the oracle:
+    // docs synthesize 16-bit PCM WAVs (sample k = (byte-100)·(−1)^i,
+    // stored as k·64 — exact binary fractions after decode), the REAL
+    // javax.sound path decodes them, and AudioOps.windowFeatures
+    // (pure builtin higher-order functions, zero UDFs) computes
+    // 4-window RMS + zero-crossing rate. Every x² is an exact multiple
+    // of 2⁻¹⁸, so both engines' sums are exact and sqrt/division are
+    // IEEE-identical — the oracle recomputes the same integers from
+    // ord() arithmetic and must hash-match bit-for-bit.
+    QueryDef(
+      "t64_audio_windows",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val samples = Array.tabulate(bytes.length) { i =>
+                val k = (bytes(i) - 100) * (if (i % 2 == 1) -1 else 1)
+                (k * 64).toShort
+              }
+              mm.MediaRecord(id, "audio", "audio/wav", 0, 0,
+                bytes.length * 1000L / 8000L, mm.wavPcm16(samples, 8000))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            explode(graft.functions.AudioOps.windowFeatures("samples", 4))
+              .as("f"))
+          .select(col("doc_id"), col("f.window").as("window"),
+            col("f.n").as("n"), col("f.rms").as("rms"),
+            col("f.zcr").as("zcr"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 1),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |k AS (SELECT doc_id, n, i,
+           |    CAST((ord(substr(text, CAST(i + 1 AS INT), 1)) - 100)
+           |      * (1 - 2 * (i % 2)) AS BIGINT) AS kv,
+           |    CAST(i * 4 // n AS INT) AS w
+           |  FROM sm),
+           |p AS (SELECT doc_id, w, kv,
+           |    lag(kv) OVER (PARTITION BY doc_id ORDER BY i) AS pk,
+           |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+           |  FROM k),
+           |agg AS (SELECT doc_id, w, COUNT(*) AS n_w,
+           |    CAST(SUM(kv * kv) AS BIGINT) AS k2,
+           |    CAST(COALESCE(SUM(CASE WHEN pw = w AND pk * kv < 0
+           |      THEN 1 ELSE 0 END), 0) AS INT) AS zcr
+           |  FROM p GROUP BY doc_id, w)
+           |SELECT doc_id, w AS window, CAST(n_w AS INT) AS n,
+           |  sqrt(CAST(k2 AS DOUBLE) / 262144.0 / CAST(n_w AS DOUBLE))
+           |    AS rms,
+           |  zcr
+           |FROM agg""".stripMargin
+      }),
+
+    // Commit-log snapshot EXPORT under the oracle — the BI-reads-core
+    // interop contract: a commit-log table is built from orders (two
+    // upserts: v1 = keys %4=0; v2 adds %4=2 and re-prices %8=0),
+    // both versions export as PLAIN parquet, and the oracle is DuckDB
+    // ITSELF reading the exported files off disk — hash-equality
+    // against the engine-internal readAt proves any external engine
+    // sees exactly the committed snapshot, per version.
+    QueryDef(
+      "t65_snapshot_export",
+      (s, dir) => {
+        val cl = graft.operators.CommitLogTableFormat
+        val base = "/tmp/graft_gate_export"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val table = s"$base/table"
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("ver", lit(1L))
+        val batch2 = orders.filter(col("o_orderkey") % 4 === 2)
+          .unionByName(orders.filter(col("o_orderkey") % 8 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)))
+          .withColumn("ver", lit(2L))
+        cl.upsert(s, batch1, table, Seq("o_orderkey"), "ver")
+        cl.upsert(s, batch2, table, Seq("o_orderkey"), "ver")
+        cl.exportSnapshot(s, table, 1L, s"$base/v1")
+        cl.exportSnapshot(s, table, 2L, s"$base/v2")
+        val v1 = cl.readAt(s, table, 1L).get.withColumn("version", lit(1))
+        val v2 = cl.readAt(s, table, 2L).get.withColumn("version", lit(2))
+        v1.unionByName(v2)
+          .select(col("version"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+      },
+      Some {
+        """SELECT CAST(1 AS INT) AS version, o_orderkey, o_custkey,
+          |  o_totalprice
+          |FROM read_parquet('/tmp/graft_gate_export/v1/*.parquet')
+          |UNION ALL
+          |SELECT CAST(2 AS INT) AS version, o_orderkey, o_custkey,
+          |  o_totalprice
+          |FROM read_parquet('/tmp/graft_gate_export/v2/*.parquet')"""
+          .stripMargin
+      }),
+
+    // IVF-PQ APPEND maintenance under the oracle: assets (coarse
+    // centroids + PQ codebook) train on the EXISTING corpus (even
+    // vec_ids) and freeze; the delta (odd vec_ids) is append-encoded
+    // against them (Ann.ivfPqAppend — O(delta), no existing row
+    // touched) and searched via the prebuilt-index entry. The oracle
+    // REBUILDS: it trains the same frozen assets on evens, encodes
+    // the whole union, and searches — so hash-equality IS the
+    // append-then-search == rebuild-then-search contract.
+    QueryDef(
+      "t66_ivfpq_append",
+      (s, dir) => {
+        val ann = graft.operators.Ann
+        val all = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val existing = all.filter(col("vec_id") % 2 === 0)
+        val delta = all.filter(col("vec_id") % 2 === 1)
+        val cents = ann.trainCentroids(existing, "vec_id", "v",
+          nlist = 8, iters = 2)
+        val books = ann.trainPq(existing, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        val index = ann.ivfPqIndex(existing, "vec_id", "v",
+          cents, "cent_id", "cv", books, PqM, PqDsub)
+        val appended = ann.ivfPqAppend(index, delta, "vec_id", "v",
+          cents, "cent_id", "cv", books, PqM, PqDsub)
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        ann.ivfPqSearchIndexed(appended, probes, "vec_id", "v",
+          cents, "cent_id", "cv", books, PqM, PqDsub, k = 3, nprobe = 2)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        s"""WITH existing AS MATERIALIZED (
+           |  SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+           |${lloydSqlFrom("existing", 8, 2)},
+           |${pqLloydSqlFrom("existing", "embedding", PqM, PqDsub, PqKsub, PqIters)},
+           |cents AS MATERIALIZED (SELECT * FROM c2),
+           |books AS MATERIALIZED (SELECT * FROM b$PqIters),
+           |cells AS MATERIALIZED (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |pcells AS MATERIALIZED (SELECT p_id, cell FROM (
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c)
+           |  WHERE rn <= 2),
+           |enc AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+           |  SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, books c) WHERE rn = 1),
+           |lut AS MATERIALIZED (SELECT p.vec_id AS p_id, c.sub, c.code,
+           |    ${pqD2Sql("p", "c", PqDsub)} AS pd
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           |       books c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e
+           |  JOIN cells cl ON cl.c_id = e.vec_id
+           |  JOIN pcells pc ON pc.cell = cl.cell
+           |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |    AND l.p_id = pc.p_id
+           |  WHERE e.vec_id <> pc.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j)
+           |SELECT p_id, rn, c_id, ad2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |WHERE rn <= 3""".stripMargin
       }),
   )
 

@@ -147,6 +147,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqAppend: append-then-search == rebuild-then-search, cell stats flag drift") {
+    // frozen assets train on the EXISTING half only; the delta is
+    // append-encoded against them. Search over the appended index must
+    // equal search over a from-scratch rebuild of the union — the
+    // contract that makes O(delta) daily maintenance safe.
+    val existing = vecs.filter(col("id") % 2 === 0)
+    val delta = vecs.filter(col("id") % 2 === 1)
+    val cents = Ann.trainCentroids(existing, "id", "v", nlist = 3, iters = 2)
+    val books = Ann.trainPq(existing, "id", "v", m = 2, dsub = 4,
+      ksub = 4, iters = 2)
+    val probes = vecs.filter(col("id").isin(0L, 25L))
+    def collectSearch(index: org.apache.spark.sql.DataFrame) =
+      Ann.ivfPqSearchIndexed(index, probes, "id", "v", cents, "cent_id",
+        "cv", books, m = 2, dsub = 4, k = 3, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val appended = Ann.ivfPqAppend(
+      Ann.ivfPqIndex(existing, "id", "v", cents, "cent_id", "cv", books, 2, 4),
+      delta, "id", "v", cents, "cent_id", "cv", books, 2, 4)
+    val rebuilt = Ann.ivfPqIndex(vecs, "id", "v", cents, "cent_id", "cv",
+      books, 2, 4)
+    assert(collectSearch(appended) == collectSearch(rebuilt))
+    // index rows: every corpus vector exactly once after append
+    assert(appended.select("c_id").distinct().count() == vecs.count())
+
+    // cell stats: balanced occupancy does not flag; a drifted append
+    // (everything lands in one cell) does
+    val stats = Ann.ivfCellStats(appended, skewBound = 2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(stats.map(_._2).sum == vecs.count())
+    val skewed = Ann.ivfCellStats(
+      appended.withColumn("cell", lit(0L)), skewBound = 2.0)
+    assert(skewed.count() == 1 && !skewed.collect()(0).getBoolean(3),
+      "a single-cell index has skew 1.0, not a retrain flag")
+    // hand-built skew: 9 rows in cell 0, 1 in cell 1 -> avg 5,
+    // skew 1.8 / 0.2 -> only the hot cell flags at bound 1.5
+    import spark.implicits._
+    val toy = (0 until 9).map(i => (i.toLong, 0L, Seq(0, 0)))
+      .:+((9L, 1L, Seq(0, 0))).toDF("c_id", "cell", "codes")
+    val toyStats = Ann.ivfCellStats(toy, skewBound = 1.5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(toyStats == Map(0L -> true, 1L -> false))
+  }
+
   test("ivfSearch on trained centroids returns exact top-k inside cells") {
     val cents = Ann.trainCentroids(vecs, "id", "v", nlist = 2, iters = 2)
     val probes = vecs.filter(col("id") === 0L)

@@ -398,4 +398,83 @@ class StreamingMultimodalSpec extends SparkSpec {
       extractFeatures(junk, JdkDecoder).collect()
     }
   }
+
+  test("multimodal: REAL MJPEG-in-AVI video decode, frame-exact") {
+    import Multimodal._
+    // codec round trip: AVI envelope in, original JPEG payloads out
+    val grays = Seq(0, 1, 37, 128, 200, 255)
+    val jpegs = grays.map(g => solidJpeg(g, 16, 16))
+    val avi = aviMjpeg(jpegs, 16, 16)
+    val split = MjpegCodec.frames(avi)
+    assert(split.size == jpegs.size)
+    split.zip(jpegs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes differ")
+    }
+    // raw concatenated MJPEG (no container) splits identically
+    assert(MjpegCodec.frames(jpegs.flatten.toArray).size == jpegs.size)
+
+    // sampled + decoded through the full distributed path: 6 frames
+    // over 600ms at 100ms cadence = one sample per source frame, and
+    // solid-gray decode is bit-exact, so mean_lum == the gray value
+    val media = Seq(MediaRecord(5L, "video", "video/x-msvideo", 16, 16,
+      600L, avi)).toDS()
+    val stats = frameStats(sampleFramesDecoded(media, 100L))
+      .collect().sortBy(_.frame_idx)
+    assert(stats.map(_.frame_idx).toSeq == (0 until 6))
+    assert(stats.map(_.ts_ms).toSeq == (0 until 6).map(_ * 100L))
+    assert(stats.forall(s => s.width == 16 && s.height == 16))
+    assert(stats.map(_.mean_lum).toSeq == grays.map(_.toDouble))
+
+    // sub-cadence clips still yield frame 0; frameless payloads vanish
+    val shortClip = Seq(MediaRecord(6L, "video", "video/x-msvideo",
+      16, 16, 40L, aviMjpeg(Seq(solidJpeg(77, 16, 16)), 16, 16))).toDS()
+    val s0 = frameStats(sampleFramesDecoded(shortClip, 100L)).collect()
+    assert(s0.map(s => (s.frame_idx, s.mean_lum)).toSeq == Seq((0, 77.0)))
+    val noFrames = Seq(MediaRecord(7L, "video", "video/x-msvideo",
+      16, 16, 500L, Array[Byte](1, 2, 3, 4))).toDS()
+    assert(sampleFramesDecoded(noFrames, 100L).isEmpty)
+  }
+
+  test("multimodal: typed audio samples + native windowed RMS/ZCR") {
+    import Multimodal._
+    // known 16-bit samples: k = (b - 100)·(−1)^i over bytes b —
+    // alternating signs force zero crossings the window math must see
+    val bytes = "abcdefgh".getBytes("US-ASCII")
+    val ks = bytes.indices.map(i =>
+      (bytes(i) - 100) * (if (i % 2 == 1) -1 else 1))
+    val wav = wavPcm16(ks.map(k => (k * 64).toShort).toArray, 8000)
+    val media = Seq(MediaRecord(9L, "audio", "audio/wav", 0, 0, 1L,
+      wav)).toDS()
+    val dec = decodeAudioSamples(media).collect().head
+    assert(dec.sample_rate == 8000 && dec.n_samples == 8)
+    assert(dec.samples.toSeq == ks.map(k => k / 512f))
+
+    val feats = decodeAudioSamples(media).toDF()
+      .select(col("media_id"), explode(
+        graft.functions.AudioOps.windowFeatures("samples", 4)).as("f"))
+      .select(col("f.window"), col("f.n"), col("f.rms"), col("f.zcr"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3))).sortBy(_._1)
+    // hand-computed per window of 2: rms = sqrt((k0²+k1²)/2)/512,
+    // zcr = 1 iff the in-window pair flips sign
+    val expected = (0 until 4).map { w =>
+      val (k0, k1) = (ks(2 * w), ks(2 * w + 1))
+      (w, 2, math.sqrt((k0 * k0 + k1 * k1) / 262144.0 / 2.0),
+        if (k0 * k1 < 0) 1 else 0)
+    }
+    assert(feats.toSeq == expected)
+
+    // degenerate: fewer samples than windows -> empty windows are
+    // (n=0, rms=0, zcr=0), not NaN
+    val tiny = Seq(MediaRecord(10L, "audio", "audio/wav", 0, 0, 1L,
+      wavPcm16(Array[Short](6400), 8000))).toDS()
+    val tf = decodeAudioSamples(tiny).toDF()
+      .select(explode(
+        graft.functions.AudioOps.windowFeatures("samples", 4)).as("f"))
+      .select(col("f.n"), col("f.rms"), col("f.zcr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+    assert(tf.count(_._1 == 1) == 1)
+    assert(tf.filter(_._1 == 0).forall(t => t._2 == 0.0 && t._3 == 0))
+    assert(!tf.exists(t => t._2.isNaN))
+  }
 }
