@@ -27,6 +27,13 @@ object Tables {
         acc.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      // driver data has also shipped ts as TIMESTAMP(MICROS) without a
+      // zone (Spark: TIMESTAMP_NTZ, which unix_micros & co. reject) —
+      // normalize to TimestampType; exact because sessions pin UTC
+      else if (f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        acc.withColumn("ts", acc("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
       else acc
     }
   }
