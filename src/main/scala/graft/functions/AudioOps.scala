@@ -50,4 +50,56 @@ object AudioOps {
          |      'c', a.c + IF(a.p IS NOT NULL AND a.p * CAST(x AS DOUBLE) < CAST(0 AS DOUBLE), 1, 0)),
          |    a -> a.c)))""".stripMargin)
   }
+
+  /** Windowed DFT band energies over `samplesCol` (array<float>),
+    * `nWindows` windows: array of structs
+    * (window, n, e_dc, e_mid, e_high).
+    *
+    * The DFT is evaluated at the three frequencies whose twiddle
+    * factors are EXACT doubles — ω = 0 (DC), fs/4 (cos/sin cycle
+    * 1,0,-1,0 / 0,1,0,-1) and fs/2 (Nyquist, (-1)^i) — so the whole
+    * computation stays inside the exact-binary-fraction contract of
+    * [[windowFeatures]]: sample values are k/2^9-scaled integers,
+    * every partial sum and square is an integer multiple of 2^-18
+    * far below 2^53, and the single inexact operation per band is
+    * the final IEEE division by n² — bit-identical in any engine,
+    * any summation order. Band energy is the mean-square amplitude
+    * |Σ x·e^(-jωi)|²/n² with i the 0-based offset INSIDE the window
+    * (phase restarts per window, as a per-window DFT does).
+    * Empty windows emit n=0 and zero energies.
+    */
+  def spectralBands(samplesCol: String, nWindows: Int): Column = {
+    require(nWindows > 0)
+    val c = s"`$samplesCol`"
+    def start(w: String) =
+      s"CAST((CAST($w AS BIGINT) * size($c) + ${nWindows - 1}) DIV $nWindows AS INT)"
+    val s0 = start("w")
+    val s1 = start("(w + 1)")
+    val seg = s"slice($c, $s0 + 1, $s1 - $s0)"
+    val z = "CAST(0 AS DOUBLE)"
+    val one = "CAST(1 AS DOUBLE)"
+    val n = s"($s1 - $s0)"
+    val nn = s"(CAST($n AS DOUBLE) * CAST($n AS DOUBLE))"
+    expr(
+      s"""transform(sequence(0, ${nWindows - 1}), w ->
+         |  aggregate($seg,
+         |    named_struct('i', 0, 'dc', $z, 'c4', $z, 's4', $z, 'ny', $z),
+         |    (a, x) -> named_struct(
+         |      'i', a.i + 1,
+         |      'dc', a.dc + CAST(x AS DOUBLE),
+         |      'c4', a.c4 + CAST(x AS DOUBLE) *
+         |        CASE WHEN a.i % 4 = 0 THEN $one
+         |             WHEN a.i % 4 = 2 THEN -$one ELSE $z END,
+         |      's4', a.s4 + CAST(x AS DOUBLE) *
+         |        CASE WHEN a.i % 4 = 1 THEN $one
+         |             WHEN a.i % 4 = 3 THEN -$one ELSE $z END,
+         |      'ny', a.ny + CAST(x AS DOUBLE) *
+         |        IF(a.i % 2 = 0, $one, -$one)),
+         |    a -> named_struct(
+         |      'window', CAST(w AS INT),
+         |      'n', $n,
+         |      'e_dc', IF($n > 0, (a.dc * a.dc) / $nn, $z),
+         |      'e_mid', IF($n > 0, (a.c4 * a.c4 + a.s4 * a.s4) / $nn, $z),
+         |      'e_high', IF($n > 0, (a.ny * a.ny) / $nn, $z))))""".stripMargin)
+  }
 }

@@ -2529,6 +2529,75 @@ object TrainingQueries {
            |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
            |WHERE rn <= 3""".stripMargin
       }),
+
+    // Windowed DFT band energies (t64's successor): the spectral
+    // operator the multimodal column family was missing. The DFT is
+    // evaluated per window at DC, fs/4 and Nyquist — the three bins
+    // whose twiddle factors are exact {±1, 0} doubles — so the whole
+    // pipeline stays in t64's exact-binary-fraction contract and the
+    // oracle is DuckDB REDERIVING the energies from the same integer
+    // sample values: per-window relative index r, exact BIGINT sums
+    // dc/c4/s4/ny, energy = |Σ|²/n², one IEEE division per band.
+    QueryDef(
+      "t67_audio_spectral",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val samples = Array.tabulate(bytes.length) { i =>
+                val k = (bytes(i) - 100) * (if (i % 2 == 1) -1 else 1)
+                (k * 64).toShort
+              }
+              mm.MediaRecord(id, "audio", "audio/wav", 0, 0,
+                bytes.length * 1000L / 8000L, mm.wavPcm16(samples, 8000))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            explode(graft.functions.AudioOps.spectralBands("samples", 4))
+              .as("f"))
+          .select(col("doc_id"), col("f.window").as("window"),
+            col("f.n").as("n"), col("f.e_dc").as("e_dc"),
+            col("f.e_mid").as("e_mid"), col("f.e_high").as("e_high"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 1),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |k AS (SELECT doc_id, n, i,
+           |    CAST((ord(substr(text, CAST(i + 1 AS INT), 1)) - 100)
+           |      * (1 - 2 * (i % 2)) AS BIGINT) AS kv,
+           |    CAST(i * 4 // n AS INT) AS w
+           |  FROM sm),
+           |r AS (SELECT doc_id, w, kv,
+           |    i - MIN(i) OVER (PARTITION BY doc_id, w) AS ri
+           |  FROM k),
+           |agg AS (SELECT doc_id, w, COUNT(*) AS n_w,
+           |    SUM(kv) AS dc,
+           |    SUM(CASE WHEN ri % 4 = 0 THEN kv
+           |             WHEN ri % 4 = 2 THEN -kv ELSE 0 END) AS c4,
+           |    SUM(CASE WHEN ri % 4 = 1 THEN kv
+           |             WHEN ri % 4 = 3 THEN -kv ELSE 0 END) AS s4,
+           |    SUM(CASE WHEN ri % 2 = 0 THEN kv ELSE -kv END) AS ny
+           |  FROM r GROUP BY doc_id, w)
+           |SELECT doc_id, w AS window, CAST(n_w AS INT) AS n,
+           |  CAST(dc * dc AS DOUBLE) / 262144.0
+           |    / CAST(n_w * n_w AS DOUBLE) AS e_dc,
+           |  CAST(c4 * c4 + s4 * s4 AS DOUBLE) / 262144.0
+           |    / CAST(n_w * n_w AS DOUBLE) AS e_mid,
+           |  CAST(ny * ny AS DOUBLE) / 262144.0
+           |    / CAST(n_w * n_w AS DOUBLE) AS e_high
+           |FROM agg""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
