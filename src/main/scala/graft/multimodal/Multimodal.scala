@@ -322,33 +322,77 @@ object Multimodal {
     def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]]
   }
 
-  /** REAL Motion-JPEG codec: scans the payload for JPEG SOI (FFD8) /
-    * EOI (FFD9) marker pairs and returns each delimited span — works
-    * on a raw MJPEG stream AND on MJPEG-in-AVI, because RIFF chunk
-    * framing between frames simply never opens a span. Sound because
-    * JPEG entropy-coded data is byte-stuffed (FF is always followed by
-    * 00 or a RST marker), so neither SOI nor EOI can occur inside a
-    * frame's compressed body. Limitation (documented, not hidden):
-    * a frame carrying an EMBEDDED JPEG thumbnail (EXIF APP1) would
-    * split early — strip thumbnails upstream or extend the scan to
-    * walk APPn segment lengths. */
+  /** REAL Motion-JPEG codec: finds each frame's SOI (FFD8), then walks
+    * the JPEG SEGMENT structure to its EOI (FFD9) — every marker
+    * segment carries a 2-byte big-endian length, so APPn payloads
+    * (EXIF metadata INCLUDING an embedded JPEG thumbnail, whose own
+    * SOI/EOI a raw marker scan would trip on) are skipped wholesale;
+    * after SOS the entropy-coded body is scanned for the next true
+    * marker, sound because entropy data byte-stuffs FF (always
+    * followed by 00 or a RST marker). Works on a raw MJPEG stream AND
+    * on MJPEG-in-AVI: RIFF chunk framing between frames never forms
+    * an SOI. A frame whose segment structure is malformed (length
+    * past end-of-data, missing EOI) is dropped and the scan
+    * resynchronizes at the position the walk failed — a torn tail
+    * chunk loses that frame, not the stream, and the torn frame's own
+    * metadata (e.g. a thumbnail already walked past) is never re-read
+    * as frame data. */
   object MjpegCodec extends VideoCodec {
     override def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
       val out = IndexedSeq.newBuilder[Array[Byte]]
+      val n = bytes.length
+      def b(i: Int): Int = bytes(i) & 0xff
       var i = 0
-      var start = -1
-      while (i < bytes.length - 1) {
-        if ((bytes(i) & 0xff) == 0xff) {
-          val m = bytes(i + 1) & 0xff
-          if (m == 0xd8 && start < 0) { start = i; i += 2 }
-          else if (m == 0xd9 && start >= 0) {
-            out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
-            start = -1
-            i += 2
-          } else i += 1
+      while (i < n - 1) {
+        if (b(i) == 0xff && b(i + 1) == 0xd8) {
+          val r = walkFrame(bytes, i)
+          if (r >= 0) {
+            out += java.util.Arrays.copyOfRange(bytes, i, r)
+            i = r
+          } else {
+            // malformed: resync where the walk gave up (never before
+            // the SOI we just tried, so the scan always advances)
+            i = math.max(i + 2, -r - 1)
+          }
         } else i += 1
       }
       out.result()
+    }
+
+    /** End offset (exclusive) of the frame whose SOI is at `start`;
+      * malformed/truncated structure returns -(failPos)-1, the scan
+      * position at which parsing gave up. */
+    private def walkFrame(bytes: Array[Byte], start: Int): Int = {
+      val n = bytes.length
+      def b(i: Int): Int = bytes(i) & 0xff
+      def fail(pos: Int): Int = -pos - 1
+      var p = start + 2
+      while (p < n) {
+        // fill bytes: any number of FFs may pad before a marker code
+        while (p < n && b(p) == 0xff && p + 1 < n && b(p + 1) == 0xff)
+          p += 1
+        if (p + 1 >= n || b(p) != 0xff) return fail(p)
+        val m = b(p + 1)
+        if (m == 0xd9) return p + 2 // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2 // TEM/RSTn
+        else if (m == 0xd8) return fail(p) // SOI here: previous frame torn
+        else {
+          if (p + 3 >= n) return fail(p)
+          val len = (b(p + 2) << 8) | b(p + 3) // includes its own 2 bytes
+          if (len < 2 || p + 2 + len > n) return fail(p + 2)
+          val afterSeg = p + 2 + len
+          if (m == 0xda) {
+            // SOS: entropy-coded data until the next unstuffed marker
+            var q = afterSeg
+            while (q < n - 1 && !(b(q) == 0xff && b(q + 1) != 0x00 &&
+                !(b(q + 1) >= 0xd0 && b(q + 1) <= 0xd7)))
+              q += 1
+            if (q >= n - 1) return fail(q)
+            p = q
+          } else p = afterSeg // APPn/DQT/DHT/SOF/COM/...: length skip
+        }
+      }
+      fail(n)
     }
   }
 

@@ -435,6 +435,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sampleFramesDecoded(noFrames, 100L).isEmpty)
   }
 
+  test("multimodal: MJPEG segment walk survives EXIF thumbnails") {
+    import Multimodal._
+    // an EXIF-style APP1 segment whose payload embeds a COMPLETE JPEG
+    // (thumbnail) — its inner SOI/EOI tripped the old raw marker scan;
+    // the segment walk length-skips the whole APP1
+    def withThumbnail(jpeg: Array[Byte]): Array[Byte] = {
+      val thumb = solidJpeg(11, 8, 8)
+      val payload = "Exif  ".getBytes("US-ASCII") ++ thumb
+      val len = payload.length + 2
+      val app1 = Array(0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+      // splice right after SOI
+      jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    }
+    val grays = Seq(40, 90, 210)
+    val jpegs = grays.map(g => withThumbnail(solidJpeg(g, 16, 16)))
+    // each thumbnail-bearing frame stays ONE frame, bytes intact,
+    // in-container and raw-concatenated alike
+    val split = MjpegCodec.frames(aviMjpeg(jpegs, 16, 16))
+    assert(split.size == jpegs.size)
+    split.zip(jpegs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes differ")
+    }
+    assert(MjpegCodec.frames(jpegs.flatten.toArray).size == jpegs.size)
+    // the spliced frames still DECODE (imageio skips unknown APP1),
+    // so the downstream stat path sees the true gray values
+    val media = Seq(MediaRecord(8L, "video", "video/x-msvideo", 16, 16,
+      300L, aviMjpeg(jpegs, 16, 16))).toDS()
+    val stats = frameStats(sampleFramesDecoded(media, 100L))
+      .collect().sortBy(_.frame_idx)
+    assert(stats.map(_.mean_lum).toSeq == grays.map(_.toDouble))
+    // a truncated tail frame drops without losing the stream
+    val torn = jpegs.flatten.toArray.dropRight(7)
+    assert(MjpegCodec.frames(torn).size == jpegs.size - 1)
+  }
+
   test("multimodal: typed audio samples + native windowed RMS/ZCR") {
     import Multimodal._
     // known 16-bit samples: k = (b - 100)·(−1)^i over bytes b —
