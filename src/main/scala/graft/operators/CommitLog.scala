@@ -38,8 +38,8 @@ import org.apache.spark.sql.functions.col
   * race gets [[CommitConflictException]], re-reads the winner's
   * snapshot, recomputes, and retries — so two concurrent `upsert`s
   * both land, serialized as consecutive versions. Old versions stay
-  * readable until [[vacuum]] removes files unreferenced by the latest
-  * manifest.
+  * readable until a [[vacuum]] whose retention window (`keepLast`)
+  * excludes them removes their manifests and unreferenced data.
   *
   * MERGE semantics are [[MergeOps.merge]]/[[Dedup.keepLatest]] — a
   * format binding chooses storage, never meaning. Data files carry
@@ -53,6 +53,15 @@ import org.apache.spark.sql.functions.col
   * internally, bounded by `graft.commitlog.maxRetries`). */
 final class CommitConflictException(msg: String)
   extends java.io.IOException(msg)
+
+/** The requested snapshot version is not readable at this table —
+  * either it never committed or [[CommitLogTableFormat.vacuum]]
+  * reclaimed it. Typed so a caller holding a version number (a
+  * training-run manifest, an export job) can distinguish "gone by
+  * retention policy" from an I/O fault and react (re-pin to a
+  * retained version) instead of crashing on a missing file. */
+final class SnapshotNotFoundException(msg: String)
+  extends java.util.NoSuchElementException(msg)
 
 object CommitLogTableFormat extends TableFormat {
 
@@ -239,8 +248,9 @@ object CommitLogTableFormat extends TableFormat {
   def exportSnapshot(spark: SparkSession, path: String, version: Long,
       outPath: String, partitionCols: Seq[String] = Nil): Unit = {
     val df = readAt(spark, path, version).getOrElse(
-      throw new IllegalArgumentException(
-        s"exportSnapshot: version $version does not exist at $path"))
+      throw new SnapshotNotFoundException(
+        s"exportSnapshot: version $version at $path never committed " +
+          "or was vacuumed past the retention window"))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(outPath)
@@ -289,25 +299,41 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  /** Delete old manifests and the data files unreferenced by the
-    * LATEST manifest — time travel ends, disk comes back. Crash-safe
-    * ORDER: manifests go FIRST, then data. A crash between the two
-    * leaves unreferenced data files only (the next vacuum reclaims
-    * them); the reverse order would leave a readable-looking old
-    * manifest whose files are gone — [[readAt]]/[[versions]] would
-    * advertise a snapshot that throws on first action. The latest
-    * manifest's files are never touched. */
-  def vacuum(spark: SparkSession, path: String): Unit = {
+  /** Delete manifests outside the retention window and the data files
+    * none of the RETAINED manifests reference — time travel ends at
+    * the window's edge, disk comes back. `keepLast` is the Delta-style
+    * retention knob: the newest `keepLast` versions stay fully
+    * readable ([[readAt]]) and exportable ([[exportSnapshot]]) after
+    * the vacuum; anything older raises the typed
+    * [[SnapshotNotFoundException]] on export and reads as None —
+    * never a half-alive manifest that crashes on first action.
+    *
+    * Crash-safe ORDER: manifests go FIRST, then data. A crash between
+    * the two leaves unreferenced data files only (the next vacuum
+    * reclaims them); the reverse order would leave a readable-looking
+    * old manifest whose files are gone. Retained manifests' files are
+    * never touched, so an export of a retained version running
+    * CONCURRENTLY with a vacuum of older ones only ever reads files
+    * the vacuum will not delete. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val (f, root) = fs(spark, path)
-    currentVersion(f, root).foreach { v =>
-      val live = readManifest(f, root, v).toSet
+    val all = listVersions(f, root)
+    if (all.nonEmpty) {
+      val retained = all.takeRight(keepLast)
+      val horizon = retained.head
+      // union of files referenced by ANY retained manifest: a data dir
+      // shared across the window boundary (upsert rewrites are full
+      // snapshots, but insert-ignore-style bindings may share) stays
+      val live = retained
+        .flatMap(v => readManifest(f, root, v)).toSet
       // same tolerant parse as listVersions: a stray non-numeric .json
       // in _log is ignored, never a NumberFormatException mid-vacuum
       for (m <- f.listStatus(logDir(root)).toSeq
           .filter(_.getPath.getName.endsWith(".json"))
           .filter(m => scala.util.Try(
             m.getPath.getName.stripSuffix(".json").toLong)
-            .toOption.exists(_ < v)))
+            .toOption.exists(_ < horizon)))
         f.delete(m.getPath, false)
       val dataRoot = new Path(root, "data")
       if (f.exists(dataRoot)) {

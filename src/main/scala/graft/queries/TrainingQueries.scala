@@ -2598,6 +2598,46 @@ object TrainingQueries {
            |    / CAST(n_w * n_w AS DOUBLE) AS e_high
            |FROM agg""".stripMargin
       }),
+
+    // Snapshot-export PARTITION-PRUNING parity (t65's successor): the
+    // export goes out hive-partitioned and the oracle is DuckDB
+    // scanning the partitioned layout WITH a partition filter
+    // (hive_partitioning=1) — hash-equality against the
+    // engine-internal readAt().filter(...) proves the partition
+    // directories carry exactly the snapshot's rows, i.e. an external
+    // engine pruning by directory name reads the same data the core
+    // engine answers for that predicate.
+    QueryDef(
+      "t68_export_partition_prune",
+      (s, dir) => {
+        val cl = graft.operators.CommitLogTableFormat
+        val base = "/tmp/graft_gate_export_part"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val table = s"$base/table"
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+        cl.fullRefresh(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("ver", lit(1L)), table)
+        cl.upsert(s, orders.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("ver", lit(2L)), table, Seq("o_orderkey"), "ver")
+        cl.exportSnapshot(s, table, 2L, s"$base/v2",
+          partitionCols = Seq("o_orderpriority"))
+        cl.readAt(s, table, 2L).get
+          .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+      },
+      Some {
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+          |FROM read_parquet(
+          |  '/tmp/graft_gate_export_part/v2/*/*.parquet',
+          |  hive_partitioning=1)
+          |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

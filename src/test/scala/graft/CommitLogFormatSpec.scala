@@ -140,6 +140,38 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(at(3L) == Set((2L, "c")) && snap(path) == Set((2L, "c")))
   }
 
+  test("vacuum retention window: retained versions export, older raise typed") {
+    val path = tmpDir("cl") + "/t"
+    val out = tmpDir("cl-export")
+    for (i <- 1 to 4)
+      CommitLogTableFormat.fullRefresh(spark,
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), path)
+    // keepLast=2: versions 3 and 4 survive, 1 and 2 reclaim
+    CommitLogTableFormat.vacuum(spark, path, keepLast = 2)
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(3L, 4L))
+    // a retained NON-latest version still reads AND exports whole
+    assert(CommitLogTableFormat.readAt(spark, path, 3L).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "v3")))
+    CommitLogTableFormat.exportSnapshot(spark, path, 3L, s"$out/v3")
+    assert(spark.read.parquet(s"$out/v3")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+      .toSet == Set((3L, "v3")))
+    // a vacuumed version reads as None and exports with the TYPED
+    // error — not a missing-file crash
+    assert(CommitLogTableFormat.readAt(spark, path, 2L).isEmpty)
+    intercept[graft.operators.SnapshotNotFoundException] {
+      CommitLogTableFormat.exportSnapshot(spark, path, 2L, s"$out/v2")
+    }
+    // a second vacuum at keepLast=1 narrows the window further
+    CommitLogTableFormat.vacuum(spark, path)
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(4L))
+    intercept[graft.operators.SnapshotNotFoundException] {
+      CommitLogTableFormat.exportSnapshot(spark, path, 3L, s"$out/v3b")
+    }
+    assert(snap(path) == Set((4L, "v4")))
+  }
+
   test("two concurrent upserts both land (optimistic retry)") {
     // Both writers start from the same base version; the loser of the
     // commit race must re-read the winner's snapshot, recompute its
@@ -234,7 +266,7 @@ class CommitLogFormatSpec extends SparkSpec {
     // the exported tree is manifest-free plain parquet: no _log dir
     val (f, _) = fsRoot(out)
     assert(!f.exists(new Path(s"$out/v1/_log")))
-    intercept[IllegalArgumentException] {
+    intercept[graft.operators.SnapshotNotFoundException] {
       CommitLogTableFormat.exportSnapshot(spark, path, 9L, s"$out/v9")
     }
   }
