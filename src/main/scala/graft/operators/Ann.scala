@@ -525,4 +525,78 @@ object Ann {
       .filter(col("rn") <= k)
       .select("p_id", "rn", "c_id", "cos")
   }
+
+  // ---- deployment lifecycle: publish / load / retrain ------------
+
+  /** Atomically publish a complete IVF-PQ deployment — the index rows
+    * AND the frozen assets (coarse centroids + PQ codebook) they were
+    * encoded against — as ONE commit-log snapshot at `path`. The
+    * three frames fold into a single unified-schema table because the
+    * commit log's atomicity unit is one manifest: as separate tables,
+    * a reader could pair a fresh index with stale codewords and score
+    * silently wrong distances; as one snapshot, the trio is
+    * consistent by construction and old deployments stay readable
+    * ([[CommitLogTableFormat.readAt]]) until vacuumed. */
+  def ivfPqPublish(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, centroids: DataFrame,
+      books: DataFrame): Unit = {
+    def nulls(pairs: (String, String)*): Seq[Column] =
+      pairs.map { case (n, t) => lit(null).cast(t).as(n) }
+    val rows = index.select(
+      (lit("index").as("kind") +: col("c_id").cast("long").as("id") +:
+        col("cell").cast("long").as("cell") +:
+        col("codes").cast("array<int>").as("codes") +:
+        nulls("sub" -> "int", "code" -> "int",
+          "vec" -> "array<double>")): _*)
+      .unionByName(centroids.select(
+        (lit("cent").as("kind") +: col("cent_id").cast("long").as("id") +:
+          nulls("cell" -> "long", "codes" -> "array<int>",
+            "sub" -> "int", "code" -> "int")) :+
+          col("cv").cast("array<double>").as("vec"): _*))
+      .unionByName(books.select(
+        (lit("book").as("kind") +:
+          nulls("id" -> "long", "cell" -> "long",
+            "codes" -> "array<int>")) ++
+          Seq(col("sub").cast("int").as("sub"),
+            col("code").cast("int").as("code"),
+            col("cv").cast("array<double>").as("vec")): _*))
+    CommitLogTableFormat.fullRefresh(spark, rows, path)
+  }
+
+  /** The (index, centroids, books) trio of the LATEST published
+    * deployment at `path`, or None. All three views filter the same
+    * snapshot, so they can never mix versions. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(DataFrame, DataFrame, DataFrame)] =
+    CommitLogTableFormat.read(spark, path).map { snap =>
+      (snap.filter(col("kind") === "index")
+        .select(col("id").as("c_id"), col("cell"), col("codes")),
+        snap.filter(col("kind") === "cent")
+          .select(col("id").as("cent_id"), col("vec").as("cv")),
+        snap.filter(col("kind") === "book")
+          .select(col("sub"), col("code"), col("vec").as("cv")))
+    }
+
+  /** Close the maintenance loop [[ivfCellStats]] opens: when append
+    * drift trips the retrain flag, re-run Lloyd AND PQ training on
+    * the CURRENT corpus, re-encode every vector against the new
+    * assets, and swap the whole deployment in with one atomic commit
+    * ([[ivfPqPublish]]). Searches running against the previous
+    * deployment keep reading its snapshot whole; the next
+    * [[ivfPqLoad]] sees the new trio. Retraining is deterministic
+    * (seeded by smallest-id vectors, order-free quantized sums), so
+    * retrain-on-union is bit-identical to a from-scratch rebuild on
+    * the same corpus — the equivalence the retrain spec pins.
+    * Returns the newly committed trio. */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, lloydIters: Int, m: Int, dsub: Int, ksub: Int,
+      pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cents = trainCentroids(vectors, idCol, vecCol, nlist, lloydIters)
+    val books = trainPq(vectors, idCol, vecCol, m, dsub, ksub, pqIters)
+    val index = ivfPqIndex(vectors, idCol, vecCol, cents, "cent_id",
+      "cv", books, m, dsub)
+    ivfPqPublish(spark, path, index, cents, books)
+    ivfPqLoad(spark, path).get
+  }
 }

@@ -2638,6 +2638,89 @@ object TrainingQueries {
           |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"""
           .stripMargin
       }),
+
+    // IVF-PQ RETRAIN under the oracle (t66's successor — the other
+    // half of the maintenance loop): a deployment published on the
+    // even half drifts; ivfPqRetrain re-trains on the FULL corpus and
+    // atomically swaps index + assets as one commit-log snapshot; the
+    // search runs against the trio LOADED BACK from that snapshot.
+    // The oracle trains on the full corpus from scratch (t34's SQL),
+    // so hash-equality proves retrain-and-swap-then-load ==
+    // from-scratch-rebuild — recall is restored to the rebuild value
+    // by bit-identity, and the published artifact (not just in-memory
+    // frames) is what's checked.
+    QueryDef(
+      "t69_ivfpq_retrain",
+      (s, dir) => {
+        val ann = graft.operators.Ann
+        val base = "/tmp/graft_gate_ann_deploy"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val table = s"$base/ivfpq"
+        val all = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val existing = all.filter(col("vec_id") % 2 === 0)
+        // version 1: the drifting deployment (evens only)
+        val cents0 = ann.trainCentroids(existing, "vec_id", "v",
+          nlist = 8, iters = 2)
+        val books0 = ann.trainPq(existing, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        ann.ivfPqPublish(s, table, ann.ivfPqIndex(existing, "vec_id",
+          "v", cents0, "cent_id", "cv", books0, PqM, PqDsub),
+          cents0, books0)
+        // version 2: retrain on the full corpus, one-commit swap
+        ann.ivfPqRetrain(s, table, all, "vec_id", "v", nlist = 8,
+          lloydIters = 2, m = PqM, dsub = PqDsub, ksub = PqKsub,
+          pqIters = PqIters)
+        val (index, cents, books) = ann.ivfPqLoad(s, table).get
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        ann.ivfPqSearchIndexed(index, probes, "vec_id", "v", cents,
+          "cent_id", "cv", books, PqM, PqDsub, k = 3, nprobe = 2)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        s"""WITH ${lloydSql(8, 2)},
+           |${pqLloydSql(PqM, PqDsub, PqKsub, PqIters)},
+           |cents AS (SELECT * FROM c2),
+           |cells AS (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |pcells AS (SELECT p_id, cell FROM (
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c)
+           |  WHERE rn <= 2),
+           |enc AS (SELECT vec_id, sub, code FROM (
+           |  SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, b$PqIters c) WHERE rn = 1),
+           |lut AS (SELECT p.vec_id AS p_id, c.sub, c.code,
+           |    ${pqD2Sql("p", "c", PqDsub)} AS pd
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           |       b$PqIters c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e
+           |  JOIN cells cl ON cl.c_id = e.vec_id
+           |  JOIN pcells pc ON pc.cell = cl.cell
+           |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |    AND l.p_id = pc.p_id
+           |  WHERE e.vec_id <> pc.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j)
+           |SELECT p_id, rn, c_id, ad2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |WHERE rn <= 3""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -145,4 +145,58 @@ class AnnRecallSpec extends SparkSpec {
     assert(rRes > rRaw,
       f"residual codebook did not improve recall: $rRes%.3f <= $rRaw%.3f")
   }
+
+  test("retrain closes the maintenance loop: drift flags, atomic swap, rebuild parity") {
+    import graft.operators.CommitLogTableFormat
+    val path = tmpDir("ann-deploy") + "/ivfpq"
+    val (m, dsub, ksub) = (4, 16, 8)
+    // initial deployment trains on ids >= 200 only
+    val initial = corpus.filter(col("vec_id") >= 200)
+    // the appended block drifts: one identical far-off vector ×200 —
+    // the mass-append pathology that lands in a single cell
+    val delta = corpus.filter(col("vec_id") < 200)
+      .withColumn("v", transform(col("v"), _ => lit(2.5)))
+    val cents0 = Ann.trainCentroids(initial, "vec_id", "v", nlist = 8,
+      iters = 2)
+    val books0 = Ann.trainPq(initial, "vec_id", "v", m, dsub, ksub, 2)
+    val index0 = Ann.ivfPqIndex(initial, "vec_id", "v", cents0,
+      "cent_id", "cv", books0, m, dsub)
+    Ann.ivfPqPublish(spark, path, index0, cents0, books0)
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(1L))
+    // O(delta) append against the frozen assets skews occupancy and
+    // trips the retrain flag
+    val appended = Ann.ivfPqAppend(index0, delta, "vec_id", "v",
+      cents0, "cent_id", "cv", books0, m, dsub)
+    assert(Ann.ivfCellStats(appended, skewBound = 2.5)
+      .filter(col("retrain")).count() >= 1,
+      "drifted appends must trip the retrain flag")
+    // retrain on the union; ONE commit swaps the whole deployment
+    val union = initial.unionByName(delta)
+    val (idx, cents, books) = Ann.ivfPqRetrain(spark, path, union,
+      "vec_id", "v", nlist = 8, lloydIters = 2, m, dsub, ksub,
+      pqIters = 2)
+    assert(CommitLogTableFormat.versions(spark, path) == Seq(1L, 2L))
+    // retrain-on-union == from-scratch rebuild, down to identical
+    // search results (training is deterministic), so recall@10 is BY
+    // CONSTRUCTION the rebuild oracle's value
+    val centsR = Ann.trainCentroids(union, "vec_id", "v", nlist = 8,
+      iters = 2)
+    val booksR = Ann.trainPq(union, "vec_id", "v", m, dsub, ksub, 2)
+    val indexR = Ann.ivfPqIndex(union, "vec_id", "v", centsR,
+      "cent_id", "cv", booksR, m, dsub)
+    def hits(i: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Ann.ivfPqSearchIndexed(i, probes, "vec_id", "v", c, "cent_id",
+        "cv", b, m, dsub, k = K, nprobe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val swapped = hits(idx, cents, books)
+    assert(swapped == hits(indexR, centsR, booksR),
+      "retrained deployment diverged from the from-scratch rebuild")
+    // the previous deployment remains whole for in-flight readers
+    val v1 = CommitLogTableFormat.readAt(spark, path, 1L).get
+    assert(v1.filter(col("kind") === "index").count() == index0.count())
+  }
 }
