@@ -41,11 +41,19 @@ object Bench {
     val gcMs = new AtomicLong
     val spillBytes = new AtomicLong
     val cacheDrops = new AtomicLong
+    // executor-side task run / CPU time: when a rep's wall time spikes
+    // but its task_ms does NOT, the executors never saw the work —
+    // scheduling / box contention, not the query (r6 verdict: t20's
+    // 19.8 s rep with flat gc/spill was unattributable without this)
+    val taskMs = new AtomicLong
+    val cpuMs = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         gcMs.addAndGet(m.jvmGCTime)
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        taskMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
       }
     }
     override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
@@ -57,7 +65,10 @@ object Bench {
           && i.memSize == 0 && i.diskSize == 0)
         cacheDrops.incrementAndGet()
     }
-    def reset(): Unit = { gcMs.set(0); spillBytes.set(0); cacheDrops.set(0) }
+    def reset(): Unit = {
+      gcMs.set(0); spillBytes.set(0); cacheDrops.set(0)
+      taskMs.set(0); cpuMs.set(0)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,15 +88,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // listenerBus is private[spark] at the Scala level but public in
+    // bytecode — reflection is the sanctioned-enough way to get the
+    // flush without a shim class inside org.apache.spark. If the
+    // reflective surface changes on a Spark upgrade, counters degrade
+    // to racy — say so ONCE instead of swallowing forever.
+    var busWarned = false
     def drainBus(): Unit = try { // flush pending listener events
-      // listenerBus is private[spark] at the Scala level but public in
-      // bytecode — reflection is the sanctioned-enough way to get the
-      // flush without a shim class inside org.apache.spark
       val sc = spark.sparkContext
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
         .invoke(bus, java.lang.Long.valueOf(10000L))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e @ (_: NoSuchMethodException | _: IllegalAccessException
+          | _: java.lang.reflect.InvocationTargetException) =>
+        if (!busWarned) {
+          busWarned = true
+          System.err.println(
+            s"[bench] listener-bus drain unavailable (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}) — per-rep counters may lag rep boundaries")
+        }
+    }
     // Warm the session (codegen, shuffle infra, parquet reader +
     // filesystem metadata) so the first measured query doesn't absorb
     // one-time startup cost.
@@ -109,7 +132,8 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    case class Rep(sec: Double, gcMs: Long, spillBytes: Long, drops: Long)
+    case class Rep(sec: Double, gcMs: Long, spillBytes: Long, drops: Long,
+      taskMs: Long, cpuMs: Long)
     def runRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Rep] = {
       // the composed dedup operators persist small result frames that
@@ -127,7 +151,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         drainBus()
         Some(Rep(sec, metrics.gcMs.get, metrics.spillBytes.get,
-          metrics.cacheDrops.get))
+          metrics.cacheDrops.get, metrics.taskMs.get, metrics.cpuMs.get))
       } catch { case _: Throwable => None }
     }
     def median(xs: Seq[Double]): Double = {
@@ -135,6 +159,12 @@ object Bench {
       s(s.length / 2)
     }
     val results = selected.map { case (name, fn) =>
+      // One UNRECORDED warmup rep per query: a query's first execution
+      // JIT-compiles its generated code and initializes any lazily-
+      // loaded JDK machinery (r6: t63's first javax.imageio decode);
+      // folding that one-time cost into a measured rep is what made
+      // t63's median 3× its min with every variance counter flat.
+      runRep(fn)
       var runs = (1 to reps).flatMap(_ => runRep(fn))
       // adaptive: the slow family gets extra reps so a single
       // contended rep can't set the median (only when the base pass
@@ -165,7 +195,9 @@ object Bench {
         "gc_ms" -> rs.map(_.gcMs).mkString("[", ",", "]"),
         "spill_mb" -> rs.map(r => fmt(r.spillBytes / 1e6))
           .mkString("[", ",", "]"),
-        "cache_drops" -> rs.map(_.drops).mkString("[", ",", "]")))
+        "cache_drops" -> rs.map(_.drops).mkString("[", ",", "]"),
+        "task_ms" -> rs.map(_.taskMs).mkString("[", ",", "]"),
+        "cpu_ms" -> rs.map(_.cpuMs).mkString("[", ",", "]")))
     })
     val total = med.map(_._2).sum
     println(s"""{"metric":"queries_min","queries_min":$qmin}""")

@@ -56,6 +56,25 @@ object ScaleUp {
       .withColumn("vec_id", col("vec_id") + col("__k") * lit(CopyStride))
       .drop("__k")
 
+  /** Replicate a relational table `factor`× offsetting every key column
+    * by k·[[CopyStride]]. Offsetting primary AND foreign keys by the
+    * same stride keeps every join consistent per replica (replica k of
+    * orders joins replica k of customer), so per-key densities — and
+    * therefore operator work per row — match the source corpus. The
+    * stride is divisible by 100, so `% 100` computed-key joins (j4)
+    * see the same bucket structure. Dimension keys (nation/region) are
+    * deliberately NOT offset: dims stay fixed, fact tables fan onto
+    * them ×factor, which is how a real 10× corpus behaves.
+    */
+  def scaleRelational(df: DataFrame, factor: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(factor >= 1)
+    val reps = df.withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
+    keyCols.foldLeft(reps) { (acc, k) =>
+      acc.withColumn(k, col(k) + col("__k") * lit(CopyStride))
+    }.drop("__k")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
@@ -71,10 +90,26 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(Tables(spark, srcDir, "embeddings"), factor)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // Bench warms up on region; everything else the heavy family needs
-    // is above
-    Tables(spark, srcDir, "region")
-      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    // Relational + events family so the FULL query surface benches at
+    // factor×, not just the heavy dedup/ANN queries. Keys that appear
+    // in more than one table offset identically (custkey ↔ o_custkey ↔
+    // events.user_id; orderkey ↔ l_orderkey; …).
+    val facts = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"))
+    facts.foreach { case (t, keys) =>
+      scaleRelational(Tables(spark, srcDir, t), factor, keys)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    // dims copy through unscaled
+    Seq("region", "nation").foreach { t =>
+      Tables(spark, srcDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
     println(s"[scaleup] wrote ${factor}x corpus to $outDir")
     spark.stop()
   }
