@@ -2639,6 +2639,41 @@ object TrainingQueries {
           .stripMargin
       }),
 
+    // The retrain FLAG under the oracle: ivfCellStats' occupancy/skew
+    // arithmetic rederived by DuckDB — per-cell counts are exact
+    // integers, avg is one division, skew one more, all identical
+    // IEEE ops either engine. skewBound 1.2 sits inside the real
+    // occupancy spread at sf0.01 so the boolean column carries a
+    // true/false MIX (a bound no cell trips would hash-match even
+    // with broken comparison logic).
+    QueryDef(
+      "t70_ivf_cell_stats",
+      (s, dir) => {
+        val ann = graft.operators.Ann
+        val all = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = ann.trainCentroids(all, "vec_id", "v",
+          nlist = 8, iters = 2)
+        ann.ivfCellStats(
+          ann.ivfAssignCells(all, "vec_id", "v", cents, "cent_id", "cv")
+            .drop("d2"),
+          skewBound = 1.2)
+      },
+      Some {
+        s"""WITH ${lloydSql(8, 2)},
+           |cents AS (SELECT * FROM c2),
+           |cells AS (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |pc AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell),
+           |a AS (SELECT AVG(n) AS avg_n FROM pc)
+           |SELECT cell, n, CAST(n AS DOUBLE) / avg_n AS skew,
+           |  CAST(n AS DOUBLE) / avg_n > 1.2 AS retrain
+           |FROM pc, a""".stripMargin
+      }),
+
     // IVF-PQ RETRAIN under the oracle (t66's successor — the other
     // half of the maintenance loop): a deployment published on the
     // even half drifts; ivfPqRetrain re-trains on the FULL corpus and
