@@ -513,4 +513,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(tf.filter(_._1 == 0).forall(t => t._2 == 0.0 && t._3 == 0))
     assert(!tf.exists(t => t._2.isNaN))
   }
+
+  test("multimodal: native windowed DFT band energies (exact twiddles)") {
+    import Multimodal._
+    // 8 samples, 2 windows of 4: within a window (offset r), the DFT
+    // at DC/fs4/Nyquist reduces to signed sums with twiddles {±1, 0}
+    val bytes = "azbycxdw".getBytes("US-ASCII")
+    val ks = bytes.indices.map(i =>
+      (bytes(i) - 100) * (if (i % 2 == 1) -1 else 1))
+    val wav = wavPcm16(ks.map(k => (k * 64).toShort).toArray, 8000)
+    val media = Seq(MediaRecord(11L, "audio", "audio/wav", 0, 0, 1L,
+      wav)).toDS()
+    val got = decodeAudioSamples(media).toDF()
+      .select(explode(
+        graft.functions.AudioOps.spectralBands("samples", 2)).as("f"))
+      .select(col("f.window"), col("f.n"), col("f.e_dc"), col("f.e_mid"),
+        col("f.e_high"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val expected = (0 until 2).map { w =>
+      val win = ks.slice(4 * w, 4 * w + 4).map(_ / 512.0)
+      val dc = win.sum
+      val c4 = win(0) - win(2) // cos cycle 1,0,-1,0
+      val s4 = win(1) - win(3) // sin cycle 0,1,0,-1
+      val ny = win(0) - win(1) + win(2) - win(3)
+      (w, 4, dc * dc / 16.0, (c4 * c4 + s4 * s4) / 16.0, ny * ny / 16.0)
+    }
+    // exact binary fractions: equality is ==, no tolerance
+    assert(got.toSeq == expected)
+    // Cauchy–Schwarz sanity: |Σ x·t|²/n² ≤ Σx²/n for any twiddle
+    // vector with Σt² ≤ n — every band is bounded by the window's
+    // mean power
+    got.foreach { case (w, n, edc, emid, ehigh) =>
+      val pw = ks.slice(4 * w, 4 * w + 4)
+        .map(k => k / 512.0).map(x => x * x).sum / n
+      assert(edc <= pw + 1e-12 && emid <= pw + 1e-12 &&
+        ehigh <= pw + 1e-12)
+    }
+  }
 }
