@@ -537,30 +537,54 @@ object Ann {
     * silently wrong distances; as one snapshot, the trio is
     * consistent by construction and old deployments stay readable
     * ([[CommitLogTableFormat.readAt]]) until vacuumed. */
-  def ivfPqPublish(spark: org.apache.spark.sql.SparkSession,
-      path: String, index: DataFrame, centroids: DataFrame,
-      books: DataFrame): Unit = {
-    def nulls(pairs: (String, String)*): Seq[Column] =
-      pairs.map { case (n, t) => lit(null).cast(t).as(n) }
-    val rows = index.select(
+  private def deployNulls(pairs: (String, String)*): Seq[Column] =
+    pairs.map { case (n, t) => lit(null).cast(t).as(n) }
+
+  /** (c_id, cell, codes) index rows in the unified deployment schema. */
+  private def deployIndexRows(index: DataFrame): DataFrame =
+    index.select(
       (lit("index").as("kind") +: col("c_id").cast("long").as("id") +:
         col("cell").cast("long").as("cell") +:
         col("codes").cast("array<int>").as("codes") +:
-        nulls("sub" -> "int", "code" -> "int",
+        deployNulls("sub" -> "int", "code" -> "int",
           "vec" -> "array<double>")): _*)
+
+  def ivfPqPublish(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, centroids: DataFrame,
+      books: DataFrame): Unit = {
+    val rows = deployIndexRows(index)
       .unionByName(centroids.select(
         (lit("cent").as("kind") +: col("cent_id").cast("long").as("id") +:
-          nulls("cell" -> "long", "codes" -> "array<int>",
+          deployNulls("cell" -> "long", "codes" -> "array<int>",
             "sub" -> "int", "code" -> "int")) :+
           col("cv").cast("array<double>").as("vec"): _*))
       .unionByName(books.select(
         (lit("book").as("kind") +:
-          nulls("id" -> "long", "cell" -> "long",
+          deployNulls("id" -> "long", "cell" -> "long",
             "codes" -> "array<int>")) ++
           Seq(col("sub").cast("int").as("sub"),
             col("code").cast("int").as("code"),
             col("cv").cast("array<double>").as("vec")): _*))
     CommitLogTableFormat.fullRefresh(spark, rows, path)
+  }
+
+  /** O(delta) append to a PUBLISHED deployment: encode `delta` against
+    * the snapshot's frozen assets and commit the new index rows with
+    * an insert-ignore on (kind, id) — one optimistic commit, assets
+    * and existing index rows ride through untouched. Idempotent under
+    * at-least-once replay: a re-delivered vector id already in the
+    * index is skipped by the insert-ignore's anti-join, so a crashed
+    * batch can simply run again. */
+  def ivfPqAppendCommit(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): Unit = {
+    val (_, cents, books) = ivfPqLoad(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqAppendCommit: no published deployment at $path"))
+    val rows = deployIndexRows(ivfPqIndex(delta, idCol, vecCol, cents,
+      "cent_id", "cv", books, m, dsub))
+    CommitLogTableFormat.insertIgnore(spark, rows, path,
+      Seq("kind", "id"))
   }
 
   /** The (index, centroids, books) trio of the LATEST published

@@ -259,4 +259,73 @@ object Incremental {
       .agg(count(lit(1)).as("n_entries"))
       .select(col("day.start").cast("date").as("entry_day"),
         col("branch_id"), col("n_entries"))
+
+  /** Self-maintaining streaming ANN deployment: each micro-batch of
+    * embedding JSONL appends O(delta) to the PUBLISHED IVF-PQ
+    * deployment at `deployPath` (frozen-asset encode + insert-ignore
+    * commit), and when the append drift trips [[graft.operators.Ann
+    * .ivfCellStats]]'s occupancy-skew flag, the batch RETRAINS on the
+    * full corpus and swaps the deployment atomically — searches in
+    * flight keep their snapshot; the next load sees the new trio.
+    *
+    * Idempotency under at-least-once replay, by ORDER of effects:
+    * fresh vectors are the anti-join against `vectorsPath`; the index
+    * commits FIRST (insert-ignore on vector id — re-delivery no-ops),
+    * the raw vectors append SECOND. A crash between the two replays
+    * as: ids still absent from `vectorsPath` → re-encoded →
+    * insert-ignore drops the already-indexed rows → vectors append
+    * completes. A batch fully applied replays as an empty `fresh` and
+    * touches nothing — no empty commit-log versions from reruns.
+    *
+    * The initial deployment must exist (one [[graft.operators.Ann
+    * .ivfPqRetrain]] on the seed corpus publishes it) — a stream that
+    * silently trains on its first micro-batch would freeze assets on
+    * whatever sliver arrived first. */
+  def annIndexStream(spark: SparkSession, bronzeGlob: String,
+      vectorsPath: String, deployPath: String, checkpoint: String,
+      idExpr: String, vecExpr: String, m: Int, dsub: Int,
+      nlist: Int, lloydIters: Int, ksub: Int, pqIters: Int,
+      skewBound: Double = 4.0): Unit = {
+    import graft.operators.Ann
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .withColumn("vec_id", expr(idExpr))
+          .withColumn("v", expr(vecExpr))
+          .filter(col("vec_id").isNotNull && col("v").isNotNull)
+          .select("vec_id", "v")
+          .dropDuplicates("vec_id")
+        val exVecs = MergeOps.readIfExists(ss, vectorsPath)
+          .getOrElse(incoming.limit(0))
+        val fresh = incoming.join(exVecs.select("vec_id"),
+          Seq("vec_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!fresh.isEmpty) {
+            Ann.ivfPqAppendCommit(ss, deployPath, fresh, "vec_id", "v",
+              m, dsub)
+            fresh.write.mode("append").parquet(vectorsPath)
+            val (index, _, _) = Ann.ivfPqLoad(ss, deployPath).get
+            val drifted = Ann.ivfCellStats(index, skewBound)
+              .filter(col("retrain")).limit(1).count() > 0
+            if (drifted) {
+              Ann.ivfPqRetrain(ss, deployPath,
+                ss.read.parquet(vectorsPath).select("vec_id", "v"),
+                "vec_id", "v", nlist, lloydIters, m, dsub, ksub,
+                pqIters)
+              ()
+            }
+          }
+        } finally fresh.unpersist(blocking = false)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -205,6 +205,89 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("annIndexStream: O(delta) appends, drift-triggered retrain, replay no-op") {
+    import graft.operators.{Ann, CommitLogTableFormat => CL}
+    val root = tmpDir("stream-ann")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val (m, dsub, ksub) = (2, 4, 4) // 8-dim vectors, 2 subspaces
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian())
+    }
+    // seed corpus + initial published deployment (version 1)
+    val seeds = (0 until 40).map(i => (100L + i, vec(i)))
+    val seedDf = seeds.toDF("vec_id", "v")
+    seedDf.write.parquet(s"$root/vectors")
+    Ann.ivfPqRetrain(spark, s"$root/deploy", seedDf, "vec_id", "v",
+      nlist = 4, lloydIters = 2, m, dsub, ksub, pqIters = 1)
+    assert(CL.versions(spark, s"$root/deploy") == Seq(1L))
+
+    def line(id: Long, v: Seq[Double]) =
+      s"""{"id": $id, "vec": [${v.mkString(", ")}]}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val vecExpr =
+      "from_json(get_json_object(raw_data, '$.vec'), 'array<double>')"
+    def drain(ck: String): Unit =
+      Incremental.annIndexStream(spark, bronzeDir, s"$root/vectors",
+        s"$root/deploy", s"$root/$ck", idExpr, vecExpr, m, dsub,
+        nlist = 4, lloydIters = 2, ksub, pqIters = 1, skewBound = 1.8)
+
+    // batch 1: two new vectors — O(delta) append, assets frozen
+    val fresh1 = Seq((1L, vec(901)), (2L, vec(902)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      fresh1.map { case (i, v) => line(i, v) }.mkString("\n").getBytes)
+    drain("ck")
+    assert(CL.versions(spark, s"$root/deploy") == Seq(1L, 2L),
+      "append must be ONE insert-ignore commit, no retrain")
+    val (idx1, c1, b1) = Ann.ivfPqLoad(spark, s"$root/deploy").get
+    assert(idx1.select("c_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (Seq(1L, 2L) ++ seeds.map(_._1)).sorted)
+    // appended rows == encoding the delta against the frozen assets
+    val manual = Ann.ivfPqIndex(fresh1.toDF("vec_id", "v"), "vec_id",
+      "v", c1, "cent_id", "cv", b1, m, dsub)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2))).toSet
+    assert(idx1.filter(col("c_id") < 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2))).toSet == manual)
+
+    // batch 2: a mass-duplicated far block floods one cell → the
+    // drift flag trips → the SAME batch retrains and swaps
+    val block = (0 until 30).map(i => (200L + i, Seq.fill(8)(3.0)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      block.map { case (i, v) => line(i, v) }.mkString("\n").getBytes)
+    drain("ck")
+    val vs = CL.versions(spark, s"$root/deploy")
+    assert(vs == Seq(1L, 2L, 3L, 4L),
+      s"append commit + retrain swap expected, got $vs")
+    // retrained deployment == from-scratch rebuild on the full corpus
+    val all = spark.read.parquet(s"$root/vectors").select("vec_id", "v")
+    val centsR = Ann.trainCentroids(all, "vec_id", "v", nlist = 4,
+      iters = 2)
+    val booksR = Ann.trainPq(all, "vec_id", "v", m, dsub, ksub, 1)
+    val indexR = Ann.ivfPqIndex(all, "vec_id", "v", centsR, "cent_id",
+      "cv", booksR, m, dsub)
+    val probes = seedDf.filter(col("vec_id") < 103L)
+    val (idx2, c2, b2) = Ann.ivfPqLoad(spark, s"$root/deploy").get
+    def hits(i: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Ann.ivfPqSearchIndexed(i, probes, "vec_id", "v", c, "cent_id",
+        "cv", b, m, dsub, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(hits(idx2, c2, b2) == hits(indexR, centsR, booksR),
+      "streaming retrain diverged from the from-scratch rebuild")
+
+    // replay with a FRESH checkpoint over the same files: every id is
+    // already in the corpus → no commit, versions unchanged
+    drain("ck2")
+    assert(CL.versions(spark, s"$root/deploy") == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("dedupStream: cross-batch replays collapse within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
