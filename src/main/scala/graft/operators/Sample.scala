@@ -243,4 +243,43 @@ object Sample {
       affected.unionByName(incoming.select(inCols: _*)),
       groupCol, idCol, cap, salt, lanes))
   }
+
+  /** Deterministic GLOBAL shuffle — the reproducible training-order
+    * permutation every run over the same corpus must agree on. Adds
+    * `pos` (0-based, a bijection onto [0, n)): each row's rank under
+    * (h, id) where h = the first 15 hex chars of md5(salt|id) as a
+    * long — a pure projection, so the permutation is identical on any
+    * engine, any partitioning, any rerun; a different salt draws an
+    * independent permutation. The id tie-break makes the order total
+    * even under 60-bit hash collisions (expected at trillion-row
+    * scale).
+    *
+    * Scale shape: NO single global window. h is uniform on [0, 2^60),
+    * so `h >> (60 - bucketsLog2)` buckets rows into contiguous,
+    * balanced h-ranges; per-bucket counts come back as broadcast
+    * exclusive offsets (the [[graft.operators.Pack]] two-level
+    * prefix-sum shape with ranges that need no driver bounds pass),
+    * and rank = bucket offset + per-bucket row_number — 2^bucketsLog2
+    * parallel windows, 16 bytes per bucket on the driver. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "graft-shuffle", bucketsLog2: Int = 8): DataFrame = {
+    require(bucketsLog2 >= 0 && bucketsLog2 <= 20,
+      s"bucketsLog2 must be in [0, 20], got $bucketsLog2")
+    val h = conv(substring(md5(concat(lit(salt), lit("|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val src = df.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketsLog2))
+    val counts = src.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__boff")
+    val w = Window.partitionBy("__b").orderBy(col("__h").asc,
+      col(idCol).asc)
+    src.join(broadcast(offDf), Seq("__b"))
+      .withColumn("pos", col("__boff") + row_number().over(w) - 1)
+      .drop("__h", "__b", "__boff")
+  }
 }

@@ -2756,6 +2756,25 @@ object TrainingQueries {
            |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
            |WHERE rn <= 3""".stripMargin
       }),
+
+    // Deterministic GLOBAL shuffle (reproducible training order): the
+    // operator ranks by (15-hex-char md5 long, id) through the
+    // two-level bucket-offset decomposition (no single global
+    // window); the oracle is the naive single-window rank over the
+    // same pure hash — hash-equality proves the decomposition IS the
+    // global permutation, the t33 pattern applied to ordering.
+    QueryDef(
+      "t71_deterministic_shuffle",
+      (s, dir) => graft.operators.Sample.deterministicShuffle(
+        spread(s, docs(s, dir)), "doc_id", "graft-shuffle")
+        .select(col("doc_id"), col("pos")),
+      Some {
+        val h = DuckSql.hexToLong(
+          "md5('graft-shuffle|' || CAST(doc_id AS VARCHAR))", 15)
+        s"""SELECT doc_id,
+           |  row_number() OVER (ORDER BY $h ASC, doc_id ASC) - 1 AS pos
+           |FROM documents""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -226,4 +226,42 @@ class SampleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == batch)
   }
+
+  test("deterministicShuffle: bijective, partitioning-independent, salt-sensitive") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"d$i")).toSeq
+      .toDF("id", "payload")
+    val out = Sample.deterministicShuffle(df, "id", "s1", bucketsLog2 = 4)
+    // pos is a bijection onto [0, n)
+    val pos = out.select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 500L))
+    // schema = input + pos; payload rides through
+    assert(out.columns.toSeq == Seq("id", "payload", "pos"))
+    // identical permutation under any partitioning (pure projection +
+    // rank — the df.sample() failure mode this family exists to avoid)
+    val perm = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val reparted = Sample.deterministicShuffle(df.repartition(13),
+      "id", "s1", bucketsLog2 = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(perm == reparted)
+    // bucket count is an implementation knob, not a semantics knob
+    val oneBucket = Sample.deterministicShuffle(df, "id", "s1",
+      bucketsLog2 = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(perm == oneBucket)
+    // equals the naive single-global-window rank over the same hash
+    val h = conv(substring(md5(concat(lit("s1"), lit("|"),
+      col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val naive = df.withColumn("__h", h)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("__h").asc, col("id").asc)) - 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(perm == naive)
+    // a different salt draws a genuinely different permutation
+    val other = Sample.deterministicShuffle(df, "id", "s2",
+      bucketsLog2 = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(perm != other)
+  }
 }
