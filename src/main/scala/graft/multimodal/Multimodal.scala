@@ -214,6 +214,72 @@ object Multimodal {
     }
   }
 
+  /** One decoded image row: integer luminance per pixel, row-major,
+    * metadata first so pixel-free projections prune the array. */
+  case class ImagePixels(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      gray: Array[Int])
+
+  /** REAL image decode to a typed grayscale-pixel column (the
+    * [[decodeAudioSamples]] twin): per-partition javax.imageio
+    * decoder, payload bytes never shuffled. Luminance is the same
+    * integer (299r+587g+114b)/1000 as [[ImageDecoder]] — exact for
+    * gray pixels, so a LOSSLESS codec (PNG/BMP) round-trips pixel
+    * values bit-for-bit and downstream hash math
+    * ([[graft.functions.ImageOps.dHash]]) stays in native Column
+    * expressions an external engine can replay. */
+  def decodeImageGray(media: Dataset[MediaRecord]): Dataset[ImagePixels] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.data))
+        require(img != null,
+          s"undecodable image payload (media ${r.media_id})")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        ImagePixels(r.media_id, w, h, gray)
+      }
+    }
+  }
+
+  /** Encode row-major gray values as a REAL (lossless) PNG — the
+    * synthesis half that lets specs and gates drive
+    * [[decodeImageGray]] through an actual codec with known pixels,
+    * the [[wavPcm16]]/[[aviMjpeg]] pattern for images. */
+  def grayPng(gray: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(gray.length == width * height)
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(y * width + x) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Routes each modality to its REAL JDK codec where one exists
     * (image → javax.imageio, audio → javax.sound.sampled) and to the
     * declared fake where none does (video). The default decoder a

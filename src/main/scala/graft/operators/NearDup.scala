@@ -312,8 +312,31 @@ object NearDup {
     * can differ from the pre-collapse operator exactly where that
     * guard was approximating (more true pairs verified, never fewer). */
   def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
-    val sigs = simhash64(df, idCol, textCol)
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame =
+    dedupBySignatureFrame(df, simhash64(df, idCol, textCol), idCol,
+      maxHamming, maxBucket)
+
+  /** [[dedupBySimhash]] over an EXISTING 64-bit signature column —
+    * the signature modality changes, the collapse/band/verify/survivor
+    * machinery does not. This is how non-text modalities join the
+    * near-dup family: e.g. perceptual image hashes
+    * ([[graft.functions.ImageOps.dHash]] over decoded pixels) ride the
+    * same paired-block banding, hamming verify, and smaller-id-wins
+    * policy as text SimHash (the t73 gate proves the composed image
+    * pipeline against a brute-force oracle). */
+  def dedupBySignature(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame =
+    dedupBySignatureFrame(df,
+      df.select(col(idCol), col(sigCol).as("simhash")), idCol,
+      maxHamming, maxBucket)
+
+  /** Shared core: `sigs` is (idCol, simhash). Identical-signature
+    * classes collapse before banding (see [[dedupBySimhash]] doc),
+    * candidates come from recall-complete paired-block tables,
+    * verification is a bit_count on the carried signatures, smaller
+    * id survives. */
+  private def dedupBySignatureFrame(df: DataFrame, sigs: DataFrame,
+      idCol: String, maxHamming: Int, maxBucket: Int): DataFrame = {
     val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
     val removedIdentical = sigs
       .join(reps.withColumnRenamed(idCol, "__rep"), "simhash")

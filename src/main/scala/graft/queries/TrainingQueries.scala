@@ -2775,6 +2775,119 @@ object TrainingQueries {
            |  row_number() OVER (ORDER BY $h ASC, doc_id ASC) - 1 AS pos
            |FROM documents""".stripMargin
       }),
+
+    // Image perceptual hash (dHash) through the REAL lossless codec:
+    // each document's first 72 ASCII bytes become a 9x8 grayscale PNG
+    // (graft.multimodal.grayPng), decode runs through javax.imageio
+    // (decodeImageGray -- gray pixels round-trip EXACTLY because PNG
+    // is lossless and the luminance weights sum to 1000), and the
+    // 64-bit difference hash is a native expression over the pixel
+    // array. The oracle never touches a codec: it rederives every
+    // gradient-sign bit from the same bytes with substr/ord
+    // arithmetic -- hash-equality proves codec losslessness AND hash
+    // arithmetic in one gate. The signature splits into two 32-bit
+    // halves so neither engine shifts into the BIGINT sign bit.
+    QueryDef(
+      "t72_image_dhash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 72 && col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val gray = text.substring(0, 72).getBytes("US-ASCII")
+                .map(_.toInt)
+              mm.MediaRecord(id, "image", "image/png", 9, 8, 0L,
+                mm.grayPng(gray, 9, 8))
+            }
+          }
+        mm.decodeImageGray(media).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("media_id").as("doc_id"),
+            shiftrightunsigned(col("dhash"), 32).as("h_hi"),
+            col("dhash").bitwiseAND(lit(0xffffffffL)).as("h_lo"))
+      },
+      Some {
+        def half(lo: Int, hi: Int, shift: Int): String =
+          (lo until hi).map { i =>
+            val j = (i / 8) * 9 + (i % 8)
+            val w = 1L << (i - shift)
+            s"(CASE WHEN ord(substr(text, ${j + 2}, 1)) > " +
+              s"ord(substr(text, ${j + 1}, 1)) THEN ${w} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+        s"""SELECT doc_id,
+           |  CAST(${half(32, 64, 32)} AS BIGINT) AS h_hi,
+           |  CAST(${half(0, 32, 0)} AS BIGINT) AS h_lo
+           |FROM documents
+           |WHERE octet_length(encode(text)) = length(text)
+           |  AND length(text) >= 72 AND doc_id % 3 = 1""".stripMargin
+      }),
+
+    // Image NEAR-DUP dedup composed end-to-end: id-derived 9x8
+    // grayscale families (members of family doc_id DIV 3 differ only
+    // in the last pixel -> dHash hamming <= 1 inside a family; the
+    // shared gradient pattern also puts many FAMILIES within radius of
+    // each other, so the corpus collapses deeply — a harder test of
+    // the machinery than isolated pairs), REAL PNG encode + decode,
+    // native dHash, then the SAME paired-block banding / hamming
+    // verify / smaller-id survivor machinery as text SimHash
+    // (NearDup.dedupBySignature).
+    // The oracle brute-forces every pairwise hamming distance from the
+    // same id arithmetic (no codec, no banding): a doc survives iff no
+    // smaller doc sits within hamming 3 -- exact because the
+    // paired-block scheme is recall-complete at the radius.
+    QueryDef(
+      "t73_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val gray = Array.tabulate(72) { j =>
+                if (j == 71) ((fam * 37 + 71 * 71 + mem * 97) % 251).toInt
+                else ((fam * 37 + j.toLong * j) % 251).toInt
+              }
+              mm.MediaRecord(id, "image", "image/png", 9, 8, 0L,
+                mm.grayPng(gray, 9, 8))
+            }
+          }
+        val sigs = mm.decodeImageGray(media).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("media_id").as("doc_id"), col("dhash"))
+        graft.operators.NearDup.dedupBySignature(sigs, "doc_id",
+          "dhash", maxHamming = 3)
+          .select(col("doc_id"))
+      },
+      Some {
+        val g = "CASE WHEN j = 71 THEN (fam * 37 + 5041 + mem * 97) % 251 " +
+          "ELSE (fam * 37 + j * j) % 251 END"
+        s"""WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |pix AS (SELECT doc_id, j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j)),
+           |bits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.gv > p1.gv THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN pix p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN pix p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |ham AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT hi_id FROM ham WHERE h <= 3)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

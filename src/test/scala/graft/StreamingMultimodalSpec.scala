@@ -205,6 +205,44 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("multimodal: image dHash through the real lossless codec") {
+    import Multimodal._
+    import graft.functions.ImageOps
+    // known pixels round-trip the PNG codec EXACTLY (lossless + gray
+    // luminance weights sum to 1000)
+    val gray = Array.tabulate(72)(j => (j * 7 + 13) % 256)
+    val media = Seq(MediaRecord(1L, "image", "image/png", 9, 8, 0L,
+      grayPng(gray, 9, 8))).toDS()
+    val px = decodeImageGray(media).collect().head
+    assert(px.width == 9 && px.height == 8)
+    assert(px.gray.toSeq == gray.toSeq)
+    // native dHash == hand-computed gradient signs
+    val hashed = decodeImageGray(media).toDF()
+      .withColumn("dhash", ImageOps.dHash("gray"))
+      .collect().head.getAs[Long]("dhash")
+    val expected = (0 until 64).foldLeft(0L) { (acc, i) =>
+      val j = (i / 8) * 9 + (i % 8)
+      if (gray(j + 1) > gray(j)) acc | (1L << i) else acc
+    }
+    assert(hashed == expected)
+    // a single-pixel perturbation moves at most the bits that read it
+    val tweaked = gray.clone(); tweaked(71) = (tweaked(71) + 100) % 256
+    val m2 = Seq(
+      MediaRecord(1L, "image", "image/png", 9, 8, 0L, grayPng(gray, 9, 8)),
+      MediaRecord(2L, "image", "image/png", 9, 8, 0L, grayPng(tweaked, 9, 8)))
+      .toDS()
+    val sigs = decodeImageGray(m2).toDF()
+      .withColumn("dhash", ImageOps.dHash("gray"))
+      .select(col("media_id").as("id"), col("dhash"))
+    val hs = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 1)
+    // the signature-generic dedup keeps the smaller id of the twin pair
+    val kept = graft.operators.NearDup.dedupBySignature(sigs, "id",
+      "dhash", maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("annIndexStream: O(delta) appends, drift-triggered retrain, replay no-op") {
     import graft.operators.{Ann, CommitLogTableFormat => CL}
     val root = tmpDir("stream-ann")
