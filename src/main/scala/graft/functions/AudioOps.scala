@@ -51,6 +51,41 @@ object AudioOps {
          |    a -> a.c)))""".stripMargin)
   }
 
+  /** 64-bit perceptual audio fingerprint — the audio twin of
+    * [[ImageOps.dHash]]: split the clip into 65 windows (same
+    * floor(i·W/n) membership as [[windowFeatures]]), compute each
+    * window's energy Σx², and set bit w iff energy(w+1) > energy(w) —
+    * the energy-envelope gradient-sign pattern, robust to uniform
+    * gain-free edits the way dHash is to brightness. Energies are
+    * exact (binary-fraction samples — see the class doc), so the
+    * comparisons are deterministic in any engine and the t76 gate
+    * replays every bit in DuckDB. Clips shorter than 65 samples have
+    * empty windows (energy 0); bits involving them still compare
+    * deterministically. Bit 63 lands in the sign bit, like every
+    * 64-bit signature here — downstream banding uses
+    * shiftrightunsigned ([[graft.operators.NearDup.dedupBySignature]]
+    * gives the fingerprint the same paired-block banding / hamming
+    * verify / smaller-id-wins machinery as text SimHash and image
+    * dHash; the t77 gate proves the composed pipeline). */
+  def audioFingerprint(samplesCol: String): Column = {
+    val c = s"`$samplesCol`"
+    val nW = 65
+    def start(w: String) =
+      s"CAST((CAST($w AS BIGINT) * size($c) + ${nW - 1}) DIV $nW AS INT)"
+    val e = s"transform(sequence(0, ${nW - 1}), w -> aggregate(" +
+      s"slice($c, ${start("w")} + 1, ${start("(w + 1)")} - ${start("w")}), " +
+      "CAST(0 AS DOUBLE), " +
+      "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    // single-element-array transform = let-binding: the 65 energies
+    // are computed ONCE, not once per bit comparison
+    expr(
+      s"""transform(array($e), e ->
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+         |    (acc, i) -> acc + IF(e[i + 1] > e[i],
+         |      shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))))[0]"""
+        .stripMargin)
+  }
+
   /** Windowed DFT band energies over `samplesCol` (array<float>),
     * `nWindows` windows: array of structs
     * (window, n, e_dc, e_mid, e_high).

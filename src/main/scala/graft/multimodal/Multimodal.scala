@@ -12,17 +12,19 @@ import org.apache.spark.sql.functions._
   * `ImageResizer` wrap the JDK's javax.imageio (PNG/JPEG/BMP/GIF, no
   * external jars) — and so is the AUDIO codec for the container
   * formats the JDK ships (`AudioDecoder` wraps javax.sound.sampled:
-  * WAV/AIFF/AU, 8/16-bit PCM, surfaced as typed samples by
-  * `decodeAudioSamples`). VIDEO is real for Motion-JPEG (raw streams
-  * and MJPEG-in-AVI): `MjpegCodec` splits the container on JPEG
-  * SOI/EOI markers and `sampleFramesDecoded`/`frameStats` decode the
-  * sampled frames through the same javax.imageio path — gated
-  * bit-exact by t63. What remains STUBBED, declared, are the codecs
-  * the JDK genuinely lacks: inter-frame video (H.264/VP9/AV1) and
-  * compressed audio (mp3/ogg/flac) fall back to deterministic fakes
-  * with the same signature a JNI/FFI decoder would have.
-  * `JdkDecoder` routes each modality to its real codec where one
-  * exists.
+  * WAV/AIFF/AU, 8/16-bit PCM, plus the COMPRESSED G.711 telephony
+  * codecs μ-law/A-law via an exact integer expansion — surfaced as
+  * typed samples by `decodeAudioSamples`). VIDEO is real for
+  * Motion-JPEG (raw streams and MJPEG-in-AVI — `MjpegCodec` splits
+  * the container on JPEG segment structure) AND for animated GIF
+  * (`GifCodec` via javax.imageio, lossless): both feed
+  * `sampleFramesDecoded`/`frameStats` through the same javax.imageio
+  * path — gated bit-exact by t63/t75. What remains STUBBED, declared,
+  * are the codecs the JDK genuinely lacks: inter-frame video
+  * (H.264/VP9/AV1) and perceptually-coded audio (mp3/ogg/flac) fall
+  * back to deterministic fakes with the same signature a JNI/FFI
+  * decoder would have. `JdkDecoder` routes each modality to its real
+  * codec where one exists.
   *
   * Scale design: rows carry bytes, so operations must be
   * partition-local (mapPartitions — one decoder instance per task, no
@@ -97,17 +99,52 @@ object Multimodal {
     * [[ImageDecoder]]'s luminance histogram. Deterministic, row-local,
     * one decoder per task. Non-audio kinds fall back to
     * [[FakeDecoder]]; an audio payload the JDK cannot parse (or a
-    * compressed codec like mp3 — genuinely absent from this container)
-    * throws, like the image path: corrupt media is quarantined
-    * upstream, not silently fingerprinted. */
+    * perceptual codec like mp3 — genuinely absent from this
+    * container) throws, like the image path: corrupt media is
+    * quarantined upstream, not silently fingerprinted. G.711
+    * μ-law/A-law payloads decode for real — see [[pcmSamples]]. */
   object AudioDecoder extends Decoder {
+
+    /** G.711 μ-law expansion: encoded byte → 14-bit-magnitude linear
+      * sample (the CCITT segmented companding curve). Pure integer
+      * arithmetic — complement, split into sign/segment/mantissa,
+      * reconstruct the segment midpoint — so an external engine can
+      * replay it exactly (the t74 gate recomputes every sample in
+      * DuckDB); bit-identical to the JDK's own ULAW→PCM transcoder on
+      * all 256 codes (spec-asserted). */
+    def ulawToLinear(b: Int): Int = {
+      val u = (~b) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** G.711 A-law expansion (the E1-world sibling): encoded byte →
+      * 13-bit-magnitude linear sample. XOR the 0x55 toggle pattern,
+      * then segment-expand; sign bit SET means positive (A-law's
+      * polarity is inverted relative to μ-law). Same exact-integer
+      * replayability contract as [[ulawToLinear]]. */
+    def alawToLinear(b: Int): Int = {
+      val a = b ^ 0x55
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0f) << 4
+      if (seg == 0) t += 8
+      else { t += 0x108; t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
 
     /** The container/codec half alone: parse a WAV/AIFF/AU payload and
       * return (sampleRate, normalized samples in [-1, 1]) — shared by
       * the feature envelope below and [[decodeAudioSamples]]'s typed
       * sample output. Sample values are exact in Float (k/128 or
       * k/32768 for integer k), so downstream window arithmetic can be
-      * made bit-reproducible by an external engine. */
+      * made bit-reproducible by an external engine.
+      *
+      * Besides linear PCM, the COMPRESSED telephony codecs the JDK's
+      * container readers surface — G.711 μ-law and A-law (WAV format
+      * tags 7 and 6, and native AU μ-law) — decode for real: the
+      * container parse stays in javax.sound, the 8-bit companded
+      * payload expands through [[ulawToLinear]]/[[alawToLinear]], and
+      * the result normalizes as k/32768 like 16-bit PCM. */
     def pcmSamples(bytes: Array[Byte]): (Float, Array[Float]) = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val ais = AudioSystem.getAudioInputStream(
@@ -115,9 +152,24 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
+        if (enc == AudioFormat.Encoding.ULAW ||
+            enc == AudioFormat.Encoding.ALAW) {
+          val raw = ais.readAllBytes()
+          require(raw.nonEmpty, "empty audio payload")
+          val ulaw = enc == AudioFormat.Encoding.ULAW
+          val out = new Array[Float](raw.length)
+          var i = 0
+          while (i < raw.length) {
+            val k = if (ulaw) ulawToLinear(raw(i) & 0xff)
+              else alawToLinear(raw(i) & 0xff)
+            out(i) = (k / 32768.0).toFloat
+            i += 1
+          }
+          return (fmt.getSampleRate, out)
+        }
         require(enc == AudioFormat.Encoding.PCM_SIGNED ||
           enc == AudioFormat.Encoding.PCM_UNSIGNED,
-          s"unsupported audio encoding $enc (PCM only)")
+          s"unsupported audio encoding $enc (PCM/ULAW/ALAW only)")
         val bits = fmt.getSampleSizeInBits
         require(bits == 8 || bits == 16,
           s"unsupported sample width $bits (8/16-bit PCM only)")
@@ -188,6 +240,30 @@ object Multimodal {
       .putShort(16) // bits
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Minimal mono G.711 WAV writer (format tag 7 = μ-law, 6 = A-law;
+    * 18-byte fmt chunk with cbSize=0, as non-PCM WAVE requires) — the
+    * synthesis half that lets specs and the t74 gate drive the REAL
+    * compressed-audio decode path (javax.sound container parse +
+    * exact G.711 expansion) with known code values. */
+  def wavG711(encoded: Array[Byte], sampleRate: Int,
+      aLaw: Boolean = false): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(46 + encoded.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(38 + encoded.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(if (aLaw) 6 else 7) // WAVE_FORMAT_ALAW / MULAW
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 byte/sample)
+      .putShort(1) // block align
+      .putShort(8) // bits
+      .putShort(0) // cbSize
+      .put("data".getBytes("US-ASCII")).putInt(encoded.length)
+    buf.put(encoded)
     buf.array()
   }
 
@@ -262,6 +338,16 @@ object Multimodal {
     * [[decodeImageGray]] through an actual codec with known pixels,
     * the [[wavPcm16]]/[[aviMjpeg]] pattern for images. */
   def grayPng(gray: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grayImage(gray, width, height), "png", baos)
+    baos.toByteArray
+  }
+
+  /** Row-major gray values → RGB BufferedImage (shared by the PNG and
+    * GIF synthesis writers). Gray-only content has ≤256 distinct
+    * colors, so even the palette-based GIF encode below is lossless. */
+  private def grayImage(gray: Array[Int], width: Int,
+      height: Int): java.awt.image.BufferedImage = {
     require(gray.length == width * height)
     import java.awt.image.BufferedImage
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -275,9 +361,38 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
+  }
+
+  /** Minimal animated-GIF writer (javax.imageio's GIF encoder in
+    * sequence mode — GIF89a, one image block per frame) — the
+    * synthesis half that makes [[GifCodec]] testable end-to-end
+    * against a REAL second container format, the [[aviMjpeg]] pattern.
+    * Frames are row-major gray arrays; gray content fits the 256-entry
+    * GIF palette exactly, so the encode is LOSSLESS and decoded pixel
+    * stats are bit-exact (unlike MJPEG, which needs the solid-frame
+    * DC argument). */
+  def gifAnimated(frames: Seq[Array[Int]], width: Int,
+      height: Int): Array[Byte] = {
+    require(frames.nonEmpty)
+    import javax.imageio.ImageIO
+    val bo = new java.io.ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bo)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach { g =>
+        w.writeToSequence(
+          new javax.imageio.IIOImage(grayImage(g, width, height), null, null),
+          null)
+      }
+      w.endWriteSequence()
+    } finally {
+      w.dispose()
+      ios.close()
+    }
+    bo.toByteArray
   }
 
   /** Routes each modality to its REAL JDK codec where one exists
@@ -459,6 +574,47 @@ object Multimodal {
         }
       }
       fail(n)
+    }
+  }
+
+  /** REAL animated-GIF codec (the second real [[VideoCodec]], next to
+    * [[MjpegCodec]]): javax.imageio's GIF reader walks the GIF89a
+    * image blocks; each stored frame re-encodes as a LOSSLESS PNG
+    * payload so downstream consumers ([[frameStats]], dHash) decode it
+    * through the same javax.imageio path as every other still image.
+    * Contract note: frames are returned AS STORED — GIF's inter-frame
+    * optimizations (sub-rectangle frames, disposal-method compositing,
+    * frame-local transparency against a previous frame) are NOT
+    * composited; full-frame GIFs (what [[gifAnimated]] writes, and
+    * what a frame-sampling training pipeline feeds) round-trip
+    * pixel-exact. An unparseable payload yields no frames, matching
+    * [[MjpegCodec]]'s corrupt-container behavior. */
+  object GifCodec extends VideoCodec {
+    override def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      import javax.imageio.ImageIO
+      val it = ImageIO.getImageReadersByFormatName("gif")
+      if (!it.hasNext) return IndexedSeq.empty
+      val reader = it.next()
+      try {
+        reader.setInput(ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n =
+          try reader.getNumImages(true)
+          catch { case _: java.io.IOException => 0 }
+        (0 until n).flatMap { i =>
+          try {
+            val img = reader.read(i)
+            val baos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(img, "png", baos)
+            Some(baos.toByteArray)
+          } catch {
+            // torn tail block: lose that frame, keep the stream —
+            // MjpegCodec's malformed-frame policy
+            case _: java.io.IOException => None
+            case _: IndexOutOfBoundsException => None
+          }
+        }
+      } finally reader.dispose()
     }
   }
 

@@ -2888,6 +2888,250 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
           .stripMargin
       }),
+
+    // COMPRESSED audio decode under the oracle (the declared
+    // compressed-audio stub shrinks): docs synthesize G.711 μ-law
+    // WAVs — encoded byte i = ord(char) + 128·(i%2), covering both
+    // polarities — the REAL path (javax.sound parses the format-tag-7
+    // container, AudioDecoder.ulawToLinear expands the companded
+    // bytes) decodes them, and the SAME native windowed RMS/ZCR as
+    // t64 runs downstream. The G.711 expansion is pure integer
+    // arithmetic, so the oracle recomputes every linear sample from
+    // ord() — complement, segment, mantissa — and the exact-binary-
+    // fraction contract holds: Σk² is an exact BIGINT both engines
+    // scale by 2⁻³⁰ and divide once, IEEE-identically.
+    QueryDef(
+      "t74_g711_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val enc = Array.tabulate(bytes.length)(i =>
+                ((bytes(i) & 0xff) + (i % 2) * 128).toByte)
+              mm.MediaRecord(id, "audio", "audio/basic", 0, 0,
+                bytes.length * 1000L / 8000L, mm.wavG711(enc, 8000))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            explode(graft.functions.AudioOps.windowFeatures("samples", 4))
+              .as("f"))
+          .select(col("doc_id"), col("f.window").as("window"),
+            col("f.n").as("n"), col("f.rms").as("rms"),
+            col("f.zcr").as("zcr"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 0),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |u AS (SELECT doc_id, n, i,
+           |    255 - (ord(substr(text, CAST(i + 1 AS INT), 1))
+           |      + 128 * (i % 2)) AS uv,
+           |    CAST(i * 4 // n AS INT) AS w
+           |  FROM sm),
+           |k AS (SELECT doc_id, i, w,
+           |    CAST(CASE WHEN uv >= 128
+           |      THEN 132 - ((uv % 16) * 8 + 132) * (1 << ((uv // 16) % 8))
+           |      ELSE ((uv % 16) * 8 + 132) * (1 << ((uv // 16) % 8)) - 132
+           |    END AS BIGINT) AS kv
+           |  FROM u),
+           |p AS (SELECT doc_id, w, kv,
+           |    lag(kv) OVER (PARTITION BY doc_id ORDER BY i) AS pk,
+           |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+           |  FROM k),
+           |agg AS (SELECT doc_id, w, COUNT(*) AS n_w,
+           |    CAST(SUM(kv * kv) AS BIGINT) AS k2,
+           |    CAST(COALESCE(SUM(CASE WHEN pw = w AND pk * kv < 0
+           |      THEN 1 ELSE 0 END), 0) AS INT) AS zcr
+           |  FROM p GROUP BY doc_id, w)
+           |SELECT doc_id, w AS window, CAST(n_w AS INT) AS n,
+           |  sqrt(CAST(k2 AS DOUBLE) / 1073741824.0 / CAST(n_w AS DOUBLE))
+           |    AS rms,
+           |  zcr
+           |FROM agg""".stripMargin
+      }),
+
+    // SECOND real video container (t63's sibling): each selected doc
+    // becomes an ANIMATED GIF of solid-gray frames, split by GifCodec
+    // (javax.imageio's multi-frame GIF reader), frame-sampled at
+    // 100 ms and decoded back for pixel stats. GIF is LOSSLESS
+    // (palette-indexed), so unlike t63 no DC argument is needed — the
+    // gray value survives encode/decode bit-for-bit by format
+    // construction, and DuckDB recomputes mean luminance
+    // arithmetically.
+    QueryDef(
+      "t75_gif_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), (col("doc_id") % 4 + 1).cast("int").as("nf"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, nf) =>
+              val frames = (0 until nf).map { i =>
+                Array.fill(16 * 16)(((id * 41 + i * 59) % 256).toInt)
+              }
+              mm.MediaRecord(id, "video", "image/gif", 16, 16,
+                nf * 100L, mm.gifAnimated(frames, 16, 16))
+            }
+          }
+        mm.frameStats(mm.sampleFramesDecoded(media, everyMs = 100,
+          codec = mm.GifCodec)).toDF()
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("ts_ms"), col("width"), col("height"), col("mean_lum"))
+      },
+      Some {
+        s"""WITH v AS (
+           |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |f AS (SELECT doc_id, unnest(range(nf)) AS i FROM v)
+           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |  CAST(i * 100 AS BIGINT) AS ts_ms,
+           |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           |  CAST((doc_id * 41 + i * 59) % 256 AS DOUBLE) AS mean_lum
+           |FROM f""".stripMargin
+      }),
+
+    // Audio perceptual fingerprint (the audio dHash — t72's sibling):
+    // docs synthesize 16-bit PCM WAVs (the t64 sample construction),
+    // the REAL javax.sound path decodes them, and the 64-bit
+    // energy-envelope gradient signature is a native expression over
+    // the samples column (65 windows, bit w = energy(w+1) >
+    // energy(w)). Window energies are exact binary fractions, so the
+    // oracle rederives every comparison from BIGINT Σk² — the 32-bit
+    // halves keep both engines off the sign bit, as in t72.
+    QueryDef(
+      "t76_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 130 && col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val samples = Array.tabulate(bytes.length) { i =>
+                val k = (bytes(i) - 100) * (if (i % 2 == 1) -1 else 1)
+                (k * 64).toShort
+              }
+              mm.MediaRecord(id, "audio", "audio/wav", 0, 0,
+                bytes.length * 1000L / 8000L, mm.wavPcm16(samples, 8000))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .withColumn("fp",
+            graft.functions.AudioOps.audioFingerprint("samples"))
+          .select(col("media_id").as("doc_id"),
+            shiftrightunsigned(col("fp"), 32).as("h_hi"),
+            col("fp").bitwiseAND(lit(0xffffffffL)).as("h_lo"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 130 AND doc_id % 3 = 2),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |k AS (SELECT doc_id,
+           |    CAST((ord(substr(text, CAST(i + 1 AS INT), 1)) - 100)
+           |      * (1 - 2 * (i % 2)) AS BIGINT) AS kv,
+           |    CAST(i * 65 // n AS INT) AS w
+           |  FROM sm),
+           |e AS (SELECT doc_id, w, SUM(kv * kv) AS ew
+           |  FROM k GROUP BY doc_id, w),
+           |b AS (SELECT doc_id, w, ew,
+           |    lead(ew) OVER (PARTITION BY doc_id ORDER BY w) AS en
+           |  FROM e)
+           |SELECT doc_id,
+           |  CAST(SUM(CASE WHEN w >= 32 AND w < 64 AND en > ew
+           |    THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT))
+           |    ELSE 0 END) AS BIGINT) AS h_hi,
+           |  CAST(SUM(CASE WHEN w < 32 AND en > ew
+           |    THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+           |    ELSE 0 END) AS BIGINT) AS h_lo
+           |FROM b GROUP BY doc_id""".stripMargin
+      }),
+
+    // Audio NEAR-DUP dedup composed end-to-end (t73's audio sibling,
+    // completing the modality triad: text SimHash, image dHash, audio
+    // energy fingerprint — all through the SAME
+    // NearDup.dedupBySignature machinery). Id-derived 65-window
+    // energy families: members of family doc_id DIV 3 differ only in
+    // the last window's level, so fingerprints sit at hamming <= 1
+    // inside a family; the shared envelope shape also puts families
+    // within radius of each other. REAL WAV encode + javax.sound
+    // decode, native fingerprint, paired-block banding / hamming
+    // verify / smaller-id survivor. The oracle brute-forces every
+    // pairwise hamming from the same id arithmetic (no codec, no
+    // banding) — exact because the paired-block scheme is
+    // recall-complete at the radius.
+    QueryDef(
+      "t77_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val samples = new Array[Short](130)
+              var w = 0
+              while (w < 65) {
+                val h = (if (w == 64) (fam * 37 + 4096 + mem * 97) % 251
+                  else (fam * 37 + w.toLong * w) % 251) - 125
+                samples(2 * w) = (h * 64).toShort
+                samples(2 * w + 1) = (h * 64).toShort
+                w += 1
+              }
+              mm.MediaRecord(id, "audio", "audio/wav", 0, 0,
+                130 * 1000L / 8000L, mm.wavPcm16(samples, 8000))
+            }
+          }
+        val sigs = mm.decodeAudioSamples(media).toDF()
+          .withColumn("fp",
+            graft.functions.AudioOps.audioFingerprint("samples"))
+          .select(col("media_id").as("doc_id"), col("fp"))
+        graft.operators.NearDup.dedupBySignature(sigs, "doc_id",
+          "fp", maxHamming = 3)
+          .select(col("doc_id"))
+      },
+      Some {
+        s"""WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |hv AS (SELECT doc_id, w,
+           |    (CASE WHEN w = 64 THEN (fam * 37 + 4096 + mem * 97) % 251
+           |          ELSE (fam * 37 + w * w) % 251 END) - 125 AS h
+           |  FROM d, (SELECT unnest(range(65)) AS w)),
+           |bits AS (SELECT h1.doc_id, h1.w AS i,
+           |    CASE WHEN h2.h * h2.h > h1.h * h1.h THEN 1 ELSE 0 END AS b
+           |  FROM hv h1 JOIN hv h2 ON h2.doc_id = h1.doc_id
+           |    AND h2.w = h1.w + 1
+           |  WHERE h1.w < 64),
+           |ham AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT hi_id FROM ham WHERE h <= 3)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

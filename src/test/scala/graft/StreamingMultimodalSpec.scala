@@ -672,4 +672,140 @@ class StreamingMultimodalSpec extends SparkSpec {
         ehigh <= pw + 1e-12)
     }
   }
+
+  test("multimodal: REAL G.711 mu-law/A-law decode, JDK-transcoder parity") {
+    import Multimodal._
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // all 256 code values, both codecs
+    val enc = Array.tabulate(256)(_.toByte)
+
+    // landmark values from the G.711 tables: 0x00 is the largest
+    // negative mu-law sample, 0x80 the largest positive, 0xff/0x7f
+    // both decode to exact silence
+    assert(AudioDecoder.ulawToLinear(0x00) == -32124)
+    assert(AudioDecoder.ulawToLinear(0x80) == 32124)
+    assert(AudioDecoder.ulawToLinear(0xff) == 0)
+    assert(AudioDecoder.ulawToLinear(0x7f) == 0)
+
+    for (aLaw <- Seq(false, true)) {
+      val wav = wavG711(enc, 8000, aLaw)
+      // the JDK parses the container and reports the companded encoding
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ais.getFormat.getEncoding ==
+        (if (aLaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW))
+      ais.close()
+
+      // our exact integer expansion == the JDK's own G.711->PCM16
+      // transcoder, code for code
+      val ais2 = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val conv = AudioSystem.getAudioInputStream(pcmFmt, ais2)
+      val p = conv.readAllBytes()
+      conv.close()
+      for (c <- 0 until 256) {
+        val jdk = ((p(2 * c) & 0xff) | (p(2 * c + 1) << 8)).toShort.toInt
+        val ours = if (aLaw) AudioDecoder.alawToLinear(c)
+          else AudioDecoder.ulawToLinear(c)
+        assert(jdk == ours, s"aLaw=$aLaw code $c: jdk=$jdk ours=$ours")
+      }
+
+      // the full decode path normalizes as k/32768, like 16-bit PCM
+      val (rate, samples) = AudioDecoder.pcmSamples(wav)
+      assert(rate == 8000f && samples.length == 256)
+      for (c <- 0 until 256) {
+        val k = if (aLaw) AudioDecoder.alawToLinear(c)
+          else AudioDecoder.ulawToLinear(c)
+        assert(samples(c) == (k / 32768.0).toFloat, s"sample $c")
+      }
+    }
+
+    // distributed path: a mu-law payload rides decodeAudioSamples
+    val media = Seq(MediaRecord(21L, "audio", "audio/basic", 0, 0, 32L,
+      wavG711(enc, 8000))).toDS()
+    val row = decodeAudioSamples(media).collect().head
+    assert(row.sample_rate == 8000 && row.n_samples == 256)
+    assert(row.samples(0) == (-32124 / 32768.0).toFloat)
+  }
+
+  test("multimodal: animated GIF codec, lossless frame round trip") {
+    import Multimodal._
+    // three patterned frames: GIF's palette holds all gray values, so
+    // the round trip is pixel-exact (no solid-frame DC argument needed)
+    val frames = (0 until 3).map { k =>
+      Array.tabulate(16 * 16)(j => (k * 70 + (j % 16) * 3 + j / 16) % 256)
+    }
+    val gif = gifAnimated(frames, 16, 16)
+    assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"))
+    val split = GifCodec.frames(gif)
+    assert(split.size == 3)
+    split.zip(frames).foreach { case (png, expected) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xff) == expected(y * 16 + x),
+          s"pixel ($x,$y)")
+    }
+
+    // torn tail: truncating mid-stream loses frames, never crashes
+    val torn = GifCodec.frames(java.util.Arrays.copyOfRange(gif, 0, gif.length / 2))
+    assert(torn.size < 3)
+    // garbage yields nothing, matching MjpegCodec's corrupt-container path
+    assert(GifCodec.frames(Array[Byte](1, 2, 3, 4)).isEmpty)
+
+    // full distributed path: 3 frames / 300ms at 100ms cadence, solid
+    // frames -> mean_lum == the gray value exactly (lossless codec)
+    val solid = Seq(60, 130, 255).map(g => Array.fill(16 * 16)(g))
+    val media = Seq(MediaRecord(31L, "video", "image/gif", 16, 16, 300L,
+      gifAnimated(solid, 16, 16))).toDS()
+    val stats = frameStats(sampleFramesDecoded(media, 100L,
+      codec = GifCodec)).collect().sortBy(_.frame_idx)
+    assert(stats.map(_.mean_lum).toSeq == Seq(60.0, 130.0, 255.0))
+  }
+
+  test("multimodal: audio fingerprint bits + signature dedup collapse") {
+    import Multimodal._
+    // 130 samples = 65 windows of exactly 2; window w holds value
+    // h(w)/512 twice, so energy(w) = 2 h(w)^2 / 2^18 and bit w of the
+    // fingerprint is [h(w+1)^2 > h(w)^2] -- hand-computable
+    def clip(hs: Int => Int): Array[Short] = {
+      val out = new Array[Short](130)
+      for (w <- 0 until 65) {
+        out(2 * w) = (hs(w) * 64).toShort
+        out(2 * w + 1) = (hs(w) * 64).toShort
+      }
+      out
+    }
+    val hA: Int => Int = w => if (w % 2 == 0) 10 else 20 // alternating
+    val hB: Int => Int = w => w // monotone rising magnitude
+    val expectedA = (0 until 64).map(w =>
+      if (hA(w + 1) * hA(w + 1) > hA(w) * hA(w)) 1L << w else 0L).sum
+    val expectedB = (0 until 64).map(_ => 1L).zipWithIndex
+      .map { case (_, w) => 1L << w }.sum // every gradient rises
+    val media = Seq(
+      MediaRecord(1L, "audio", "audio/wav", 0, 0, 16L,
+        wavPcm16(clip(hA), 8000)),
+      MediaRecord(2L, "audio", "audio/wav", 0, 0, 16L,
+        wavPcm16(clip(hB), 8000)),
+      // twin of 1 -> identical fingerprint, must collapse in dedup
+      MediaRecord(3L, "audio", "audio/wav", 0, 0, 16L,
+        wavPcm16(clip(hA), 8000))).toDS()
+    val sigs = decodeAudioSamples(media).toDF()
+      .withColumn("fp", graft.functions.AudioOps.audioFingerprint("samples"))
+      .select(col("media_id").as("doc_id"), col("fp"))
+    val got = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == expectedA, s"fingerprint A: ${got(1L)}")
+    assert(got(2L) == expectedB, s"fingerprint B: ${got(2L)}")
+    assert(got(3L) == got(1L))
+
+    // shared dedup machinery: the twin collapses, the distinct
+    // envelope survives (hamming(A, B) is far above the radius)
+    val kept = graft.operators.NearDup
+      .dedupBySignature(sigs, "doc_id", "fp", maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
 }
