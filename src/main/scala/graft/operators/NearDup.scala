@@ -643,8 +643,39 @@ object NearDup {
     * `simhashBandsPaired(simhash64(survivors))` to the band table. */
   def dedupBySimhashIncremental(incoming: DataFrame, idCol: String,
       textCol: String, existingBands: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 1024): DataFrame = {
-    val sigs = simhash64(incoming, idCol, textCol)
+      maxBucket: Int = 1024): DataFrame =
+    dedupBySignatureIncrementalFrame(incoming,
+      simhash64(incoming, idCol, textCol), idCol, existingBands,
+      maxHamming, maxBucket)
+
+  /** [[dedupBySimhashIncremental]] over an EXISTING 64-bit signature
+    * column — the incremental member of the signature-generic family
+    * ([[dedupBySignature]]'s amortized-corpus sibling): daily appends
+    * of image dHashes ([[graft.functions.ImageOps.dHash]]) or audio
+    * fingerprints ([[graft.functions.AudioOps.audioFingerprint]])
+    * dedup against a materialized band index with the same
+    * existing-wins / smaller-id policy as text SimHash (the t78 gate
+    * proves the composed incremental image pipeline). Build and
+    * append the index with [[signatureBands]]. */
+  def dedupBySignatureIncremental(incoming: DataFrame, idCol: String,
+      sigCol: String, existingBands: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame =
+    dedupBySignatureIncrementalFrame(incoming,
+      incoming.select(col(idCol), col(sigCol).as("simhash")), idCol,
+      existingBands, maxHamming, maxBucket)
+
+  /** Paired-block band table for ANY 64-bit signature column — the
+    * index-building half of [[dedupBySignatureIncremental]]'s
+    * contract (band rows carry the signature as payload, so the
+    * existing side never needs its media or text re-read). */
+  def signatureBands(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashBandsPaired(df.select(col(idCol), col(sigCol).as("simhash")),
+      idCol, maxHamming)
+
+  private def dedupBySignatureIncrementalFrame(incoming: DataFrame,
+      sigs: DataFrame, idCol: String, existingBands: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     // identical in-batch signatures collapse first (see dedupBySimhash)
     val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
     val removedIdentical = sigs

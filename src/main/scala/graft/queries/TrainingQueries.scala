@@ -3132,6 +3132,79 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
           .stripMargin
       }),
+
+    // INCREMENTAL image near-dup (t73's amortized-corpus form under
+    // t26's id-parity contract): even docs are the canonical corpus —
+    // their dHash band index is materialized once (signatureBands) —
+    // and odd docs arrive as the daily append, deduping against the
+    // index AND themselves through the signature-generic incremental
+    // core (dedupBySignatureIncremental). Existing docs always win;
+    // an incoming doc drops if within hamming 3 of any existing or
+    // any smaller incoming signature. Families of 4 (doc_id DIV 4)
+    // put every %4∈{0,1,2} member within hamming 1 of an even
+    // sibling — those incoming drop — while %4=3 docs carry a unique
+    // id-derived pattern, so a real survivor population exists (16 at
+    // sf0.01), exercising both outcomes. Both sides run the REAL PNG
+    // encode/decode; the oracle brute-forces the policy from the same
+    // id arithmetic (no codec, no banding) — exact because the
+    // paired-block scheme is recall-complete at the radius.
+    QueryDef(
+      "t78_image_neardup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        def sigsOf(ids: DataFrame): DataFrame = {
+          val media = ids.select(col("doc_id")).as[Long]
+            .mapPartitions { it =>
+              it.map { id =>
+                val gray = Array.tabulate(72) { j =>
+                  if (id % 4 == 3)
+                    ((id * 73 + j.toLong * j * 31) % 251).toInt
+                  else {
+                    val g = id / 4
+                    if (j == 71) ((g * 37 + 5041 + (id % 4) * 97) % 251).toInt
+                    else ((g * 37 + j.toLong * j) % 251).toInt
+                  }
+                }
+                mm.MediaRecord(id, "image", "image/png", 9, 8, 0L,
+                  mm.grayPng(gray, 9, 8))
+              }
+            }
+          mm.decodeImageGray(media).toDF()
+            .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+            .select(col("media_id").as("doc_id"), col("dhash"))
+        }
+        val d = spread(s, docs(s, dir))
+        val exBands = graft.operators.NearDup.signatureBands(
+          sigsOf(d.filter(col("doc_id") % 2 === 0)), "doc_id", "dhash")
+        graft.operators.NearDup.dedupBySignatureIncremental(
+          sigsOf(d.filter(col("doc_id") % 2 === 1)), "doc_id", "dhash",
+          exBands).select(col("doc_id"))
+      },
+      Some {
+        val g = "CASE WHEN doc_id % 4 = 3 THEN (doc_id * 73 + j * j * 31) % 251 " +
+          "WHEN j = 71 THEN ((doc_id // 4) * 37 + 5041 + (doc_id % 4) * 97) % 251 " +
+          "ELSE ((doc_id // 4) * 37 + j * j) % 251 END"
+        s"""WITH d AS (SELECT doc_id FROM documents),
+           |pix AS (SELECT doc_id, j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j)),
+           |bits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.gv > p1.gv THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN pix p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN pix p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |ham AS (SELECT x.doc_id AS in_id, y.doc_id AS o_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id % 2 = 1 AND y.doc_id <> x.doc_id
+           |    AND (y.doc_id % 2 = 0 OR y.doc_id < x.doc_id)
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT in_id FROM ham WHERE h <= 3)
+           |SELECT doc_id FROM d WHERE doc_id % 2 = 1
+           |  AND doc_id NOT IN (SELECT in_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

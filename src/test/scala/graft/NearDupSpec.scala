@@ -315,6 +315,46 @@ class NearDupSpec extends SparkSpec {
     assert(!got.contains(10L) && got.contains(11L) && !got.contains(12L))
   }
 
+  test("dedupBySignatureIncremental: generic signatures, same policy") {
+    // raw 64-bit signatures (no text, no codec): the signature-
+    // generic incremental core must apply the identical policy as
+    // the simhash form — existing wins, smaller incoming id wins,
+    // in-batch hamming-0 collapses
+    val exSigs = Seq((1L, 0x00000000000000FFL), (2L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("doc_id", "sig")
+    val exBands = NearDup.signatureBands(exSigs, "doc_id", "sig")
+    val incoming = Seq(
+      (10L, 0x00000000000000FDL), // hamming 1 vs existing 1 -> drops
+      (11L, 0x7777777777777777L), // new -> survives
+      (12L, 0x7777777777777777L), // hamming-0 twin of 11 -> drops
+      (13L, 0x7777777777777775L), // hamming 1 vs smaller 11 -> drops
+      (14L, 0xF0F0F0F0F0F0F0F0L)  // far from everything -> survives
+    ).toDF("doc_id", "sig")
+    val got = NearDup.dedupBySignatureIncremental(incoming, "doc_id",
+      "sig", exBands).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 14L))
+
+    // empty existing index == the batch signature dedup over incoming
+    val emptyBands = NearDup.signatureBands(
+      exSigs.filter(col("doc_id") < 0), "doc_id", "sig")
+    val inc = NearDup.dedupBySignatureIncremental(incoming, "doc_id",
+      "sig", emptyBands).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = NearDup.dedupBySignature(incoming, "doc_id", "sig")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == batch)
+
+    // idempotence: survivors re-fed against their own appended index
+    // with an empty delta change nothing; re-fed as the delta they
+    // all drop (hamming 0 vs themselves in the index)
+    val survivors = incoming.filter(col("doc_id").isin(got: _*))
+    val appended = exBands.unionByName(
+      NearDup.signatureBands(survivors, "doc_id", "sig"))
+    assert(NearDup.dedupBySignatureIncremental(survivors, "doc_id",
+      "sig", appended).count() == 0)
+  }
+
   test("exact-class collapse keys on RAW text, not canonicalized") {
     // upper/lower variants share TextOps.fingerprint (md5 of
     // lower+trim) but their case-sensitive shingle sets are disjoint:
