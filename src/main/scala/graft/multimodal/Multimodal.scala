@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caching: every
+  // ImageIO.read/write on an in-memory payload round-trips a temp
+  // file. All payloads here are byte arrays, so memory-backed streams
+  // are strictly better; object init runs once per JVM before any
+  // codec call (every decode path lives in this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + metadata. `data` is last so
     * metadata-only projections prune the heavy column. */
   case class MediaRecord(
@@ -755,6 +762,64 @@ object Multimodal {
           img.getWidth, img.getHeight, sum.toDouble / n)
       }
     }
+  }
+
+  /** Decode each sampled frame to typed grayscale pixels — the
+    * [[decodeImageGray]] form for [[FrameRecord]]s, which is what lets
+    * frame payloads feed the SAME native perceptual-hash expressions
+    * as still images ([[graft.functions.ImageOps.dHash]]) and so the
+    * same signature dedup machinery: video near-dup = frame decode →
+    * dHash → `NearDup.dedupBySignature` (the t80 gate). Keyed by
+    * media_id — callers selecting one representative frame per video
+    * (e.g. `frame_idx == 0`) filter BEFORE decoding so only that
+    * frame's bytes are ever touched. Partition-local; frame bytes
+    * never shuffle. */
+  def decodeFrameGray(frames: Dataset[FrameRecord]): Dataset[ImagePixels] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.frame))
+        require(img != null,
+          s"undecodable frame payload (media ${f.media_id} idx ${f.frame_idx})")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        ImagePixels(f.media_id, w, h, gray)
+      }
+    }
+  }
+
+  /** Scene-change detection over decoded frame stats: a boundary at
+    * frame i (i > 0) wherever |mean_lum(i) − mean_lum(i−1)| ≥
+    * `threshold` — the luminance-delta cut detector, the standard
+    * first pass of clip segmentation for video training data. Pure
+    * declarative window over the tiny per-frame stat rows (the heavy
+    * decode already happened in [[frameStats]]); partitioned by
+    * media_id, so a 2-hour video's frames sort within one task while
+    * millions of videos spread across the cluster. Output:
+    * (media_id, frame_idx, ts_ms, delta_lum) per boundary. */
+  def sceneChanges(stats: Dataset[FrameStat], threshold: Double): DataFrame = {
+    require(threshold > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    stats.toDF()
+      .withColumn("__prev", lag(col("mean_lum"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        abs(col("mean_lum") - col("__prev")) >= threshold)
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        (col("mean_lum") - col("__prev")).as("delta_lum"))
   }
 
   /** Resize boundary — real implementation wraps an image resampler;

@@ -3205,6 +3205,118 @@ object TrainingQueries {
            |  AND doc_id NOT IN (SELECT in_id FROM removed)"""
           .stripMargin
       }),
+
+    // Scene-change detection over REAL decoded video (t75's GIF
+    // corpus): consecutive frame luminances step by +59 mod 256, so
+    // |delta| is 59 (no boundary at threshold 64) except where the
+    // value wraps (delta −197 — a boundary). The cut detector is a
+    // declarative lag window over frameStats rows; the oracle replays
+    // the gray arithmetic and the same lag/threshold in SQL. Only
+    // clips with nf ≥ 2 can produce rows, and only wrap frames do —
+    // both presence and absence are pinned.
+    QueryDef(
+      "t79_scene_changes",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), (col("doc_id") % 4 + 1).cast("int").as("nf"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, nf) =>
+              val frames = (0 until nf).map { i =>
+                Array.fill(16 * 16)(((id * 41 + i * 59) % 256).toInt)
+              }
+              mm.MediaRecord(id, "video", "image/gif", 16, 16,
+                nf * 100L, mm.gifAnimated(frames, 16, 16))
+            }
+          }
+        mm.sceneChanges(
+          mm.frameStats(mm.sampleFramesDecoded(media, everyMs = 100,
+            codec = mm.GifCodec)), threshold = 64.0)
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("ts_ms"), col("delta_lum"))
+      },
+      Some {
+        s"""WITH v AS (
+           |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |f AS (SELECT doc_id, unnest(range(nf)) AS i FROM v),
+           |g AS (SELECT doc_id, i,
+           |    CAST((doc_id * 41 + i * 59) % 256 AS DOUBLE) AS lum
+           |  FROM f),
+           |d AS (SELECT doc_id, i, lum,
+           |    lag(lum) OVER (PARTITION BY doc_id ORDER BY i) AS pl
+           |  FROM g)
+           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |  CAST(i * 100 AS BIGINT) AS ts_ms, lum - pl AS delta_lum
+           |FROM d WHERE pl IS NOT NULL AND abs(lum - pl) >= 64"""
+          .stripMargin
+      }),
+
+    // VIDEO near-dup end-to-end: each doc becomes a 2-frame animated
+    // GIF whose FIRST frame carries the t73 9x8 family pattern (frame
+    // 1 is constant filler — representative-frame selection must
+    // ignore it); the pipeline samples frames through the REAL codec,
+    // filters to frame 0 BEFORE decoding (only that frame's bytes are
+    // touched), decodes to typed pixels, dHashes natively, and runs
+    // the SAME signature dedup as still images and audio. The oracle
+    // is t73's brute-force pairwise hamming over the frame-0
+    // arithmetic — video-level near-dup reduces exactly to its
+    // representative frame's image near-dup.
+    QueryDef(
+      "t80_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val f0 = Array.tabulate(72) { j =>
+                if (j == 71) ((fam * 37 + 71 * 71 + mem * 97) % 251).toInt
+                else ((fam * 37 + j.toLong * j) % 251).toInt
+              }
+              val f1 = Array.fill(72)(128)
+              mm.MediaRecord(id, "video", "image/gif", 9, 8, 200L,
+                mm.gifAnimated(Seq(f0, f1), 9, 8))
+            }
+          }
+        val firstFrames = mm.sampleFramesDecoded(media, everyMs = 100,
+          codec = mm.GifCodec).filter(col("frame_idx") === 0)
+        val sigs = mm.decodeFrameGray(firstFrames).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("media_id").as("doc_id"), col("dhash"))
+        graft.operators.NearDup.dedupBySignature(sigs, "doc_id",
+          "dhash", maxHamming = 3)
+          .select(col("doc_id"))
+      },
+      Some {
+        val g = "CASE WHEN j = 71 THEN (fam * 37 + 5041 + mem * 97) % 251 " +
+          "ELSE (fam * 37 + j * j) % 251 END"
+        s"""WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |pix AS (SELECT doc_id, j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j)),
+           |bits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.gv > p1.gv THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN pix p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN pix p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |ham AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT hi_id FROM ham WHERE h <= 3)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

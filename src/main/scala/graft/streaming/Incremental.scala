@@ -234,6 +234,58 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming SIGNATURE-dedup corpus builder — the media twin of
+    * [[neardupStream]] for precomputed 64-bit perceptual signatures
+    * (image dHash via `ImageOps.dHash`, audio fingerprints via
+    * `AudioOps.audioFingerprint`): each micro-batch of (id, signature)
+    * rows dedups against itself AND the materialized paired-block band
+    * index of every signature ever accepted
+    * ([[NearDup.dedupBySignatureIncremental]]), then survivors append
+    * to the corpus table and their bands land idempotently in this
+    * batch's `batch=<batchId>` leaf (same crash-replay reasoning as
+    * [[neardupStream]]: replayed batches rewrite, never duplicate —
+    * and band rows carry the full signature, so the existing side
+    * never re-reads media bytes). `sigExpr` is SQL over `raw_data`
+    * producing the BIGINT signature. */
+  def signatureDedupStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, bandsPath: String, checkpoint: String,
+      idExpr: String, sigExpr: String, maxHamming: Int = 3,
+      maxBucket: Int = 1024): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .withColumn("doc_id", expr(idExpr))
+          .withColumn("sig", expr(sigExpr))
+          .filter(col("doc_id").isNotNull && col("sig").isNotNull)
+          .select("doc_id", "sig")
+          .dropDuplicates("doc_id")
+        val exCorpus = MergeOps.readIfExists(ss, corpusPath)
+          .getOrElse(incoming.limit(0))
+        val exBands = MergeOps.readIfExists(ss, bandsPath)
+          .getOrElse(NearDup.signatureBands(incoming.limit(0), "doc_id",
+            "sig", maxHamming))
+        val fresh = incoming.join(exCorpus.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val survivors = NearDup.dedupBySignatureIncremental(fresh,
+          "doc_id", "sig", exBands, maxHamming, maxBucket)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          NearDup.signatureBands(survivors, "doc_id", "sig", maxHamming)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          survivors.write.mode("append").parquet(corpusPath)
+        } finally survivors.unpersist(blocking = false)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming event-time dedup: exactly-one-row-per-key within the
     * watermark horizon — the streaming form of the D-family keep-first
     * (an at-least-once bronze replay must not duplicate silver).

@@ -107,6 +107,87 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bandIds.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("signatureDedupStream: two drains == one batch signature dedup") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-sig")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    // raw 64-bit perceptual signatures (what an upstream dHash /
+    // audioFingerprint job would emit)
+    val sA = 0x00000000000000FFL
+    val sC = 0x0F0F0F0F0F0F0F0FL
+    val sE = 0x7777777777777777L
+    def line(id: Long, sig: Long) = s"""{"id": $id, "sig": $sig}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val sigExpr = "CAST(get_json_object(raw_data, '$.sig') AS LONG)"
+
+    // drain 1: 2 is a hamming-1 near-dup of 1 within the batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, sA), line(2, sA ^ 1L), line(3, sC))
+        .mkString("\n").getBytes)
+    Incremental.signatureDedupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, sigExpr)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // drain 2: 4 near-dups EXISTING 1 (cross-drain via the band
+    // index), 5 is new, 6 near-dups 5 in-batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(4, sA ^ 2L), line(5, sE), line(6, sE ^ 4L))
+        .mkString("\n").getBytes)
+    Incremental.signatureDedupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, sigExpr)
+    val streamed = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 3L, 5L))
+
+    // equivalence: one batch signature dedup over the union
+    val union = Seq((1L, sA), (2L, sA ^ 1L), (3L, sC), (4L, sA ^ 2L),
+      (5L, sE), (6L, sE ^ 4L)).toDF("doc_id", "sig")
+    val batch = NearDup.dedupBySignature(union, "doc_id", "sig")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+
+    // band index covers exactly the accepted corpus, carrying sigs
+    val bandIds = spark.read.parquet(s"$root/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bandIds.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("multimodal: scene changes + video near-dup via frame dHash") {
+    import Multimodal._
+    // scene cuts: 4 solid frames, one big jump at frame 2
+    val grays = Seq(100, 110, 220, 215)
+    val media = Seq(MediaRecord(1L, "video", "image/gif", 16, 16, 400L,
+      gifAnimated(grays.map(g => Array.fill(16 * 16)(g)), 16, 16))).toDS()
+    val cuts = sceneChanges(
+      frameStats(sampleFramesDecoded(media, 100L, codec = GifCodec)),
+      threshold = 50.0).collect()
+    assert(cuts.map(r => (r.getInt(1), r.getDouble(3))).toSeq ==
+      Seq((2, 110.0)))
+
+    // frame-0 dHash: two videos sharing frame 0 collapse, a distinct
+    // one survives — the composed video near-dup path
+    val p0 = Array.tabulate(72)(j => (j * 7) % 251)
+    val p1 = Array.tabulate(72)(j => 250 - (j * 7) % 251)
+    val filler = Array.fill(72)(128)
+    def vid(id: Long, first: Array[Int]) =
+      MediaRecord(id, "video", "image/gif", 9, 8, 200L,
+        gifAnimated(Seq(first, filler), 9, 8))
+    val vids = Seq(vid(1L, p0), vid(2L, p0), vid(3L, p1)).toDS()
+    val firsts = sampleFramesDecoded(vids, 100L, codec = GifCodec)
+      .filter(col("frame_idx") === 0)
+    val sigs = decodeFrameGray(firsts).toDF()
+      .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val kept = graft.operators.NearDup
+      .dedupBySignature(sigs, "doc_id", "dhash", maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("curateStream: two drains == one batch curate of the union") {
     import graft.operators.Curate
     val root = tmpDir("stream-cu")
