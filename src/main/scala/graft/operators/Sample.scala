@@ -199,6 +199,28 @@ object Sample {
     * keeps a superset of the answer; the survivors — at most
     * lanes·cap rows per group, whatever the group's size — then take
     * the exact global rank in a bounded second window. */
+  /** Cluster-balanced (diversity) sampling — "at most `cap` examples
+    * per embedding cluster": nearest-centroid assignment against the
+    * broadcast `centroids` asset ([[Ann.ivfAssign]] — train them once
+    * with `Ann.trainCentroids`, possibly on a sample), then the
+    * skew-proof [[capPerGroup]] on the cell. The semantic twin of the
+    * per-source frequency cap: where t58 guards against one crawl
+    * DOMAIN dominating the mix, this guards against one semantic
+    * REGION dominating it (the flat-cluster diversity recipe —
+    * SemDeDup's selection stage generalized from near-dups to
+    * over-represented topics). Which rows a cell keeps inherits
+    * [[capPerGroup]]'s determinism: partitioning-independent and
+    * append-stable under a fixed centroid asset. Output:
+    * (id, vec, cell) for the kept rows. */
+  def clusterBalancedSample(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, cap: Int,
+      salt: String = "graft-cap"): DataFrame =
+    capPerGroup(
+      graft.operators.Ann.ivfAssign(vectors, idCol, vecCol, centroids,
+        centIdCol, centVecCol),
+      "cell", idCol, cap, salt)
+
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       cap: Int, salt: String = "graft-cap", lanes: Int = 16): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")

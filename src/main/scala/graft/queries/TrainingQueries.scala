@@ -3317,6 +3317,43 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
           .stripMargin
       }),
+
+    // Cluster-balanced diversity sampling: centroids train on the
+    // full corpus (t23's exact Lloyd chain), every vector assigns to
+    // its nearest cell, and each cell keeps at most 20 vectors by the
+    // t58 salted-bucket selection — the semantic twin of the
+    // per-source cap (one REGION of embedding space can't dominate
+    // the mix). The oracle composes the two proven chains: the
+    // generated Lloyd CTEs + assignment window, then the cap window
+    // over the SAME md5-bucket ordering.
+    QueryDef(
+      "t81_cluster_balanced_sample",
+      (s, dir) => {
+        val ann = graft.operators.Ann
+        val all = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = ann.trainCentroids(all, "vec_id", "v",
+          nlist = 8, iters = 2)
+        graft.operators.Sample.clusterBalancedSample(all, "vec_id", "v",
+          cents, "cent_id", "cv", cap = 20)
+          .select(col("vec_id"), col("cell"))
+      },
+      Some {
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-cap|' || CAST(vec_id AS VARCHAR))", 8)
+        s"""WITH ${lloydSql(8, 2)},
+           |cells AS (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, c2 c) WHERE rn = 1),
+           |ranked AS (SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY cell
+           |    ORDER BY $bucket % 1000000, vec_id) AS rn
+           |  FROM cells)
+           |SELECT vec_id, cell FROM ranked WHERE rn <= 20"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

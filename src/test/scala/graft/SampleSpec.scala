@@ -191,6 +191,44 @@ class SampleSpec extends SparkSpec {
       Seq("id", "grp"))
   }
 
+  test("clusterBalancedSample: per-cell cap, same selection key as capPerGroup") {
+    import spark.implicits._
+    // two tight 2-d clusters: 30 vectors near (0,0), 5 near (10,10) —
+    // with centroids trained, the big cluster must cap, the small one
+    // keeps every member
+    val vecs = ((0L until 30L).map(i =>
+        (i, Seq(0.0 + (i % 5) * 0.01, 0.0 + (i % 7) * 0.01))) ++
+      (100L until 105L).map(i =>
+        (i, Seq(10.0 + (i % 3) * 0.01, 10.0))))
+      .toDF("vec_id", "v")
+    val cents = graft.operators.Ann.trainCentroids(
+      // seed from one member of each cluster so cells are meaningful
+      vecs.filter(col("vec_id").isin(0L, 100L)), "vec_id", "v",
+      nlist = 2, iters = 2)
+    val kept = Sample.clusterBalancedSample(vecs, "vec_id", "v",
+      cents, "cent_id", "cv", cap = 10)
+    val byCell = kept.collect()
+      .groupBy(_.getAs[Long]("cell")).view.mapValues(_.length).toMap
+    assert(byCell.values.toSet == Set(10, 5),
+      s"cells should hold 10 (capped) and 5 (under-cap): $byCell")
+
+    // the kept set of the capped cell is exactly capPerGroup over the
+    // same assignment — the composition adds selection semantics of
+    // its own nowhere
+    val assigned = graft.operators.Ann.ivfAssign(vecs, "vec_id", "v",
+      cents, "cent_id", "cv")
+    val direct = Sample.capPerGroup(assigned, "cell", "vec_id", cap = 10)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == direct)
+
+    // partitioning-independent
+    val repart = Sample.clusterBalancedSample(vecs.repartition(7),
+      "vec_id", "v", cents, "cent_id", "cv", cap = 10)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(repart == direct)
+  }
+
   test("capPerGroupIncremental == batch cap; untouched groups ride through") {
     import spark.implicits._
     val all = ((0L until 200L).map(i => (i, "big")) ++
