@@ -403,14 +403,26 @@ object Multimodal {
   }
 
   /** Routes each modality to its REAL JDK codec where one exists
-    * (image → javax.imageio, audio → javax.sound.sampled) and to the
-    * declared fake where none does (video). The default decoder a
-    * production pipeline in this container should use. */
+    * (image → javax.imageio, audio → javax.sound.sampled, video →
+    * the MJPEG/GIF container codecs: the feature is the first frame's
+    * luminance histogram, the natural video analog of
+    * [[ImageDecoder]]'s whole-image histogram). Only a video payload
+    * NEITHER container codec parses falls back to the declared fake —
+    * the honest boundary for the inter-frame codecs (H.264/VP9/AV1)
+    * the JDK genuinely lacks. The default decoder a production
+    * pipeline in this container should use. */
   object JdkDecoder extends Decoder {
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
       kind match {
         case "image" => ImageDecoder.decode(kind, bytes)
         case "audio" => AudioDecoder.decode(kind, bytes)
+        case "video" =>
+          val frames = MjpegCodec.frames(bytes) match {
+            case fs if fs.nonEmpty => fs
+            case _ => GifCodec.frames(bytes)
+          }
+          if (frames.isEmpty) FakeDecoder.decode(kind, bytes)
+          else ImageDecoder.decode("image", frames.head)
         case _ => FakeDecoder.decode(kind, bytes)
       }
   }

@@ -589,7 +589,8 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(math.abs(env(s) - 0.5 / math.sqrt(2)) < 0.01,
         s"segment $s RMS ${env(s)}")
     for (s <- 4 until 8) assert(env(s) == 0f, s"segment $s not silent")
-    // video routes to the declared fake
+    // a video payload NEITHER container codec parses routes to the
+    // declared fake (the H.264-shaped honest boundary)
     assert(feats(2L).feature.toSeq ==
       FakeDecoder.decode("video", Array[Byte](9, 8, 7)).toSeq)
 
@@ -845,6 +846,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     val stats = frameStats(sampleFramesDecoded(media, 100L,
       codec = GifCodec)).collect().sortBy(_.frame_idx)
     assert(stats.map(_.mean_lum).toSeq == Seq(60.0, 130.0, 255.0))
+
+    // JdkDecoder now routes parseable video for REAL: the feature is
+    // the FIRST frame's luminance histogram (solid 60 -> all mass in
+    // bin 60>>5 = 1), not the byte-lane fake
+    val vfeat = extractFeatures(media, JdkDecoder).collect().head.feature
+    assert(vfeat(1) == 1f && vfeat.sum == 1f, vfeat.toSeq.toString)
   }
 
   test("multimodal: audio fingerprint bits + signature dedup collapse") {
