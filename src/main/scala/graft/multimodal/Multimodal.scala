@@ -139,6 +139,125 @@ object Multimodal {
       if ((a & 0x80) != 0) t else -t
     }
 
+    /** IMA ADPCM step-size table (the 89-entry table from the IMA
+      * Digital Audio Pack / Microsoft WAVE format 0x11 spec). */
+    private[graft] val ImaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+      10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+      24623, 27086, 29794, 32767)
+
+    private[graft] val ImaIndexDelta: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** IMA ADPCM nibble-stream decode — the PREDICTIVE compressed
+      * codec (each sample is reconstructed from the previous sample
+      * plus a step-table delta, state carried sample to sample), the
+      * audio analog of inter-frame video. Pure integer arithmetic:
+      * diff = step/8 (+step if bit2, +step/2 if bit1, +step/4 if
+      * bit0), sign from bit3, predictor clamped to int16, index
+      * walked through the step table. Exactly the algorithm in the
+      * IMA spec, so an external engine can replay the whole recursion
+      * (the t82 oracle does, as a recursive CTE carrying
+      * (predictor, index) per step). */
+    def imaDecode(nibbles: Array[Int], pred0: Int = 0,
+        index0: Int = 0): Array[Int] = {
+      val out = new Array[Int](nibbles.length)
+      var pred = pred0
+      var idx = math.max(0, math.min(88, index0))
+      var i = 0
+      while (i < nibbles.length) {
+        val n = nibbles(i) & 0xf
+        val step = ImaStep(idx)
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        idx = math.max(0, math.min(88, idx + ImaIndexDelta(n)))
+        out(i) = pred
+        i += 1
+      }
+      out
+    }
+
+    /** True iff the payload is a RIFF/WAVE whose fmt chunk carries
+      * format tag 0x11 (IMA ADPCM). */
+    private def isImaAdpcmWav(bytes: Array[Byte]): Boolean = {
+      if (bytes.length < 22) return false
+      if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") return false
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val tag = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (tag == "fmt ")
+          return o + 10 <= bytes.length && le16(o + 8) == 0x11
+        o += 8 + len + (len & 1)
+      }
+      false
+    }
+
+    /** Parse a mono IMA-ADPCM WAV (format tag 0x11 — a format the
+      * JDK's WaveFileReader genuinely rejects, so the RIFF walk here
+      * is ours): fmt gives rate and block size; each data block is a
+      * 4-byte state header (initial predictor int16 LE — emitted as
+      * the block's first sample, per spec — plus table index) and
+      * then two nibbles per byte, LOW nibble first. Returns
+      * (sampleRate, samples as the usual k/32768 fractions). */
+    private def imaAdpcmSamples(bytes: Array[Byte]): (Float, Array[Float]) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      require(bytes.length >= 44, "truncated WAV payload")
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      var o = 12
+      while (o + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+        val tag = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (tag == "fmt ") fmtOff = o + 8
+        else if (tag == "data") { dataOff = o + 8; dataLen = len }
+        o += 8 + len + (len & 1)
+      }
+      require(fmtOff >= 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+      require(le16(fmtOff) == 0x11,
+        s"not IMA ADPCM (fmt tag ${le16(fmtOff)})")
+      require(le16(fmtOff + 2) == 1, "mono IMA ADPCM only")
+      val rate = le32(fmtOff + 4)
+      val blockAlign = le16(fmtOff + 12)
+      require(blockAlign > 4, s"bad block align $blockAlign")
+      val out = Array.newBuilder[Float]
+      var off = dataOff
+      val end = math.min(dataOff + dataLen, bytes.length)
+      while (off + 4 <= end) {
+        val blockEnd = math.min(off + blockAlign, end)
+        val pred0 = le16(off).toShort.toInt
+        val idx0 = bytes(off + 2) & 0xff
+        out += (pred0 / 32768.0).toFloat
+        val nibs = Array.newBuilder[Int]
+        var b = off + 4
+        while (b < blockEnd) {
+          val v = bytes(b) & 0xff
+          nibs += (v & 0xf)
+          nibs += (v >> 4)
+          b += 1
+        }
+        imaDecode(nibs.result(), pred0, idx0)
+          .foreach(k => out += (k / 32768.0).toFloat)
+        off += blockAlign
+      }
+      (rate.toFloat, out.result())
+    }
+
     /** The container/codec half alone: parse a WAV/AIFF/AU payload and
       * return (sampleRate, normalized samples in [-1, 1]) — shared by
       * the feature envelope below and [[decodeAudioSamples]]'s typed
@@ -154,6 +273,9 @@ object Multimodal {
       * the result normalizes as k/32768 like 16-bit PCM. */
     def pcmSamples(bytes: Array[Byte]): (Float, Array[Float]) = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
+      // IMA ADPCM (WAV format tag 0x11) routes to our own RIFF walk
+      // FIRST — the JDK's WaveFileReader genuinely rejects the tag
+      if (isImaAdpcmWav(bytes)) return imaAdpcmSamples(bytes)
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -271,6 +393,45 @@ object Multimodal {
       .putShort(0) // cbSize
       .put("data".getBytes("US-ASCII")).putInt(encoded.length)
     buf.put(encoded)
+    buf.array()
+  }
+
+  /** Minimal mono IMA-ADPCM WAV writer (format tag 0x11, one data
+    * block): 4-byte state header (initial predictor, step index) then
+    * the nibble stream packed LOW nibble first — the synthesis half
+    * that lets specs and the t82 gate drive the REAL predictive
+    * decode with known nibble values. Even nibble count required
+    * (an odd count would need a pad nibble that decodes as a phantom
+    * sample). */
+  def wavImaAdpcm(nibbles: Array[Int], sampleRate: Int,
+      pred0: Int = 0, index0: Int = 0): Array[Byte] = {
+    require(nibbles.length % 2 == 0, "even nibble count required")
+    require(pred0 >= -32768 && pred0 <= 32767 && index0 >= 0 && index0 <= 88)
+    val blockAlign = 4 + nibbles.length / 2
+    val samplesPerBlock = 1 + nibbles.length
+    val dataLen = blockAlign
+    val buf = java.nio.ByteBuffer.allocate(48 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11) // WAVE_FORMAT_IMA_ADPCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4) // bits per (encoded) sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .putShort(pred0.toShort)
+      .put(index0.toByte)
+      .put(0.toByte)
+    var i = 0
+    while (i < nibbles.length) {
+      buf.put(((nibbles(i) & 0xf) | ((nibbles(i + 1) & 0xf) << 4)).toByte)
+      i += 2
+    }
     buf.array()
   }
 

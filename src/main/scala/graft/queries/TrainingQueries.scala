@@ -3354,6 +3354,83 @@ object TrainingQueries {
            |SELECT vec_id, cell FROM ranked WHERE rn <= 20"""
           .stripMargin
       }),
+
+    // PREDICTIVE compressed audio under the oracle: IMA ADPCM (WAV
+    // format tag 0x11) carries per-sample STATE — each sample is the
+    // previous sample plus a step-table delta, with the step index
+    // itself walked by the nibble — so unlike G.711 (t74, stateless
+    // per byte) the oracle must replay a RECURSION: a recursive CTE
+    // carries (predictor, index) step by step through the exact
+    // integer arithmetic of the IMA spec. The JDK's WaveFileReader
+    // genuinely rejects tag 0x11 (spec-asserted), so the RIFF walk,
+    // block-state header, and nibble unpack are all ours. Output pins
+    // every decoded sample via (n, Σk, Σk², Σk·pos) per doc.
+    QueryDef(
+      "t82_adpcm_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val m = bytes.length - (bytes.length % 2)
+              val nibs = Array.tabulate(m)(i => bytes(i) % 16)
+              mm.MediaRecord(id, "audio", "audio/wav", 0, 0,
+                (m + 1) * 1000L / 8000L, mm.wavImaAdpcm(nibs, 8000))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            posexplode(col("samples")).as(Seq("pos", "x")))
+          // samples are k/32768 exactly, so k recovers exactly
+          .withColumn("k", (col("x").cast("double") * 32768.0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n"),
+            sum(col("k")).as("sum_k"),
+            sum(col("k") * col("k")).as("sum_k2"),
+            sum(col("k") * col("pos")).as("sum_ki"))
+      },
+      Some {
+        val stepVals = graft.multimodal.Multimodal.AudioDecoder.ImaStep
+          .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+        val idxVals = graft.multimodal.Multimodal.AudioDecoder.ImaIndexDelta
+          .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+        s"""WITH RECURSIVE
+           |a AS (SELECT doc_id, text,
+           |    CAST(length(text) - length(text) % 2 AS BIGINT) AS m
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 0),
+           |steps(sidx, step) AS (VALUES $stepVals),
+           |itab(nv, delta) AS (VALUES $idxVals),
+           |nib AS (SELECT doc_id, i,
+           |    ord(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS n
+           |  FROM (SELECT doc_id, text, unnest(range(m)) AS i FROM a)),
+           |dec(doc_id, i, pred, sidx) AS (
+           |  SELECT doc_id, CAST(-1 AS BIGINT), 0, 0 FROM a
+           |  UNION ALL
+           |  SELECT d.doc_id, d.i + 1,
+           |    GREATEST(-32768, LEAST(32767,
+           |      d.pred + CASE WHEN nb.n & 8 = 8 THEN -1 ELSE 1 END *
+           |        ((s.step >> 3)
+           |         + CASE WHEN nb.n & 4 = 4 THEN s.step ELSE 0 END
+           |         + CASE WHEN nb.n & 2 = 2 THEN s.step >> 1 ELSE 0 END
+           |         + CASE WHEN nb.n & 1 = 1 THEN s.step >> 2 ELSE 0 END))),
+           |    GREATEST(0, LEAST(88, d.sidx + it.delta))
+           |  FROM dec d
+           |  JOIN nib nb ON nb.doc_id = d.doc_id AND nb.i = d.i + 1
+           |  JOIN steps s ON s.sidx = d.sidx
+           |  JOIN itab it ON it.nv = nb.n)
+           |SELECT doc_id, CAST(COUNT(*) AS INT) AS n,
+           |  CAST(SUM(pred) AS BIGINT) AS sum_k,
+           |  CAST(SUM(pred * pred) AS BIGINT) AS sum_k2,
+           |  CAST(SUM(pred * (i + 1)) AS BIGINT) AS sum_ki
+           |FROM dec GROUP BY doc_id""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

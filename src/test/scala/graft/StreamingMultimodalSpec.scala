@@ -854,6 +854,40 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(vfeat(1) == 1f && vfeat.sum == 1f, vfeat.toSeq.toString)
   }
 
+  test("multimodal: REAL IMA ADPCM predictive decode, own RIFF walk") {
+    import Multimodal._
+    // hand-walked from state (0,0): nibble 7 -> step 7, diff
+    // 0+7+3+1 = 11, pred 11, index 8; nibble 7 again -> step 16,
+    // diff 2+16+8+4 = 30, pred 41
+    assert(AudioDecoder.imaDecode(Array(7, 7)).toSeq == Seq(11, 41))
+    // sign nibbles subtract; clamp holds at the rails
+    assert(AudioDecoder.imaDecode(Array(15, 15),
+      pred0 = -32760, index0 = 0).head == -32768)
+
+    // the JDK genuinely rejects WAV format tag 0x11 - our RIFF walk
+    // is the only real decode path for it
+    val nibs = Array.tabulate(40)(i => (i * 5 + 3) % 16)
+    val wav = wavImaAdpcm(nibs, 8000, pred0 = 100, index0 = 5)
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+
+    // container round trip: header predictor is the first sample,
+    // then the exact predictive recursion, all as k/32768 fractions
+    val (rate, samples) = AudioDecoder.pcmSamples(wav)
+    assert(rate == 8000f)
+    val expected = (100 +: AudioDecoder.imaDecode(nibs, 100, 5).toSeq)
+      .map(k => (k / 32768.0).toFloat)
+    assert(samples.toSeq == expected)
+
+    // distributed path
+    val media = Seq(MediaRecord(41L, "audio", "audio/wav", 0, 0, 5L,
+      wav)).toDS()
+    val row = decodeAudioSamples(media).collect().head
+    assert(row.n_samples == 41 && row.samples.toSeq == expected)
+  }
+
   test("multimodal: audio fingerprint bits + signature dedup collapse") {
     import Multimodal._
     // 130 samples = 65 windows of exactly 2; window w holds value
