@@ -61,6 +61,24 @@ object Curate {
       .filter(TextOps.langId(col("__tk")) =!= "und")
       .drop("__tk")
 
+  /** Media-corpus curation over precomputed perceptual signatures
+    * (image dHash, audio fingerprint, video representative-frame
+    * hash): signature near-dup dedup first — a near-dup family must
+    * collapse BEFORE per-origin capping, or a mass-duplicated asset
+    * burns a source's whole budget on copies — then the skew-proof
+    * per-group frequency cap on `groupCol` (origin/domain/camera).
+    * The media twin of [[curate]]'s text chain, built from the same
+    * proven stages ([[NearDup.dedupBySignature]],
+    * [[Sample.capPerGroup]]); `groups` carries (idCol, groupCol) so
+    * heavy media frames never join through the dedup. */
+  def curateMediaSignatures(sigs: DataFrame, idCol: String,
+      sigCol: String, groups: DataFrame, groupCol: String, cap: Int,
+      maxHamming: Int = 3, salt: String = "graft-cap"): DataFrame =
+    Sample.capPerGroup(
+      NearDup.dedupBySignature(sigs, idCol, sigCol, maxHamming)
+        .join(groups, Seq(idCol)),
+      groupCol, idCol, cap, salt)
+
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxStopRatio: Double = 0.15,

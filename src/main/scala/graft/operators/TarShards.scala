@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar sharding — the standard container format for
+  * large-scale (multimodal) training corpora: a corpus becomes N tar
+  * archives ("shards"), each holding the samples' entries as plain
+  * files (`<key>.txt`, `<key>.json`, `<key>.png`, ...) so a training
+  * loader streams one shard sequentially per worker. This writer
+  * emits strict POSIX ustar (magic `ustar\0`, version `00`, octal
+  * size/mtime/checksum fields, 512-byte blocks, two zero end blocks)
+  * — GNU tar lists and extracts the output byte-for-byte
+  * (spec-proven by shelling out to the real `tar`), and the t84 gate
+  * pins the shard assignment + exact on-disk byte arithmetic
+  * cross-engine (header + ceil(size/512) data blocks per entry +
+  * 1024 end padding).
+  *
+  * Scale shape: shard = salted-md5 bucket of the sample key mod
+  * `nShards` — deterministic and partitioning-independent, the same
+  * decision arithmetic as every sampler here. Rows repartition BY
+  * SHARD and sort within partitions, so each task streams its
+  * shards' entries through one open file at a time — no shard is
+  * ever collected to the driver, and memory per task is one entry's
+  * bytes. A shard is the unit of sequential I/O (size it by choosing
+  * nShards ≈ corpus_bytes / 500 MB, the WebDataset convention).
+  */
+object TarShards {
+
+  /** Deterministic shard id for a sample key (salted md5 bucket —
+    * [[Sample.hashBucket]]'s arithmetic, mirrored by the t84 oracle). */
+  def shardOf(id: Column, nShards: Int,
+      salt: String = "graft-shard"): Column =
+    Sample.hashBucket(id, salt) % nShards
+
+  /** One strict-ustar header block (512 bytes). `name` must fit the
+    * classic 100-byte field — training-sample keys do; no GNU
+    * long-name extensions are emitted. */
+  private[graft] def ustarHeader(name: String, size: Long,
+      mtime: Long): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"name too long: $name")
+    require(size >= 0 && mtime >= 0)
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    def octal(off: Int, width: Int, v: Long): Unit =
+      // width-1 digits; the field's last byte stays the array's NUL
+      put(off, ("%0" + (width - 1) + "o").format(v))
+    put(0, name)
+    octal(100, 8, 420) // mode 0644
+    octal(108, 8, 0) // uid
+    octal(116, 8, 0) // gid
+    octal(124, 12, size)
+    octal(136, 12, mtime)
+    put(148, "        ") // checksum field counts as spaces
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar") // POSIX magic "ustar" NUL (h(262) stays 0)...
+    put(263, "00") // ...then version "00"
+    // uname/gname left empty (valid); no devmajor/devminor
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, "%06o".format(sum)) // 6 digits, NUL (stays 0), space
+    h(155) = ' '.toByte
+    h
+  }
+
+  /** Entry bytes: header + data padded to the 512 boundary. */
+  private def entryBytes(name: String, data: Array[Byte],
+      mtime: Long): Array[Byte] = {
+    val pad = (512 - data.length % 512) % 512
+    val out = new Array[Byte](512 + data.length + pad)
+    System.arraycopy(ustarHeader(name, data.length.toLong, mtime), 0, out, 0, 512)
+    System.arraycopy(data, 0, out, 512, data.length)
+    out
+  }
+
+  /** The exact byte size [[write]] produces for a shard holding
+    * entries of the given data sizes — the arithmetic the t84 oracle
+    * rederives: 512-byte header + ceil(size/512) data blocks per
+    * entry, plus the two zero end blocks. */
+  def shardBytes(entrySizes: Seq[Long]): Long =
+    entrySizes.map(s => 512L + ((s + 511) / 512) * 512).sum + 1024L
+
+  /** Write `entries` — (name, payload) rows keyed by `idCol` for
+    * shard assignment — as `shard-NNNNN.tar` files under `dir`.
+    * Columns: idCol (numeric key), `name` (string, the in-archive
+    * file name), `data` (binary). Entries repartition by shard and
+    * sort by (shard, name) so every archive's content — and its
+    * bytes — is a pure function of the input set; `mtime` is pinned
+    * (default 0) for the same reason. Returns one row per shard:
+    * (shard, n_entries, n_bytes), computed from what was actually
+    * written. */
+  def write(entries: DataFrame, idCol: String, dir: String,
+      nShards: Int, salt: String = "graft-shard",
+      mtime: Long = 0L): DataFrame = {
+    require(nShards > 0)
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val withShard = entries
+      .withColumn("__shard", shardOf(col(idCol), nShards, salt).cast("int"))
+      .select(col("__shard"), col("name"), col("data"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("name"))
+    val stats = withShard
+      .as[(Int, String, Array[Byte])]
+      .mapPartitions { it =>
+        val written = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long)]
+        var cur = -1
+        var out: java.io.OutputStream = null
+        var n = 0L
+        var bytes = 0L
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end blocks
+          out.close()
+          written += ((cur, n, bytes + 1024L))
+          out = null
+        }
+        it.foreach { case (shard, name, data) =>
+          if (shard != cur) {
+            close()
+            cur = shard
+            n = 0L
+            bytes = 0L
+            val p = new org.apache.hadoop.fs.Path(
+              dir, f"shard-$shard%05d.tar")
+            out = p.getFileSystem(hconf.value).create(p, true)
+          }
+          val e = entryBytes(name, data, mtime)
+          out.write(e)
+          n += 1
+          bytes += e.length
+        }
+        close()
+        written.iterator
+      }
+      .toDF("shard", "n_entries", "n_bytes")
+    stats.persist()
+    stats.count() // force the writes before callers read the directory
+    stats
+  }
+}

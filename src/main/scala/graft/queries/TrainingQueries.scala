@@ -3431,6 +3431,124 @@ object TrainingQueries {
            |  CAST(SUM(pred * (i + 1)) AS BIGINT) AS sum_ki
            |FROM dec GROUP BY doc_id""".stripMargin
       }),
+
+    // Media-corpus curation composed end-to-end (the t19 pattern for
+    // media): REAL PNG codec → native dHash → signature near-dup
+    // dedup → per-SOURCE frequency cap, one operator call
+    // (Curate.curateMediaSignatures). Dedup runs FIRST — a mass-
+    // duplicated asset must not burn its source's budget on copies —
+    // then cap 1 per source bites the survivor set. The oracle
+    // composes the two proven chains: t73's brute-force hamming
+    // closure, then the t58 salted-bucket cap window over the
+    // survivors' sources.
+    QueryDef(
+      "t83_media_curation",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val d = spread(s, docs(s, dir))
+        val media = d.select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val gray = Array.tabulate(72) { j =>
+                if (j == 71) ((fam * 37 + 71 * 71 + mem * 97) % 251).toInt
+                else ((fam * 37 + j.toLong * j) % 251).toInt
+              }
+              mm.MediaRecord(id, "image", "image/png", 9, 8, 0L,
+                mm.grayPng(gray, 9, 8))
+            }
+          }
+        val sigs = mm.decodeImageGray(media).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("media_id").as("doc_id"), col("dhash"))
+        graft.operators.Curate.curateMediaSignatures(sigs, "doc_id",
+          "dhash", d.select(col("doc_id"), col("source")), "source",
+          cap = 1)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val g = "CASE WHEN j = 71 THEN (fam * 37 + 5041 + mem * 97) % 251 " +
+          "ELSE (fam * 37 + j * j) % 251 END"
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-cap|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH d AS (SELECT doc_id, source, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |pix AS (SELECT doc_id, j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j)),
+           |bits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.gv > p1.gv THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN pix p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN pix p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |ham AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT hi_id FROM ham WHERE h <= 3),
+           |surv AS (SELECT doc_id, source FROM d
+           |  WHERE doc_id NOT IN (SELECT hi_id FROM removed)),
+           |ranked AS (SELECT doc_id, source, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY $bucket % 1000000, doc_id) AS rn
+           |  FROM surv)
+           |SELECT doc_id, source FROM ranked WHERE rn <= 1"""
+          .stripMargin
+      }),
+
+    // WebDataset-style tar sharding under the oracle: every doc
+    // becomes two archive entries (<id>.txt payload + <id>.json
+    // metadata), shards assign by the salted-bucket arithmetic, and
+    // the operator reports (shard, n_entries, n_bytes) FROM THE BYTES
+    // IT WROTE. The oracle rederives the exact ustar layout — 512
+    // header + ceil(size/512) data blocks per entry + 1024 end
+    // padding — from the same text/json lengths, so hash-equality
+    // pins both the shard assignment and the on-disk byte format an
+    // external training loader will stream (TarShardsSpec proves GNU
+    // tar itself extracts the files byte-for-byte).
+    QueryDef(
+      "t84_webdataset_shards",
+      (s, dir) => {
+        val base = "/tmp/graft_gate_tar"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val sel = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")))
+        val entries = sel.select(col("doc_id"), explode(array(
+            struct(format_string("%08d.txt", col("doc_id")).as("name"),
+              col("text").cast("binary").as("data")),
+            struct(format_string("%08d.json", col("doc_id")).as("name"),
+              concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\""),
+                col("lang"), lit("\"}")).cast("binary").as("data"))))
+            .as("e"))
+          .select(col("doc_id"), col("e.name").as("name"),
+            col("e.data").as("data"))
+        graft.operators.TarShards.write(entries, "doc_id", base,
+          nShards = 4)
+          .select(col("shard"), col("n_entries"), col("n_bytes"))
+      },
+      Some {
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-shard|' || CAST(doc_id AS VARCHAR))", 8)
+        s"""WITH a AS (
+           |  SELECT doc_id, text, lang,
+           |    CAST(($bucket % 1000000) % 4 AS INT) AS shard
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)),
+           |e AS (SELECT shard,
+           |    512 + ((length(text) + 511) // 512) * 512 AS txt_b,
+           |    512 + ((length('{"id":' || CAST(doc_id AS VARCHAR)
+           |      || ',"lang":"' || lang || '"}') + 511) // 512) * 512
+           |      AS json_b
+           |  FROM a)
+           |SELECT shard, CAST(2 * COUNT(*) AS BIGINT) AS n_entries,
+           |  CAST(SUM(txt_b + json_b) + 1024 AS BIGINT) AS n_bytes
+           |FROM e GROUP BY shard""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

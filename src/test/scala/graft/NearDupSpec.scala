@@ -315,6 +315,19 @@ class NearDupSpec extends SparkSpec {
     assert(!got.contains(10L) && got.contains(11L) && !got.contains(12L))
   }
 
+  test("dedupBySignature: mass-duplicated signature collapses pre-banding") {
+    // 3000 identical signatures would form ~4.5M clique pairs per
+    // shared bucket if banded raw; the exact-class collapse reduces
+    // them to ONE banded rep, so the pathological corpus costs the
+    // same as a 2-signature one (the ScaleUp patho-block contract,
+    // signature flavor)
+    val sigs = ((0L until 3000L).map(i => (i, 0x1234L)) :+
+      ((9000L, 0x7777777777777777L))).toDF("doc_id", "sig")
+    val kept = NearDup.dedupBySignature(sigs, "doc_id", "sig")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 9000L))
+  }
+
   test("dedupBySignatureIncremental: generic signatures, same policy") {
     // raw 64-bit signatures (no text, no codec): the signature-
     // generic incremental core must apply the identical policy as
