@@ -84,6 +84,76 @@ object TarShards {
   def shardBytes(entrySizes: Seq[Long]): Long =
     entrySizes.map(s => 512L + ((s + 511) / 512) * 512).sum + 1024L
 
+  /** Read tar shards back into (shard, name, data) rows — the
+    * training-loader side of [[write]], and a reader for ANY
+    * ustar-conformant archive (GNU tar output included): whole shard
+    * files load through Spark's binaryFile source (a shard is the
+    * sequential-I/O unit, so whole-file is the right granularity),
+    * and each task walks the 512-byte headers — name, octal size,
+    * checksum VERIFIED (a flipped byte fails loudly rather than
+    * yielding garbage entries), data + padding skipped, stop at the
+    * zero end block. Non-regular-file entries (directories, links,
+    * PAX headers) are skipped, not errors. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt).getOrElse(-1)
+        parseUstar(bytes, path).map { case (name, data) =>
+          (shard, name, data)
+        }
+      }
+      .toDF("shard", "name", "data")
+  }
+
+  /** Walk one ustar archive; returns (name, data) for regular-file
+    * entries. Package-visible for specs. */
+  private[graft] def parseUstar(bytes: Array[Byte],
+      label: String): Iterator[(String, Array[Byte])] = {
+    val out = Iterator.unfold(0) { off =>
+      if (off + 512 > bytes.length) None
+      else if (bytes(off) == 0) None // zero end block
+      else {
+        def str(o: Int, len: Int): String = {
+          var end = o
+          while (end < o + len && bytes(end) != 0) end += 1
+          new String(bytes, o, end - o, "UTF-8")
+        }
+        def octal(o: Int, len: Int): Long = {
+          val s = str(o, len).trim
+          if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+        }
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toLong
+            else bytes(off + i) & 0xff)
+          i += 1
+        }
+        require(octal(off + 148, 8) == sum,
+          s"ustar checksum mismatch at offset $off in $label")
+        val name = str(off, 100)
+        val size = octal(off + 124, 12)
+        val typ = bytes(off + 156)
+        val dataEnd = off + 512 + size.toInt
+        require(dataEnd <= bytes.length,
+          s"truncated entry '$name' in $label")
+        val next = off + 512 + (((size + 511) / 512) * 512).toInt
+        val entry =
+          if (typ == '0' || typ == 0)
+            Some((name,
+              java.util.Arrays.copyOfRange(bytes, off + 512, dataEnd)))
+          else None // dirs/links/PAX metadata: skip
+        Some((entry, next))
+      }
+    }
+    out.flatten
+  }
+
   /** Write `entries` — (name, payload) rows keyed by `idCol` for
     * shard assignment — as `shard-NNNNN.tar` files under `dir`.
     * Columns: idCol (numeric key), `name` (string, the in-archive

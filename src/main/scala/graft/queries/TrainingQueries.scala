@@ -3549,6 +3549,51 @@ object TrainingQueries {
            |  CAST(SUM(txt_b + json_b) + 1024 AS BIGINT) AS n_bytes
            |FROM e GROUP BY shard""".stripMargin
       }),
+
+    // Tar-shard ROUND TRIP under the oracle (t84's reader half): the
+    // shards written by the t84 construction read back through the
+    // distributed ustar walker (checksums verified per entry), and
+    // the output is each document's recovered CONTENT — md5 of the
+    // .txt payload and of the .json metadata — which DuckDB rederives
+    // from the raw text. Hash-equality proves the loader side of the
+    // WebDataset contract: what a training worker streams out of the
+    // archive is byte-for-byte what went in.
+    QueryDef(
+      "t85_tar_roundtrip",
+      (s, dir) => {
+        val base = "/tmp/graft_gate_tar_rt"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val sel = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")))
+        val entries = sel.select(col("doc_id"), explode(array(
+            struct(format_string("%08d.txt", col("doc_id")).as("name"),
+              col("text").cast("binary").as("data")),
+            struct(format_string("%08d.json", col("doc_id")).as("name"),
+              concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\""),
+                col("lang"), lit("\"}")).cast("binary").as("data"))))
+            .as("e"))
+          .select(col("doc_id"), col("e.name").as("name"),
+            col("e.data").as("data"))
+        graft.operators.TarShards.write(entries, "doc_id", base,
+          nShards = 4)
+        val back = graft.operators.TarShards.read(s, base)
+          .withColumn("doc_id", substring(col("name"), 1, 8).cast("long"))
+          .withColumn("h", md5(col("data")))
+        back.filter(col("name").endsWith(".txt"))
+          .select(col("doc_id"), col("h").as("txt_md5"))
+          .join(back.filter(col("name").endsWith(".json"))
+            .select(col("doc_id"), col("h").as("json_md5")), Seq("doc_id"))
+      },
+      Some {
+        """SELECT doc_id, md5(text) AS txt_md5,
+          |  md5('{"id":' || CAST(doc_id AS VARCHAR)
+          |    || ',"lang":"' || lang || '"}') AS json_md5
+          |FROM documents
+          |WHERE octet_length(encode(text)) = length(text)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

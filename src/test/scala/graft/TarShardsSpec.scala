@@ -71,6 +71,49 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("read: distributed round trip, GNU-tar input, corruption fails loudly") {
+    val payloads = (1L to 6L).map(id => id -> s"payload-$id-${"x" * id.toInt * 100}").toMap
+    val entries = payloads.toSeq.map { case (id, t) =>
+      (id, f"$id%08d.txt", t.getBytes("UTF-8"))
+    }.toDF("doc_id", "name", "data")
+    val dir = tmpDir("tar-read")
+    TarShards.write(entries, "doc_id", dir, nShards = 2)
+
+    // our reader returns exactly what went in, with the shard id
+    val back = TarShards.read(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(back.length == 6)
+    back.foreach { case (shard, name, text) =>
+      val id = name.stripSuffix(".txt").toLong
+      assert(text == payloads(id))
+      assert(shard >= 0 && shard < 2)
+    }
+
+    // the reader accepts archives GNU TAR wrote, not just ours
+    val gdir = tmpDir("tar-gnu")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$gdir/a.txt"), "written by gnu tar")
+    run("tar", "--format=ustar", "-cf", s"$gdir/shard-00000.tar",
+      "-C", gdir, "a.txt")
+    val fromGnu = TarShards.read(spark, gdir).collect()
+    assert(fromGnu.length == 1 &&
+      new String(fromGnu.head.getAs[Array[Byte]]("data"), "UTF-8")
+        == "written by gnu tar")
+
+    // a flipped byte in a header fails the checksum loudly
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(0) = (bytes(0) ^ 0x01).toByte
+    val cdir = tmpDir("tar-corrupt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$cdir/shard-00000.tar"), bytes)
+    intercept[org.apache.spark.SparkException] {
+      TarShards.read(spark, cdir).collect()
+    }
+  }
+
   test("ustarHeader: checksum self-validates, fields octal") {
     val h = TarShards.ustarHeader("x.txt", 1234L, 0L)
     assert(h.length == 512)
