@@ -74,27 +74,35 @@ object Multimodal {
     * An image payload ImageIO cannot parse throws — corrupt media
     * should be quarantined upstream, not silently fingerprinted. */
   object ImageDecoder extends Decoder {
+    /** 8-bin normalized luminance histogram of a decoded image —
+      * shared by the image route and [[JdkDecoder]]'s video route
+      * (first-frame histogram). */
+    private[multimodal] def lumHistogram(
+        img: java.awt.image.BufferedImage): Array[Float] = {
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toFloat
+      hist.map(_ / n)
+    }
+
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       if (kind != "image") FakeDecoder.decode(kind, bytes)
       else {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable image payload (${bytes.length} bytes)")
-        val hist = new Array[Float](8)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            hist(lum >> 5) += 1f
-            x += 1
-          }
-          y += 1
-        }
-        val n = (img.getWidth.toLong * img.getHeight).toFloat
-        hist.map(_ / n)
+        lumHistogram(img)
       }
     }
   }
@@ -199,6 +207,9 @@ object Multimodal {
       while (o + 8 <= bytes.length) {
         val tag = new String(bytes, o, 4, "US-ASCII")
         val len = le32(o + 4)
+        // a corrupt/adversarial length (negative as Int, or big
+        // enough to wrap o) must not stall the walk — not our format
+        if (len < 0 || len > bytes.length) return false
         if (tag == "fmt ")
           return o + 10 <= bytes.length && le16(o + 8) == 0x11
         o += 8 + len + (len & 1)
@@ -218,13 +229,20 @@ object Multimodal {
       def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
       require(bytes.length >= 44, "truncated WAV payload")
       var fmtOff = -1
+      var fmtLen = 0
       var dataOff = -1
       var dataLen = 0
+      var factSamples = -1L
       var o = 12
       while (o + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
         val tag = new String(bytes, o, 4, "US-ASCII")
         val len = le32(o + 4)
-        if (tag == "fmt ") fmtOff = o + 8
+        require(len >= 0 && len <= bytes.length,
+          s"corrupt RIFF chunk length $len") // never stall the walk
+        if (tag == "fmt ") { fmtOff = o + 8; fmtLen = len }
+        // fact: the true total sample count — a partial final block's
+        // pad nibbles are NOT audio
+        else if (tag == "fact" && len >= 4) factSamples = le32(o + 8).toLong
         else if (tag == "data") { dataOff = o + 8; dataLen = len }
         o += 8 + len + (len & 1)
       }
@@ -235,6 +253,12 @@ object Multimodal {
       val rate = le32(fmtOff + 4)
       val blockAlign = le16(fmtOff + 12)
       require(blockAlign > 4, s"bad block align $blockAlign")
+      // fmt extension: wSamplesPerBlock bounds each block's true
+      // sample count (a standard encoder's last block is usually
+      // partial — its trailing pad nibbles must not decode)
+      val samplesPerBlock =
+        if (fmtLen >= 20) le16(fmtOff + 18) else 1 + (blockAlign - 4) * 2
+      require(samplesPerBlock >= 1, s"bad samples/block $samplesPerBlock")
       val out = Array.newBuilder[Float]
       var off = dataOff
       val end = math.min(dataOff + dataLen, bytes.length)
@@ -251,11 +275,21 @@ object Multimodal {
           nibs += (v >> 4)
           b += 1
         }
-        imaDecode(nibs.result(), pred0, idx0)
-          .foreach(k => out += (k / 32768.0).toFloat)
+        val decoded = imaDecode(nibs.result(), pred0, idx0)
+        var i = 0
+        val blockCap = samplesPerBlock - 1 // header sample already out
+        while (i < decoded.length && i < blockCap) {
+          out += (decoded(i) / 32768.0).toFloat
+          i += 1
+        }
         off += blockAlign
       }
-      (rate.toFloat, out.result())
+      val all = out.result()
+      val trimmed =
+        if (factSamples >= 0 && factSamples < all.length)
+          all.take(factSamples.toInt)
+        else all
+      (rate.toFloat, trimmed)
     }
 
     /** The container/codec half alone: parse a WAV/AIFF/AU payload and
@@ -474,30 +508,36 @@ object Multimodal {
     * values bit-for-bit and downstream hash math
     * ([[graft.functions.ImageOps.dHash]]) stays in native Column
     * expressions an external engine can replay. */
+  /** Decode + BT.601 integer luminance, shared by [[decodeImageGray]]
+    * and [[decodeFrameGray]] — ONE copy of the conversion, so the
+    * "same dHash as still images" equivalence the t80 gate rests on
+    * cannot silently diverge. */
+  private def grayPixelsOf(id: Long, bytes: Array[Byte],
+      label: String): ImagePixels = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable $label payload (media $id)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y * w + x) =
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    ImagePixels(id, w, h, gray)
+  }
+
   def decodeImageGray(media: Dataset[MediaRecord]): Dataset[ImagePixels] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { it =>
-      it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.data))
-        require(img != null,
-          s"undecodable image payload (media ${r.media_id})")
-        val (w, h) = (img.getWidth, img.getHeight)
-        val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            gray(y * w + x) =
-              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-            x += 1
-          }
-          y += 1
-        }
-        ImagePixels(r.media_id, w, h, gray)
-      }
+      it.map(r => grayPixelsOf(r.media_id, r.data, "image"))
     }
   }
 
@@ -573,17 +613,40 @@ object Multimodal {
     * the JDK genuinely lacks. The default decoder a production
     * pipeline in this container should use. */
   object JdkDecoder extends Decoder {
+    /** First displayable frame of a video container, decoded —
+      * WITHOUT materializing the rest: a GIF payload (6-byte magic
+      * checked first) reads only image index 0; MJPEG walks to the
+      * first intact frame and stops. None = neither codec parses it. */
+    private def firstVideoImage(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val isGif = bytes.length >= 4 &&
+        new String(bytes, 0, 4, "US-ASCII") == "GIF8"
+      if (isGif) {
+        import javax.imageio.ImageIO
+        val it = ImageIO.getImageReadersByFormatName("gif")
+        if (!it.hasNext) return None
+        val reader = it.next()
+        try {
+          reader.setInput(ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          Some(reader.read(0))
+        } catch { case _: java.io.IOException => None }
+        finally reader.dispose()
+      } else
+        MjpegCodec.firstFrame(bytes).flatMap(f =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(f))))
+    }
+
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
       kind match {
         case "image" => ImageDecoder.decode(kind, bytes)
         case "audio" => AudioDecoder.decode(kind, bytes)
         case "video" =>
-          val frames = MjpegCodec.frames(bytes) match {
-            case fs if fs.nonEmpty => fs
-            case _ => GifCodec.frames(bytes)
+          firstVideoImage(bytes) match {
+            case Some(img) => ImageDecoder.lumHistogram(img)
+            case None => FakeDecoder.decode(kind, bytes)
           }
-          if (frames.isEmpty) FakeDecoder.decode(kind, bytes)
-          else ImageDecoder.decode("image", frames.head)
         case _ => FakeDecoder.decode(kind, bytes)
       }
   }
@@ -718,6 +781,23 @@ object Multimodal {
         } else i += 1
       }
       out.result()
+    }
+
+    /** First intact frame only — stops scanning at the first
+      * successful segment walk instead of materializing the whole
+      * stream (the representative-frame fast path). */
+    def firstFrame(bytes: Array[Byte]): Option[Array[Byte]] = {
+      val n = bytes.length
+      def b(i: Int): Int = bytes(i) & 0xff
+      var i = 0
+      while (i < n - 1) {
+        if (b(i) == 0xff && b(i + 1) == 0xd8) {
+          val r = walkFrame(bytes, i)
+          if (r >= 0) return Some(java.util.Arrays.copyOfRange(bytes, i, r))
+          i = math.max(i + 2, -r - 1)
+        } else i += 1
+      }
+      None
     }
 
     /** End offset (exclusive) of the frame whose SOI is at `start`;
@@ -950,27 +1030,7 @@ object Multimodal {
   def decodeFrameGray(frames: Dataset[FrameRecord]): Dataset[ImagePixels] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions { it =>
-      it.map { f =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(f.frame))
-        require(img != null,
-          s"undecodable frame payload (media ${f.media_id} idx ${f.frame_idx})")
-        val (w, h) = (img.getWidth, img.getHeight)
-        val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            gray(y * w + x) =
-              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-            x += 1
-          }
-          y += 1
-        }
-        ImagePixels(f.media_id, w, h, gray)
-      }
+      it.map(f => grayPixelsOf(f.media_id, f.frame, s"frame ${f.frame_idx}"))
     }
   }
 

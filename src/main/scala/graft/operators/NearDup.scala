@@ -617,6 +617,15 @@ object NearDup {
     val touchedEx = existingBands.join(
       inBands.select(keys.map(col): _*).distinct(), keys, "left_semi")
     side(inBands, "in_id").join(side(touchedEx, "ex_id"), keys)
+      // a document is never a duplicate of ITSELF: after a crash
+      // between the band-index write and the corpus append, a
+      // replayed batch sees its own survivors' GHOST band rows on the
+      // existing side — a hamming-0 self-match here would silently
+      // drop those survivors forever (bands rewritten empty, corpus
+      // never appended). In the normal path the corpus anti-join
+      // makes same-id pairs impossible, so this filter only ever
+      // removes ghosts.
+      .filter(col("in_id") =!= col("ex_id"))
       .select(col("in_id"), col("ex_id"),
         col("__p_in_id"), col("__p_ex_id")).distinct()
   }

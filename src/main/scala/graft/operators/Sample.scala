@@ -181,24 +181,6 @@ object Sample {
     hashSplit(df.join(comps, Seq(idCol)), "component", fractions, salt)
   }
 
-  /** Per-group frequency cap — "at most `cap` documents per domain",
-    * the standard curation guard against one crawler-friendly origin
-    * dominating a web-scale training mix. Which rows a group keeps is
-    * deterministic: rows rank by (salted md5 bucket of id, id) and
-    * survive iff rank ≤ cap, so re-running, repartitioning, or
-    * appending OTHER groups never changes a group's kept set, and an
-    * under-cap group keeps every row.
-    *
-    * Exact top-cap-per-key is window-shaped, but a single
-    * `row_number() OVER (PARTITION BY group)` forces a 100-TB hot
-    * domain through ONE task — window partitions never AQE-split.
-    * This runs the two-level refinement instead: rows first rank
-    * inside `lanes` hash lanes per group (shuffle key (group, lane) —
-    * a hot group spreads across `lanes` tasks). A row's lane-local
-    * rank is ≤ its group-global rank, so dropping lane rank > cap
-    * keeps a superset of the answer; the survivors — at most
-    * lanes·cap rows per group, whatever the group's size — then take
-    * the exact global rank in a bounded second window. */
   /** Cluster-balanced (diversity) sampling — "at most `cap` examples
     * per embedding cluster": nearest-centroid assignment against the
     * broadcast `centroids` asset ([[Ann.ivfAssign]] — train them once
@@ -221,6 +203,25 @@ object Sample {
         centIdCol, centVecCol),
       "cell", idCol, cap, salt)
 
+
+  /** Per-group frequency cap — "at most `cap` documents per domain",
+    * the standard curation guard against one crawler-friendly origin
+    * dominating a web-scale training mix. Which rows a group keeps is
+    * deterministic: rows rank by (salted md5 bucket of id, id) and
+    * survive iff rank ≤ cap, so re-running, repartitioning, or
+    * appending OTHER groups never changes a group's kept set, and an
+    * under-cap group keeps every row.
+    *
+    * Exact top-cap-per-key is window-shaped, but a single
+    * `row_number() OVER (PARTITION BY group)` forces a 100-TB hot
+    * domain through ONE task — window partitions never AQE-split.
+    * This runs the two-level refinement instead: rows first rank
+    * inside `lanes` hash lanes per group (shuffle key (group, lane) —
+    * a hot group spreads across `lanes` tasks). A row's lane-local
+    * rank is ≤ its group-global rank, so dropping lane rank > cap
+    * keeps a superset of the answer; the survivors — at most
+    * lanes·cap rows per group, whatever the group's size — then take
+    * the exact global rank in a bounded second window. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       cap: Int, salt: String = "graft-cap", lanes: Int = 16): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")

@@ -176,19 +176,36 @@ object TarShards {
       .select(col("__shard"), col("name"), col("data"))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("name"))
-    val stats = withShard
+    // write-to-temp + rename commit: a speculative or zombie task
+    // attempt racing a retry must never interleave bytes into the
+    // final shard file. Attempts write an attempt-scoped .tmp and
+    // rename on completion — both attempts produce IDENTICAL bytes
+    // (the input sort makes shard content deterministic), so
+    // whichever rename lands last leaves a complete, correct file.
+    val written = withShard
       .as[(Int, String, Array[Byte])]
       .mapPartitions { it =>
-        val written = scala.collection.mutable.ArrayBuffer
+        val ctx = org.apache.spark.TaskContext.get()
+        val attempt =
+          if (ctx == null) "local" else ctx.taskAttemptId().toString
+        val done = scala.collection.mutable.ArrayBuffer
           .empty[(Int, Long, Long)]
         var cur = -1
         var out: java.io.OutputStream = null
         var n = 0L
         var bytes = 0L
+        def finalPath(shard: Int) =
+          new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
+        def tmpPath(shard: Int) = new org.apache.hadoop.fs.Path(
+          dir, f"shard-$shard%05d.tar.$attempt.tmp")
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close()
-          written += ((cur, n, bytes + 1024L))
+          val fs = finalPath(cur).getFileSystem(hconf.value)
+          fs.delete(finalPath(cur), false)
+          require(fs.rename(tmpPath(cur), finalPath(cur)),
+            s"commit rename failed for shard $cur")
+          done += ((cur, n, bytes + 1024L))
           out = null
         }
         it.foreach { case (shard, name, data) =>
@@ -197,8 +214,7 @@ object TarShards {
             cur = shard
             n = 0L
             bytes = 0L
-            val p = new org.apache.hadoop.fs.Path(
-              dir, f"shard-$shard%05d.tar")
+            val p = tmpPath(shard)
             out = p.getFileSystem(hconf.value).create(p, true)
           }
           val e = entryBytes(name, data, mtime)
@@ -207,11 +223,10 @@ object TarShards {
           bytes += e.length
         }
         close()
-        written.iterator
+        done.iterator
       }
+      .collect() // bounded: one row per shard
+    spark.createDataset(written.toSeq)
       .toDF("shard", "n_entries", "n_bytes")
-    stats.persist()
-    stats.count() // force the writes before callers read the directory
-    stats
   }
 }

@@ -3579,7 +3579,10 @@ object TrainingQueries {
         graft.operators.TarShards.write(entries, "doc_id", base,
           nShards = 4)
         val back = graft.operators.TarShards.read(s, base)
-          .withColumn("doc_id", substring(col("name"), 1, 8).cast("long"))
+          // %08d pads but never truncates — parse up to the extension
+          // so 9+-digit ids (ScaleUp's replica ranges) stay distinct
+          .withColumn("doc_id",
+            substring_index(col("name"), ".", 1).cast("long"))
           .withColumn("h", md5(col("data")))
         back.filter(col("name").endsWith(".txt"))
           .select(col("doc_id"), col("h").as("txt_md5"))

@@ -358,13 +358,20 @@ class NearDupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(inc == batch)
 
-    // idempotence: survivors re-fed against their own appended index
-    // with an empty delta change nothing; re-fed as the delta they
-    // all drop (hamming 0 vs themselves in the index)
+    // ghost-band healing (the r7 review fix): survivors re-fed
+    // against an index that already holds THEIR OWN band rows — the
+    // crash-between-band-write-and-corpus-append replay shape — ride
+    // through unchanged; a doc is never a duplicate of itself. (The
+    // streaming caller's corpus anti-join is what prevents actual
+    // re-insertion.) A true near-dup of a DIFFERENT indexed id still
+    // drops.
     val survivors = incoming.filter(col("doc_id").isin(got: _*))
     val appended = exBands.unionByName(
       NearDup.signatureBands(survivors, "doc_id", "sig"))
     assert(NearDup.dedupBySignatureIncremental(survivors, "doc_id",
+      "sig", appended).count() == survivors.count())
+    val nearOf11 = Seq((99L, 0x7777777777777776L)).toDF("doc_id", "sig")
+    assert(NearDup.dedupBySignatureIncremental(nearOf11, "doc_id",
       "sig", appended).count() == 0)
   }
 

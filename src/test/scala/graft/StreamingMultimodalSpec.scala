@@ -156,6 +156,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bandIds.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("signatureDedupStream: bands-written-corpus-lost replay heals, never drops") {
+    import graft.operators.NearDup
+    // the r7 review finding: after a crash BETWEEN the band-index
+    // write and the corpus append, the replayed batch sees its own
+    // survivors' ghost band rows on the existing side; a hamming-0
+    // self-match would drop them forever. The in_id =!= ex_id guard
+    // makes the replay reconstruct instead.
+    val root = tmpDir("stream-sig-crash")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val sigs = Seq((1L, 0x00000000000000FFL), (2L, 0x0F0F0F0F0F0F0F0FL))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      sigs.map { case (id, sg) => s"""{"id": $id, "sig": $sg}""" }
+        .mkString("\n").getBytes)
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val sigExpr = "CAST(get_json_object(raw_data, '$.sig') AS LONG)"
+
+    // simulate the crash point: bands for the would-be survivors are
+    // already on disk, the corpus append never happened
+    NearDup.signatureBands(sigs.toDF("doc_id", "sig"), "doc_id", "sig")
+      .write.mode("overwrite").parquet(s"$root/bands/batch=0")
+    // fresh checkpoint replays the files as a new batch
+    Incremental.signatureDedupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, sigExpr)
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L),
+      s"replay must land the survivors, got $corpus")
+  }
+
   test("multimodal: scene changes + video near-dup via frame dHash") {
     import Multimodal._
     // scene cuts: 4 solid frames, one big jump at frame 2
