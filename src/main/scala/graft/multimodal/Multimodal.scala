@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * typed samples by `decodeAudioSamples`). VIDEO is real for
   * Motion-JPEG (raw streams and MJPEG-in-AVI — `MjpegCodec` splits
   * the container on JPEG segment structure) AND for animated GIF
-  * (`GifCodec` via javax.imageio, lossless): both feed
+  * (`GifCodec` via javax.imageio, lossless — with genuine
+  * INTER-FRAME decoding: sub-rectangle delta frames composite onto
+  * the logical screen with disposal semantics): both feed
   * `sampleFramesDecoded`/`frameStats` through the same javax.imageio
   * path — gated bit-exact by t63/t75. What remains STUBBED, declared,
   * are the codecs the JDK genuinely lacks: inter-frame video
@@ -837,20 +839,79 @@ object Multimodal {
     }
   }
 
+  /** [[gifAnimated]]'s inter-frame sibling: frames as (gray, w, h,
+    * left, top) SUB-RECTANGLES of the logical screen — the writer
+    * sets each frame's ImageDescriptor offsets, producing the
+    * delta-frame GIFs real encoders emit (only the changed rectangle
+    * stored). The synthesis half that makes [[GifCodec]]'s
+    * COMPOSITING path testable with known pixels; the first frame
+    * should cover the full screen (it seeds the writer's logical
+    * screen descriptor). */
+  def gifAnimatedAt(frames: Seq[(Array[Int], Int, Int, Int, Int)]): Array[Byte] = {
+    require(frames.nonEmpty)
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val bo = new java.io.ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bo)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach { case (g, fw, fh, left, top) =>
+        val img = grayImage(g, fw, fh)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val meta = w.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), null)
+        val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val kids = tree.getChildNodes
+        var desc: IIOMetadataNode = null
+        var i = 0
+        while (i < kids.getLength) {
+          kids.item(i) match {
+            case n: IIOMetadataNode if n.getNodeName == "ImageDescriptor" =>
+              desc = n
+            case _ => ()
+          }
+          i += 1
+        }
+        if (desc == null) {
+          desc = new IIOMetadataNode("ImageDescriptor")
+          tree.appendChild(desc)
+        }
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", fw.toString)
+        desc.setAttribute("imageHeight", fh.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, tree)
+        w.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      w.endWriteSequence()
+    } finally {
+      w.dispose()
+      ios.close()
+    }
+    bo.toByteArray
+  }
+
   /** REAL animated-GIF codec (the second real [[VideoCodec]], next to
-    * [[MjpegCodec]]): javax.imageio's GIF reader walks the GIF89a
-    * image blocks; each stored frame re-encodes as a LOSSLESS PNG
-    * payload so downstream consumers ([[frameStats]], dHash) decode it
-    * through the same javax.imageio path as every other still image.
-    * Contract note: frames are returned AS STORED — GIF's inter-frame
-    * optimizations (sub-rectangle frames, disposal-method compositing,
-    * frame-local transparency against a previous frame) are NOT
-    * composited; full-frame GIFs (what [[gifAnimated]] writes, and
-    * what a frame-sampling training pipeline feeds) round-trip
-    * pixel-exact. An unparseable payload yields no frames, matching
-    * [[MjpegCodec]]'s corrupt-container behavior. */
+    * [[MjpegCodec]]) — and a genuine INTER-FRAME decoder: GIF89a
+    * frames may be sub-rectangles painted onto the previous state of
+    * the logical screen (with per-frame disposal semantics), so each
+    * emitted frame here is the COMPOSITED full canvas — stored raster
+    * drawn at its (left, top) offset, transparency respected, then
+    * the frame's disposal applied for the next one
+    * (`restoreToBackgroundColor` clears the frame's rectangle,
+    * `restoreToPrevious` reverts the canvas). Every frame re-encodes
+    * as a LOSSLESS PNG payload so downstream consumers
+    * ([[frameStats]], dHash) decode through the same javax.imageio
+    * path as every other still image; full-frame GIFs (what
+    * [[gifAnimated]] writes) compose to exactly their stored pixels.
+    * An unparseable payload yields no frames and a torn tail loses
+    * that frame, matching [[MjpegCodec]]'s corrupt-container policy. */
   object GifCodec extends VideoCodec {
     override def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      import java.awt.image.BufferedImage
       import javax.imageio.ImageIO
       val it = ImageIO.getImageReadersByFormatName("gif")
       if (!it.hasNext) return IndexedSeq.empty
@@ -861,11 +922,64 @@ object Multimodal {
         val n =
           try reader.getNumImages(true)
           catch { case _: java.io.IOException => 0 }
+        if (n == 0) return IndexedSeq.empty
+        // logical screen from stream metadata; fall back to frame 0
+        val (lsW, lsH) =
+          try {
+            val tree = reader.getStreamMetadata.getAsTree(
+              "javax_imageio_gif_stream_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+            if (lsd.getLength > 0) {
+              val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+              (e.getAttribute("logicalScreenWidth").toInt,
+                e.getAttribute("logicalScreenHeight").toInt)
+            } else (reader.getWidth(0), reader.getHeight(0))
+          } catch { case _: Exception =>
+            (reader.getWidth(0), reader.getHeight(0)) }
+        var canvas = new BufferedImage(lsW, lsH, BufferedImage.TYPE_INT_ARGB)
         (0 until n).flatMap { i =>
           try {
             val img = reader.read(i)
+            // per-frame placement + disposal from image metadata
+            var (left, top, disposal) = (0, 0, "none")
+            try {
+              val t = reader.getImageMetadata(i).getAsTree(
+                "javax_imageio_gif_image_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              val d = t.getElementsByTagName("ImageDescriptor")
+              if (d.getLength > 0) {
+                val e = d.item(0).asInstanceOf[org.w3c.dom.Element]
+                left = e.getAttribute("imageLeftPosition").toInt
+                top = e.getAttribute("imageTopPosition").toInt
+              }
+              val g = t.getElementsByTagName("GraphicControlExtension")
+              if (g.getLength > 0)
+                disposal = g.item(0).asInstanceOf[org.w3c.dom.Element]
+                  .getAttribute("disposalMethod")
+            } catch { case _: Exception => () }
+            val before =
+              if (disposal == "restoreToPrevious") {
+                val c = new BufferedImage(lsW, lsH,
+                  BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics()
+                try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+                Some(c)
+              } else None
+            val g = canvas.createGraphics()
+            try g.drawImage(img, left, top, null) finally g.dispose()
             val baos = new java.io.ByteArrayOutputStream()
-            ImageIO.write(img, "png", baos)
+            ImageIO.write(canvas, "png", baos)
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                try {
+                  g2.setComposite(java.awt.AlphaComposite.Clear)
+                  g2.fillRect(left, top, img.getWidth, img.getHeight)
+                } finally g2.dispose()
+              case "restoreToPrevious" => before.foreach(canvas = _)
+              case _ => () // none / doNotDispose: leave the canvas
+            }
             Some(baos.toByteArray)
           } catch {
             // torn tail block: lose that frame, keep the stream —

@@ -1,0 +1,122 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.TarShards
+
+import scala.util.Try
+
+/** Adversarial-input robustness for every hand-written binary parser:
+  * random bytes, truncations, and bit-flips of VALID payloads must
+  * terminate promptly and either parse or fail with an exception —
+  * never hang (the r7 review found a corrupt RIFF length could spin
+  * the chunk walk forever) and never return corrupt successes that
+  * violate the parser's own contract. Seeded, so a failure replays. */
+class CodecFuzzSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(0xf02dL)
+
+  private def randomBytes(n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    rnd.nextBytes(a)
+    a
+  }
+
+  private def mutate(valid: Array[Byte]): Array[Byte] =
+    rnd.nextInt(3) match {
+      case 0 => // truncate
+        java.util.Arrays.copyOfRange(valid, 0,
+          rnd.nextInt(valid.length + 1))
+      case 1 => // single bit flip
+        val c = valid.clone()
+        val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        c
+      case _ => // splice garbage into the middle
+        val cut = rnd.nextInt(valid.length)
+        valid.take(cut) ++ randomBytes(16) ++ valid.drop(cut)
+    }
+
+  // valid seeds, one per parser family
+  private def validWav = Multimodal.wavPcm16(
+    Array.tabulate(64)(i => (i * 100).toShort), 8000)
+  private def validUlaw = Multimodal.wavG711(
+    Array.tabulate(64)(_.toByte), 8000)
+  private def validAdpcm = Multimodal.wavImaAdpcm(
+    Array.tabulate(64)(_ % 16), 8000)
+  private def validGif = Multimodal.gifAnimated(
+    Seq(Array.fill(64)(77), Array.fill(64)(200)), 8, 8)
+  private def validAvi = Multimodal.aviMjpeg(
+    Seq(Multimodal.solidJpeg(50, 8, 8), Multimodal.solidJpeg(90, 8, 8)),
+    8, 8)
+  private def validTar: Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    // a one-entry archive via the public write path is overkill here;
+    // hand-roll header + data + end blocks
+    val data = "fuzz payload".getBytes("UTF-8")
+    bo.write(TarShards.ustarHeader("f.txt", data.length.toLong, 0L))
+    bo.write(data)
+    bo.write(new Array[Byte](512 - data.length % 512))
+    bo.write(new Array[Byte](1024))
+    bo.toByteArray
+  }
+
+  test("binary parsers terminate on random and mutated inputs") {
+    val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+      "MjpegCodec.frames" -> (b => Multimodal.MjpegCodec.frames(b)),
+      "MjpegCodec.firstFrame" -> (b => Multimodal.MjpegCodec.firstFrame(b)),
+      "GifCodec.frames" -> (b => Multimodal.GifCodec.frames(b)),
+      "AudioDecoder.pcmSamples" ->
+        (b => Multimodal.AudioDecoder.pcmSamples(b)),
+      "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
+    val seeds: Seq[() => Array[Byte]] = Seq(
+      () => validWav, () => validUlaw, () => validAdpcm,
+      () => validGif, () => validAvi, () => validTar)
+    var ran = 0
+    for (_ <- 0 until 60) {
+      val payload =
+        if (rnd.nextBoolean()) randomBytes(rnd.nextInt(1500))
+        else mutate(seeds(rnd.nextInt(seeds.length))())
+      for ((_, p) <- parsers) {
+        // exceptions are fine (corrupt media quarantines upstream);
+        // returning at all is the property under test — a hang fails
+        // the suite by timeout
+        Try(p(payload))
+        ran += 1
+      }
+    }
+    assert(ran == 60 * parsers.size)
+  }
+
+  test("mutated-but-valid structures keep parser contracts") {
+    // the specific r7 regression: a RIFF chunk length of 0xFFFFFFF8
+    // (le32 = -8) must fail, not spin
+    val evil = validUlaw.clone()
+    // fmt chunk length field sits at offset 16 in a canonical WAV
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(Try(Multimodal.AudioDecoder.pcmSamples(evil)).isFailure)
+
+    val evilAdpcm = validAdpcm.clone()
+    evilAdpcm(16) = 0xf8.toByte; evilAdpcm(17) = 0xff.toByte
+    evilAdpcm(18) = 0xff.toByte; evilAdpcm(19) = 0xff.toByte
+    assert(Try(Multimodal.AudioDecoder.pcmSamples(evilAdpcm)).isFailure)
+
+    // ustar: a flipped size field either still parses (checksum was
+    // not covered) or fails — but must never read past the buffer
+    val t = validTar.clone()
+    t(124) = '7'
+    Try(TarShards.parseUstar(t, "evil").toList)
+
+    // GIF: every successful frame from a mutated payload must still
+    // be a decodable PNG (the codec's contract is DECODABLE frames)
+    for (_ <- 0 until 10) {
+      val frames = Try(Multimodal.GifCodec.frames(mutate(validGif)))
+        .getOrElse(IndexedSeq.empty)
+      frames.foreach { png =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        assert(img != null, "GifCodec returned an undecodable frame")
+      }
+    }
+  }
+}

@@ -919,6 +919,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(row.n_samples == 41 && row.samples.toSeq == expected)
   }
 
+  test("multimodal: GIF inter-frame compositing (sub-rectangle deltas)") {
+    import Multimodal._
+    // delta-frame GIF the way real encoders emit them: frame 0 is the
+    // full 16x16 screen (gray 100), frame 1 stores ONLY a 4x4 patch
+    // (gray 200) at (8,8) -- the composited second frame must be the
+    // first with the patch painted in, not the bare 4x4 raster
+    val full = Array.fill(16 * 16)(100)
+    val patch = Array.fill(4 * 4)(200)
+    val gif = gifAnimatedAt(Seq(
+      (full, 16, 16, 0, 0), (patch, 4, 4, 8, 8)))
+    val fs = GifCodec.frames(gif)
+    assert(fs.size == 2)
+    def gray(png: Array[Byte]): Array[Array[Int]] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 16,
+        s"composited frame must be full-screen, got ${img.getWidth}x${img.getHeight}")
+      Array.tabulate(16, 16)((y, x) => img.getRGB(x, y) & 0xff)
+    }
+    val f0 = gray(fs(0))
+    assert(f0.flatten.forall(_ == 100))
+    val f1 = gray(fs(1))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (y >= 8 && y < 12 && x >= 8 && x < 12) 200 else 100
+      assert(f1(y)(x) == want, s"composited pixel ($x,$y)")
+    }
+
+    // the composed distributed path sees the composited luminance:
+    // frame 1 mean = (240*100 + 16*200)/256 = 106.25
+    val media = Seq(MediaRecord(51L, "video", "image/gif", 16, 16, 200L,
+      gif)).toDS()
+    val stats = frameStats(sampleFramesDecoded(media, 100L,
+      codec = GifCodec)).collect().sortBy(_.frame_idx)
+    assert(stats.map(_.mean_lum).toSeq == Seq(100.0, 106.25))
+  }
+
   test("multimodal: audio fingerprint bits + signature dedup collapse") {
     import Multimodal._
     // 130 samples = 65 windows of exactly 2; window w holds value
