@@ -309,8 +309,10 @@ object Multimodal {
       * the result normalizes as k/32768 like 16-bit PCM. */
     def pcmSamples(bytes: Array[Byte]): (Float, Array[Float]) = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
-      // IMA ADPCM (WAV format tag 0x11) routes to our own RIFF walk
-      // FIRST — the JDK's WaveFileReader genuinely rejects the tag
+      // FLAC and IMA ADPCM (WAV format tag 0x11) route to our own
+      // codecs FIRST — the JDK genuinely supports neither (both
+      // rejections spec-asserted)
+      if (Flac.isFlac(bytes)) return Flac.decode(bytes)
       if (isImaAdpcmWav(bytes)) return imaAdpcmSamples(bytes)
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -3597,6 +3597,74 @@ object TrainingQueries {
           |WHERE octet_length(encode(text)) = length(text)"""
           .stripMargin
       }),
+
+    // THIRD compressed-audio codec, and the first with a genuinely
+    // entropy-coded bitstream (t74's G.711 is a table lookup, t82's
+    // ADPCM a fixed-step recursion): docs become FLAC streams —
+    // sample i = ord(char_i)·419 − 26000 — written by Flac.encode
+    // (fixed predictors with per-block order selection + Rice
+    // parameter search) and decoded by the REAL Flac.decode, which
+    // verifies header CRC-8, frame CRC-16, and the STREAMINFO MD5 of
+    // the decoded stream en route. FLAC is LOSSLESS, so the decoded
+    // samples ARE the construction arithmetic (exact k/32768 binary
+    // fractions) and the same windowed RMS/ZCR as t64/t74/t82 pins
+    // the whole encode→container→decode chain cross-engine.
+    QueryDef(
+      "t86_flac_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Flac, Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              // blockSize 32 makes every doc multi-frame: frame
+              // numbers, sync scan, and per-frame CRCs all exercised
+              val samples = Array.tabulate(bytes.length)(i =>
+                ((bytes(i) & 0xff) * 419 - 26000).toShort)
+              mm.MediaRecord(id, "audio", "audio/flac", 0, 0,
+                bytes.length * 1000L / 8000L,
+                Flac.encode(samples, 8000, blockSize = 32))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            explode(graft.functions.AudioOps.windowFeatures("samples", 4))
+              .as("f"))
+          .select(col("doc_id"), col("f.window").as("window"),
+            col("f.n").as("n"), col("f.rms").as("rms"),
+            col("f.zcr").as("zcr"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 2),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |k AS (SELECT doc_id, i,
+           |    CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) * 419
+           |      - 26000 AS BIGINT) AS kv,
+           |    CAST(i * 4 // n AS INT) AS w
+           |  FROM sm),
+           |p AS (SELECT doc_id, w, kv,
+           |    lag(kv) OVER (PARTITION BY doc_id ORDER BY i) AS pk,
+           |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+           |  FROM k),
+           |agg AS (SELECT doc_id, w, COUNT(*) AS n_w,
+           |    CAST(SUM(kv * kv) AS BIGINT) AS k2,
+           |    CAST(COALESCE(SUM(CASE WHEN pw = w AND pk * kv < 0
+           |      THEN 1 ELSE 0 END), 0) AS INT) AS zcr
+           |  FROM p GROUP BY doc_id, w)
+           |SELECT doc_id, w AS window, CAST(n_w AS INT) AS n,
+           |  sqrt(CAST(k2 AS DOUBLE) / 1073741824.0 / CAST(n_w AS DOUBLE))
+           |    AS rms,
+           |  zcr
+           |FROM agg""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -43,6 +43,8 @@ class CodecFuzzSpec extends SparkSpec {
     Array.tabulate(64)(_.toByte), 8000)
   private def validAdpcm = Multimodal.wavImaAdpcm(
     Array.tabulate(64)(_ % 16), 8000)
+  private def validFlac = graft.multimodal.Flac.encode(
+    Array.tabulate(64)(i => (i * 313 - 9000).toShort), 8000, blockSize = 16)
   private def validGif = Multimodal.gifAnimated(
     Seq(Array.fill(64)(77), Array.fill(64)(200)), 8, 8)
   private def validAvi = Multimodal.aviMjpeg(
@@ -67,10 +69,11 @@ class CodecFuzzSpec extends SparkSpec {
       "GifCodec.frames" -> (b => Multimodal.GifCodec.frames(b)),
       "AudioDecoder.pcmSamples" ->
         (b => Multimodal.AudioDecoder.pcmSamples(b)),
+      "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
-      () => validGif, () => validAvi, () => validTar)
+      () => validFlac, () => validGif, () => validAvi, () => validTar)
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =
@@ -106,6 +109,17 @@ class CodecFuzzSpec extends SparkSpec {
     val t = validTar.clone()
     t(124) = '7'
     Try(TarShards.parseUstar(t, "evil").toList)
+
+    // FLAC: the integrity triad (CRC-8/CRC-16/MD5) means a mutated
+    // stream either FAILS or decodes to exactly the original samples
+    // (only dead metadata bits can differ silently)
+    val flacOrig = graft.multimodal.Flac.decode(validFlac)._2.toSeq
+    for (_ <- 0 until 20) {
+      Try(graft.multimodal.Flac.decode(mutate(validFlac))).foreach {
+        case (_, out) => assert(out.toSeq == flacOrig,
+          "mutated FLAC decoded to different samples without an error")
+      }
+    }
 
     // GIF: every successful frame from a mutated payload must still
     // be a decodable PNG (the codec's contract is DECODABLE frames)
