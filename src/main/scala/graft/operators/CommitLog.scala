@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
 
 /** Minimal transactional commit log over plain parquet — the
   * Delta-shaped third [[TableFormat]] binding, with no jars beyond
@@ -297,6 +297,110 @@ object CommitLogTableFormat extends TableFormat {
             Seq(partitionCol), "left_anti"),
           allowMissingColumns = true)
     }
+  }
+
+  /** What [[optimize]] did: `filesBefore` data files totalling
+    * `bytesBefore` were rewritten as `filesAfter` files committed at
+    * `version`. The rewrite is layout-only — row content is
+    * bit-identical (the t87 gate hash-proves it cross-engine). */
+  final case class OptimizeStats(version: Long, filesBefore: Int,
+    filesAfter: Int, bytesBefore: Long)
+
+  /** Z-order curve value: each column range-scales to a `bits`-wide
+    * integer bucket — floor((x − min)·(2^bits−1)/(max − min)),
+    * clamped, nulls to 0 — and the bucket bits interleave (bit i of
+    * column j lands at position i·k + (k−1−j), so column 0 owns the
+    * most significant bit of every group). Pure builtin
+    * shift/and/add expressions: whole-stage codegen'd, and exactly
+    * replayable by an external engine (the t87 oracle rederives every
+    * z value in DuckDB, IEEE-identical scaling included).
+    *
+    * Equi-width scaling keeps the arithmetic externally replayable;
+    * heavily skewed dimensions would prefer quantile boundaries
+    * (range-bucket ids) at the cost of that replayability — at 100 TB
+    * pick per column, the interleave is unchanged. */
+  def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+      bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 1, "zValue needs at least one column")
+    require(k * bits <= 62, s"$k cols x $bits bits exceeds a signed long")
+    val maxBucket = (1L << bits) - 1
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val span = maxs(i) - mins(i)
+      val scaled =
+        if (span > 0)
+          least(lit(maxBucket), greatest(lit(0L),
+            floor((c.cast("double") - mins(i)) * maxBucket.toDouble / span)
+              .cast("long")))
+        else lit(0L)
+      coalesce(scaled, lit(0L))
+    }
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+      i * k + (k - 1 - j))
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite the CURRENT snapshot's layout — content unchanged — and
+    * commit it as the next version: the OPTIMIZE of this table
+    * format, and the operation that keeps a 100 TB table readable
+    * after months of incremental upserts have shredded it into
+    * millions of small files.
+    *
+    *  - Bin-pack: the new snapshot targets
+    *    ceil(liveBytes / targetFileBytes) files (even sizes via a
+    *    full shuffle — at real scale the shuffle is the price of
+    *    never paying per-file open latency again on every read).
+    *  - Optional Z-ORDER: rows sort by [[zValue]] over `zorderBy`,
+    *    range-partitioned on it (sampled boundaries, skew-robust), so
+    *    parquet row-group min/max stats become tight boxes on EVERY
+    *    listed dimension at once — a filter on any of them prunes
+    *    row groups AND whole files (OptimizeSpec measures the
+    *    per-file span collapse).
+    *
+    * Runs through the same optimistic commit loop as every mutator:
+    * a concurrent upsert that wins the race makes optimize recompute
+    * against the winner's snapshot (never lost-updates it), and time
+    * travel to pre-optimize versions keeps working until [[vacuum]]
+    * reclaims them — which is also how the rewrite's disk debt
+    * (old + new copies) is paid back. */
+  def optimize(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
+      zBits: Int = 16): OptimizeStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (f, root) = fs(spark, path)
+    var stats: OptimizeStats = null
+    commitWith(spark, path) {
+      case None => throw new SnapshotNotFoundException(
+        s"optimize: no committed table at $path")
+      case Some(df) =>
+        val base = currentVersion(f, root).get
+        val files = readManifest(f, root, base)
+        val bytes = files.map(rel =>
+          f.getFileStatus(new Path(root, rel)).getLen).sum
+        val nFiles =
+          math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        stats = OptimizeStats(base + 1, files.size, nFiles, bytes)
+        if (zorderBy.isEmpty) df.repartition(nFiles)
+        else {
+          // per-dimension bounds: one bounded-driver agg row
+          val aggs = zorderBy.flatMap(c => Seq(
+            min(col(c).cast("double")), max(col(c).cast("double"))))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val mins = zorderBy.indices.map(i =>
+            if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i))
+          val maxs = zorderBy.indices.map(i =>
+            if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1))
+          df.withColumn("_graft_z",
+              zValue(zorderBy.map(col), mins, maxs, zBits))
+            .repartitionByRange(nFiles, col("_graft_z"))
+            .sortWithinPartitions("_graft_z")
+            .drop("_graft_z")
+        }
+    }
+    stats
   }
 
   /** Delete manifests outside the retention window and the data files

@@ -3665,6 +3665,66 @@ object TrainingQueries {
            |  zcr
            |FROM agg""".stripMargin
       }),
+
+    // Table-format OPTIMIZE under the oracle: orders lands in the
+    // commit log as 8 files, optimize bin-packs and Z-ORDERS on
+    // (o_custkey, o_totalprice), and the output is every row read
+    // back from the REWRITTEN snapshot plus its z value computed by
+    // the same public zValue expression the rewrite sorted on.
+    // Hash-equality vs DuckDB proves (a) the rewrite is content-
+    // preserving — every orders row survives the round trip through
+    // write→optimize→read — and (b) the Morton arithmetic (equi-width
+    // scaling, clamp, bit interleave) is exactly the declared public
+    // formula, IEEE division included. Layout claims (file-count
+    // collapse, per-file span boxes) are measured in OptimizeSpec —
+    // they depend on parquet encoding sizes, which no data-only
+    // oracle can rederive.
+    QueryDef(
+      "t87_optimize_zorder",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_optimize"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val orders = Tables(s, dir, "orders")
+        clf.fullRefresh(s, orders.repartition(8), base)
+        clf.optimize(s, base, targetFileBytes = Long.MaxValue,
+          zorderBy = Seq("o_custkey", "o_totalprice"))
+        val back = clf.read(s, base).get
+        val b = back.agg(
+          min(col("o_custkey").cast("double")),
+          max(col("o_custkey").cast("double")),
+          min(col("o_totalprice").cast("double")),
+          max(col("o_totalprice").cast("double"))).head()
+        back.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          clf.zValue(Seq(col("o_custkey"), col("o_totalprice")),
+            Seq(b.getDouble(0), b.getDouble(2)),
+            Seq(b.getDouble(1), b.getDouble(3))).as("z"))
+      },
+      Some {
+        val terms = (0 until 16).flatMap(i => Seq(
+          s"(((ba >> $i) & 1) << ${2 * i + 1})",
+          s"(((bb >> $i) & 1) << ${2 * i})")).mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn1,
+           |    MAX(CAST(o_custkey AS DOUBLE)) AS mx1,
+           |    MIN(CAST(o_totalprice AS DOUBLE)) AS mn2,
+           |    MAX(CAST(o_totalprice AS DOUBLE)) AS mx2
+           |  FROM orders),
+           |s AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           |  LEAST(65535, GREATEST(0, CAST(floor(
+           |    (CAST(o.o_custkey AS DOUBLE) - b.mn1) * 65535.0
+           |      / (b.mx1 - b.mn1)) AS BIGINT))) AS ba,
+           |  LEAST(65535, GREATEST(0, CAST(floor(
+           |    (CAST(o.o_totalprice AS DOUBLE) - b.mn2) * 65535.0
+           |      / (b.mx2 - b.mn2)) AS BIGINT))) AS bb
+           |  FROM orders o, b)
+           |SELECT o_orderkey, o_custkey, o_totalprice,
+           |  CAST($terms AS BIGINT) AS z
+           |FROM s""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

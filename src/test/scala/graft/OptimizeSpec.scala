@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{CommitLogTableFormat => CL}
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE on the commit-log table format: bin-pack compaction,
+  * Z-order clustering quality (per-file span collapse on BOTH
+  * dimensions), content preservation, time travel across the rewrite,
+  * and vacuum reclaiming the pre-optimize layout. */
+class OptimizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((a >> i) & 1L) << (2 * i + 1)
+      z |= ((b >> i) & 1L) << (2 * i)
+    }
+    z
+  }
+
+  test("zValue: identity-scaled buckets interleave as Morton order") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L),
+      (3L, 0L), (0L, 3L))
+    val df = rows.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        CL.zValue(Seq(col("a"), col("b")), Seq(0d, 0d), Seq(3d, 3d),
+          bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) === mortonRef(a, b, 2),
+        s"z($a,$b) mismatch")
+    }
+  }
+
+  test("zValue: nulls and out-of-range clamp, degenerate span to 0") {
+    val df = Seq[(Option[Long], Long)]((Some(5L), 7L), (None, 7L))
+      .toDF("a", "b")
+    val z = df.select(
+      CL.zValue(Seq(col("a"), col("b")), Seq(0d, 7d), Seq(3d, 7d),
+        bits = 2).as("z")).collect().map(_.getLong(0)).toSeq
+    // a=5 clamps to bucket 3 -> bits at odd positions = 10|1... wait:
+    // morton(3,0)=0b1010=10; null a -> bucket 0 -> z 0. b's span is 0
+    // so its bucket is always 0.
+    assert(z.toSet === Set(mortonRef(3L, 0L, 2), 0L))
+  }
+
+  test("compaction: many small files collapse to one, content intact") {
+    val path = tmpDir("opt-compact") + "/t"
+    val df = spark.range(0, 2000).select(col("id"),
+      (col("id") % 97).as("k"), md5(col("id").cast("string")).as("payload"))
+    CL.fullRefresh(spark, df.repartition(16), path)
+    assert(CL.versions(spark, path) === Seq(1L))
+    val st = CL.optimize(spark, path, targetFileBytes = Long.MaxValue)
+    assert(st.version === 2L)
+    assert(st.filesBefore === 16)
+    assert(st.filesAfter === 1)
+    assert(st.bytesBefore > 0L)
+    val back = CL.read(spark, path).get
+    assert(back.select(input_file_name()).distinct().count() === 1L)
+    assert(back.count() === 2000L)
+    assert(back.agg(sum(col("id"))).head().getLong(0) === 1999L * 2000 / 2)
+    // time travel: the pre-optimize snapshot is still readable
+    assert(CL.readAt(spark, path, 1L).get.count() === 2000L)
+  }
+
+  test("z-order: per-file spans collapse on both dimensions at once") {
+    val path = tmpDir("opt-zorder") + "/t"
+    // a 64x64 grid in random row order: plain compaction gives every
+    // file ~the full range of x AND y; z-order gives tight boxes
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+        md5(col("id").cast("string")).as("payload"))
+      .orderBy(md5(concat(lit("shuffle"), col("id").cast("string"))))
+    CL.fullRefresh(spark, grid.repartition(16), path)
+
+    def spans(): (Double, Double, Long) = {
+      val per = CL.read(spark, path).get
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy"), count(lit(1))).head()
+      (per.getDouble(0), per.getDouble(1), per.getLong(2))
+    }
+
+    // plain bin-pack to ~8 files first: the unclustered baseline
+    val probe = CL.optimize(spark, path, targetFileBytes = Long.MaxValue)
+    val target = math.max(1L, probe.bytesBefore / 8)
+    CL.optimize(spark, path, targetFileBytes = target)
+    val (plainX, plainY, plainN) = spans()
+    assert(plainN >= 4, s"expected >=4 files from bin-pack, got $plainN")
+    // random order: every file sees nearly the full 63-wide range
+    assert(plainX > 50 && plainY > 50,
+      s"unclustered baseline should span wide, got ($plainX, $plainY)")
+
+    val st = CL.optimize(spark, path, targetFileBytes = target,
+      zorderBy = Seq("x", "y"))
+    val (zX, zY, zN) = spans()
+    assert(zN >= 4, s"expected >=4 z-ordered files, got $zN")
+    // Z-order: with >=4 files over a square grid, each file's box
+    // covers at most ~half the range per dimension
+    assert(zX < plainX / 1.5 && zY < plainY / 1.5,
+      s"z-order should shrink spans: ($zX, $zY) vs ($plainX, $plainY)")
+    assert(st.filesAfter.toLong === zN)
+
+    // content is untouched by the rewrite
+    val back = CL.read(spark, path).get
+    assert(back.count() === 4096L)
+    assert(back.select("x", "y").distinct().count() === 4096L)
+  }
+
+  test("vacuum reclaims pre-optimize layouts; current stays readable") {
+    val path = tmpDir("opt-vacuum") + "/t"
+    CL.fullRefresh(spark,
+      spark.range(0, 500).toDF("id").repartition(8), path)
+    CL.optimize(spark, path, targetFileBytes = Long.MaxValue)
+    val dataRoot = new java.io.File(path, "data")
+    assert(dataRoot.listFiles().length === 2) // old + new layout
+    CL.vacuum(spark, path, keepLast = 1)
+    assert(dataRoot.listFiles().length === 1)
+    assert(CL.read(spark, path).get.count() === 500L)
+    assert(CL.readAt(spark, path, 1L).isEmpty)
+  }
+
+  test("optimize on a missing table raises the typed error") {
+    intercept[graft.operators.SnapshotNotFoundException] {
+      CL.optimize(spark, tmpDir("opt-none") + "/t")
+    }
+  }
+
+  test("nulls in a z-order column survive the rewrite") {
+    val path = tmpDir("opt-null") + "/t"
+    val df = spark.range(0, 100)
+      .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id"))
+        .as("x"), col("id").as("y"))
+    CL.fullRefresh(spark, df.repartition(4), path)
+    CL.optimize(spark, path, targetFileBytes = Long.MaxValue,
+      zorderBy = Seq("x", "y"))
+    val back = CL.read(spark, path).get
+    assert(back.count() === 100L)
+    assert(back.filter(col("x").isNull).count() === 10L)
+  }
+}
