@@ -91,4 +91,52 @@ object Sketches {
         org.apache.spark.sql.GraftColumnBridge.expression(key)))
     large.filter(probe)
   }
+
+  /** Salted row-hash for Count-Min row `j`: the same externally
+    * replayable md5 idiom as [[Sample]]'s buckets (the t88 oracle
+    * rederives every bucket in DuckDB), 32 bits so the value is
+    * non-negative before the modulo. */
+  private def cmHash(key: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"cm$j"), lit("|"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** Count-Min sketch of `keyCol` frequencies: `depth` independent
+    * salted-hash rows × `width` buckets, returned as its non-zero
+    * cells `(j, bucket, cnt)` — at most depth·width rows regardless
+    * of corpus size. The d× row expansion happens map-side and
+    * aggregates partially before the one narrow shuffle of
+    * fixed-cardinality cells, so a 100 TB pass moves sketch state,
+    * never values. Cells are plain counts, so two sketches over
+    * disjoint data MERGE by summing matching cells (spec-asserted) —
+    * the property that lets per-day sketches roll up into a month
+    * without touching the raw corpus again. */
+  def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"bad depth $depth")
+    require(width >= 2, s"bad width $width")
+    val rows = (0 until depth).map(j =>
+      struct(lit(j).as("j"), (cmHash(col(keyCol), j) % width).as("bucket")))
+    df.select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate frequencies for `keys` (one row per key) against
+    * a [[countMin]] sketch built with the same depth/width: est =
+    * min over rows j of the key's cell — an UPPER bound, never below
+    * the true count (collisions only add). The sketch is bounded
+    * (depth·width cells), so the probe is a broadcast join however
+    * large the key list; the classic ε=e/width, δ=e^-depth error
+    * contract is measured in SketchesSpec, not assumed. */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame,
+      keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val probes = (0 until depth).map(j =>
+      struct(lit(j).as("j"), (cmHash(col(keyCol), j) % width).as("bucket")))
+    keys.select(col(keyCol), explode(array(probes: _*)).as("e"))
+      .select(col(keyCol), col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

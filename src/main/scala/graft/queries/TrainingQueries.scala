@@ -3725,6 +3725,46 @@ object TrainingQueries {
            |  CAST($terms AS BIGINT) AS z
            |FROM s""".stripMargin
       }),
+
+    // Count-Min frequency sketch under the oracle: 4 salted md5 hash
+    // rows × 512 buckets over lineitem part keys (~2000 distinct at
+    // sf0.01, so collisions are REAL and the min-over-rows estimate
+    // does actual work), probed for the %50 candidate keys. The whole
+    // sketch is deterministic integer arithmetic on the shared md5
+    // idiom, so DuckDB rebuilds the identical cell matrix and replays
+    // every estimate — hash-equality pins the sketch construction AND
+    // the upper-bound estimator. The accuracy contract (never under,
+    // ε=e/w envelope, cell-sum mergeability) is SketchesSpec's job.
+    QueryDef(
+      "t88_countmin_freq",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val li = Tables(s, dir, "lineitem")
+        val sketch = Sketches.countMin(spread(s, li), "l_partkey",
+          depth = 4, width = 512)
+        val keys = li.filter(col("l_partkey") % 50 === 0)
+          .select("l_partkey").distinct()
+        Sketches.countMinEstimate(sketch, keys, "l_partkey",
+          depth = 4, width = 512)
+          .select(col("l_partkey"), col("est"))
+      },
+      Some {
+        def h(keyExpr: String) = DuckSql.hexToLong(
+          s"md5('cm' || CAST(j AS VARCHAR) || '|' || " +
+            s"CAST($keyExpr AS VARCHAR))", 8)
+        s"""WITH ks AS (SELECT DISTINCT l_partkey FROM lineitem
+           |  WHERE l_partkey % 50 = 0),
+           |js AS (SELECT unnest(range(4)) AS j),
+           |cm AS (SELECT j, ${h("l_partkey")} % 512 AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM lineitem, js GROUP BY 1, 2),
+           |pr AS (SELECT ks.l_partkey, j,
+           |    ${h("ks.l_partkey")} % 512 AS bucket
+           |  FROM ks, js)
+           |SELECT pr.l_partkey, MIN(COALESCE(cm.cnt, 0)) AS est
+           |FROM pr LEFT JOIN cm ON cm.j = pr.j AND cm.bucket = pr.bucket
+           |GROUP BY 1""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

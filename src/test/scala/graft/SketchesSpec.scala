@@ -77,4 +77,51 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomPrune(spark.range(10).toDF("k"), keys, "k", 10)
     }
   }
+
+  test("countMin: estimates never undercount; exact when width is ample") {
+    import spark.implicits._
+    // zipf-ish: key k appears 200/k times, keys 1..40 -> 40 distinct
+    val rows = (1 to 40).flatMap(k => Seq.fill(200 / k)(k.toLong))
+    val df = spark.createDataset(rows).toDF("k").repartition(7)
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val keys = exact.keys.toSeq.toDF("k")
+
+    // tight sketch: collisions certain (width 16 << 40 keys)
+    val tight = Sketches.countMin(df, "k", depth = 4, width = 16)
+    val estT = Sketches.countMinEstimate(tight, keys, "k", 4, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(estT(k) >= c, s"CM underestimated key $k: ${estT(k)} < $c")
+    }
+    assert(exact.exists { case (k, c) => estT(k) > c },
+      "width 16 over 40 keys should collide somewhere")
+
+    // ample sketch: every estimate exact
+    val wide = Sketches.countMin(df, "k", depth = 4, width = 4096)
+    val estW = Sketches.countMinEstimate(wide, keys, "k", 4, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(estW(k) === c, s"ample CM should be exact for key $k")
+    }
+
+    // error contract: est - exact <= e/width * n for most keys
+    val n = rows.size
+    val eps = math.E / 16 * n
+    val within = exact.count { case (k, c) => estT(k) - c <= eps }
+    assert(within >= exact.size * 0.9,
+      s"CM error bound held for only $within/${exact.size} keys")
+  }
+
+  test("countMin: sketches over disjoint data merge by cell sum") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => (i % 23).toLong).toDF("k")
+    val b = (1 to 500).map(i => (i % 31).toLong).toDF("k")
+    val whole = Sketches.countMin(a.union(b), "k", depth = 3, width = 64)
+    val merged = Sketches.countMin(a, "k", depth = 3, width = 64)
+      .union(Sketches.countMin(b, "k", depth = 3, width = 64))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+    val w = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w === m, "merged per-part sketches must equal the whole-data sketch")
+  }
 }
