@@ -299,6 +299,32 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Row-level diff between two committed snapshots: rows only in
+    * `toVersion` come back tagged `added`, rows only in `fromVersion`
+    * tagged `removed` — MULTISET semantics (exceptAll), so a
+    * duplicate row going from 3 copies to 1 surfaces as 2 removals
+    * instead of vanishing in a set compare. The audit face of time
+    * travel: "what exactly changed between the corpus a model trained
+    * on and today's" is one call, no extra bookkeeping — full
+    * manifests make any two retained versions comparable after the
+    * fact. Both sides raise the typed [[SnapshotNotFoundException]]
+    * for vacuumed/never-committed versions.
+    *
+    * Scale shape: exceptAll hash-aggregates per-row counts — one
+    * shuffle each side on the full row as key, the same cost class as
+    * the t01 exact-dedup pass; no driver-side state. */
+  def diffSnapshots(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    def at(v: Long) = readAt(spark, path, v).getOrElse(
+      throw new SnapshotNotFoundException(
+        s"diffSnapshots: version $v at $path never committed or was " +
+          "vacuumed past the retention window"))
+    val a = at(fromVersion)
+    val b = at(toVersion)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** What [[optimize]] did: `filesBefore` data files totalling
     * `bytesBefore` were rewritten as `filesAfter` files committed at
     * `version`. The rewrite is layout-only — row content is

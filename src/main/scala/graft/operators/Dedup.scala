@@ -43,4 +43,49 @@ object Dedup {
   /** Exact duplicate removal on a subset of columns (D4). */
   def distinctOn(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
+
+  /** PARAGRAPH-level corpus dedup — the Dolma/FineWeb recipe that
+    * sits between document-level dedup (t01) and token-span removal
+    * ([[SpanStats.removeDuplicatedSpans]]): split each document into
+    * structural units on `sep`, drop every paragraph that appears in
+    * more than `maxDocFreq` DISTINCT documents (all copies go —
+    * keep-first would depend on corpus order), and rebuild the
+    * survivors in original order. Within-document repetition is out
+    * of scope by construction (distinct-doc counting), as in t53.
+    *
+    * Output: (idCol, cleaned, n_removed); fully-boilerplate documents
+    * come out as empty strings for downstream length filters.
+    *
+    * Scale shape: paragraphs cross the dedup shuffle as 32-char md5
+    * hashes, never text; the doc-frequency pass aggregates distinct
+    * (doc, hash) pairs; the common set joins back by hash (AQE splits
+    * hot boilerplate hashes); rebuild is one id-keyed groupBy whose
+    * array_sort is row-local. Corpus text shuffles exactly once, in
+    * the rebuild's (id, pid, para) rows — unavoidable, since the
+    * output IS reassembled text. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Int = 1): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pid", "__para")
+      .withColumn("__h", md5(col("__para")))
+    val common = paras.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__dc"))
+      .filter(col("__dc") > maxDocFreq)
+      .select("__h")
+    val kept = paras.join(common, Seq("__h"), "left_anti")
+    val totals = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__np"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pid"), col("__para")))),
+          s => s("__para")), sep).as("cleaned"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("__np") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+  }
 }

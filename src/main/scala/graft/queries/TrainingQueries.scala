@@ -3765,6 +3765,93 @@ object TrainingQueries {
            |FROM pr LEFT JOIN cm ON cm.j = pr.j AND cm.bucket = pr.bucket
            |GROUP BY 1""".stripMargin
       }),
+
+    // PARAGRAPH-level corpus dedup (the Dolma/FineWeb recipe, between
+    // document dedup t01 and token-span removal t53): docs reshape
+    // into 3-token paragraphs joined by newlines — short units over
+    // the small vocab make cross-document collisions REAL at sf0.01 —
+    // then every paragraph appearing in >1 distinct documents is
+    // dropped from all of them and the survivors rebuild in order.
+    // DuckDB replays the same split arithmetic, the distinct-doc
+    // count, and the ordered reassembly, so hash-equality pins the
+    // whole drop-and-rebuild including empty-document edge cases.
+    QueryDef(
+      "t89_paragraph_dedup",
+      (s, dir) => {
+        val tk = split(col("text"), " ")
+        val nP = ceil(size(tk) / lit(3.0)).cast("int")
+        val paraDocs = spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            array_join(transform(sequence(lit(0), nP - 1),
+              i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")), "\n")
+              .as("ptext"))
+        graft.operators.Dedup
+          .dedupParagraphs(paraDocs, "doc_id", "ptext", "\n",
+            maxDocFreq = 1)
+          .select(col("doc_id"), col("cleaned"), col("n_removed"))
+      },
+      Some {
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |  FROM documents),
+           |np AS (SELECT doc_id, tk,
+           |    CAST(ceil(len(tk) / 3.0) AS BIGINT) AS n FROM toks),
+           |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS pid,
+           |    array_to_string(tk[CAST(i * 3 + 1 AS INT)
+           |      : CAST(i * 3 + 3 AS INT)], ' ') AS p
+           |  FROM (SELECT doc_id, tk, unnest(range(n)) AS i FROM np)),
+           |dc AS (SELECT p, COUNT(DISTINCT doc_id) AS c
+           |  FROM paras GROUP BY p),
+           |keep AS (SELECT paras.doc_id, paras.pid, paras.p
+           |  FROM paras JOIN dc USING (p) WHERE dc.c <= 1),
+           |tot AS (SELECT doc_id, COUNT(*) AS np FROM paras
+           |  GROUP BY doc_id),
+           |reb AS (SELECT doc_id,
+           |    string_agg(p, chr(10) ORDER BY pid) AS cleaned,
+           |    COUNT(*) AS nk
+           |  FROM keep GROUP BY doc_id)
+           |SELECT t.doc_id, COALESCE(r.cleaned, '') AS cleaned,
+           |  CAST(t.np - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
+           |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
+      }),
+
+    // Snapshot DIFF under the oracle (the audit face of time travel):
+    // customer commits as v1, a deterministic mutation — drop the %7
+    // keys, bump acctbal by 100.0 on the %5 keys — commits as v2, and
+    // diffSnapshots(1, 2) emits the added/removed rows with MULTISET
+    // semantics. DuckDB rederives both versions from the raw table
+    // and replays EXCEPT ALL both ways: hash-equality proves the
+    // commit-log round trip preserves every column bit-for-bit AND
+    // the diff is exactly the multiset delta.
+    QueryDef(
+      "t90_snapshot_diff",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_diff"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val cust = Tables(s, dir, "customer")
+        clf.fullRefresh(s, cust, base) // v1
+        clf.fullRefresh(s, cust.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal"))), base) // v2
+        clf.diffSnapshots(s, base, 1L, 2L)
+      },
+      Some {
+        s"""WITH v1 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           |    c_mktsegment FROM customer),
+           |v2 AS (SELECT c_custkey, c_name, c_nationkey,
+           |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+           |      ELSE c_acctbal END AS c_acctbal,
+           |    c_mktsegment FROM customer WHERE c_custkey % 7 <> 0)
+           |SELECT *, 'added' AS change
+           |FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+           |UNION ALL
+           |SELECT *, 'removed' AS change
+           |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -279,4 +279,20 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v"))
     assert(back.count() == 0)
   }
+
+  test("diffSnapshots: multiset delta between versions, typed misses") {
+    import spark.implicits._
+    val path = tmpDir("cl-diff") + "/t"
+    CommitLogTableFormat.fullRefresh(spark, Seq(1, 1, 2, 3).toDF("k"), path)
+    CommitLogTableFormat.fullRefresh(spark, Seq(1, 2, 2, 4).toDF("k"), path)
+    val got = CommitLogTableFormat.diffSnapshots(spark, path, 1L, 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // v1 {1x2, 2, 3} -> v2 {1, 2x2, 4}: +2 +4, -1 -3 (multiset!)
+    assert(got === Map((2, "added") -> 1, (4, "added") -> 1,
+      (1, "removed") -> 1, (3, "removed") -> 1))
+    intercept[graft.operators.SnapshotNotFoundException] {
+      CommitLogTableFormat.diffSnapshots(spark, path, 1L, 99L).count()
+    }
+  }
 }

@@ -251,4 +251,35 @@ class MergeDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((1L, 2023), (99L, 2024)))
   }
+
+  test("dedupParagraphs: cross-doc drops, order kept, within-doc spared") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\nc"), // b shared with doc 2
+      (2L, "b\nd"),
+      (3L, "e"),       // untouched
+      (4L, "b"),       // fully boilerplate -> empty string
+      (5L, "x\nx")     // within-doc repeat: ONE distinct doc, stays
+    ).toDF("id", "text")
+    val got = Dedup.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === (("a\nc", 1L)))
+    assert(got(2L) === (("d", 1L)))
+    assert(got(3L) === (("e", 0L)))
+    assert(got(4L) === (("", 1L)))
+    assert(got(5L) === (("x\nx", 0L)))
+  }
+
+  test("dedupParagraphs: maxDocFreq loosens the drop threshold") {
+    import spark.implicits._
+    val docs = Seq((1L, "p\nq"), (2L, "p"), (3L, "p")).toDF("id", "text")
+    // p is in 3 docs: survives maxDocFreq=3, dies at 2
+    val keep = Dedup.dedupParagraphs(docs, "id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(1L) === "p\nq" && keep(2L) === "p")
+    val drop = Dedup.dedupParagraphs(docs, "id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drop(1L) === "q" && drop(2L) === "" && drop(3L) === "")
+  }
 }
