@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, input_file_name, least, lit, max, min, shiftleft, shiftright}
 
 /** Minimal transactional commit log over plain parquet — the
   * Delta-shaped third [[TableFormat]] binding, with no jars beyond
@@ -96,7 +96,8 @@ object CommitLogTableFormat extends TableFormat {
   private[graft] def currentVersion(f: FileSystem,
       root: Path): Option[Long] = listVersions(f, root).lastOption
 
-  private def readManifest(f: FileSystem, root: Path,
+  /** Raw manifest lines (path + optional stats suffix). */
+  private def readManifestLines(f: FileSystem, root: Path,
       version: Long): Seq[String] = {
     val mp = manifestPath(root, version)
     val buf = new Array[Byte](f.getFileStatus(mp).getLen.toInt)
@@ -106,6 +107,77 @@ object CommitLogTableFormat extends TableFormat {
     // one relative path per line after the header line — no JSON
     // library needed to parse it back
     text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+  }
+
+  /** Data-file relative paths of a manifest; per-file stats suffixes
+    * (tab-separated, see [[statsSuffix]]) are stripped so every
+    * reader/vacuum path resolves files identically whether or not the
+    * committing writer recorded stats. */
+  private def readManifest(f: FileSystem, root: Path,
+      version: Long): Seq[String] =
+    readManifestLines(f, root, version).map(_.split('\t').head)
+
+  /** Per-file numeric column ranges recorded in a manifest:
+    * (relPath, col -> (min, max)); files committed without stats map
+    * to an empty map — [[scanPruned]] always keeps those. */
+  private[graft] def readManifestStats(f: FileSystem, root: Path,
+      version: Long): Seq[(String, Map[String, (Double, Double)])] =
+    readManifestLines(f, root, version).map { line =>
+      val parts = line.split('\t')
+      val stats = parts.drop(1).flatMap { kv =>
+        // col=min..max — written by statsSuffix, numeric only
+        kv.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) =>
+              (scala.util.Try(lo.toDouble).toOption,
+                scala.util.Try(hi.toDouble).toOption) match {
+                case (Some(l), Some(h)) => Some(c -> ((l, h)))
+                case _ => None
+              }
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap
+      (parts.head, stats)
+    }
+
+  /** One extra pass over the just-written (OS-cache-hot) data dir:
+    * per-file min/max of the requested numeric columns, encoded as
+    * the manifest stats suffix `\tcol=min..max...` per file. Files
+    * where a column is all-null get no entry for it (conservatively
+    * unprunable), and column names carrying tab/=/.. characters are
+    * rejected rather than mis-parsed later. */
+  private def withStatsSuffixes(spark: SparkSession, root: Path,
+      rels: Seq[String], cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty || rels.isEmpty) return rels
+    cols.foreach(c => require(!c.exists("\t=".contains(_)),
+      s"stats column name '$c' would corrupt the manifest encoding"))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val byFile = spark.read
+      .parquet(rels.map(r => new Path(root, r).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    rels.map { rel =>
+      // input_file_name is a URI; match manifests' relative paths by
+      // suffix on the uri path (uuid dir names make this unambiguous)
+      byFile.find { case (uri, _) =>
+        java.net.URI.create(uri).getPath.endsWith(s"/$rel") ||
+          uri.endsWith(s"/$rel")
+      } match {
+        case None => rel // 0-row file never appears in the agg
+        case Some((_, r)) =>
+          val suffix = cols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some(s"$c=${r.getDouble(1 + 2 * i)}..${r.getDouble(2 + 2 * i)}")
+          }
+          (rel +: suffix).mkString("\t")
+      }
+    }
   }
 
   /** Write the new snapshot's data files under `data/v<version>-<uuid>`
@@ -179,7 +251,8 @@ object CommitLogTableFormat extends TableFormat {
     * attempt (its data dir is unreferenced; vacuum reclaims it) and
     * recomputes from the winner's snapshot, so concurrent upserts
     * serialize instead of lost-updating each other. */
-  private def commitWith(spark: SparkSession, path: String)(
+  private def commitWith(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil)(
       compute: Option[DataFrame] => DataFrame): Unit = {
     val (f, root) = fs(spark, path)
     var attempt = 0
@@ -189,7 +262,9 @@ object CommitLogTableFormat extends TableFormat {
       val snapshot = compute(base.flatMap(v => readAt(spark, path, v)))
       val version = base.getOrElse(0L) + 1L
       val files = writeDataFiles(spark, snapshot, root, version)
-      try { commitManifest(spark, root, version, files); done = true }
+      val lines = withStatsSuffixes(spark, root, files,
+        statsCols.filter(snapshot.columns.contains))
+      try { commitManifest(spark, root, version, lines); done = true }
       catch { case e: CommitConflictException =>
         attempt += 1
         if (attempt > MaxRetries) throw e
@@ -394,11 +469,14 @@ object CommitLogTableFormat extends TableFormat {
     * (old + new copies) is paid back. */
   def optimize(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
-      zBits: Int = 16): OptimizeStats = {
+      zBits: Int = 16, statsColumns: Seq[String] = Nil): OptimizeStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val (f, root) = fs(spark, path)
     var stats: OptimizeStats = null
-    commitWith(spark, path) {
+    // the rewrite that clusters on a column is the moment to record
+    // its per-file ranges — that is what makes the clustering PAY on
+    // reads (scanPruned skips whole files by manifest stats)
+    commitWith(spark, path, (zorderBy ++ statsColumns).distinct) {
       case None => throw new SnapshotNotFoundException(
         s"optimize: no committed table at $path")
       case Some(df) =>
@@ -427,6 +505,42 @@ object CommitLogTableFormat extends TableFormat {
         }
     }
     stats
+  }
+
+  /** Range scan with MANIFEST-level data skipping: files whose
+    * recorded [min, max] for `column` cannot intersect [lo, hi] are
+    * never opened — the read-side payoff of [[optimize]]'s Z-order +
+    * stats recording, and the piece that turns "tight row-group
+    * boxes" into "whole files skipped before the scan starts". On a
+    * 100 TB table a selective range touches a handful of files
+    * instead of every footer.
+    *
+    * Semantics are exactly `read(path).filter(lo <= column <= hi)`:
+    * files without stats for `column` (older writers, all-null files)
+    * are conservatively kept, and the residual filter still applies
+    * to every surviving row — pruning is a plan optimization, never a
+    * meaning change (the t91 oracle hash-proves it; OptimizeSpec
+    * measures the files actually skipped). */
+  def scanPruned(spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val (f, root) = fs(spark, path)
+    val v = version.orElse(currentVersion(f, root)).getOrElse(
+      throw new SnapshotNotFoundException(
+        s"scanPruned: no committed table at $path"))
+    if (!f.exists(manifestPath(root, v)))
+      throw new SnapshotNotFoundException(
+        s"scanPruned: version $v at $path never committed or was vacuumed")
+    val entries = readManifestStats(f, root, v)
+    val kept = entries.collect {
+      case (rel, st) if st.get(column).forall {
+        case (mn, mx) => mx >= lo && mn <= hi
+      } => new Path(root, rel).toString
+    }
+    val pred = col(column) >= lo && col(column) <= hi
+    if (kept.isEmpty)
+      readAt(spark, path, v).get.filter(pred).limit(0)
+    else spark.read.parquet(kept: _*).filter(pred)
   }
 
   /** Delete manifests outside the retention window and the data files

@@ -3852,6 +3852,41 @@ object TrainingQueries {
            |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"""
           .stripMargin
       }),
+
+    // Manifest-stats data skipping under the oracle (t87's read-side
+    // payoff): orders commits, optimize Z-orders on (o_custkey,
+    // o_totalprice) AND records per-file min/max for both in the
+    // manifest, and scanPruned answers a custkey range by opening
+    // only the files whose recorded range intersects — the residual
+    // filter still applies, so pruning is a plan optimization with
+    // oracle-checkable semantics: exactly the rows of a plain
+    // BETWEEN. Sized to bite: 8 z-ordered files at sf0.01, a range
+    // covering ~1/7 of the key space. The files-actually-skipped
+    // measurement is OptimizeSpec's (file counts are encoding-
+    // dependent, not data-derivable).
+    QueryDef(
+      "t91_stats_pruned_scan",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_prune"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        clf.fullRefresh(s, Tables(s, dir, "orders").repartition(8), base)
+        val probe = clf.optimize(s, base,
+          targetFileBytes = Long.MaxValue,
+          zorderBy = Seq("o_custkey", "o_totalprice"))
+        clf.optimize(s, base,
+          targetFileBytes = math.max(1L, probe.bytesBefore / 8),
+          zorderBy = Seq("o_custkey", "o_totalprice"))
+        clf.scanPruned(s, base, "o_custkey", 100d, 300d)
+      },
+      Some {
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderdate, o_orderpriority
+          |FROM orders
+          |WHERE o_custkey >= 100 AND o_custkey <= 300""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -123,6 +123,58 @@ class OptimizeSpec extends SparkSpec {
     assert(CL.readAt(spark, path, 1L).isEmpty)
   }
 
+  test("scanPruned: manifest stats skip files, semantics unchanged") {
+    val path = tmpDir("opt-prune") + "/t"
+    val df = spark.range(0, 4096)
+      .select(col("id").as("x"), (col("id") % 7).as("y"),
+        md5(col("id").cast("string")).as("payload"))
+      .orderBy(md5(concat(lit("s"), col("id").cast("string"))))
+    CL.fullRefresh(spark, df.repartition(16), path)
+    val probe = CL.optimize(spark, path, targetFileBytes = Long.MaxValue)
+    CL.optimize(spark, path, targetFileBytes = probe.bytesBefore / 8,
+      zorderBy = Seq("x"))
+    val total = CL.read(spark, path).get
+      .select(input_file_name()).distinct().count()
+    assert(total >= 4)
+
+    val pruned = CL.scanPruned(spark, path, "x", 100d, 300d)
+    val filesRead = pruned.select(input_file_name()).distinct().count()
+    assert(filesRead < total,
+      s"range scan should skip files: read $filesRead of $total")
+    // exactly the rows a plain filter returns
+    val want = CL.read(spark, path).get
+      .filter(col("x") >= 100 && col("x") <= 300)
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    val got = pruned.select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("scanPruned: files without stats are conservatively kept") {
+    val path = tmpDir("opt-nostat") + "/t"
+    // fullRefresh records no stats -> nothing prunable, all rows back
+    CL.fullRefresh(spark,
+      spark.range(0, 100).toDF("x").repartition(4), path)
+    val got = CL.scanPruned(spark, path, "x", 10d, 20d)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (10L to 20L).toSeq)
+    // a column the manifest never saw prunes nothing either
+    CL.optimize(spark, path, targetFileBytes = Long.MaxValue,
+      statsColumns = Seq("x"))
+    val byStats = CL.scanPruned(spark, path, "x", 10d, 20d)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byStats === (10L to 20L).toSeq)
+  }
+
+  test("scanPruned: empty intersection returns empty, right schema") {
+    val path = tmpDir("opt-empty") + "/t"
+    CL.fullRefresh(spark, spark.range(0, 50).toDF("x"), path)
+    CL.optimize(spark, path, targetFileBytes = Long.MaxValue,
+      statsColumns = Seq("x"))
+    val out = CL.scanPruned(spark, path, "x", 1000d, 2000d)
+    assert(out.columns.toSeq === Seq("x"))
+    assert(out.count() === 0L)
+  }
+
   test("optimize on a missing table raises the typed error") {
     intercept[graft.operators.SnapshotNotFoundException] {
       CL.optimize(spark, tmpDir("opt-none") + "/t")
