@@ -344,6 +344,44 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Apply a CDC changeset — inserts, updates, AND deletes in one
+    * commit (the `MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE`
+    * shape, which [[upsert]] alone cannot express): rows of `source`
+    * whose `opCol` equals `deleteOp` remove the target row for their
+    * key, everything else upserts through the usual merge. One
+    * surviving operation per key is resolved INSIDE the changeset
+    * first (latest by `versionCol` — a delete followed by a
+    * re-insert at a higher version lands as the re-insert), and the
+    * stale-change rule is uniform: an update OR delete older than
+    * the target's current version for that key is ignored, so
+    * replaying yesterday's changeset over today's table is a no-op,
+    * not a regression. Deletes of absent keys are no-ops.
+    *
+    * Scale shape: same cost class as [[upsert]] — the changeset
+    * resolves with one keyed window, the merge is the existing
+    * key-shuffle, and deletes apply as a keyed left join; nothing
+    * driver-side. */
+  def applyCdc(spark: SparkSession, source: DataFrame, path: String,
+      keys: Seq[String], opCol: String, versionCol: String,
+      deleteOp: String = "D"): Unit = {
+    commitWith(spark, path) { base =>
+      val latest = Dedup.keepLatest(source, keys, Seq(col(versionCol)))
+      val upserts = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+      base match {
+        case None => upserts
+        case Some(target) =>
+          val deletes = latest.filter(col(opCol) === deleteOp)
+            .select((keys.map(col) :+
+              col(versionCol).as("__del_ver")): _*)
+          MergeOps.merge(target, upserts, keys, versionCol, Nil)
+            .join(deletes, keys, "left")
+            .filter(col("__del_ver").isNull ||
+              col("__del_ver") < col(versionCol))
+            .drop("__del_ver")
+      }
+    }
+  }
+
   def insertIgnore(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String]): Unit = {
     commitWith(spark, path) {

@@ -3887,6 +3887,58 @@ object TrainingQueries {
           |FROM orders
           |WHERE o_custkey >= 100 AND o_custkey <= 300""".stripMargin
       }),
+
+    // CDC apply under the oracle — the MERGE-with-DELETE the upsert
+    // family cannot express: customer commits at version 1, then one
+    // changeset carries deletes (%3=0 keys), updates (%3=1, acctbal
+    // +50.0), brand-new inserts (%10=4 keys reborn at key+100000),
+    // and STALE deletes (ver 0) for every surviving key — which must
+    // all lose, to the in-changeset newer op or to the target's
+    // version. Output is the final table; DuckDB derives the same
+    // end-state declaratively. Pins insert/update/delete/stale-op
+    // resolution AND the changeset-internal latest-wins in one hash.
+    QueryDef(
+      "t92_cdc_apply",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_cdc"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val cust = Tables(s, dir, "customer")
+        clf.fullRefresh(s, cust.withColumn("cdc_ver", lit(1L)), base)
+        val dels = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("op", lit("D")).withColumn("cdc_ver", lit(2L))
+        val ups = cust.filter(col("c_custkey") % 3 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+          .withColumn("op", lit("U")).withColumn("cdc_ver", lit(2L))
+        val ins = cust.filter(col("c_custkey") % 10 === 4)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            concat(lit("new_"), col("c_custkey").cast("string"))
+              .as("c_name"),
+            lit(0).cast("int").as("c_nationkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+          .withColumn("op", lit("I")).withColumn("cdc_ver", lit(2L))
+        val stale = cust.filter(col("c_custkey") % 3 =!= 0)
+          .withColumn("op", lit("D")).withColumn("cdc_ver", lit(0L))
+        clf.applyCdc(s,
+          dels.unionByName(ups).unionByName(ins).unionByName(stale),
+          base, Seq("c_custkey"), "op", "cdc_ver")
+        clf.read(s, base).get
+      },
+      Some {
+        """SELECT c_custkey, c_name, c_nationkey,
+          |  CASE WHEN c_custkey % 3 = 1 THEN c_acctbal + 50.0
+          |    ELSE c_acctbal END AS c_acctbal,
+          |  c_mktsegment,
+          |  CAST(CASE WHEN c_custkey % 3 = 1 THEN 2 ELSE 1 END
+          |    AS BIGINT) AS cdc_ver
+          |FROM customer WHERE c_custkey % 3 <> 0
+          |UNION ALL
+          |SELECT c_custkey + 100000, 'new_' || CAST(c_custkey AS VARCHAR),
+          |  CAST(0 AS INT), 0.0, 'NEW', CAST(2 AS BIGINT)
+          |FROM customer WHERE c_custkey % 10 = 4""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

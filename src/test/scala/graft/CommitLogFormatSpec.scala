@@ -280,6 +280,38 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("applyCdc: inserts, updates, deletes, stale ops, in-changeset order") {
+    import spark.implicits._
+    val path = tmpDir("cl-cdc") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 1L))
+        .toDF("k", "v", "ver"), path)
+    val changes = Seq(
+      (1L, "—", "D", 2L),  // delete wins (newer than target)
+      (2L, "b2", "U", 2L), // plain update
+      (2L, "—", "D", 0L),  // stale delete, loses to the U inside the set
+      (3L, "—", "D", 0L),  // stale delete vs target: ignored
+      (5L, "e", "I", 2L),  // brand-new key
+      (6L, "—", "D", 2L),  // delete of an absent key: no-op
+      (7L, "x", "U", 1L),  // delete-then-reinsert: the later op wins
+      (7L, "—", "D", 0L)
+    ).toDF("k", "v", "op", "ver")
+    CommitLogTableFormat.applyCdc(spark, changes, path,
+      Seq("k"), "op", "ver")
+    val got = CommitLogTableFormat.read(spark, path).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((2L, "b2", 2L), (3L, "c", 1L), (4L, "d", 1L),
+      (5L, "e", 2L), (7L, "x", 1L)))
+    // replaying the SAME changeset is a no-op (stale-change rule)
+    CommitLogTableFormat.applyCdc(spark, changes, path,
+      Seq("k"), "op", "ver")
+    val again = CommitLogTableFormat.read(spark, path).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(again === got)
+  }
+
   test("diffSnapshots: multiset delta between versions, typed misses") {
     import spark.implicits._
     val path = tmpDir("cl-diff") + "/t"
