@@ -145,9 +145,10 @@ object CommitLogTableFormat extends TableFormat {
   /** One extra pass over the just-written (OS-cache-hot) data dir:
     * per-file min/max of the requested numeric columns, encoded as
     * the manifest stats suffix `\tcol=min..max...` per file. Files
-    * where a column is all-null get no entry for it (conservatively
-    * unprunable), and column names carrying tab/=/.. characters are
-    * rejected rather than mis-parsed later. */
+    * where a column is all-null or carries NaN get no entry for it
+    * (conservatively unprunable), and column names carrying tab or
+    * `=` characters are rejected rather than mis-parsed later (`..`
+    * inside a name is safe: the `=` split runs first). */
   private def withStatsSuffixes(spark: SparkSession, root: Path,
       rels: Seq[String], cols: Seq[String]): Seq[String] = {
     if (cols.isEmpty || rels.isEmpty) return rels
@@ -156,24 +157,31 @@ object CommitLogTableFormat extends TableFormat {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
-    val byFile = spark.read
+    // keyed by file NAME: one commit writes one uuid dir, so part
+    // file names are unique within it and the match is O(files), not
+    // a quadratic suffix scan
+    val byName = spark.read
       .parquet(rels.map(r => new Path(root, r).toString): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getString(0).substring(
+        r.getString(0).lastIndexOf('/') + 1) -> r).toMap
     rels.map { rel =>
-      // input_file_name is a URI; match manifests' relative paths by
-      // suffix on the uri path (uuid dir names make this unambiguous)
-      byFile.find { case (uri, _) =>
-        java.net.URI.create(uri).getPath.endsWith(s"/$rel") ||
-          uri.endsWith(s"/$rel")
-      } match {
+      byName.get(rel.substring(rel.lastIndexOf('/') + 1)) match {
         case None => rel // 0-row file never appears in the agg
-        case Some((_, r)) =>
+        case Some(r) =>
           val suffix = cols.zipWithIndex.flatMap { case (c, i) =>
+            // all-null and NaN ranges get NO stats entry: NaN compares
+            // false to everything, which would make scanPruned drop
+            // files that hold in-range rows — conservative beats wrong
             if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-            else Some(s"$c=${r.getDouble(1 + 2 * i)}..${r.getDouble(2 + 2 * i)}")
+            else {
+              val mn = r.getDouble(1 + 2 * i)
+              val mx = r.getDouble(2 + 2 * i)
+              if (mn.isNaN || mx.isNaN) None
+              else Some(s"$c=$mn..$mx")
+            }
           }
           (rel +: suffix).mkString("\t")
       }
@@ -355,7 +363,10 @@ object CommitLogTableFormat extends TableFormat {
     * stale-change rule is uniform: an update OR delete older than
     * the target's current version for that key is ignored, so
     * replaying yesterday's changeset over today's table is a no-op,
-    * not a regression. Deletes of absent keys are no-ops.
+    * not a regression. Deletes of absent keys are no-ops. A target
+    * row with a NULL version loses to ANY change — delete or update
+    * alike — mirroring keepLatest's descending null ordering, so the
+    * two mutation kinds can never disagree about a versionless row.
     *
     * Scale shape: same cost class as [[upsert]] — the changeset
     * resolves with one keyed window, the merge is the existing
@@ -525,6 +536,9 @@ object CommitLogTableFormat extends TableFormat {
         val nFiles =
           math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         stats = OptimizeStats(base + 1, files.size, nFiles, bytes)
+        // filesAfter is corrected to the COMMITTED count after the
+        // loop — repartitionByRange can emit fewer partitions than
+        // requested when z boundaries collapse (near-constant dims)
         if (zorderBy.isEmpty) df.repartition(nFiles)
         else {
           // per-dimension bounds: one bounded-driver agg row
@@ -542,7 +556,8 @@ object CommitLogTableFormat extends TableFormat {
             .drop("_graft_z")
         }
     }
-    stats
+    stats.copy(filesAfter =
+      readManifest(f, root, stats.version).size)
   }
 
   /** Range scan with MANIFEST-level data skipping: files whose
@@ -571,8 +586,11 @@ object CommitLogTableFormat extends TableFormat {
         s"scanPruned: version $v at $path never committed or was vacuumed")
     val entries = readManifestStats(f, root, v)
     val kept = entries.collect {
+      // negated comparisons: a NaN bound (hand-edited manifest) makes
+      // both `<` tests false, so the file is KEPT — prune only on a
+      // provable non-intersection
       case (rel, st) if st.get(column).forall {
-        case (mn, mx) => mx >= lo && mn <= hi
+        case (mn, mx) => !(mx < lo) && !(mn > hi)
       } => new Path(root, rel).toString
     }
     val pred = col(column) >= lo && col(column) <= hi

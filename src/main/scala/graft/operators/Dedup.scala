@@ -66,9 +66,14 @@ object Dedup {
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", maxDocFreq: Int = 1): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val paras = docs.select(col(idCol),
-      posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(sep))))
+    // split(null) explodes to zero rows, which would DROP the doc
+    // from the output entirely — surface null-text docs as ("", 0)
+    // instead (the same contract as a fully-boilerplate doc)
+    val ids = docs.select(col(idCol))
+    val paras = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
       .toDF(idCol, "__pid", "__para")
       .withColumn("__h", md5(col("__para")))
     val common = paras.select(col(idCol), col("__h")).distinct()
@@ -83,9 +88,11 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("__pid"), col("__para")))),
           s => s("__para")), sep).as("cleaned"))
-    totals.join(rebuilt, Seq(idCol), "left")
+    ids.join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cleaned"), lit("")).as("cleaned"),
-        (col("__np") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+        (coalesce(col("__np"), lit(0L)) -
+          coalesce(col("__nk"), lit(0L))).as("n_removed"))
   }
 }

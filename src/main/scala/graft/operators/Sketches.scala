@@ -95,10 +95,17 @@ object Sketches {
   /** Salted row-hash for Count-Min row `j`: the same externally
     * replayable md5 idiom as [[Sample]]'s buckets (the t88 oracle
     * rederives every bucket in DuckDB), 32 bits so the value is
-    * non-negative before the modulo. */
+    * non-negative before the modulo. NULL keys hash via a NUL-byte
+    * sentinel — without it the null rows would land in a dead
+    * bucket=NULL cell no probe can equi-join, and the estimate for a
+    * null key would come back 0 under a positive true count, breaking
+    * the upper-bound contract. (A real key equal to the sentinel
+    * merely aliases — inflation is within the CM contract, undercount
+    * is not.) */
   private def cmHash(key: Column, j: Int): Column =
     conv(substring(md5(concat(lit(s"cm$j"), lit("|"),
-      key.cast("string"))), 1, 8), 16, 10).cast("long")
+      coalesce(key.cast("string"), lit("\u0000")))), 1, 8), 16, 10)
+      .cast("long")
 
   /** Count-Min sketch of `keyCol` frequencies: `depth` independent
     * salted-hash rows × `width` buckets, returned as its non-zero

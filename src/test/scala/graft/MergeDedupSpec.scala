@@ -271,6 +271,18 @@ class MergeDedupSpec extends SparkSpec {
     assert(got(5L) === (("x\nx", 0L)))
   }
 
+  test("dedupParagraphs: null-text docs surface as empty, never vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Dedup.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(2L) === (("", 0L)))
+    assert(got(1L) === (("a\nb", 0L)))
+  }
+
   test("dedupParagraphs: maxDocFreq loosens the drop threshold") {
     import spark.implicits._
     val docs = Seq((1L, "p\nq"), (2L, "p"), (3L, "p")).toDF("id", "text")

@@ -165,6 +165,22 @@ class OptimizeSpec extends SparkSpec {
     assert(byStats === (10L to 20L).toSeq)
   }
 
+  test("scanPruned: NaN-bearing columns record no stats, rows survive") {
+    val path = tmpDir("opt-nan") + "/t"
+    // NaN poisons Spark's max aggregate (NaN sorts above +Inf): if a
+    // NaN range were recorded, NaN >= lo comparisons would prune the
+    // file and silently drop its in-range rows
+    val df = spark.range(0, 100)
+      .select(when(col("id") === 5, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("x"))
+    CL.fullRefresh(spark, df.repartition(2), path)
+    CL.optimize(spark, path, targetFileBytes = Long.MaxValue,
+      statsColumns = Seq("x"))
+    val got = CL.scanPruned(spark, path, "x", 3d, 10d)
+      .collect().map(_.getDouble(0)).filterNot(_.isNaN).sorted.toSeq
+    assert(got === Seq(3d, 4d, 6d, 7d, 8d, 9d, 10d))
+  }
+
   test("scanPruned: empty intersection returns empty, right schema") {
     val path = tmpDir("opt-empty") + "/t"
     CL.fullRefresh(spark, spark.range(0, 50).toDF("x"), path)

@@ -112,6 +112,19 @@ class SketchesSpec extends SparkSpec {
       s"CM error bound held for only $within/${exact.size} keys")
   }
 
+  test("countMin: null keys keep the upper-bound contract") {
+    import spark.implicits._
+    val df = (Seq.fill(100)(Option.empty[Long]) ++
+      (1 to 50).map(i => Some(i.toLong))).toDF("k")
+    val sk = Sketches.countMin(df, "k", depth = 3, width = 64)
+    val keys = Seq(Option.empty[Long], Some(7L)).toDF("k")
+    val est = Sketches.countMinEstimate(sk, keys, "k", 3, 64)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getLong(1)).toMap
+    assert(est(-1L) >= 100L, s"null-key estimate ${est(-1L)} undercounts")
+    assert(est(7L) >= 1L)
+  }
+
   test("countMin: sketches over disjoint data merge by cell sum") {
     import spark.implicits._
     val a = (1 to 300).map(i => (i % 23).toLong).toDF("k")
