@@ -560,6 +560,25 @@ object CommitLogTableFormat extends TableFormat {
       readManifest(f, root, stats.version).size)
   }
 
+  /** [[optimize]] behind a file-count trigger: rewrite only when the
+    * current snapshot holds more than `maxFiles` data files, else do
+    * nothing (None — no new version, no write amplification). The
+    * auto-compaction shape a streaming ingest loop calls after every
+    * committed micro-batch: O(1) manifest listing when healthy, one
+    * amortized rewrite when the small-file debt crosses the line. */
+  def optimizeIfNeeded(spark: SparkSession, path: String,
+      maxFiles: Int, targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil, zBits: Int = 16,
+      statsColumns: Seq[String] = Nil): Option[OptimizeStats] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val (f, root) = fs(spark, path)
+    val needed = currentVersion(f, root)
+      .exists(v => readManifest(f, root, v).size > maxFiles)
+    if (!needed) None
+    else Some(optimize(spark, path, targetFileBytes, zorderBy, zBits,
+      statsColumns))
+  }
+
   /** Range scan with MANIFEST-level data skipping: files whose
     * recorded [min, max] for `column` cannot intersect [lo, hi] are
     * never opened — the read-side payoff of [[optimize]]'s Z-order +

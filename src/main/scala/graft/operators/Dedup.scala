@@ -56,43 +56,46 @@ object Dedup {
     * Output: (idCol, cleaned, n_removed); fully-boilerplate documents
     * come out as empty strings for downstream length filters.
     *
-    * Scale shape: paragraphs cross the dedup shuffle as 32-char md5
-    * hashes, never text; the doc-frequency pass aggregates distinct
-    * (doc, hash) pairs; the common set joins back by hash (AQE splits
-    * hot boilerplate hashes); rebuild is one id-keyed groupBy whose
-    * array_sort is row-local. Corpus text shuffles exactly once, in
-    * the rebuild's (id, pid, para) rows — unavoidable, since the
-    * output IS reassembled text. */
+    * Scale shape (the t53 discipline): paragraph TEXT never crosses a
+    * dedup shuffle — the working frame is (id, pid, md5) rows, the
+    * doc-frequency pass aggregates distinct (doc, hash) pairs, and
+    * the boilerplate set semi-joins back by hash (AQE splits hot
+    * boilerplate hashes). Dropped POSITIONS collapse to one bounded
+    * array per document, the join back to the corpus is id-keyed and
+    * narrow, and the rebuild is row-local: re-split the original text
+    * and filter by index. The only shuffle that carries document text
+    * is that final id-keyed join — unavoidable, since the output IS
+    * reassembled text. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", maxDocFreq: Int = 1): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    // split(null) explodes to zero rows, which would DROP the doc
-    // from the output entirely — surface null-text docs as ("", 0)
-    // instead (the same contract as a fully-boilerplate doc)
-    val ids = docs.select(col(idCol))
-    val paras = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))))
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    // (id, pid, hash) only — the paragraph string is hashed and
+    // dropped before anything wide happens. split(null) explodes to
+    // zero rows, which would DROP the doc from the output entirely —
+    // null-text docs surface as ("", 0) via the final left join.
+    val work = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), sepLit)))
       .toDF(idCol, "__pid", "__para")
-      .withColumn("__h", md5(col("__para")))
-    val common = paras.select(col(idCol), col("__h")).distinct()
+      .select(col(idCol), col("__pid"), md5(col("__para")).as("__h"))
+    val common = work.select(col(idCol), col("__h")).distinct()
       .groupBy("__h").agg(count(lit(1)).as("__dc"))
       .filter(col("__dc") > maxDocFreq)
       .select("__h")
-    val kept = paras.join(common, Seq("__h"), "left_anti")
-    val totals = paras.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__np"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nk"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__pid"), col("__para")))),
-          s => s("__para")), sep).as("cleaned"))
-    ids.join(totals, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
+    val dropped = work.join(common, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pid")).as("__drops"))
+    docs.join(dropped, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("cleaned"), lit("")).as("cleaned"),
-        (coalesce(col("__np"), lit(0L)) -
-          coalesce(col("__nk"), lit(0L))).as("n_removed"))
+        when(col("__drops").isNull, coalesce(col(textCol), lit("")))
+          .otherwise(array_join(
+            filter(split(col(textCol), sepLit),
+              (_, i) => !array_contains(col("__drops"), i)), sep))
+          .as("cleaned"),
+        // explicit null branch: size(null) is config-dependent
+        // (-1 legacy, null ANSI) — neither is the 0 we mean
+        when(col("__drops").isNull, lit(0L))
+          .otherwise(size(col("__drops")).cast("long"))
+          .as("n_removed"))
   }
 }

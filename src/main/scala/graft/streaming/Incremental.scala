@@ -294,6 +294,46 @@ object Incremental {
     * window, not the corpus — the property that makes this runnable
     * forever at 100 TB/day. First-seen wins; use [[bronzeToSilver]]'s
     * keyed upsert when latest-version-wins is required instead. */
+  /** Stream a CDC changeset feed into a commit-log table: each
+    * micro-batch applies through
+    * [[graft.operators.CommitLogTableFormat.applyCdc]] — inserts,
+    * updates, AND deletes, with the changeset-internal latest-wins
+    * and the uniform stale-op rule. That rule is ALSO the crash
+    * story: foreachBatch is at-least-once, and a replayed batch
+    * re-applies as a pure no-op (every op is now stale against the
+    * target), so the sink is effectively-once without any sink-side
+    * batch-id bookkeeping. `autoOptimizeMaxFiles` bounds the
+    * small-file debt the per-batch commits accrue: when the snapshot
+    * exceeds it, one amortized bin-pack (optionally z-ordered) rewrite
+    * runs inside the same drain.
+    *
+    * `changes` must be a STREAMING DataFrame carrying `keys`,
+    * `opCol`, `versionCol`, and the payload columns; returns after
+    * draining (AvailableNow, the §2.9 catch-up contract). */
+  def cdcStream(changes: DataFrame, targetPath: String,
+      keys: Seq[String], opCol: String, versionCol: String,
+      checkpoint: String, deleteOp: String = "D",
+      autoOptimizeMaxFiles: Option[Int] = None,
+      zorderBy: Seq[String] = Nil): Unit = {
+    val q = changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.CommitLogTableFormat.applyCdc(
+            batch.sparkSession, batch, targetPath, keys, opCol,
+            versionCol, deleteOp)
+          autoOptimizeMaxFiles.foreach(n =>
+            graft.operators.CommitLogTableFormat.optimizeIfNeeded(
+              batch.sparkSession, targetPath, maxFiles = n,
+              zorderBy = zorderBy))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
       lateness: String = "1 day"): DataFrame =
     events

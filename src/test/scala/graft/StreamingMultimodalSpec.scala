@@ -438,6 +438,48 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(CL.versions(spark, s"$root/deploy") == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("cdcStream: deletes land, replay no-op, auto-optimize bounds files") {
+    import spark.implicits._
+    import graft.operators.{CommitLogTableFormat => CLF}
+    val dir = tmpDir("cdc-stream")
+    val src = s"$dir/changes"
+    val target = s"$dir/table"
+    val sch = Seq((0L, "", "", 0L)).toDF("k", "v", "op", "ver").schema
+    def drain(ckpt: String): Unit =
+      Incremental.cdcStream(
+        spark.readStream.schema(sch).parquet(src), target,
+        Seq("k"), "op", "ver", ckpt,
+        autoOptimizeMaxFiles = Some(1))
+    def state(): Set[(Long, String, Long)] =
+      CLF.read(spark, target).get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    Seq((1L, "a", "I", 1L), (2L, "b", "I", 1L), (3L, "c", "I", 1L))
+      .toDF("k", "v", "op", "ver").write.mode("append").parquet(src)
+    drain(s"$dir/ckpt")
+    assert(state() === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+
+    // second drain, same checkpoint: only the new files process —
+    // a delete, an update, an insert, and a STALE delete that must lose
+    Seq((2L, "-", "D", 2L), (3L, "c2", "U", 2L), (4L, "d", "I", 2L),
+      (1L, "-", "D", 0L))
+      .toDF("k", "v", "op", "ver").write.mode("append").parquet(src)
+    drain(s"$dir/ckpt")
+    val settled = state()
+    assert(settled === Set((1L, "a", 1L), (3L, "c2", 2L), (4L, "d", 2L)))
+
+    // crash-replay: a FRESH checkpoint re-reads every file as one big
+    // batch; changeset-internal latest-wins + the stale-op rule make
+    // the re-application a pure no-op
+    drain(s"$dir/ckpt2")
+    assert(state() === settled)
+
+    // auto-optimize kept the snapshot compacted despite 3+ commits
+    val files = CLF.read(spark, target).get
+      .select(input_file_name()).distinct().count()
+    assert(files <= 2, s"auto-optimize left $files files")
+  }
+
   test("dedupStream: cross-batch replays collapse within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
