@@ -271,6 +271,30 @@ class MergeDedupSpec extends SparkSpec {
     assert(got(5L) === (("x\nx", 0L)))
   }
 
+  test("dedupParagraphs plan: no Exchange ever carries paragraph text") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"p$i\nq${i % 5}\nr$i"))
+      .toDF("id", "text")
+    val out = Dedup.dedupParagraphs(docs, "id", "text")
+    out.collect() // force planning through AQE to the final plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+    val exchanges = nodes(out.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val carried = e.output.map(_.name)
+      assert(!carried.contains("__para"),
+        s"dedup shuffle carries paragraph text: $carried")
+    }
+  }
+
   test("dedupParagraphs: null-text docs surface as empty, never vanish") {
     import spark.implicits._
     val docs = Seq((1L, "a\nb"), (2L, null.asInstanceOf[String]))

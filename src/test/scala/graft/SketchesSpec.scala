@@ -112,6 +112,17 @@ class SketchesSpec extends SparkSpec {
       s"CM error bound held for only $within/${exact.size} keys")
   }
 
+  test("countMinEstimate plan: the sketch probe is a broadcast join") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i % 40).toLong).toDF("k")
+    val sk = Sketches.countMin(df, "k", depth = 3, width = 64)
+    val est = Sketches.countMinEstimate(sk, df.distinct(), "k", 3, 64)
+    est.collect()
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "sketch probe should broadcast the bounded cell matrix")
+  }
+
   test("countMin: null keys keep the upper-bound contract") {
     import spark.implicits._
     val df = (Seq.fill(100)(Option.empty[Long]) ++
