@@ -53,7 +53,10 @@ object Bench {
         gcMs.addAndGet(m.jvmGCTime)
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         taskMs.addAndGet(m.executorRunTime)
-        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        // accumulate NANOSECONDS; truncating per task would shed up
+        // to ~1 ms × task-count from exactly the counter that
+        // diagnoses task_ms-vs-cpu_ms contention
+        cpuMs.addAndGet(m.executorCpuTime)
       }
     }
     override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
@@ -151,7 +154,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         drainBus()
         Some(Rep(sec, metrics.gcMs.get, metrics.spillBytes.get,
-          metrics.cacheDrops.get, metrics.taskMs.get, metrics.cpuMs.get))
+          metrics.cacheDrops.get, metrics.taskMs.get,
+          metrics.cpuMs.get / 1000000L)) // ns accumulator -> ms once
       } catch { case _: Throwable => None }
     }
     def median(xs: Seq[Double]): Double = {

@@ -634,7 +634,13 @@ object Multimodal {
           reader.setInput(ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes)))
           Some(reader.read(0))
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // the JDK GIF plugin throws RuntimeExceptions (AIOOBE,
+          // NegativeArraySize, IllegalArgument) on corrupt LZW
+          // tables/descriptors, not just IOException — any parse
+          // failure must fall back, never kill the task
+          case scala.util.control.NonFatal(_) => None
+        }
         finally reader.dispose()
       } else
         MjpegCodec.firstFrame(bytes).flatMap(f =>
@@ -923,7 +929,9 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes)))
         val n =
           try reader.getNumImages(true)
-          catch { case _: java.io.IOException => 0 }
+          // the JDK GIF plugin throws RuntimeExceptions on corrupt
+          // streams (AIOOBE, NegativeArraySize…), not just IOException
+          catch { case scala.util.control.NonFatal(_) => 0 }
         if (n == 0) return IndexedSeq.empty
         // logical screen from stream metadata; fall back to frame 0
         val (lsW, lsH) =
@@ -985,9 +993,10 @@ object Multimodal {
             Some(baos.toByteArray)
           } catch {
             // torn tail block: lose that frame, keep the stream —
-            // MjpegCodec's malformed-frame policy
-            case _: java.io.IOException => None
-            case _: IndexOutOfBoundsException => None
+            // MjpegCodec's malformed-frame policy. NonFatal, because
+            // the JDK GIF plugin's corrupt-stream failures include
+            // RuntimeExceptions beyond IndexOutOfBounds
+            case scala.util.control.NonFatal(_) => None
           }
         }
       } finally reader.dispose()

@@ -171,6 +171,18 @@ object TarShards {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // job-level overwrite happens HERE, once, on the driver: prior
+    // shards and stray tmps are cleared so the task-level commit can
+    // be a pure rename (see close()) — without this, a stale shard
+    // from an earlier job would survive a refused rename silently
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(dirPath))
+      dfs.listStatus(dirPath).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("shard-") && nm.contains(".tar"))
+          dfs.delete(st.getPath, false)
+      }
     val withShard = entries
       .withColumn("__shard", shardOf(col(idCol), nShards, salt).cast("int"))
       .select(col("__shard"), col("name"), col("data"))
@@ -202,9 +214,19 @@ object TarShards {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close()
           val fs = finalPath(cur).getFileSystem(hconf.value)
-          fs.delete(finalPath(cur), false)
-          require(fs.rename(tmpPath(cur), finalPath(cur)),
-            s"commit rename failed for shard $cur")
+          // commit = ONE rename, never delete-then-rename: a zombie
+          // attempt that deleted the winner's file and died before its
+          // own rename would lose the shard AFTER the job reported
+          // success. Attempts produce identical bytes, so if the
+          // rename fails because another attempt already committed
+          // (HDFS rename-refuses-existing), OUR tmp is simply
+          // discarded; on local/POSIX filesystems rename atomically
+          // replaces the identical file, which is equally correct.
+          if (!fs.rename(tmpPath(cur), finalPath(cur))) {
+            require(fs.exists(finalPath(cur)),
+              s"commit rename failed for shard $cur with no winner")
+            fs.delete(tmpPath(cur), false)
+          }
           done += ((cur, n, bytes + 1024L))
           out = null
         }

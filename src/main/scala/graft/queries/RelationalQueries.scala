@@ -532,7 +532,7 @@ object RelationalQueries {
       (s, dir) => Tables(s, dir, "events")
         .groupBy("user_id")
         .agg(max_by(col("event_type"),
-          concat(lpad(unix_micros(col("ts").cast("timestamp")).cast("string"), 20, "0"),
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
             lpad(col("event_id").cast("string"), 10, "0"))).as("latest_type"),
           max("event_id").as("max_event_id")),
       Some("""SELECT user_id,
@@ -596,7 +596,7 @@ object RelationalQueries {
       (s, dir) => {
         val e = Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("us"))
+            unix_micros(col("ts")).as("us"))
         val a = e.select(col("user_id"), col("event_id").as("e1"),
           col("us").as("us1"))
         val b = e.select(col("user_id"), col("event_id").as("e2"),
@@ -628,7 +628,7 @@ object RelationalQueries {
       (s, dir) => {
         val e = Tables(s, dir, "events")
           .select(col("user_id").as("custkey"), col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("ets"))
+            unix_micros(col("ts")).as("ets"))
         val o = Tables(s, dir, "orders")
           .select(col("o_custkey").as("custkey"),
             // o_orderdate is TIMESTAMP_NTZ; session is UTC so the cast

@@ -372,13 +372,26 @@ object Incremental {
     * The initial deployment must exist (one [[graft.operators.Ann
     * .ivfPqRetrain]] on the seed corpus publishes it) — a stream that
     * silently trains on its first micro-batch would freeze assets on
-    * whatever sliver arrived first. */
+    * whatever sliver arrived first. `vectorsPath` is the SYSTEM OF
+    * RECORD the drift retrain re-trains from, so the seed corpus's
+    * raw vectors must be written there too (PQ codes are lossy — the
+    * deployment cannot reconstruct them). A deployment without a
+    * vectors table is refused at start: the first drift-triggered
+    * retrain would otherwise silently drop every seed vector from
+    * the index. */
   def annIndexStream(spark: SparkSession, bronzeGlob: String,
       vectorsPath: String, deployPath: String, checkpoint: String,
       idExpr: String, vecExpr: String, m: Int, dsub: Int,
       nlist: Int, lloydIters: Int, ksub: Int, pqIters: Int,
       skewBound: Double = 4.0): Unit = {
     import graft.operators.Ann
+    require(Ann.ivfPqLoad(spark, deployPath).isEmpty ||
+      MergeOps.readIfExists(spark, vectorsPath).isDefined,
+      s"annIndexStream: a deployment exists at $deployPath but " +
+        s"$vectorsPath is empty — vectorsPath is the system of record " +
+        "retrain re-trains from; write the seed corpus's raw vectors " +
+        "there before streaming, or the first drift-triggered retrain " +
+        "would silently drop every seed vector")
     val stream = spark.readStream
       .format("text")
       .load(bronzeGlob)

@@ -83,6 +83,10 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the Tables() NTZ->TIMESTAMP cast is session-timezone-
+      // dependent: an unpinned session on a non-UTC host would shift
+      // every scaled event instant relative to the oracle's UTC read
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
