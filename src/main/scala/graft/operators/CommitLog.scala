@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, input_file_name, least, lit, max, min, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{aggregate, array, coalesce, col, floor, greatest, input_file_name, least, lit, max, min, shiftleft, shiftright, when}
 
 /** Minimal transactional commit log over plain parquet — the
   * Delta-shaped third [[TableFormat]] binding, with no jars beyond
@@ -471,9 +471,6 @@ object CommitLogTableFormat extends TableFormat {
     * pick per column, the interleave is unchanged. */
   def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
       bits: Int = 16): Column = {
-    val k = cols.size
-    require(k >= 1, "zValue needs at least one column")
-    require(k * bits <= 62, s"$k cols x $bits bits exceeds a signed long")
     val maxBucket = (1L << bits) - 1
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val span = maxs(i) - mins(i)
@@ -485,12 +482,49 @@ object CommitLogTableFormat extends TableFormat {
         else lit(0L)
       coalesce(scaled, lit(0L))
     }
+    interleave(buckets, bits)
+  }
+
+  /** The Morton bit interleave over already-computed bucket columns:
+    * bit i of column j lands at position i·k + (k−1−j). Shared by
+    * [[zValue]] (equi-width buckets) and [[zRankValue]] (quantile
+    * buckets); pure builtin shift/and/add, whole-stage codegen'd. */
+  private def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val k = buckets.size
+    require(k >= 1, "interleave needs at least one column")
+    require(k * bits <= 62, s"$k cols x $bits bits exceeds a signed long")
     val terms = for {
       (b, j) <- buckets.zipWithIndex
       i <- 0 until bits
     } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
       i * k + (k - 1 - j))
     terms.reduce(_ + _)
+  }
+
+  /** RANK-bucketed z-value — the skew-proof sibling of [[zValue]]:
+    * each column's bucket is the count of its quantile `boundaries`
+    * at or below the value (a builtin `aggregate` fold over the
+    * broadcast-literal boundary array), so one outlier cannot
+    * collapse the bulk of a dimension into bucket 0 the way
+    * equi-width min/max scaling does. Boundaries come from a sampled
+    * quantile pass (bounded driver data: ≤ 2^bits − 1 doubles per
+    * column); nulls bucket to 0. The price of skew-proofing is
+    * external replayability — approxQuantile is engine-specific, so
+    * rank-z-ordered layouts are gated by span-collapse measurement
+    * (OptimizeSpec), not a DuckDB oracle; [[scanPruned]] correctness
+    * is unaffected either way (stats record true per-file min/max). */
+  def zRankValue(cols: Seq[Column], boundaries: Seq[Array[Double]],
+      bits: Int = 8): Column = {
+    require(cols.size == boundaries.size, "one boundary set per column")
+    val buckets = cols.zip(boundaries).map { case (c, bs) =>
+      require(bs.length <= (1 << bits) - 1,
+        s"${bs.length} boundaries exceed $bits-bit buckets")
+      val arr = array(bs.map(lit(_)): _*)
+      coalesce(aggregate(arr, lit(0L),
+        (acc, b) => acc + when(c.cast("double") >= b, 1L).otherwise(0L)),
+        lit(0L))
+    }
+    interleave(buckets, bits)
   }
 
   /** Rewrite the CURRENT snapshot's layout — content unchanged — and
@@ -518,8 +552,14 @@ object CommitLogTableFormat extends TableFormat {
     * (old + new copies) is paid back. */
   def optimize(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
-      zBits: Int = 16, statsColumns: Seq[String] = Nil): OptimizeStats = {
+      zBits: Int = 16, statsColumns: Seq[String] = Nil,
+      zorderStrategy: String = "width"): OptimizeStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderStrategy == "width" || zorderStrategy == "rank",
+      s"unknown zorderStrategy '$zorderStrategy' (width|rank)")
+    require(zorderStrategy == "width" || zBits <= 12,
+      "rank strategy computes 2^bits - 1 quantiles per column; use " +
+        s"zBits <= 12 (got $zBits) — 8 is the recommended default")
     val (f, root) = fs(spark, path)
     var stats: OptimizeStats = null
     // the rewrite that clusters on a column is the moment to record
@@ -541,16 +581,29 @@ object CommitLogTableFormat extends TableFormat {
         // requested when z boundaries collapse (near-constant dims)
         if (zorderBy.isEmpty) df.repartition(nFiles)
         else {
-          // per-dimension bounds: one bounded-driver agg row
-          val aggs = zorderBy.flatMap(c => Seq(
-            min(col(c).cast("double")), max(col(c).cast("double"))))
-          val row = df.agg(aggs.head, aggs.tail: _*).head()
-          val mins = zorderBy.indices.map(i =>
-            if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i))
-          val maxs = zorderBy.indices.map(i =>
-            if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1))
-          df.withColumn("_graft_z",
-              zValue(zorderBy.map(col), mins, maxs, zBits))
+          val z =
+            if (zorderStrategy == "rank") {
+              // skew-proof: quantile boundaries per dimension (one
+              // sampled pass; ≤ 2^bits − 1 doubles/col on the driver)
+              val probs = (1 until (1 << zBits))
+                .map(_.toDouble / (1 << zBits)).toArray
+              val doubled = df.select(zorderBy.map(c =>
+                col(c).cast("double").as(c)): _*)
+              val bounds = doubled.stat
+                .approxQuantile(zorderBy.toArray, probs, 0.001)
+              zRankValue(zorderBy.map(col), bounds.toSeq, zBits)
+            } else {
+              // per-dimension bounds: one bounded-driver agg row
+              val aggs = zorderBy.flatMap(c => Seq(
+                min(col(c).cast("double")), max(col(c).cast("double"))))
+              val row = df.agg(aggs.head, aggs.tail: _*).head()
+              val mins = zorderBy.indices.map(i =>
+                if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i))
+              val maxs = zorderBy.indices.map(i =>
+                if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1))
+              zValue(zorderBy.map(col), mins, maxs, zBits)
+            }
+          df.withColumn("_graft_z", z)
             .repartitionByRange(nFiles, col("_graft_z"))
             .sortWithinPartitions("_graft_z")
             .drop("_graft_z")

@@ -123,6 +123,44 @@ class OptimizeSpec extends SparkSpec {
     assert(CL.readAt(spark, path, 1L).isEmpty)
   }
 
+  test("rank z-order clusters skewed dimensions equi-width cannot") {
+    // bulk x uniform in [0, 4096) plus ONE outlier at 1e15: under
+    // equi-width 16-bit scaling every bulk row lands in bucket 0, so
+    // width-z-order degenerates to ordering by y alone and each file
+    // spans nearly the whole bulk x-range; rank buckets ignore the
+    // outlier's magnitude entirely
+    val pathW = tmpDir("opt-skew-w") + "/t"
+    val pathR = tmpDir("opt-skew-r") + "/t"
+    val base = spark.range(0, 4096)
+      .select((col("id") % 4096).cast("double").as("x"),
+        (col("id") * 2654435761L % 4096).as("y"),
+        md5(col("id").cast("string")).as("payload"))
+      .union(spark.range(1).select(lit(1e15).as("x"), lit(0L).as("y"),
+        lit("outlier").as("payload")))
+      .orderBy(md5(concat(lit("s"), col("y").cast("string"),
+        col("payload"))))
+
+    def bulkSpanX(path: String): Double = {
+      CL.read(spark, path).get.filter(col("x") < 1e14)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"))
+        .agg(avg("sx")).head().getDouble(0)
+    }
+    for ((p, strat) <- Seq((pathW, "width"), (pathR, "rank"))) {
+      CL.fullRefresh(spark, base.repartition(16), p)
+      val probe = CL.optimize(spark, p, targetFileBytes = Long.MaxValue)
+      CL.optimize(spark, p, targetFileBytes = probe.bytesBefore / 8,
+        zorderBy = Seq("x", "y"), zBits = 8, zorderStrategy = strat)
+    }
+    val (wSpan, rSpan) = (bulkSpanX(pathW), bulkSpanX(pathR))
+    assert(wSpan > 3000,
+      s"outlier should defeat equi-width x-clustering, span $wSpan")
+    assert(rSpan < wSpan / 2,
+      s"rank buckets should cluster the bulk: $rSpan vs $wSpan")
+    // content untouched by either rewrite
+    assert(CL.read(spark, pathR).get.count() === 4097L)
+  }
+
   test("scanPruned: manifest stats skip files, semantics unchanged") {
     val path = tmpDir("opt-prune") + "/t"
     val df = spark.range(0, 4096)
