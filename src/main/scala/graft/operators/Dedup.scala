@@ -69,20 +69,39 @@ object Dedup {
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", maxDocFreq: Int = 1): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val sepLit = java.util.regex.Pattern.quote(sep)
-    // (id, pid, hash) only — the paragraph string is hashed and
-    // dropped before anything wide happens. split(null) explodes to
-    // zero rows, which would DROP the doc from the output entirely —
-    // null-text docs surface as ("", 0) via the final left join.
-    val work = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol), sepLit)))
-      .toDF(idCol, "__pid", "__para")
-      .select(col(idCol), col("__pid"), md5(col("__para")).as("__h"))
+    val work = paragraphWork(docs, idCol, textCol, sep)
     val common = work.select(col(idCol), col("__h")).distinct()
       .groupBy("__h").agg(count(lit(1)).as("__dc"))
       .filter(col("__dc") > maxDocFreq)
       .select("__h")
-    val dropped = work.join(common, Seq("__h"), "left_semi")
+    rebuildWithout(docs, idCol, textCol, sep,
+      work.join(common, Seq("__h"), "left_semi"))
+  }
+
+  /** (id, pid, md5(paragraph)) working frame — the paragraph string
+    * is hashed and dropped before anything wide happens. split(null)
+    * explodes to zero rows, which would DROP the doc from the output
+    * entirely — null-text docs surface as ("", 0) via the final left
+    * join in [[rebuildWithout]]. */
+  private def paragraphWork(docs: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pid", "__para")
+      .select(col(idCol), col("__pid"), md5(col("__para")).as("__h"))
+
+  /** Rebuild documents minus the paragraphs in `droppedRows` (rows of
+    * (id, pid, ...)): positions collapse to one bounded array per
+    * doc, the join back to the corpus is id-keyed and narrow, and the
+    * rebuild is row-local — re-split the original text and filter by
+    * index. The only shuffle carrying document text is this final
+    * id-keyed join. */
+  private def rebuildWithout(docs: DataFrame, idCol: String,
+      textCol: String, sep: String, droppedRows: DataFrame): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val dropped = droppedRows
       .groupBy(col(idCol))
       .agg(collect_list(col("__pid")).as("__drops"))
     docs.join(dropped, Seq(idCol), "left")
@@ -97,5 +116,54 @@ object Dedup {
         when(col("__drops").isNull, lit(0L))
           .otherwise(size(col("__drops")).cast("long"))
           .as("n_removed"))
+  }
+
+  /** Paragraph-frequency index of a corpus: (p_hash, n_docs) — the
+    * compact asset [[dedupParagraphsIncremental]] dedups a daily
+    * append against, so the historical corpus text is never re-read.
+    * Counts are DISTINCT documents per paragraph hash, the same
+    * equivalence the batch operator uses. */
+  def paragraphIndex(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    paragraphWork(docs, idCol, textCol, sep)
+      .select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("n_docs"))
+      .select(col("__h").as("p_hash"), col("n_docs"))
+
+  /** INCREMENTAL paragraph dedup — the daily-append production shape
+    * (the t26/t78 pattern at paragraph granularity): dedup `docs`
+    * against a [[paragraphIndex]] of the already-ingested corpus
+    * plus themselves. A paragraph is dropped from every incoming doc
+    * when its historical doc count PLUS its incoming distinct-doc
+    * count exceeds `maxDocFreq` — with an empty index this is
+    * exactly [[dedupParagraphs]] (spec-asserted).
+    *
+    * Returns (cleanedDocs, updatedIndex). The updated index counts
+    * every paragraph SEEN — including ones just dropped — because
+    * the corpus has seen them: a paragraph that arrives again
+    * tomorrow is still boilerplate. Persist it and pass it back next
+    * batch; the historical corpus text is never re-read. */
+  def dedupParagraphsIncremental(docs: DataFrame, idCol: String,
+      textCol: String, existingIndex: DataFrame, sep: String = "\n",
+      maxDocFreq: Int = 1): (DataFrame, DataFrame) = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val work = paragraphWork(docs, idCol, textCol, sep)
+    val incoming = work.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__n_inc"))
+    val ex = existingIndex
+      .select(col("p_hash").as("__h"), col("n_docs").as("__n_ex"))
+    val combined = incoming.join(ex, Seq("__h"), "left")
+      .withColumn("__n_ex", coalesce(col("__n_ex"), lit(0L)))
+    val common = combined
+      .filter(col("__n_inc") + col("__n_ex") > maxDocFreq)
+      .select("__h")
+    val cleaned = rebuildWithout(docs, idCol, textCol, sep,
+      work.join(common, Seq("__h"), "left_semi"))
+    val updated = combined
+      .select(col("__h"), (col("__n_inc") + col("__n_ex")).as("n_docs"))
+      .unionByName(ex.join(incoming, Seq("__h"), "left_anti")
+        .select(col("__h"), col("__n_ex").as("n_docs")))
+      .select(col("__h").as("p_hash"), col("n_docs"))
+    (cleaned, updated)
   }
 }

@@ -3939,6 +3939,63 @@ object TrainingQueries {
           |  CAST(0 AS INT), 0.0, 'NEW', CAST(2 AS BIGINT)
           |FROM customer WHERE c_custkey % 10 = 4""".stripMargin
       }),
+
+    // INCREMENTAL paragraph dedup under the oracle (t89's
+    // daily-append sibling, the t26/t78 id-parity contract at
+    // paragraph granularity): even docs are the already-ingested
+    // corpus, materialized ONLY as their (hash, n_docs) paragraph
+    // index — their text is never re-read; odd docs dedup against
+    // that index plus themselves (drop when historical + incoming
+    // distinct-doc counts exceed 1). DuckDB replays the combined
+    // counting and the ordered rebuild over the raw text, pinning
+    // the amortized production shape against the declarative batch
+    // definition.
+    QueryDef(
+      "t93_paragraph_dedup_incremental",
+      (s, dir) => {
+        val tk = split(col("text"), " ")
+        val nP = ceil(size(tk) / lit(3.0)).cast("int")
+        val paraDocs = spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            array_join(transform(sequence(lit(0), nP - 1),
+              i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")), "\n")
+              .as("ptext"))
+        val existing = graft.operators.Dedup.paragraphIndex(
+          paraDocs.filter(col("doc_id") % 2 === 0), "doc_id", "ptext")
+        val (cleaned, _) = graft.operators.Dedup
+          .dedupParagraphsIncremental(
+            paraDocs.filter(col("doc_id") % 2 === 1), "doc_id", "ptext",
+            existing)
+        cleaned.select(col("doc_id"), col("cleaned"), col("n_removed"))
+      },
+      Some {
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |  FROM documents),
+           |np AS (SELECT doc_id, tk,
+           |    CAST(ceil(len(tk) / 3.0) AS BIGINT) AS n FROM toks),
+           |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS pid,
+           |    array_to_string(tk[CAST(i * 3 + 1 AS INT)
+           |      : CAST(i * 3 + 3 AS INT)], ' ') AS p
+           |  FROM (SELECT doc_id, tk, unnest(range(n)) AS i FROM np)),
+           |ev AS (SELECT p, COUNT(DISTINCT doc_id) AS n_ex
+           |  FROM paras WHERE doc_id % 2 = 0 GROUP BY p),
+           |odp AS (SELECT doc_id, pid, p FROM paras WHERE doc_id % 2 = 1),
+           |oin AS (SELECT p, COUNT(DISTINCT doc_id) AS n_inc
+           |  FROM odp GROUP BY p),
+           |dropp AS (SELECT oin.p FROM oin LEFT JOIN ev USING (p)
+           |  WHERE oin.n_inc + COALESCE(ev.n_ex, 0) > 1),
+           |keep AS (SELECT odp.doc_id, odp.pid, odp.p FROM odp
+           |  WHERE odp.p NOT IN (SELECT p FROM dropp)),
+           |tot AS (SELECT doc_id, COUNT(*) AS np FROM odp
+           |  GROUP BY doc_id),
+           |reb AS (SELECT doc_id,
+           |    string_agg(p, chr(10) ORDER BY pid) AS cleaned,
+           |    COUNT(*) AS nk
+           |  FROM keep GROUP BY doc_id)
+           |SELECT t.doc_id, COALESCE(r.cleaned, '') AS cleaned,
+           |  CAST(t.np - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
+           |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

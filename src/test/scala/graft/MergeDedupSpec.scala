@@ -307,6 +307,34 @@ class MergeDedupSpec extends SparkSpec {
     assert(got(1L) === (("a\nb", 0L)))
   }
 
+  test("dedupParagraphsIncremental: empty index == batch; index drops bite") {
+    import spark.implicits._
+    val day1 = Seq((1L, "a\nb\nc"), (2L, "b\nd")).toDF("id", "text")
+    val emptyIdx = Seq.empty[(String, Long)].toDF("p_hash", "n_docs")
+    val (c0, idx1) = Dedup.dedupParagraphsIncremental(
+      day1, "id", "text", emptyIdx)
+    val batch = Dedup.dedupParagraphs(day1, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(c0.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet === batch)
+    // index counts every SEEN paragraph: a(1), b(2), c(1), d(1)
+    val counts = idx1.collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(counts === Seq(1L, 1L, 1L, 2L))
+
+    // day 2: 'a' repeats (historical count 1 + incoming 1 > 1 -> drop),
+    // 'e' is new (kept); day-1 docs are NOT revisited
+    val day2 = Seq((3L, "a\ne")).toDF("id", "text")
+    val (c2, idx2) = Dedup.dedupParagraphsIncremental(
+      day2, "id", "text", idx1)
+    val got = c2.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((3L, "e", 1L)))
+    // updated index: a now 2, e added at 1, untouched hashes carried
+    val m = idx2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size === 5)
+    assert(m.values.toSeq.sorted === Seq(1L, 1L, 1L, 2L, 2L))
+  }
+
   test("dedupParagraphs: maxDocFreq loosens the drop threshold") {
     import spark.implicits._
     val docs = Seq((1L, "p\nq"), (2L, "p"), (3L, "p")).toDF("id", "text")
