@@ -305,4 +305,35 @@ object Sample {
       .withColumn("pos", col("__boff") + row_number().over(w) - 1)
       .drop("__h", "__b", "__boff")
   }
+
+  /** WEIGHTED sampling without replacement, top-`k` (Efraimidis–
+    * Spirakis A-ES): each row draws a deterministic uniform
+    * u ∈ [0, 1) from a 52-bit salted md5 of its id and competes with
+    * key u^(1/w) — equivalently ln(u)/w, the form used here since
+    * only the ORDERING matters — and the k largest keys win. Higher
+    * weight → key closer to 0 → more likely sampled, with exactly
+    * the ES inclusion distribution; equal weights degrade to uniform
+    * hash sampling (spec-asserted).
+    *
+    * Deterministic and partitioning-independent like every sampler
+    * here (u is content-derived, not RNG state), so reruns and
+    * repartitions reproduce the sample bit-for-bit and the t94
+    * oracle can replay the whole competition. Rows with NULL or
+    * non-positive weight never compete (filtered, documented).
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * each partition keeps its local top-k and only k-row heaps cross
+    * to the driver-side merge; no global sort, no full shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String = "graft-es"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") /
+      4503599627370496.0 // 16^13 = 2^52
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__esk", log(u) / weightCol.cast("double"))
+      .orderBy(col("__esk").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__esk")
+  }
 }

@@ -3996,6 +3996,42 @@ object TrainingQueries {
            |  CAST(t.np - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
            |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
       }),
+
+    // WEIGHTED sampling without replacement under the oracle
+    // (Efraimidis–Spirakis A-ES — quality/length-weighted corpus
+    // selection, the non-uniform sibling of t30): docs compete with
+    // key ln(u)/w where u is a 52-bit salted md5 fraction and w =
+    // length(text); top-100 win. DuckDB replays the identical
+    // competition. The float columns stay OUT of the output (ids +
+    // integer weights only) so cross-libm ln() ulp differences could
+    // only matter if two keys collided within ~1e-16 relative — md5
+    // makes the u values distinct, and the observed key gaps are
+    // ~1e-4. Distributional properties (10x weights dominate, equal
+    // weights reduce to uniform) are SampleSpec's job.
+    QueryDef(
+      "t94_weighted_sample",
+      (s, dir) => {
+        import graft.operators.Sample
+        Sample.weightedSample(
+          spread(s, docs(s, dir))
+            .select(col("doc_id"),
+              length(col("text")).cast("double").as("w")),
+          "doc_id", col("w"), k = 100)
+          .select(col("doc_id"), col("w").cast("long").as("w"))
+      },
+      Some {
+        val u = DuckSql.hexToLong(
+          "md5('graft-es|' || CAST(doc_id AS VARCHAR))", 13)
+        s"""WITH c AS (SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS w FROM documents
+           |  WHERE length(text) > 0),
+           |u AS (SELECT doc_id, w,
+           |    CAST($u AS DOUBLE) / 4503599627370496.0 AS uu
+           |  FROM c)
+           |SELECT doc_id, CAST(w AS BIGINT) AS w FROM u
+           |ORDER BY ln(uu) / w DESC, doc_id ASC
+           |LIMIT 100""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

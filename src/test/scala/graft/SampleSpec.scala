@@ -302,4 +302,42 @@ class SampleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(perm != other)
   }
+
+  test("weightedSample: bias follows weights, deterministic, no replacement") {
+    import spark.implicits._
+    // 500 heavy (w=10) + 500 light (w=1) rows; ES inclusion -> the
+    // heavy half should dominate a k=300 sample decisively
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 500) 10.0 else 1.0)).toDF("id", "w")
+    val got = Sample.weightedSample(df, "id", col("w"), k = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === 300)
+    assert(got.map(_._1).distinct.length === 300, "replacement!")
+    val heavy = got.count(_._2 == 10.0)
+    assert(heavy > 220, s"10x weights should dominate: $heavy/300 heavy")
+
+    // deterministic + partitioning-independent
+    val again = Sample.weightedSample(df.repartition(13), "id",
+      col("w"), k = 300).collect().map(_.getLong(0)).toSet
+    assert(again === got.map(_._1).toSet)
+
+    // equal weights == uniform top-k by the same u ordering: compare
+    // against the explicit computation
+    val uni = Sample.weightedSample(df, "id", lit(1.0), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val expectUni = df.select(col("id"),
+        (conv(substring(md5(concat(lit("graft-es"), lit("|"),
+          col("id").cast("string"))), 1, 13), 16, 10).cast("double") /
+          4503599627370496.0).as("u"))
+      .orderBy(col("u").desc, col("id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(uni === expectUni)
+
+    // null / non-positive weights never compete
+    val mixed = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.0)),
+      (4L, Some(-1.0)), (5L, Some(1.0))).toDF("id", "w")
+    val ids = Sample.weightedSample(mixed, "id", col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L))
+  }
 }
