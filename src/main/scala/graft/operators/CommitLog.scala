@@ -552,14 +552,19 @@ object CommitLogTableFormat extends TableFormat {
     * (old + new copies) is paid back. */
   def optimize(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
-      zBits: Int = 16, statsColumns: Seq[String] = Nil,
+      zBits: Int = 0, statsColumns: Seq[String] = Nil,
       zorderStrategy: String = "width"): OptimizeStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(zorderStrategy == "width" || zorderStrategy == "rank",
       s"unknown zorderStrategy '$zorderStrategy' (width|rank)")
-    require(zorderStrategy == "width" || zBits <= 12,
+    // zBits = 0 → strategy default: 16 for width (cheap min/max
+    // scaling), 8 for rank (each extra bit doubles the quantile set
+    // AND the per-row boundary fold)
+    val bits = if (zBits == 0) (if (zorderStrategy == "rank") 8 else 16)
+      else zBits
+    require(zorderStrategy == "width" || bits <= 12,
       "rank strategy computes 2^bits - 1 quantiles per column; use " +
-        s"zBits <= 12 (got $zBits) — 8 is the recommended default")
+        s"zBits <= 12 (got $bits) — 8 is the default")
     val (f, root) = fs(spark, path)
     var stats: OptimizeStats = null
     // the rewrite that clusters on a column is the moment to record
@@ -584,14 +589,18 @@ object CommitLogTableFormat extends TableFormat {
           val z =
             if (zorderStrategy == "rank") {
               // skew-proof: quantile boundaries per dimension (one
-              // sampled pass; ≤ 2^bits − 1 doubles/col on the driver)
-              val probs = (1 until (1 << zBits))
-                .map(_.toDouble / (1 << zBits)).toArray
+              // sampled pass; ≤ 2^bits − 1 doubles/col on the driver).
+              // eps must resolve adjacent boundaries (spacing 1/2^bits)
+              // or the extra bits buy no resolution — GK rank error
+              // at a quarter of the bucket spacing keeps them distinct
+              val eps = math.min(0.001, 1.0 / ((1 << bits) * 4.0))
+              val probs = (1 until (1 << bits))
+                .map(_.toDouble / (1 << bits)).toArray
               val doubled = df.select(zorderBy.map(c =>
                 col(c).cast("double").as(c)): _*)
               val bounds = doubled.stat
-                .approxQuantile(zorderBy.toArray, probs, 0.001)
-              zRankValue(zorderBy.map(col), bounds.toSeq, zBits)
+                .approxQuantile(zorderBy.toArray, probs, eps)
+              zRankValue(zorderBy.map(col), bounds.toSeq, bits)
             } else {
               // per-dimension bounds: one bounded-driver agg row
               val aggs = zorderBy.flatMap(c => Seq(
@@ -601,7 +610,7 @@ object CommitLogTableFormat extends TableFormat {
                 if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i))
               val maxs = zorderBy.indices.map(i =>
                 if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1))
-              zValue(zorderBy.map(col), mins, maxs, zBits)
+              zValue(zorderBy.map(col), mins, maxs, bits)
             }
           df.withColumn("_graft_z", z)
             .repartitionByRange(nFiles, col("_graft_z"))
@@ -621,15 +630,16 @@ object CommitLogTableFormat extends TableFormat {
     * amortized rewrite when the small-file debt crosses the line. */
   def optimizeIfNeeded(spark: SparkSession, path: String,
       maxFiles: Int, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil, zBits: Int = 16,
-      statsColumns: Seq[String] = Nil): Option[OptimizeStats] = {
+      zorderBy: Seq[String] = Nil, zBits: Int = 0,
+      statsColumns: Seq[String] = Nil,
+      zorderStrategy: String = "width"): Option[OptimizeStats] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     val (f, root) = fs(spark, path)
     val needed = currentVersion(f, root)
       .exists(v => readManifest(f, root, v).size > maxFiles)
     if (!needed) None
     else Some(optimize(spark, path, targetFileBytes, zorderBy, zBits,
-      statsColumns))
+      statsColumns, zorderStrategy))
   }
 
   /** Range scan with MANIFEST-level data skipping: files whose

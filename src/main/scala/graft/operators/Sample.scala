@@ -40,10 +40,18 @@ object Sample {
     if (math.abs(fractions.sum - 1.0) <= 1e-9) b.init :+ Buckets else b
   }
 
+  /** First `nHex` hex chars of md5(salt|id) as a long — the one
+    * salted-hash primitive every sampler here derives its uniform
+    * draws from; oracle SQL mirrors this expression bit-for-bit, so
+    * any change (separator, digest, width) must land here and in
+    * every DuckDB mirror together. */
+  private def saltedHexLong(id: Column, salt: String, nHex: Int): Column =
+    conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))),
+      1, nHex), 16, 10).cast("long")
+
   /** Salted hash bucket of an id in [0, 10⁶). */
   def hashBucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))),
-      1, 8), 16, 10).cast("long") % Buckets
+    saltedHexLong(id, salt, 8) % Buckets
 
   /** Keep each row iff bucket(id) < fraction·10⁶ — a deterministic,
     * partitioning-independent `sample(fraction)`. */
@@ -288,9 +296,7 @@ object Sample {
       salt: String = "graft-shuffle", bucketsLog2: Int = 8): DataFrame = {
     require(bucketsLog2 >= 0 && bucketsLog2 <= 20,
       s"bucketsLog2 must be in [0, 20], got $bucketsLog2")
-    val h = conv(substring(md5(concat(lit(salt), lit("|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val src = df.withColumn("__h", h)
+    val src = df.withColumn("__h", saltedHexLong(col(idCol), salt, 15))
       .withColumn("__b", shiftright(col("__h"), 60 - bucketsLog2))
     val counts = src.groupBy("__b").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -318,8 +324,11 @@ object Sample {
     * Deterministic and partitioning-independent like every sampler
     * here (u is content-derived, not RNG state), so reruns and
     * repartitions reproduce the sample bit-for-bit and the t94
-    * oracle can replay the whole competition. Rows with NULL or
-    * non-positive weight never compete (filtered, documented).
+    * oracle can replay the whole competition. Rows with NULL, NaN,
+    * or non-positive weight never compete (filtered — NaN needs its
+    * own guard: SQL orders NaN above every double, so `NaN > 0`
+    * passes and ln(u)/NaN = NaN would rank FIRST under desc and
+    * hijack the whole sample).
     *
     * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
     * each partition keeps its local top-k and only k-row heaps cross
@@ -327,11 +336,11 @@ object Sample {
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
       k: Int, salt: String = "graft-es"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = conv(substring(md5(concat(lit(salt), lit("|"),
-      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") /
+    val u = saltedHexLong(col(idCol), salt, 13).cast("double") /
       4503599627370496.0 // 16^13 = 2^52
-    df.filter(weightCol.isNotNull && weightCol > 0)
-      .withColumn("__esk", log(u) / weightCol.cast("double"))
+    val w = weightCol.cast("double")
+    df.filter(w.isNotNull && !isnan(w) && w > 0)
+      .withColumn("__esk", log(u) / w)
       .orderBy(col("__esk").desc, col(idCol).asc)
       .limit(k)
       .drop("__esk")

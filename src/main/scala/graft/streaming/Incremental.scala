@@ -314,7 +314,8 @@ object Incremental {
       keys: Seq[String], opCol: String, versionCol: String,
       checkpoint: String, deleteOp: String = "D",
       autoOptimizeMaxFiles: Option[Int] = None,
-      zorderBy: Seq[String] = Nil): Unit = {
+      zorderBy: Seq[String] = Nil,
+      zorderStrategy: String = "width"): Unit = {
     val q = changes.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -326,7 +327,7 @@ object Incremental {
           autoOptimizeMaxFiles.foreach(n =>
             graft.operators.CommitLogTableFormat.optimizeIfNeeded(
               batch.sparkSession, targetPath, maxFiles = n,
-              zorderBy = zorderBy))
+              zorderBy = zorderBy, zorderStrategy = zorderStrategy))
         }
         ()
       }

@@ -149,8 +149,10 @@ class OptimizeSpec extends SparkSpec {
     for ((p, strat) <- Seq((pathW, "width"), (pathR, "rank"))) {
       CL.fullRefresh(spark, base.repartition(16), p)
       val probe = CL.optimize(spark, p, targetFileBytes = Long.MaxValue)
+      // default zBits (0 = auto): rank resolves to 8, width to 16 —
+      // the natural rank call must not trip the quantile-count guard
       CL.optimize(spark, p, targetFileBytes = probe.bytesBefore / 8,
-        zorderBy = Seq("x", "y"), zBits = 8, zorderStrategy = strat)
+        zorderBy = Seq("x", "y"), zorderStrategy = strat)
     }
     val (wSpan, rSpan) = (bulkSpanX(pathW), bulkSpanX(pathR))
     assert(wSpan > 3000,

@@ -333,9 +333,13 @@ class SampleSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(uni === expectUni)
 
-    // null / non-positive weights never compete
+    // null / non-positive / NaN weights never compete — NaN is the
+    // treacherous one: SQL orders NaN above every double, so without
+    // its own guard `NaN > 0` passes the filter and ln(u)/NaN ranks
+    // FIRST under desc, hijacking the sample
     val mixed = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.0)),
-      (4L, Some(-1.0)), (5L, Some(1.0))).toDF("id", "w")
+      (4L, Some(-1.0)), (5L, Some(1.0)), (6L, Some(Double.NaN)))
+      .toDF("id", "w")
     val ids = Sample.weightedSample(mixed, "id", col("w"), k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 5L))
