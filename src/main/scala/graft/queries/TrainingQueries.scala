@@ -4032,6 +4032,39 @@ object TrainingQueries {
            |ORDER BY ln(uu) / w DESC, doc_id ASC
            |LIMIT 100""".stripMargin
       }),
+
+    // EDIT-DISTANCE similarity join (PassJoin pigeonhole banding →
+    // levenshtein verify) — the record-linkage dedup class hash
+    // signatures can't express. Linkage key = 24-char doc prefix,
+    // with every 5th doc perturbed by one deterministic substitution
+    // at position doc_id%24+1, so the corpus carries genuine pairs at
+    // distances 0 (neither twin mutated), 1 (one mutated), and 2
+    // (both, different positions — every band must fire). The oracle
+    // is BRUTE-FORCE all-pairs
+    // levenshtein — hash equality proves the banding generates a
+    // complete candidate set, not just a plausible one.
+    QueryDef(
+      "t95_edit_distance_pairs",
+      (s, dir) => {
+        import graft.operators.EditDistance
+        val p = (col("doc_id") % 24 + 1).cast("int")
+        val keyed = spread(s, docs(s, dir)).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            overlay(substring(col("text"), 1, 24), lit("#"), p))
+            .otherwise(substring(col("text"), 1, 24)).as("k"))
+        EditDistance.editDistancePairs(keyed, "doc_id", "k", maxDist = 2)
+      },
+      Some(
+        """WITH k AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN
+          |      substr(substr(text,1,24), 1, CAST(doc_id % 24 AS INT))
+          |        || '#' ||
+          |      substr(substr(text,1,24), CAST(doc_id % 24 AS INT) + 2)
+          |    ELSE substr(text,1,24) END AS k FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+          |FROM k a JOIN k b ON a.doc_id < b.doc_id
+          |WHERE levenshtein(a.k, b.k) <= 2""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
