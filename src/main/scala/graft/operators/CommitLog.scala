@@ -393,17 +393,21 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Insert rows whose key is absent; existing keys are untouched.
+    * Schema evolves the same way [[upsert]]'s merge does: source-only
+    * columns widen the table (NULL for existing rows), and a source
+    * missing target columns inserts NULLs there — a narrow batch can
+    * never error out or null-out history. */
   def insertIgnore(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String]): Unit = {
     commitWith(spark, path) {
       case None => source.dropDuplicates(keys)
       case Some(target) =>
-        val cols = target.columns.toSeq
         target.unionByName(
-          source.select(cols.map(col): _*)
-            .dropDuplicates(keys)
+          source.dropDuplicates(keys)
             .join(target.select(keys.map(col): _*).distinct(), keys,
-              "left_anti"))
+              "left_anti"),
+          allowMissingColumns = true)
     }
   }
 

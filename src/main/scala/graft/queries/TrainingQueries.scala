@@ -4065,6 +4065,46 @@ object TrainingQueries {
           |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
           |FROM k a JOIN k b ON a.doc_id < b.doc_id
           |WHERE levenshtein(a.k, b.k) <= 2""".stripMargin)),
+
+    // SCHEMA EVOLUTION through the commit-log table (the ALTER TABLE
+    // ADD COLUMN a long-lived 100 TB table needs without rewriting
+    // history's readers): v1 commits customers WITHOUT c_acctbal; the
+    // v2 upsert batch carries it as a NEW column (plus updated names
+    // for its keys) and OMITS c_mktsegment entirely. The merge must
+    // widen (old rows read NULL acctbal), auto-preserve the
+    // target-only column (the narrow batch can't null out history),
+    // and keep non-updated rows bit-identical — all derived
+    // declaratively by the oracle from the same base table.
+    QueryDef(
+      "t96_schema_evolution",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_evolve"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val cust = Tables(s, dir, "customer")
+        clf.fullRefresh(s, cust
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"), lit(1L).as("ver")), base) // v1: no acctbal
+        clf.upsert(s, cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            concat(lit("upd:"), col("c_name")).as("c_name"),
+            col("c_nationkey"), lit(2L).as("ver"),
+            col("c_acctbal")), // NEW column; c_mktsegment omitted
+          base, keys = Seq("c_custkey"), versionCol = "ver",
+          preserveOnUpdate = Nil, partitionCols = Nil)
+        clf.read(s, base).get
+      },
+      Some(
+        """SELECT c_custkey,
+          |  CASE WHEN c_custkey % 3 = 0 THEN 'upd:' || c_name
+          |    ELSE c_name END AS c_name,
+          |  c_nationkey, c_mktsegment,
+          |  CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+          |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal
+          |    ELSE NULL END AS c_acctbal
+          |FROM customer""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -280,6 +280,39 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("schema evolution: upsert and insertIgnore widen; narrow batches preserve") {
+    import spark.implicits._
+    val path = tmpDir("cl-evolve") + "/t"
+    CommitLogTableFormat.upsert(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver")
+    // upsert carrying a NEW column w and MISSING v: table widens,
+    // the narrow batch preserves v for its key instead of nulling it
+    CommitLogTableFormat.upsert(spark,
+      Seq((2L, 2L, 9.5)).toDF("k", "ver", "w"), path, Seq("k"), "ver")
+    val afterUpsert = CommitLogTableFormat.read(spark, path).get
+    assert(afterUpsert.columns.toSet === Set("k", "v", "ver", "w"))
+    val rows = afterUpsert.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("w")))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", Some(9.5))))
+
+    // insertIgnore: another new column, narrow source (no v, no w);
+    // existing key 2 stays untouched, new key 3 inserts with NULLs
+    CommitLogTableFormat.insertIgnore(spark,
+      Seq((3L, 3L, true), (2L, 3L, true)).toDF("k", "ver", "flag"),
+      path, Seq("k"))
+    val got = CommitLogTableFormat.read(spark, path).get
+    assert(got.columns.toSet === Set("k", "v", "ver", "w", "flag"))
+    val all = got.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("v"), Option(r.getAs[Any]("w")),
+      Option(r.getAs[Any]("flag")))).toSet
+    assert(all === Set(
+      (1L, "a", None, None),
+      (2L, "b", Some(9.5), None), // existing key: insertIgnore no-op
+      (3L, null, None, Some(true))))
+  }
+
   test("applyCdc: inserts, updates, deletes, stale ops, in-changeset order") {
     import spark.implicits._
     val path = tmpDir("cl-cdc") + "/t"
