@@ -4105,6 +4105,60 @@ object TrainingQueries {
           |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal
           |    ELSE NULL END AS c_acctbal
           |FROM customer""".stripMargin)),
+
+    // SCALAR (int8) embedding quantization + quantized top-k — the
+    // STORAGE face of ANN at 100 TB (float32→8-bit = 4× off the
+    // corpus' widest column). Exact-arithmetic replayable end to end:
+    // bounds are per-dim min/max (comparisons, no accumulation),
+    // codes are floor(scaled + ½) clamped — floor, not round(), whose
+    // half-up/half-even split differs across engines — and scores
+    // are INTEGER dot products of codes, so DuckDB rebuilds the
+    // whole pipeline (bounds → codes → competition) with no ulp
+    // argument anywhere.
+    QueryDef(
+      "t97_quantized_topk",
+      (s, dir) => {
+        import graft.operators.Quantize
+        val e = spread(s, Tables(s, dir, "embeddings"))
+        val (mn, mx) = Quantize.dimBounds(e, "embedding", Dims)
+        val coded = e.select(col("vec_id"),
+          Quantize.encode(col("embedding"), mn, mx).as("code"))
+        val p = coded.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("p_id"), col("code").as("pc"))
+        val c = coded.select(col("vec_id").as("c_id"), col("code").as("cc"))
+        val pairs = c.crossJoin(broadcast(p))
+          .filter(col("p_id") =!= col("c_id"))
+          .select(col("p_id"), col("c_id"),
+            Quantize.quantizedDot(col("pc"), col("cc")).as("dot"))
+        val w = Window.partitionBy("p_id")
+          .orderBy(col("dot").desc, col("c_id").asc)
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("p_id", "rn", "c_id", "dot")
+      },
+      Some {
+        val bounds = (1 to Dims).map(i =>
+          s"min(CAST(embedding[$i] AS DOUBLE)) AS mn$i, " +
+            s"max(CAST(embedding[$i] AS DOUBLE)) AS mx$i").mkString(", ")
+        val codes = (1 to Dims).map(i =>
+          s"CASE WHEN b.mx$i > b.mn$i THEN CAST(LEAST(GREATEST(" +
+            s"floor((CAST(embedding[$i] AS DOUBLE) - b.mn$i) * 255.0" +
+            s" / (b.mx$i - b.mn$i) + 0.5), 0), 255) AS BIGINT) " +
+            s"ELSE 0 END").mkString(", ")
+        val intDot = (1 to Dims).map(i => s"p.pc[$i] * q.code[$i]")
+          .mkString("(", " + ", ")")
+        s"""WITH b AS (SELECT $bounds FROM embeddings),
+           |q AS (SELECT vec_id, [$codes] AS code FROM embeddings, b),
+           |p AS (SELECT vec_id AS p_id, code AS pc FROM q
+           |  WHERE vec_id < 20),
+           |pairs AS (SELECT p.p_id, q.vec_id AS c_id,
+           |    $intDot AS dot
+           |  FROM q, p WHERE q.vec_id <> p.p_id)
+           |SELECT p_id, rn, c_id, dot FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY p_id ORDER BY dot DESC, c_id ASC) AS rn
+           |  FROM pairs) WHERE rn <= 5""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
