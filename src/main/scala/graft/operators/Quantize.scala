@@ -70,4 +70,36 @@ object Quantize {
   /** Integer dot product of two code arrays — exact BIGINT fold. */
   def quantizedDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Clip-drift stats under FROZEN bounds — the retrain trigger of
+    * the quantization lifecycle (the `ivfCellStats` pattern): bounds
+    * freeze as an asset at index build, appended vectors encode
+    * against them ([[encode]] takes literal bounds, so append is
+    * O(delta) and never re-reads the corpus), and any value OUTSIDE
+    * the frozen range clamps — lossy beyond the half-bucket contract.
+    * This measures that loss per dimension: (dim, n, n_clip_low,
+    * n_clip_high, clip_fraction), so a maintenance loop re-derives
+    * bounds and re-encodes when drift crosses its threshold instead
+    * of on a guess. One narrow partial-aggregated pass; `dims` rows
+    * out. */
+  def clipStats(df: DataFrame, vecCol: String, mins: Seq[Double],
+      maxs: Seq[Double]): DataFrame = {
+    require(mins.size == maxs.size, "one (min, max) pair per dimension")
+    val minA = array(mins.map(lit): _*)
+    val maxA = array(maxs.map(lit): _*)
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__d").cast("long").as("dim"),
+        col("__x").cast("double").as("__x"),
+        get(minA, col("__d")).as("__mn"),
+        get(maxA, col("__d")).as("__mx"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x") < col("__mn"), 1L).otherwise(0L))
+          .as("n_clip_low"),
+        sum(when(col("__x") > col("__mx"), 1L).otherwise(0L))
+          .as("n_clip_high"))
+      .withColumn("clip_fraction",
+        round((col("n_clip_low") + col("n_clip_high")) / col("n"), 6))
+  }
 }

@@ -82,6 +82,43 @@ object SpanStats {
           .otherwise(lit(0.0)))
   }
 
+  /** [[contamination]] for the regime where the benchmark gram SET is
+    * too large to broadcast as data (a full eval-suite union against a
+    * 100 TB corpus): the bench grams compress into a Bloom filter that
+    * IS broadcastable (~1.2 GB per 10⁹ grams at 1% fpp vs the grams
+    * themselves), the corpus gram stream prunes against it ROW-LOCALLY
+    * before anything shuffles, and the exact semi-join — now a shuffle
+    * join over the surviving ~fpp fraction — removes the false
+    * positives. Bloom filters have false positives only, never false
+    * negatives, so the output is bit-identical to [[contamination]] —
+    * which is exactly what the t98 oracle pins: pruning is a plan
+    * optimization, never a meaning change (the t91 discipline). */
+  def contaminationBloomPruned(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String, n: Int,
+      expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench.select(
+      explode(TextOps.ngramsRaw(TextOps.tokens(col(benchTextCol)), n))
+        .as("gram")).distinct()
+    val totals = docs.select(col(idCol),
+      size(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
+        .cast("long").as("n_spans"))
+    val corpusGrams = docs.select(col(idCol),
+      explode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
+        .as("gram"))
+    val pruned = Sketches.bloomPrune(corpusGrams, benchGrams, "gram",
+      expectedGrams, fpp)
+    val hits = pruned.join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination_ratio",
+        when(col("n_spans") > 0,
+          round(col("n_contaminated") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cross-document boilerplate REMOVAL (the C4/RefinedWeb span-dedup
     * recipe, applied at token level): every token position covered by
     * an `n`-gram that occurs in at least `minDocs` DISTINCT documents

@@ -4159,6 +4159,85 @@ object TrainingQueries {
            |    PARTITION BY p_id ORDER BY dot DESC, c_id ASC) AS rn
            |  FROM pairs) WHERE rn <= 5""".stripMargin
       }),
+
+    // BLOOM-PRUNED decontamination — t36's contract in the regime
+    // where the benchmark gram set is too large to broadcast as data:
+    // bench grams compress into a broadcastable Bloom filter, corpus
+    // grams prune against it row-locally BEFORE any shuffle, and the
+    // exact semi-join cleans up the false positives. Bloom filters
+    // never drop a true match, so the output is bit-identical to the
+    // unpruned operator — the oracle is the PLAIN exact-intersection
+    // SQL (the t91 discipline: pruning is a plan optimization, never
+    // a meaning change).
+    QueryDef(
+      "t98_contamination_bloom",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+        graft.operators.SpanStats.contaminationBloomPruned(
+          d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", n = 5,
+          expectedGrams = 20000L)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |bg AS (SELECT DISTINCT
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 7 = 0),
+              |tot AS (SELECT doc_id,
+              |    CAST(len(${DuckSql.ngramsRaw("toks", 5)}) AS BIGINT)
+              |      AS n_spans
+              |  FROM t WHERE doc_id % 7 <> 0),
+              |g AS (SELECT doc_id,
+              |    unnest(${DuckSql.ngramsRaw("toks", 5)}) AS gram
+              |  FROM t WHERE doc_id % 7 <> 0),
+              |hits AS (SELECT doc_id, COUNT(*) AS n_cont
+              |  FROM g JOIN bg USING (gram) GROUP BY 1)
+              |SELECT tot.doc_id, tot.n_spans,
+              |  COALESCE(h.n_cont, 0) AS n_contaminated,
+              |  CASE WHEN tot.n_spans > 0 THEN
+              |    round(CAST(COALESCE(h.n_cont, 0) AS DOUBLE)
+              |      / CAST(tot.n_spans AS DOUBLE), 6)
+              |  ELSE 0.0 END AS contamination_ratio
+              |FROM tot LEFT JOIN hits h USING (doc_id)"""
+        .stripMargin)),
+
+    // QUANTIZATION MAINTENANCE (the t66/t70 lifecycle for t97):
+    // bounds freeze as an asset over the first 400 vectors, the
+    // 100-vector "append" encodes against them O(delta), and
+    // clipStats measures what the frozen range can no longer
+    // represent — per-dim clip counts and fraction, the retrain
+    // trigger. Appended order statistics guarantee real clipping at
+    // this split (~¼ expected exceedance per side per dim). DuckDB
+    // rederives the frozen bounds and replays every comparison.
+    QueryDef(
+      "t99_quantize_clip_drift",
+      (s, dir) => {
+        import graft.operators.Quantize
+        val e = spread(s, Tables(s, dir, "embeddings"))
+        val (mn, mx) = Quantize.dimBounds(
+          e.filter(col("vec_id") < 400), "embedding", Dims)
+        Quantize.clipStats(
+          e.filter(col("vec_id") >= 400), "embedding", mn, mx)
+      },
+      Some {
+        val bounds = (1 to Dims).map(i =>
+          s"min(CAST(embedding[$i] AS DOUBLE)) AS mn$i, " +
+            s"max(CAST(embedding[$i] AS DOUBLE)) AS mx$i").mkString(", ")
+        val arms = (1 to Dims).map { i =>
+          s"""SELECT CAST(${i - 1} AS BIGINT) AS dim,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN CAST(embedding[$i] AS DOUBLE) < b.mn$i
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+             |  CAST(SUM(CASE WHEN CAST(embedding[$i] AS DOUBLE) > b.mx$i
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+             |FROM a, b GROUP BY b.mn$i, b.mx$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH b AS (SELECT $bounds FROM embeddings WHERE vec_id < 400),
+           |a AS (SELECT embedding FROM embeddings WHERE vec_id >= 400)
+           |SELECT dim, n, n_clip_low, n_clip_high,
+           |  round(CAST(n_clip_low + n_clip_high AS DOUBLE)
+           |    / CAST(n AS DOUBLE), 6) AS clip_fraction
+           |FROM ($arms)""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -60,6 +60,30 @@ class QuantizeSpec extends SparkSpec {
     assert(top.forall(_ % 2 == 0), s"quantized top-10 crossed clusters: ${top.mkString(",")}")
   }
 
+  test("clipStats: frozen bounds flag out-of-range appends; in-range clean") {
+    import spark.implicits._
+    val (mn, mx) = Quantize.dimBounds(vecs, "v", 3)
+    // dim 0 range [0,10], dim 1 const 7, dim 2 range [-10,0]
+    val append = Seq(
+      (10L, Seq(5.0f, 7.0f, -5.0f)),   // fully in range
+      (11L, Seq(-1.0f, 8.0f, 1.0f)),   // low, high, high
+      (12L, Seq(20.0f, 6.0f, -20.0f))) // high, low, low
+      .toDF("id", "v")
+    val got = Quantize.clipStats(append, "v", mn, mx)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) === ((3L, 1L, 1L, round6(2.0 / 3))))
+    assert(got(1L) === ((3L, 1L, 1L, round6(2.0 / 3))))
+    assert(got(2L) === ((3L, 1L, 1L, round6(2.0 / 3))))
+    // clean append: all zero
+    val clean = Quantize.clipStats(vecs, "v", mn, mx)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(clean === Set((0L, 0L)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("encode is partitioning-independent and deterministic") {
     val (mn, mx) = Quantize.dimBounds(vecs, "v", 3)
     val a = vecs.select(Quantize.encode(col("v"), mn, mx).as("c"))

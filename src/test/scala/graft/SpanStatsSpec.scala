@@ -61,6 +61,29 @@ class SpanStatsSpec extends SparkSpec {
     assert(out(4L)._1 == 3L && out(4L)._2 == 2L)
   }
 
+  test("contaminationBloomPruned: bit-identical to the unpruned operator") {
+    import spark.implicits._
+    // larger fixture so the Bloom filter prunes a real fraction and
+    // false positives are plausible (tiny filter, fpp 0.2)
+    val bench = (0L until 20L).map(i =>
+      (i, s"b$i c$i d$i e$i f$i g$i")).toDF("doc_id", "text")
+    val corpus = (100L until 200L).map { i =>
+      val t = if (i % 4 == 0) s"b${i % 20} c${i % 20} d${i % 20} e${i % 20} f${i % 20} tail$i"
+        else s"u$i v$i w$i x$i y$i z$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = canon(SpanStats.contamination(
+      corpus, "doc_id", "text", bench, "text", 5))
+    val pruned = canon(SpanStats.contaminationBloomPruned(
+      corpus, "doc_id", "text", bench, "text", 5,
+      expectedGrams = 50L, fpp = 0.2))
+    assert(pruned === exact)
+    assert(exact.exists(_._3 > 0L), "fixture never contaminates")
+  }
+
   test("cleanText: urls stripped, emails masked, whitespace collapsed") {
     import spark.implicits._
     import graft.functions.TextOps
