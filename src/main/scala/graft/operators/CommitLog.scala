@@ -561,6 +561,8 @@ object CommitLogTableFormat extends TableFormat {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(zorderStrategy == "width" || zorderStrategy == "rank",
       s"unknown zorderStrategy '$zorderStrategy' (width|rank)")
+    require(zBits >= 0 && zBits <= 20,
+      s"zBits must be 0 (strategy default) or in [1, 20], got $zBits")
     // zBits = 0 → strategy default: 16 for width (cheap min/max
     // scaling), 8 for rank (each extra bit doubles the quantile set
     // AND the per-row boundary fold)

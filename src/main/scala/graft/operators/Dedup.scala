@@ -150,21 +150,25 @@ object Dedup {
     * documented workflow — splits and hashes the batch once, not
     * once per action. Both intermediates carry hashes and counts
     * only (never document text) and are sized by the incoming batch,
-    * not the corpus; they free on session end or
-    * `spark.catalog.clearCache()`. */
+    * not the corpus; they register with [[graft.CacheRegistry]], so a
+    * long-lived daily-append loop frees them between batches with
+    * `CacheRegistry.release()` (the Bench discipline) instead of
+    * nuking the whole session cache. */
   def dedupParagraphsIncremental(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame, sep: String = "\n",
       maxDocFreq: Int = 1): (DataFrame, DataFrame) = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val work = paragraphWork(docs, idCol, textCol, sep)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val work = graft.CacheRegistry.track(
+      paragraphWork(docs, idCol, textCol, sep)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val incoming = work.select(col(idCol), col("__h")).distinct()
       .groupBy("__h").agg(count(lit(1)).as("__n_inc"))
     val ex = existingIndex
       .select(col("p_hash").as("__h"), col("n_docs").as("__n_ex"))
-    val combined = incoming.join(ex, Seq("__h"), "left")
-      .withColumn("__n_ex", coalesce(col("__n_ex"), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val combined = graft.CacheRegistry.track(
+      incoming.join(ex, Seq("__h"), "left")
+        .withColumn("__n_ex", coalesce(col("__n_ex"), lit(0L)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val common = combined
       .filter(col("__n_inc") + col("__n_ex") > maxDocFreq)
       .select("__h")

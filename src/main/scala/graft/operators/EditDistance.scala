@@ -38,15 +38,27 @@ object EditDistance {
 
   /** All unordered pairs (id_a < id_b) whose `keyCol` values are
     * within Levenshtein distance `maxDist`, with the distance:
-    * (id_a, id_b, dist). NULL keys never pair. maxDist = 0 degrades
-    * to exact-key dedup (one segment, zero shift). */
+    * (id_a, id_b, dist). NULL keys never pair; id type is preserved.
+    * maxDist = 0 degrades to exact-key dedup (one segment, zero
+    * shift).
+    *
+    * Keys SHORTER than maxDist + 1 characters have empty pigeonhole
+    * segments, so the partition argument cannot cover short×short
+    * pairs (e.g. "ab" vs "xy" at d = 2: both substituted characters
+    * land in the only nonempty segments). Those run through a
+    * dedicated VALUE-level pass: the distinct short key values are
+    * bounded by |alphabet|^maxDist — a constant, not corpus-sized —
+    * so their value cross-product is bounded and ids join back by
+    * exact key. Short×long pairs stay with the main path (the long
+    * side's segments are all nonempty, and probes are generated from
+    * every key regardless of its own length). */
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val n = d + 1 // pigeonhole segment count
     val base = df
-      .select(col(idCol).cast("long").as("__id"), col(keyCol).as("__k"))
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
       .filter(col("__k").isNotNull)
       .withColumn("__len", length(col("__k")))
 
@@ -80,14 +92,32 @@ object EditDistance {
       .select(col("__id").as("__idb"), col("__pl"), col("__i"),
         col("__k").substr(col("__q").cast("int"), col("__sl")).as("__seg"))
 
-    val cand = segs.join(probes,
+    val candLong = segs.join(probes,
         segs("__seg") === probes("__seg") &&
           segs("__i") === probes("__i") &&
           segs("__len") === probes("__pl") &&
           segs("__id") =!= probes("__idb"))
       .select(least(segs("__id"), probes("__idb")).as("id_a"),
         greatest(segs("__id"), probes("__idb")).as("id_b"))
-      .distinct()
+
+    // short-key regime: value-level cross (bounded by |alphabet|^d
+    // distinct values), ids expand back by exact key — when many ids
+    // share one short key the candidate count equals the TRUE output
+    // pair count, which is quadratic by the semantics, not the plan
+    val sIds = base.filter(col("__len") < n)
+    val sVals = sIds.select(col("__k")).distinct()
+    val candShort = sVals.select(col("__k").as("__ka"))
+      .crossJoin(sVals.select(col("__k").as("__kb")))
+      .filter(levenshtein(col("__ka"), col("__kb")) <= d)
+      .join(sIds.select(col("__id").as("__sida"), col("__k").as("__ka")),
+        Seq("__ka"))
+      .join(sIds.select(col("__id").as("__sidb"), col("__k").as("__kb")),
+        Seq("__kb"))
+      .filter(col("__sida") =!= col("__sidb"))
+      .select(least(col("__sida"), col("__sidb")).as("id_a"),
+        greatest(col("__sida"), col("__sidb")).as("id_b"))
+
+    val cand = candLong.unionByName(candShort).distinct()
 
     val ka = base.select(col("__id").as("id_a"), col("__k").as("__ka"))
     val kb = base.select(col("__id").as("id_b"), col("__k").as("__kb"))

@@ -266,11 +266,15 @@ object MergeOps {
     readIfExists(spark, path) match {
       case None => overwrite(spark, source.dropDuplicates(keys), path)
       case Some(target) =>
-        val cols = target.columns.toSeq
-        val novel = source.select(cols.map(col): _*)
-          .dropDuplicates(keys)
+        // union-by-name, same evolution semantics as merge and the
+        // commit-log format's insertIgnore — the TableFormat seam
+        // must not drift on what an insert means: source-only columns
+        // widen the table (NULL for existing rows), a narrow source
+        // inserts NULLs instead of failing analysis
+        val novel = source.dropDuplicates(keys)
           .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        overwrite(spark, target.unionByName(novel), path)
+        overwrite(spark, target.unionByName(novel,
+          allowMissingColumns = true), path)
     }
   }
 

@@ -59,20 +59,27 @@ object SpanStats {
     * so hit-counting is a broadcast semi join on the exploded corpus
     * and the only corpus-wide shuffle is the per-doc count. Total
     * span counts never explode at all (row-local array size). */
-  def contamination(docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
-    val benchGrams = bench.select(
+  private def benchGramSet(bench: DataFrame, benchTextCol: String,
+      n: Int): DataFrame =
+    bench.select(
       explode(TextOps.ngramsRaw(TextOps.tokens(col(benchTextCol)), n))
         .as("gram")).distinct()
+
+  private def corpusGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
+        .as("gram"))
+
+  /** Shared output assembly: per-doc span totals left-joined with the
+    * hit counts, ratio rounded to 6 (span-less docs 0.0, kept). One
+    * place so the two contamination variants can never drift on the
+    * contract. */
+  private def assembleContamination(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, hits: DataFrame): DataFrame = {
     val totals = docs.select(col(idCol),
       size(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
         .cast("long").as("n_spans"))
-    val hits = docs.select(col(idCol),
-      explode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
-        .as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated"))
     totals.join(hits, Seq(idCol), "left")
       .withColumn("n_contaminated",
         coalesce(col("n_contaminated"), lit(0L)))
@@ -80,6 +87,16 @@ object SpanStats {
         when(col("n_spans") > 0,
           round(col("n_contaminated") / col("n_spans"), 6))
           .otherwise(lit(0.0)))
+  }
+
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val hits = corpusGrams(docs, idCol, textCol, n)
+      .join(broadcast(benchGramSet(bench, benchTextCol, n)),
+        Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    assembleContamination(docs, idCol, textCol, n, hits)
   }
 
   /** [[contamination]] for the regime where the benchmark gram SET is
@@ -96,27 +113,20 @@ object SpanStats {
   def contaminationBloomPruned(docs: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String, n: Int,
       expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
-    val benchGrams = bench.select(
-      explode(TextOps.ngramsRaw(TextOps.tokens(col(benchTextCol)), n))
-        .as("gram")).distinct()
-    val totals = docs.select(col(idCol),
-      size(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
-        .cast("long").as("n_spans"))
-    val corpusGrams = docs.select(col(idCol),
-      explode(TextOps.ngramsRaw(TextOps.tokens(col(textCol)), n))
-        .as("gram"))
-    val pruned = Sketches.bloomPrune(corpusGrams, benchGrams, "gram",
+    // the bench gram DAG feeds TWO consumers — the bloomFilter build
+    // (an action inside bloomPrune) and the exact semi-join — so it
+    // persists; released via CacheRegistry like every composed
+    // operator's shared frame
+    val benchGrams = graft.CacheRegistry.track(
+      benchGramSet(bench, benchTextCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pruned = Sketches.bloomPrune(
+      corpusGrams(docs, idCol, textCol, n), benchGrams, "gram",
       expectedGrams, fpp)
     val hits = pruned.join(benchGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq(idCol), "left")
-      .withColumn("n_contaminated",
-        coalesce(col("n_contaminated"), lit(0L)))
-      .withColumn("contamination_ratio",
-        when(col("n_spans") > 0,
-          round(col("n_contaminated") / col("n_spans"), 6))
-          .otherwise(lit(0.0)))
+    assembleContamination(docs, idCol, textCol, n, hits)
   }
 
   /** Cross-document boilerplate REMOVAL (the C4/RefinedWeb span-dedup

@@ -4036,7 +4036,7 @@ object TrainingQueries {
     // EDIT-DISTANCE similarity join (PassJoin pigeonhole banding →
     // levenshtein verify) — the record-linkage dedup class hash
     // signatures can't express. Linkage key = 24-char doc prefix,
-    // with every 5th doc perturbed by one deterministic substitution
+    // with every 3rd doc perturbed by one deterministic substitution
     // at position doc_id%24+1, so the corpus carries genuine pairs at
     // distances 0 (neither twin mutated), 1 (one mutated), and 2
     // (both, different positions — every band must fire). The oracle

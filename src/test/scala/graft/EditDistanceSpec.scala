@@ -58,15 +58,32 @@ class EditDistanceSpec extends SparkSpec {
       Set((1L, 2L, 0L), (1L, 4L, 0L), (2L, 4L, 0L)))
   }
 
-  test("null keys never pair; short keys (len < segments) still exact") {
+  test("null keys never pair; short keys route through the value-level pass") {
     import spark.implicits._
-    val df = Seq((1L, "ab"), (2L, "ab"), (3L, null), (4L, "ba"))
+    // keys shorter than maxDist+1 break the pigeonhole (every char of
+    // "ab"/"xy" is substituted, the untouched segment is the empty
+    // one) — the dedicated short-key pass must still find them
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, null), (4L, "ba"),
+      (5L, "xy"), (6L, ""), (7L, "z"))
       .toDF("id", "k")
     val got = EditDistance.editDistancePairs(df, "id", "k", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // len 2 < 3 segments: empty segments are filtered, the non-empty
-    // ones still pigeonhole ("ab" vs "ba" = distance 2 via sub+sub)
-    assert(got === bruteForce(Seq((1L, "ab"), (2L, "ab"), (4L, "ba")), 2))
+    assert(got === bruteForce(Seq((1L, "ab"), (2L, "ab"), (4L, "ba"),
+      (5L, "xy"), (6L, ""), (7L, "z")), 2))
     assert(got.contains((1L, 2L, 0L)))
+    assert(got.contains((1L, 5L, 2L)), "short-short pair lost")
+    assert(got.contains((6L, 7L, 1L)), "empty-key pair lost")
+  }
+
+  test("short x long mixed-length pairs survive; string ids preserved") {
+    import spark.implicits._
+    // "ab" (short, len 2 < 3) vs "abcd" (long): 2 insertions — the
+    // long side's segments pigeonhole, the short side only probes
+    val df = Seq(("doc-a", "ab"), ("doc-b", "abcd"), ("doc-c", "zzzz"))
+      .toDF("id", "k")
+    val got = EditDistance.editDistancePairs(df, "id", "k", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("doc-a", "doc-b", 2L)))
   }
 }
