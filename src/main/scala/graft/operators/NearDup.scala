@@ -1075,4 +1075,52 @@ object NearDup {
       df.join(removed, Seq(idCol), "left_anti")
     } finally sh.unpersist(blocking = false)
   }
+
+  /** DIRECTIONAL shingle containment pairs — the SUBSET-duplication
+    * detector the symmetric near-dup family cannot see: an excerpt (a
+    * quoted page, a syndicated fragment, a page-within-site) shares
+    * nearly ALL of ITS OWN shingles with its source, but its Jaccard
+    * to the source is tiny when the lengths differ 10×, so MinHash
+    * banding never surfaces the pair. containment(A→B) = |A∩B| / |A|
+    * (Broder's containment measure, the resemblance paper's second
+    * definition — public) is the asymmetric signal.
+    *
+    * EXACT, via the inverted gram join: distinct (doc, shingle) rows
+    * self-join on the shingle — never all-pairs; only pairs that
+    * SHARE a shingle materialize, and their intersection size is the
+    * join's group count. Zipf-hot shingles concentrate join buckets
+    * (AQE skew-split, the t53 discipline), and sub-threshold pairs
+    * die in the aggregate before anything else widens. The corpus
+    * text never shuffles — only (id, 3-gram hashless) pairs.
+    *
+    * Output: one row per unordered pair, BOTH directions reported —
+    * (id_a, id_b, n_inter, n_a, n_b, cont_a, cont_b) with cont_a =
+    * containment of A's shingle set in B's, rounded to 6; kept when
+    * either direction reaches `tau`. Docs with fewer than 3 tokens
+    * have empty shingle sets and never pair. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val sh = docs.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("__id"), TextOps.shingles3(col("__tk")).as("__sh"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val grams = sh.select(col("__id"), explode(col("__sh")).as("__g"))
+    val inter = grams.select(col("__id").as("__ida"), col("__g"))
+      .join(grams.select(col("__id").as("__idb"), col("__g")), Seq("__g"))
+      .filter(col("__ida") < col("__idb"))
+      .groupBy("__ida", "__idb")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("__id").as("__ida"), col("__n").as("n_a")),
+        Seq("__ida"))
+      .join(sizes.select(col("__id").as("__idb"), col("__n").as("n_b")),
+        Seq("__idb"))
+      .withColumn("cont_a", round(col("n_inter") / col("n_a"), 6))
+      .withColumn("cont_b", round(col("n_inter") / col("n_b"), 6))
+      .filter(col("cont_a") >= tau || col("cont_b") >= tau)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("n_inter"), col("n_a"), col("n_b"),
+        col("cont_a"), col("cont_b"))
+  }
 }

@@ -4238,6 +4238,53 @@ object TrainingQueries {
            |    / CAST(n AS DOUBLE), 6) AS clip_fraction
            |FROM ($arms)""".stripMargin
       }),
+
+    // DIRECTIONAL shingle containment (Broder's asymmetric measure) —
+    // the subset-duplication detector symmetric Jaccard can't see:
+    // the gate plants a 14-token EXCERPT of every 10th doc (id +
+    // 100000); the excerpt's 12 shingles are all in its source, so
+    // containment(excerpt→source) = 1.0 while Jaccard is ~0.2 —
+    // below every near-dup band. Exact inverted gram join, never
+    // all-pairs; oracle replays shingling, the gram join, and both
+    // directional ratios.
+    QueryDef(
+      "t100_containment_pairs",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        val ex = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        graft.operators.NearDup.containmentPairs(
+          d.unionByName(ex), "doc_id", "text", tau = 0.9)
+      },
+      Some(
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 14),
+           |      ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM u),
+           |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
+           |  WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT i.ida AS id_a, i.idb AS id_b, i.n_inter,
+           |  sa.n AS n_a, sb.n AS n_b,
+           |  round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS cont_a,
+           |  round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS cont_b
+           |FROM i JOIN sz sa ON sa.doc_id = i.ida
+           |  JOIN sz sb ON sb.doc_id = i.idb
+           |WHERE round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) >= 0.9
+           |   OR round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) >= 0.9"""
+          .stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -457,4 +457,28 @@ class NearDupSpec extends SparkSpec {
     CacheRegistry.release()
     assert(survivors.count() == 2)
   }
+
+  test("containmentPairs: excerpt-in-source found both ways, tau gates") {
+    import spark.implicits._
+    val source = "a b c d e f g h i j k l m n o p q r s t"
+    val excerpt = "a b c d e f"         // 4 shingles, all in source
+    val half = "a b c d x y z w q2 r2"  // 2 of 8 shingles in source
+    val tiny = "a b"                    // < 3 tokens: no shingles
+    val docs = Seq((1L, source), (2L, excerpt), (3L, half), (4L, tiny))
+      .toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // source has 18 shingles, excerpt 4, intersection 4:
+    // cont(excerpt→source)=1.0 (kept), cont(source→excerpt)=4/18
+    assert(got.toSeq === Seq((1L, 2L, 4L, 18L, 4L,
+      math.rint(4.0 / 18 * 1e6) / 1e6, 1.0)))
+    // jaccard of the kept pair is 4/18 ≈ 0.22 — the symmetric measure
+    // would need a 0.22 threshold to see it; containment sees 1.0
+    // at tau 0.2: (1,2) stays, (1,3) enters at 2/8 = 0.25, and
+    // (2,3) enters at 2/4 = 0.5
+    val loose = NearDup.containmentPairs(docs, "doc_id", "text", 0.2)
+      .collect()
+    assert(loose.length == 3, "partially-contained pairs at tau 0.2")
+  }
 }
