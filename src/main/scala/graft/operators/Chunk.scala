@@ -95,6 +95,39 @@ object Chunk {
     * corpus-wide. Same aggregate shape as
     * [[SpanStats.duplicatedNgramStats]]: chunk instances collapse to
     * (doc, chunk-hash) multiplicities before anything shuffles. */
+  /** FIXED token windows with overlap — the RAG/context-window
+    * chunker (the positional complement of the content-defined
+    * chunks above: a retrieval index wants uniform windows; a dedup
+    * pass wants boundaries that survive edits). Chunk k covers
+    * tokens [k·stride, k·stride + size); windows start while
+    * k·stride < n_tokens, so the tail emits as a short final chunk
+    * (never dropped, never padded) and `stride < size` yields the
+    * usual overlapping windows. Entirely row-local — a sequence
+    * expression over the token array, no shuffle, no window
+    * function; chunk ordinals are per-document, not global.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens). Docs with NULL
+    * text or zero tokens emit nothing (match the explode-family
+    * contract; count them upstream if emptiness matters). */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = split(col(textCol), " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val chunks = transform(
+      sequence(lit(0), greatest(ceil(n.cast("double") / stride)
+        .cast("int") - 1, lit(0))),
+      k => struct(k.cast("long").as("chunk_id"),
+        array_join(slice(toks, k * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        least(n - k * stride, lit(size)).cast("long").as("n_tokens")))
+    df.filter(col(textCol).isNotNull && n > 0)
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"),
+        col("__c.n_tokens"))
+  }
+
   def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, modulus: Int = 64,
       rolling: Boolean = false): DataFrame = {

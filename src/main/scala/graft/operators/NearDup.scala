@@ -1123,4 +1123,28 @@ object NearDup {
         col("n_inter"), col("n_a"), col("n_b"),
         col("cont_a"), col("cont_b"))
   }
+
+  /** Containment DEDUP policy over [[containmentPairs]]: a document
+    * whose shingle set is `tau`-contained in a STRICTLY LARGER
+    * document's drops (the excerpt goes, the source stays); equal
+    * shingle counts keep the smaller id — the deterministic tie-break
+    * every dedup operator here uses. Per-pair, not transitive: each
+    * excerpt drops against its own container, so a chain
+    * C ⊂ B ⊂ A keeps exactly A without needing a component pass.
+    * When the larger side reaches tau in the smaller (near-equal
+    * sizes under tau < 1), the smaller side's own containment is
+    * necessarily higher still, so the drop direction stays
+    * keep-largest. Returns the surviving rows of `docs`. */
+  def dedupByContainment(docs: DataFrame, idCol: String,
+      textCol: String, tau: Double): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, tau)
+    val dropped = pairs.select(
+      when(col("cont_a") >= tau && col("n_a") < col("n_b"), col("id_a"))
+        .when(col("cont_b") >= tau && col("n_b") < col("n_a"), col("id_b"))
+        .when(col("n_a") === col("n_b") && col("cont_a") >= tau,
+          col("id_b"))
+        .as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -4285,6 +4285,79 @@ object TrainingQueries {
            |WHERE round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) >= 0.9
            |   OR round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) >= 0.9"""
           .stripMargin)),
+
+    // Containment DEDUP policy (t100 composed): excerpts drop against
+    // their strictly-larger containers, equal shingle counts keep the
+    // smaller id. Same planted-excerpt fixture; survivors are the
+    // originals minus whatever full-duplicate chains resolve. Oracle
+    // derives drops from the pair SQL with the same keep-largest
+    // when-chain and anti-joins.
+    QueryDef(
+      "t101_containment_dedup",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        val ex = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        graft.operators.NearDup.dedupByContainment(
+          d.unionByName(ex), "doc_id", "text", tau = 0.9)
+          .select(col("doc_id"))
+      },
+      Some(
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 14),
+           |      ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM u),
+           |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
+           |  WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |p AS (SELECT i.ida, i.idb, sa.n AS na, sb.n AS nb,
+           |    round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS ca,
+           |    round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS cb
+           |  FROM i JOIN sz sa ON sa.doc_id = i.ida
+           |    JOIN sz sb ON sb.doc_id = i.idb),
+           |d AS (SELECT DISTINCT CASE
+           |    WHEN ca >= 0.9 AND na < nb THEN ida
+           |    WHEN cb >= 0.9 AND nb < na THEN idb
+           |    WHEN na = nb AND ca >= 0.9 THEN idb END AS doc_id
+           |  FROM p WHERE ca >= 0.9 OR cb >= 0.9)
+           |SELECT u.doc_id FROM u
+           |WHERE u.doc_id NOT IN (SELECT doc_id FROM d
+           |  WHERE doc_id IS NOT NULL)""".stripMargin)),
+
+    // FIXED token windows with overlap — the RAG/context chunker:
+    // size 16, stride 12 (4-token overlap), short tails kept. Pure
+    // row-local slice arithmetic both engines replay; the oracle
+    // enumerates chunk ordinals with a range() lambda over the same
+    // token list.
+    QueryDef(
+      "t102_token_windows",
+      (s, dir) => graft.operators.Chunk.tokenWindows(
+        spread(s, docs(s, dir)), "doc_id", "text",
+        size = 16, stride = 12),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |c AS (SELECT doc_id, len(toks) AS n, toks,
+          |    unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 12)
+          |      AS BIGINT))) AS chunk_id
+          |  FROM t WHERE len(toks) > 0)
+          |SELECT doc_id, chunk_id,
+          |  array_to_string(list_slice(toks, chunk_id * 12 + 1,
+          |    chunk_id * 12 + 16), ' ') AS chunk_text,
+          |  CAST(least(n - chunk_id * 12, 16) AS BIGINT) AS n_tokens
+          |FROM c""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

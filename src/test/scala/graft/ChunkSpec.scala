@@ -109,4 +109,27 @@ class ChunkSpec extends SparkSpec {
     assert(stats(2L)._2 > 0)
     assert(stats(3L)._2 == 0, s"doc3 ${stats(3L)} false positive")
   }
+
+  test("tokenWindows: overlap, short tail kept, null/empty emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b"),                  // shorter than one window
+      (3L, null)).toDF("doc_id", "text")
+    val got = Chunk.tokenWindows(docs, "doc_id", "text",
+        size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L), // overlap of size - stride = 1
+      (1L, 2L, "t6", 1L),          // short tail kept, not padded
+      (2L, 0L, "a b", 2L)))
+    // chunks cover every token: reassembling stride-slices restores text
+    val nonOverlap = Chunk.tokenWindows(docs.filter($"doc_id" === 1),
+        "doc_id", "text", size = 3, stride = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(nonOverlap === "t0 t1 t2 t3 t4 t5 t6")
+  }
 }

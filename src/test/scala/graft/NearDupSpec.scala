@@ -481,4 +481,18 @@ class NearDupSpec extends SparkSpec {
       .collect()
     assert(loose.length == 3, "partially-contained pairs at tau 0.2")
   }
+
+  test("dedupByContainment: excerpts drop, chains keep the root, ties keep min id") {
+    import spark.implicits._
+    val a = "a b c d e f g h i j k l"   // 10 shingles — the root
+    val b = "a b c d e f g h"           // 6 shingles, all in a
+    val c = "a b c d e"                 // 3 shingles, in both a and b
+    val docs = Seq((1L, a), (2L, b), (3L, c),
+      (10L, "x y z w v u"), (11L, "x y z w v u"), // exact twins
+      (20L, "p q r s t")).toDF("doc_id", "text")
+    val kept = NearDup.dedupByContainment(docs, "doc_id", "text", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // chain c ⊂ b ⊂ a keeps only a; twins keep min id; 20 untouched
+    assert(kept === Set(1L, 10L, 20L))
+  }
 }
