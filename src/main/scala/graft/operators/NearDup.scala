@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1088,10 +1089,23 @@ object NearDup {
     * EXACT, via the inverted gram join: distinct (doc, shingle) rows
     * self-join on the shingle — never all-pairs; only pairs that
     * SHARE a shingle materialize, and their intersection size is the
-    * join's group count. Zipf-hot shingles concentrate join buckets
-    * (AQE skew-split, the t53 discipline), and sub-threshold pairs
-    * die in the aggregate before anything else widens. The corpus
-    * text never shuffles — only (id, 3-gram hashless) pairs.
+    * join's group count — n_inter arrives as a COUNT, so nothing
+    * wider than (id, id) ever shuffles and the corpus text never
+    * moves. Zipf-hot shingles concentrate join buckets (AQE
+    * skew-split, the t53 discipline) and sub-threshold pairs die in
+    * the aggregate before the small sizes join.
+    *
+    * Scale note (measured at 10×): cost is dominated by TRUE OUTPUT
+    * size, not candidate waste — a mass-duplicated class of k docs
+    * legitimately emits k²/2 pairs (the ScaleUp pathology block's
+    * 2.9M pairs), which no candidate scheme can avoid because every
+    * pair is in the answer. A PPJoin-style rarest-prefix filter was
+    * measured here and LOST 17×: its row-local verify must join the
+    * full shingle arrays to every candidate, and shuffling arrays is
+    * costlier than counting gram co-occurrences. Production recipe:
+    * run exact dedup (t01) first so identical-text classes collapse
+    * to one representative, then containment only pays for genuine
+    * excerpt relations.
     *
     * Output: one row per unordered pair, BOTH directions reported —
     * (id_a, id_b, n_inter, n_a, n_b, cont_a, cont_b) with cont_a =
