@@ -1138,6 +1138,62 @@ object NearDup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** Inverted gram index of a corpus — the asset
+    * [[dedupByContainmentIncremental]] dedups a daily append against:
+    * (doc_id, gram, n_grams) distinct rows, the historical corpus'
+    * shingle sets in joinable form. Text is never stored; tomorrow's
+    * batch joins this instead of re-reading history. */
+  def containmentGramIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sh = docs.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingles3(col("__tk")).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    sh.select(col("doc_id"), explode(col("__sh")).as("gram"),
+      size(col("__sh")).cast("long").as("n_grams"))
+  }
+
+  /** INCREMENTAL containment dedup — the daily-append shape of
+    * [[dedupByContainment]] (the t26/t93 pattern): an incoming doc
+    * drops when ITS OWN shingle set is `tau`-contained in any
+    * already-shipped document, known only through
+    * [[containmentGramIndex]]. Directional on purpose: a LARGER
+    * source arriving after its excerpt shipped is kept — history is
+    * immutable, and dropping the richer document to honor an already
+    * -shipped fragment would destroy data; only the
+    * contained-in-history side can lose. Survivors then batch-dedup
+    * among themselves with the full keep-largest policy.
+    *
+    * Returns (survivors, updatedIndex); the updated index covers
+    * history plus the surviving batch docs, so dropped docs never
+    * enter it and the asset grows O(survivors) per day. With an
+    * empty index this is exactly [[dedupByContainment]]
+    * (spec-asserted). */
+  def dedupByContainmentIncremental(docs: DataFrame, idCol: String,
+      textCol: String, existingIndex: DataFrame,
+      tau: Double): (DataFrame, DataFrame) = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val inc = containmentGramIndex(docs, idCol, textCol)
+    val ex = existingIndex.select(col("doc_id").as("__exid"),
+      col("gram"), col("n_grams").as("__exn"))
+    // cont(incoming → existing) per (incoming, existing) pair: count
+    // of shared grams over the INCOMING size — one narrow gram join,
+    // (id, id) counts only, the t100 discipline
+    val droppedVsHistory = inc
+      .select(col("doc_id").as("__inid"), col("gram"),
+        col("n_grams").as("__inn"))
+      .join(ex, Seq("gram"))
+      .groupBy("__inid", "__inn", "__exid")
+      .agg(count(lit(1)).as("__inter"))
+      .filter(round(col("__inter") / col("__inn"), 6) >= tau)
+      .select(col("__inid").as(idCol)).distinct()
+    val afterHistory = docs.join(droppedVsHistory, Seq(idCol), "left_anti")
+    val survivors = dedupByContainment(afterHistory, idCol, textCol, tau)
+    val updated = existingIndex.unionByName(
+      containmentGramIndex(survivors, idCol, textCol))
+    (survivors, updated)
+  }
+
   /** Containment DEDUP policy over [[containmentPairs]]: a document
     * whose shingle set is `tau`-contained in a STRICTLY LARGER
     * document's drops (the excerpt goes, the source stays); equal

@@ -4358,6 +4358,94 @@ object TrainingQueries {
           |    chunk_id * 12 + 16), ' ') AS chunk_text,
           |  CAST(least(n - chunk_id * 12, 16) AS BIGINT) AS n_tokens
           |FROM c""".stripMargin)),
+
+    // INCREMENTAL containment dedup (t101's daily-append shape, the
+    // t26/t93 contract): the shipped corpus exists only as its gram
+    // index. The batch carries (a) 14-token excerpts of every 10th
+    // shipped doc — contained in history, drop; (b) reversed-token
+    // "fresh" docs of every 7th — shingle-disjoint from history by
+    // order reversal, stay; (c) excerpts OF those fresh docs —
+    // untouched by history but batch-contained in (b), drop by the
+    // in-batch keep-largest pass. History can only kill the
+    // contained side: a late superset would survive (spec-pinned;
+    // here the oracle replays both drop mechanisms and the survivor
+    // set).
+    QueryDef(
+      "t103_containment_incremental",
+      (s, dir) => {
+        import graft.operators.NearDup
+        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        val revToks = reverse(split(col("text"), " "))
+        val e1 = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        val f = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            array_join(revToks, " ").as("text"))
+        val fe = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            array_join(slice(revToks, 1, 14), " ").as("text"))
+        val incoming = e1.unionByName(f).unionByName(fe)
+        val idx = NearDup.containmentGramIndex(d, "doc_id", "text")
+        val (surv, _) = NearDup.dedupByContainmentIncremental(
+          incoming, "doc_id", "text", idx, tau = 0.9)
+        surv.select(col("doc_id"))
+      },
+      Some(
+        s"""WITH inc AS (
+           |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+           |      list_slice(string_split(text, ' '), 1, 14), ' ') AS text
+           |    FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000, array_to_string(
+           |      list_reverse(string_split(text, ' ')), ' ')
+           |    FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 400000, array_to_string(list_slice(
+           |      list_reverse(string_split(text, ' ')), 1, 14), ' ')
+           |    FROM documents WHERE doc_id % 7 = 0),
+           |ti AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM inc),
+           |tor AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM documents),
+           |gi AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM ti WHERE len(sh) > 0),
+           |go AS (SELECT doc_id, unnest(sh) AS gr FROM tor
+           |  WHERE len(sh) > 0),
+           |histdrop AS (SELECT DISTINCT inid FROM (
+           |  SELECT gi.doc_id AS inid, gi.n, go.doc_id AS exid,
+           |      COUNT(*) AS ninter
+           |    FROM gi JOIN go ON gi.gr = go.gr
+           |    GROUP BY 1, 2, 3)
+           |  WHERE round(CAST(ninter AS DOUBLE) / n, 6) >= 0.9),
+           |after AS (SELECT * FROM inc
+           |  WHERE doc_id NOT IN (SELECT inid FROM histdrop)),
+           |ta AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM after),
+           |sza AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM ta
+           |  WHERE len(sh) > 0),
+           |ga AS (SELECT doc_id, unnest(sh) AS gr FROM ta),
+           |ia AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM ga a JOIN ga b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pa AS (SELECT ia.ida, ia.idb, sa.n AS na, sb.n AS nb,
+           |    round(CAST(ia.n_inter AS DOUBLE) / sa.n, 6) AS ca,
+           |    round(CAST(ia.n_inter AS DOUBLE) / sb.n, 6) AS cb
+           |  FROM ia JOIN sza sa ON sa.doc_id = ia.ida
+           |    JOIN sza sb ON sb.doc_id = ia.idb),
+           |bd AS (SELECT DISTINCT CASE
+           |    WHEN ca >= 0.9 AND na < nb THEN ida
+           |    WHEN cb >= 0.9 AND nb < na THEN idb
+           |    WHEN na = nb AND ca >= 0.9 THEN idb END AS doc_id
+           |  FROM pa WHERE ca >= 0.9 OR cb >= 0.9)
+           |SELECT after.doc_id FROM after
+           |WHERE after.doc_id NOT IN (SELECT doc_id FROM bd
+           |  WHERE doc_id IS NOT NULL)""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -495,4 +495,32 @@ class NearDupSpec extends SparkSpec {
     // chain c ⊂ b ⊂ a keeps only a; twins keep min id; 20 untouched
     assert(kept === Set(1L, 10L, 20L))
   }
+
+  test("dedupByContainmentIncremental: history wins its excerpts, late sources stay") {
+    import spark.implicits._
+    val source = "a b c d e f g h i j k l"
+    val history = Seq((1L, source)).toDF("doc_id", "text")
+    val idx = NearDup.containmentGramIndex(history, "doc_id", "text")
+    val incoming = Seq(
+      (2L, "a b c d e f"),               // excerpt of shipped doc: drops
+      (3L, source + " m n o p q r s t"), // SUPERSET of history: stays
+      (4L, "z1 z2 z3 z4 z5 z6 z7"),      // fresh: stays
+      (5L, "z1 z2 z3 z4 z5"))            // excerpt of 4 IN BATCH: drops
+      .toDF("doc_id", "text")
+    val (surv, updated) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.9)
+    assert(surv.collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // updated index = history + survivors only; dropped docs never enter
+    val idxIds = updated.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 3L, 4L))
+
+    // empty existing index == the batch operator
+    val empty = idx.filter(lit(false))
+    val (survEmpty, _) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", empty, 0.9)
+    val batch = NearDup.dedupByContainment(incoming, "doc_id", "text", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(survEmpty.collect().map(_.getLong(0)).toSet === batch)
+  }
 }
