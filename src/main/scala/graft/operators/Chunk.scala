@@ -107,8 +107,11 @@ object Chunk {
     * function; chunk ordinals are per-document, not global.
     *
     * Output: (idCol, chunk_id, chunk_text, n_tokens). Docs with NULL
-    * text or zero tokens emit nothing (match the explode-family
-    * contract; count them upstream if emptiness matters). */
+    * or empty-string text emit nothing (split("") returns [""] — one
+    * phantom empty token — so emptiness needs its own guard; count
+    * such docs upstream if they matter). Whitespace-only text splits
+    * to empty-string tokens, the same split semantics every token op
+    * here uses. */
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size >= 1, s"size must be >= 1, got $size")
@@ -122,7 +125,7 @@ object Chunk {
         array_join(slice(toks, k * stride + 1, lit(size)), " ")
           .as("chunk_text"),
         least(n - k * stride, lit(size)).cast("long").as("n_tokens")))
-    df.filter(col(textCol).isNotNull && n > 0)
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol), explode(chunks).as("__c"))
       .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"),
         col("__c.n_tokens"))

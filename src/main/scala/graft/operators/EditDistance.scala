@@ -46,12 +46,18 @@ object EditDistance {
     * segments, so the partition argument cannot cover short×short
     * pairs (e.g. "ab" vs "xy" at d = 2: both substituted characters
     * land in the only nonempty segments). Those run through a
-    * dedicated VALUE-level pass: the distinct short key values are
-    * bounded by |alphabet|^maxDist — a constant, not corpus-sized —
-    * so their value cross-product is bounded and ids join back by
-    * exact key. Short×long pairs stay with the main path (the long
-    * side's segments are all nonempty, and probes are generated from
-    * every key regardless of its own length). */
+    * dedicated VALUE-level pass — and for them the cross-product IS
+    * the answer, not a candidate set: two keys of length ≤ maxDist
+    * are ALWAYS within maxDist of each other (levenshtein(a, b) ≤
+    * max(|a|, |b|)), so every distinct-value pair the cross emits is
+    * an output row, and its size is the answer's, never a plan
+    * artifact. The practical corollary: with maxDist at or above
+    * your typical key length, the output itself is quadratic in the
+    * short-key count — that is the semantics of the query, and the
+    * cure is a longer linkage key, not a different plan. Short×long
+    * pairs stay with the main path (the long side's segments are all
+    * nonempty, and probes are generated from every key regardless of
+    * its own length). */
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1115,11 +1114,15 @@ object NearDup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val sh = docs.withColumn("__tk", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("__id"), TextOps.shingles3(col("__tk")).as("__sh"))
-    val sizes = sh.select(col("__id"), size(col("__sh")).cast("long").as("__n"))
-      .filter(col("__n") > 0)
-    val grams = sh.select(col("__id"), explode(col("__sh")).as("__g"))
+    // ONE definition of "a document's shingle rows" for the whole
+    // containment family (shared pre-explode helper) — batch and
+    // incremental paths cannot drift, and sizes come off the arrays
+    // for free instead of re-aggregating exploded gram rows
+    val pre = containmentShingleFrame(docs, idCol, textCol)
+    val sizes = pre.select(col("doc_id").as("__id"),
+      col("n_grams").as("__n"))
+    val grams = pre.select(col("doc_id").as("__id"),
+      explode(col("__sh")).as("__g"))
     val inter = grams.select(col("__id").as("__ida"), col("__g"))
       .join(grams.select(col("__id").as("__idb"), col("__g")), Seq("__g"))
       .filter(col("__ida") < col("__idb"))
@@ -1144,14 +1147,24 @@ object NearDup {
     * shingle sets in joinable form. Text is never stored; tomorrow's
     * batch joins this instead of re-reading history. */
   def containmentGramIndex(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val sh = docs.withColumn("__tk", TextOps.tokens(col(textCol)))
+      textCol: String): DataFrame =
+    containmentShingleFrame(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("__sh")).as("gram"),
+        col("n_grams"))
+
+  /** The single source of truth for "a document's shingle set" in the
+    * containment family: (doc_id, __sh, n_grams) with empty sets
+    * filtered. Every containment op derives grams AND sizes from
+    * this one frame, so definitions can't drift and sizes never need
+    * a re-aggregation over exploded gram rows. */
+  private def containmentShingleFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.withColumn("__tk", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextOps.shingles3(col("__tk")).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    sh.select(col("doc_id"), explode(col("__sh")).as("gram"),
-      size(col("__sh")).cast("long").as("n_grams"))
-  }
+      .select(col("doc_id"), col("__sh"),
+        size(col("__sh")).cast("long").as("n_grams"))
 
   /** INCREMENTAL containment dedup — the daily-append shape of
     * [[dedupByContainment]] (the t26/t93 pattern): an incoming doc
@@ -1164,6 +1177,15 @@ object NearDup {
     * contained-in-history side can lose. Survivors then batch-dedup
     * among themselves with the full keep-largest policy.
     *
+    * Keep-largest parity with the batch policy: history kills the
+    * contained side only when the incoming doc is NOT strictly
+    * larger — a late superset survives even inside the tau band
+    * (cont(D→H) = 10/11 with D one sentence richer than shipped H
+    * keeps D; dropping it would destroy the novel sentence, and the
+    * same corpus split across two days would diverge from what
+    * [[dedupByContainment]] does in one batch). Equal sizes resolve
+    * in history's favor — the shipped doc is the min-id twin's role.
+    *
     * Returns (survivors, updatedIndex); the updated index covers
     * history plus the surviving batch docs, so dropped docs never
     * enter it and the asset grows O(survivors) per day. With an
@@ -1173,7 +1195,12 @@ object NearDup {
       textCol: String, existingIndex: DataFrame,
       tau: Double): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val inc = containmentGramIndex(docs, idCol, textCol)
+    // the batch's gram rows feed the history join AND the updated
+    // index — persist once (CacheRegistry discipline); the in-batch
+    // dedup pass re-derives its own frame inside containmentPairs
+    val inc = graft.CacheRegistry.track(
+      containmentGramIndex(docs, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val ex = existingIndex.select(col("doc_id").as("__exid"),
       col("gram"), col("n_grams").as("__exn"))
     // cont(incoming → existing) per (incoming, existing) pair: count
@@ -1183,14 +1210,18 @@ object NearDup {
       .select(col("doc_id").as("__inid"), col("gram"),
         col("n_grams").as("__inn"))
       .join(ex, Seq("gram"))
-      .groupBy("__inid", "__inn", "__exid")
+      .groupBy("__inid", "__inn", "__exid", "__exn")
       .agg(count(lit(1)).as("__inter"))
-      .filter(round(col("__inter") / col("__inn"), 6) >= tau)
+      .filter(round(col("__inter") / col("__inn"), 6) >= tau &&
+        col("__inn") <= col("__exn"))
       .select(col("__inid").as(idCol)).distinct()
     val afterHistory = docs.join(droppedVsHistory, Seq(idCol), "left_anti")
     val survivors = dedupByContainment(afterHistory, idCol, textCol, tau)
+    // survivors' gram rows already exist in `inc` — semi-join, never
+    // re-shingle
     val updated = existingIndex.unionByName(
-      containmentGramIndex(survivors, idCol, textCol))
+      inc.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi"))
     (survivors, updated)
   }
 

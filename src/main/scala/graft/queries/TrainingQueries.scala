@@ -4348,7 +4348,7 @@ object TrainingQueries {
         size = 16, stride = 12),
       Some(
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-          |  FROM documents WHERE text IS NOT NULL),
+          |  FROM documents WHERE text IS NOT NULL AND text <> ''),
           |c AS (SELECT doc_id, len(toks) AS n, toks,
           |    unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 12)
           |      AS BIGINT))) AS chunk_id
@@ -4413,14 +4413,15 @@ object TrainingQueries {
            |  FROM documents),
            |gi AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
            |    unnest(sh) AS gr FROM ti WHERE len(sh) > 0),
-           |go AS (SELECT doc_id, unnest(sh) AS gr FROM tor
-           |  WHERE len(sh) > 0),
+           |go AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM tor WHERE len(sh) > 0),
            |histdrop AS (SELECT DISTINCT inid FROM (
            |  SELECT gi.doc_id AS inid, gi.n, go.doc_id AS exid,
-           |      COUNT(*) AS ninter
+           |      go.n AS exn, COUNT(*) AS ninter
            |    FROM gi JOIN go ON gi.gr = go.gr
-           |    GROUP BY 1, 2, 3)
-           |  WHERE round(CAST(ninter AS DOUBLE) / n, 6) >= 0.9),
+           |    GROUP BY 1, 2, 3, 4)
+           |  WHERE round(CAST(ninter AS DOUBLE) / n, 6) >= 0.9
+           |    AND n <= exn),
            |after AS (SELECT * FROM inc
            |  WHERE doc_id NOT IN (SELECT inid FROM histdrop)),
            |ta AS (SELECT doc_id,
@@ -4446,6 +4447,7 @@ object TrainingQueries {
            |SELECT after.doc_id FROM after
            |WHERE after.doc_id NOT IN (SELECT doc_id FROM bd
            |  WHERE doc_id IS NOT NULL)""".stripMargin)),
+
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

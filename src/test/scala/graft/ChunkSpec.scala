@@ -115,7 +115,9 @@ class ChunkSpec extends SparkSpec {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
       (2L, "a b"),                  // shorter than one window
-      (3L, null)).toDF("doc_id", "text")
+      (3L, null),
+      (4L, "")).toDF("doc_id", "text") // split("") = [""] — must NOT
+                                       // emit a phantom empty chunk
     val got = Chunk.tokenWindows(docs, "doc_id", "text",
         size = 4, stride = 3)
       .collect()

@@ -523,4 +523,27 @@ class NearDupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(survEmpty.collect().map(_.getLong(0)).toSet === batch)
   }
+
+  test("dedupByContainmentIncremental: late superset inside the tau band survives") {
+    import spark.implicits._
+    // H = 12 tokens → 10 shingles; D = H + one token → 11 shingles,
+    // cont(D→H) = 10/11 ≈ 0.909 ≥ 0.9 — in the band, but D is
+    // strictly larger, so keep-largest parity with the batch policy
+    // keeps D (dropping it would destroy the novel token)
+    val src = "a b c d e f g h i j k l"
+    val idx = NearDup.containmentGramIndex(
+      Seq((1L, src)).toDF("doc_id", "text"), "doc_id", "text")
+    val incoming = Seq((2L, src + " zz")).toDF("doc_id", "text")
+    val (surv, updated) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.9)
+    assert(surv.collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(updated.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // an EQUAL-size twin resolves in history's favor — shipped doc
+    // plays the min-id role
+    val twin = Seq((3L, src)).toDF("doc_id", "text")
+    val (survTwin, _) = NearDup.dedupByContainmentIncremental(
+      twin, "doc_id", "text", idx, 0.9)
+    assert(survTwin.count() == 0)
+  }
 }
