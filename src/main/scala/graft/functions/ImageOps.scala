@@ -32,4 +32,53 @@ object ImageOps {
          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
         .stripMargin)
   }
+
+  /** 2-D Walsh–Hadamard coefficients of an 8×8 grayscale tile — the
+    * pHash family's frequency decomposition with the DCT swapped for
+    * its ±1-kernel Walsh–Hadamard cousin, PRECISELY so every
+    * coefficient stays an exact integer (a DCT's irrational cosines
+    * would put cross-engine bit-equality at libm's mercy; WHT is the
+    * standard integer-exact stand-in and ranks global structure the
+    * same way). coef[u·8+v] = Σᵢ g[i]·(−1)^(popcount(u & r) +
+    * popcount(v & c)) with r = i div 8, c = i mod 8 — the natural-
+    * order Hadamard kernel, 64 exact integer sums of 64 terms, all
+    * inside one codegen'd builtin expression. Input: 64-element int
+    * array, row-major. Output: 64-element long array; coef[0] is
+    * 64× the mean (the DC term). */
+  def whtCoefs(grayCol: String): Column = {
+    val g = s"`$grayCol`"
+    expr(
+      s"""transform(sequence(0, 63), p ->
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+         |    (acc, i) -> acc + CAST($g[i] AS BIGINT) * IF(
+         |      (bit_count((p DIV 8) & (i DIV 8)) +
+         |       bit_count((p % 8) & (i % 8))) % 2 = 0,
+         |      CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))""".stripMargin)
+  }
+
+  /** Perceptual hash over [[whtCoefs]]: bit p (p = 1..63) is set iff
+    * AC coefficient p exceeds the lower median (32nd smallest) of
+    * the 63 AC coefficients; bit 0 (the DC term — brightness, which
+    * a perceptual hash must ignore) is always clear. Pure integer
+    * compares against an integer median, so the signature is
+    * engine-exact end-to-end (the t105 gate replays it in SQL).
+    * Median-thresholding makes the hash invariant to brightness and
+    * contrast scaling, the classic pHash robustness dHash lacks —
+    * dHash sees local gradients, this sees global structure; the
+    * pair disagree exactly where near-dup review wants two opinions.
+    * The median is computed ONCE in the fold's initial accumulator,
+    * not per bit. */
+  def whtHash(coefsCol: String): Column = {
+    val cf = s"`$coefsCol`"
+    expr(
+      s"""aggregate(sequence(1, 63),
+         |  named_struct(
+         |    'med', element_at(array_sort(slice($cf, 2, 63)), 32),
+         |    'acc', CAST(0 AS BIGINT)),
+         |  (a, p) -> named_struct(
+         |    'med', a.med,
+         |    'acc', a.acc + IF(element_at($cf, p + 1) > a.med,
+         |      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
+         |  a -> a.acc)""".stripMargin)
+  }
 }

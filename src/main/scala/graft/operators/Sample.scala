@@ -345,4 +345,85 @@ object Sample {
       .limit(k)
       .drop("__esk")
   }
+
+  /** MIXTURE/EPOCH plan — the data-scheduling step a training run
+    * does once per corpus: given target mixture `weights` per source
+    * and a token `budget`, how many EPOCHS of each source deliver
+    * the target? `epochs_s = min(budget·w̄_s / tokens_s, maxEpochs)`
+    * with w̄ the weights normalized over the MAP (driver-side, so the
+    * same double literals reach this plan and any oracle mirror —
+    * normalizing over data-present sources would make the
+    * normalizer's value depend on a cross-engine float summation
+    * order). Epochs above 1 mean the source REPEATS — the
+    * upsampling a small high-quality source gets in practice —
+    * which is what distinguishes this from [[temperatureMixture]]
+    * (pure downsampling, no budget, no repeats).
+    *
+    * Caps are per-source and final (no redistribution of the budget
+    * a capped source leaves on the table; feed the shortfall to a
+    * second plan call if you want waterfall semantics — a loop is a
+    * policy, not an operator). Sources in the map but absent from
+    * the corpus contribute nothing; sources in the corpus but not
+    * the map get no rows (weight 0). A zero-token source plans 0
+    * epochs, not a division blow-up.
+    *
+    * One tiny agg on sourceCol (#sources rows) joined to a broadcast
+    * weights dim — nothing corpus-sized moves.
+    *
+    * Output: (sourceCol, corpus_tokens, weight, target_tokens,
+    * epochs). */
+  def mixtureEpochPlan(docs: DataFrame, sourceCol: String,
+      tokensCol: String, weights: Map[String, Double], budget: Long,
+      maxEpochs: Double): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 0.0, s"maxEpochs must be >= 0, got $maxEpochs")
+    require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    val sumW = weights.values.sum
+    require(sumW > 0.0, "weights must not all be zero")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.map { case (k, w) => (k, w / sumW) }
+      .toDF(sourceCol, "weight")
+    docs.groupBy(sourceCol)
+      .agg(sum(col(tokensCol)).cast("long").as("corpus_tokens"))
+      .join(broadcast(wdf), Seq(sourceCol))
+      .select(col(sourceCol), col("corpus_tokens"), col("weight"),
+        (lit(budget.toDouble) * col("weight")).as("target_tokens"),
+        when(col("corpus_tokens") > 0,
+          least((lit(budget.toDouble) * col("weight")) /
+            col("corpus_tokens"), lit(maxEpochs)))
+          .otherwise(lit(0.0)).as("epochs"))
+  }
+
+  /** Materialize a [[mixtureEpochPlan]]: each doc of source s
+    * repeats floor(epochs_s) times (epoch = 0..⌊e⌋−1) plus one more
+    * copy iff its salted hash bucket falls under the fractional part
+    * — the standard full-epochs + hash-thinned-partial-epoch
+    * expansion, deterministic and partitioning-independent like
+    * every sampler here. The partial epoch is an INDEPENDENT
+    * hash-uniform subset per source (same id ⇒ same verdict on
+    * rerun), so expected tokens per source equal the plan's
+    * epochs·tokens without any RNG state.
+    *
+    * Plan is #sources rows → broadcast join; the expansion itself is
+    * a row-local explode of `sequence(0, n−1)` — no shuffle at any
+    * scale. Output: docs' columns + `epoch` (long). */
+  def mixtureEpochExpand(docs: DataFrame, idCol: String,
+      sourceCol: String, plan: DataFrame,
+      salt: String = "graft-epoch"): DataFrame = {
+    val p = plan.select(col(sourceCol), col("epochs"))
+    val full = floor(col("epochs")).cast("long")
+    val fracBuckets = floor((col("epochs") - floor(col("epochs"))) *
+      Buckets).cast("long")
+    val n = full + when(hashBucket(col(idCol), salt) < fracBuckets,
+      1L).otherwise(0L)
+    docs.join(broadcast(p), Seq(sourceCol))
+      .withColumn("__nrep", n)
+      // sequence(0, -1) would generate a DESCENDING [0, -1] — guard
+      // the n = 0 case to an empty array instead
+      .withColumn("epoch", explode(when(col("__nrep") > 0,
+        sequence(lit(0L), col("__nrep") - 1))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("__nrep", "epochs")
+  }
 }

@@ -36,6 +36,13 @@ object TrainingQueries {
   // en far above its corpus total (rate clamps to 1); es absent (drops)
   private val TokenBudgets = Map(
     "en" -> 1000000L, "de" -> 2000L, "fr" -> 1000L, "zh" -> 500L)
+  // exact binary fractions summing to 1 (normalization is identity);
+  // at sf0.01 src0 plans ~2.5 epochs (upsampling), src1 ~1.17,
+  // src2/src3 < 1 (downsampling) — all three planner regimes hit
+  private val MixtureWeights = Map(
+    "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125)
+  private val MixtureBudget = 40000L
+  private val MixtureMaxEpochs = 3.0
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -4448,6 +4455,110 @@ object TrainingQueries {
            |WHERE after.doc_id NOT IN (SELECT doc_id FROM bd
            |  WHERE doc_id IS NOT NULL)""".stripMargin)),
 
+    // MIXTURE/EPOCH planning — the data-scheduling step of a training
+    // run: per-source token totals + target weights + a token budget
+    // → epochs per source (capped), then deterministic expansion
+    // (full epochs + hash-thinned partial epoch). src0 plans >2
+    // epochs at sf0.01 (UPSAMPLING — repeated rows), src2/src3 plan
+    // <1 (downsampling); the oracle replays plan arithmetic and the
+    // salted-bucket partial-epoch draw bit-for-bit.
+    QueryDef(
+      "t104_mixture_epochs",
+      (s, dir) => {
+        import graft.operators.Sample
+        val d = spread(s, docs(s, dir))
+        val plan = Sample.mixtureEpochPlan(d, "source", "n_chars",
+          MixtureWeights, MixtureBudget, MixtureMaxEpochs)
+        Sample.mixtureEpochExpand(d, "doc_id", "source", plan,
+          "graft-epoch")
+          .select(col("doc_id"), col("source"), col("epoch"))
+      },
+      Some {
+        val sumW = MixtureWeights.values.sum
+        // the SAME normalized double literals the operator computes
+        // driver-side (Double.toString round-trips exactly)
+        val wRows = MixtureWeights.toSeq.sorted.map { case (k, w) =>
+          s"('$k', ${w / sumW})"
+        }.mkString(", ")
+        val bucket = DuckSql.hexToLong(
+          "md5('graft-epoch|' || CAST(d.doc_id AS VARCHAR))", 8)
+        s"""WITH wn(source, wt) AS (VALUES $wRows),
+           |t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+           |  FROM documents GROUP BY 1),
+           |plan AS (SELECT t.source, CASE WHEN toks > 0
+           |    THEN LEAST((CAST($MixtureBudget AS DOUBLE) * wt) / toks,
+           |      CAST($MixtureMaxEpochs AS DOUBLE))
+           |    ELSE 0.0 END AS epochs
+           |  FROM t JOIN wn USING (source)),
+           |e AS (SELECT d.doc_id, d.source,
+           |    CAST(floor(p.epochs) AS BIGINT) + (CASE WHEN
+           |      $bucket % 1000000 < CAST(floor(
+           |        (p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+           |      THEN 1 ELSE 0 END) AS n
+           |  FROM documents d JOIN plan p USING (source))
+           |SELECT doc_id, source, unnest(range(n)) AS epoch
+           |FROM e WHERE n > 0""".stripMargin
+      }),
+
+    // pHash-family perceptual hash: 8x8 grayscale tile -> 2-D
+    // Walsh-Hadamard transform (the DCT's +-1-kernel integer-exact
+    // cousin) -> median-threshold the 63 AC coefficients -> 63-bit
+    // signature (DC/brightness bit always clear). Same REAL-codec
+    // contract as t72: ASCII doc prefixes become actual PNGs, decode
+    // through javax.imageio, and the hash arithmetic runs as one
+    // native builtin expression the oracle replays in SQL — integer
+    // sums, integer median, integer compares, no libm anywhere.
+    QueryDef(
+      "t105_wht_phash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 64 && col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val gray = text.substring(0, 64).getBytes("US-ASCII")
+                .map(_.toInt)
+              mm.MediaRecord(id, "image", "image/png", 8, 8, 0L,
+                mm.grayPng(gray, 8, 8))
+            }
+          }
+        mm.decodeImageGray(media).toDF()
+          .withColumn("cf", graft.functions.ImageOps.whtCoefs("gray"))
+          .withColumn("wht", graft.functions.ImageOps.whtHash("cf"))
+          .select(col("media_id").as("doc_id"),
+            shiftrightunsigned(col("wht"), 32).as("h_hi"),
+            col("wht").bitwiseAND(lit(0xffffffffL)).as("h_lo"))
+      },
+      Some(
+        s"""WITH imgs AS (SELECT doc_id, substr(text, 1, 64) AS s
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 64 AND doc_id % 3 = 2),
+           |px AS (SELECT doc_id, CAST(r.i AS INT) AS i,
+           |    ord(substr(s, CAST(r.i AS INT) + 1, 1)) AS g
+           |  FROM imgs, range(64) r(i)),
+           |cf AS (SELECT doc_id, CAST(rp.p AS INT) AS p,
+           |    SUM(g * CASE WHEN (
+           |        bit_count((CAST(rp.p AS INT) // 8) & (i // 8)) +
+           |        bit_count((CAST(rp.p AS INT) % 8) & (i % 8))
+           |      ) % 2 = 0 THEN 1 ELSE -1 END) AS c
+           |  FROM px, range(64) rp(p) GROUP BY 1, 2),
+           |med AS (SELECT doc_id, c AS m FROM (
+           |  SELECT doc_id, c,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+           |    FROM cf WHERE p >= 1) WHERE rn = 32)
+           |SELECT cf.doc_id,
+           |  CAST(SUM(CASE WHEN cf.p >= 32 AND cf.c > med.m
+           |    THEN (CAST(1 AS BIGINT) << (cf.p - 32))
+           |    ELSE 0 END) AS BIGINT) AS h_hi,
+           |  CAST(SUM(CASE WHEN cf.p <= 31 AND cf.c > med.m
+           |    THEN (CAST(1 AS BIGINT) << cf.p)
+           |    ELSE 0 END) AS BIGINT) AS h_lo
+           |FROM cf JOIN med USING (doc_id) WHERE cf.p >= 1
+           |GROUP BY 1""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -344,4 +344,62 @@ class SampleSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 5L))
   }
+
+  test("mixtureEpochPlan/Expand: caps, repeats, fractional draws, zero cases") {
+    import spark.implicits._
+    // A: 2 docs x 100 tokens, B: 4 x 50, C: 2 x 50 (not in weights),
+    // D: 2 x 50 (weight 0), E in weights but absent from the corpus
+    val docRows =
+      Seq((0L, "A", 100L), (1L, "A", 100L),
+        (10L, "B", 50L), (11L, "B", 50L), (12L, "B", 50L), (13L, "B", 50L),
+        (20L, "C", 50L), (21L, "C", 50L),
+        (30L, "D", 50L), (31L, "D", 50L))
+    val docsDf = docRows.toDF("id", "src", "n_tok")
+    val weights = Map("A" -> 0.75, "B" -> 0.25, "D" -> 0.0, "E" -> 0.5)
+    // normalized over the MAP: A 0.5, B 1/6, D 0, E 1/3
+    val plan = Sample.mixtureEpochPlan(docsDf, "src", "n_tok",
+      weights, budget = 1800L, maxEpochs = 4.0)
+    val p = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // A: target 900 over 200 tokens -> 4.5 epochs, CAPPED to 4
+    assert(p("A") === ((200L, 0.5, 900.0, 4.0)))
+    // B: target 300 over 200 -> 1.5 epochs (1 full + half partial);
+    // 0.25/1.5 is inexact in binary, so compare with an ulp fence
+    assert(math.abs(p("B")._4 - 1.5) < 1e-12)
+    // C not in weights -> not planned; E not in corpus -> not planned
+    assert(p.keySet === Set("A", "B", "D"))
+    assert(p("D")._4 === 0.0)
+
+    val out = Sample.mixtureEpochExpand(docsDf, "id", "src", plan)
+      .select("id", "src", "epoch")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    // A docs: exactly 4 copies each, epochs 0..3 (frac part is 0)
+    assert(rows.filter(_._1 == 0L).map(_._3).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L))
+    assert(rows.filter(_._1 == 1L).map(_._3).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L))
+    // B docs: 1 full epoch + hash-thinned half epoch -> each doc has
+    // 1 or 2 copies, and SOME doc of each count exists is too strong
+    // for 4 draws; assert the bounds and the epoch numbering
+    val bCounts = rows.filter(_._2 == "B").groupBy(_._1)
+      .map { case (_, g) => g.length }
+    assert(bCounts.forall(n => n == 1 || n == 2))
+    assert(rows.filter(_._2 == "B").map(_._3).forall(e => e == 0L || e == 1L))
+    // C (unweighted) and D (weight 0) emit nothing
+    assert(!rows.exists(r => r._2 == "C" || r._2 == "D"))
+
+    // deterministic and partitioning-independent
+    val again = Sample.mixtureEpochExpand(docsDf.repartition(7), "id",
+      "src", plan).select("id", "src", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(again === rows.sorted.toSeq)
+
+    // zero-token source: plans 0 epochs, no division blow-up
+    val zt = Seq((40L, "Z", 0L)).toDF("id", "src", "n_tok")
+    val zp = Sample.mixtureEpochPlan(zt, "src", "n_tok",
+      Map("Z" -> 1.0), 1000L, 4.0)
+    assert(zp.collect().head.getDouble(4) === 0.0)
+    assert(Sample.mixtureEpochExpand(zt, "id", "src", zp).count() === 0L)
+  }
 }

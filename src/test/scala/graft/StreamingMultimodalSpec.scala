@@ -355,6 +355,59 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("multimodal: WHT pHash — exact coefficients, brightness/contrast invariance") {
+    import Multimodal._
+    import graft.functions.ImageOps
+    // reference WHT + hash, independently hand-computed
+    def whtRef(gray: Array[Int]): Array[Long] =
+      Array.tabulate(64) { p =>
+        val (u, v) = (p / 8, p % 8)
+        (0 until 64).map { i =>
+          val (r, c) = (i / 8, i % 8)
+          val sign =
+            if ((Integer.bitCount(u & r) + Integer.bitCount(v & c)) % 2 == 0)
+              1L else -1L
+          gray(i) * sign
+        }.sum
+      }
+    def hashRef(cf: Array[Long]): Long = {
+      val med = cf.drop(1).sorted.apply(31) // lower median of 63 AC
+      (1 until 64).foldLeft(0L)((acc, p) =>
+        if (cf(p) > med) acc | (1L << p) else acc)
+    }
+    // ≤ 119 so +40 brightness and x2 contrast both stay inside 8-bit
+    val gray = Array.tabulate(64)(j => (j * 11 + 5) % 120)
+    def sig(g: Array[Int]): (Seq[Long], Long) = {
+      val media = Seq(MediaRecord(1L, "image", "image/png", 8, 8, 0L,
+        grayPng(g, 8, 8))).toDS()
+      val row = decodeImageGray(media).toDF()
+        .withColumn("cf", ImageOps.whtCoefs("gray"))
+        .withColumn("wht", ImageOps.whtHash("cf"))
+        .collect().head
+      (row.getAs[scala.collection.Seq[Long]]("cf").toSeq,
+        row.getAs[Long]("wht"))
+    }
+    val (cf, h) = sig(gray)
+    assert(cf == whtRef(gray).toSeq)
+    assert(cf.head == gray.map(_.toLong).sum) // DC = 64x mean
+    assert(h == hashRef(whtRef(gray)))
+    assert((h & 1L) == 0L) // DC bit always clear
+    // brightness shift: DC moves, every AC coefficient — and the
+    // hash — is untouched (the robustness dHash's local gradients
+    // only get by luck)
+    val brighter = gray.map(_ + 40)
+    val (cfB, hB) = sig(brighter)
+    assert(cfB.head == cf.head + 64L * 40)
+    assert(cfB.tail == cf.tail)
+    assert(hB == h)
+    // contrast scaling (exact integer gain): every AC coefficient —
+    // and the median — doubles, so > is preserved and the hash is
+    // bit-identical
+    val (cfC, hC) = sig(gray.map(_ * 2))
+    assert(cfC == cf.map(_ * 2))
+    assert(hC == h)
+  }
+
   test("annIndexStream: O(delta) appends, drift-triggered retrain, replay no-op") {
     import graft.operators.{Ann, CommitLogTableFormat => CL}
     val root = tmpDir("stream-ann")
