@@ -144,6 +144,23 @@ object Bpe {
       graft.expressions.BpeTokenIds(
         GraftColumnBridge.expression(text), merges))
 
+  /** DETOKENIZE: map each [[tokenIds]] id back to its [[vocab]]
+    * string and concatenate — the inverse direction every tokenizer
+    * owes its pipeline (inspect packed sequences, audit samples,
+    * reconstruct spans). Pure builtin expression over a literal
+    * vocab array (O(vocab) constants in the plan, row-local apply).
+    * Round-trip contract: decode(tokenIds(text)) reconstructs the
+    * concatenation of text's whitespace-split words for ASCII text —
+    * the word delimiter is consumed by the pre-split and `<unk>`
+    * absorbs non-ASCII atoms, both documented apply-side properties
+    * (the t107 gate pins the ASCII round trip cross-engine). */
+  def decode(ids: Column, merges: Seq[(String, String)]): Column = {
+    val v = vocab(merges)
+    array_join(
+      transform(ids, i => element_at(array(v.map(lit): _*),
+        (i + lit(1)).cast("int"))), "")
+  }
+
   /** BPE token count of `text` under a merge table. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(

@@ -137,7 +137,49 @@ object Pack {
     * pieces per sequence bounded by the docs that overlap it. Empty
     * documents contribute nothing. */
   def packSequences(df: DataFrame, idCol: String, idsCol: String,
-      seqLen: Int, nBuckets: Int = 1024): DataFrame = {
+      seqLen: Int, nBuckets: Int = 1024): DataFrame =
+    packPieces(df, idCol, idsCol, seqLen, nBuckets)
+      .groupBy("seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        p => p.getField("ids"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .select("seq_id", "n_tokens", "token_ids")
+
+  /** [[packSequences]] plus BOUNDARY metadata: `doc_spans`, the
+    * per-sequence array of (doc_id, pos, len) structs sorted by
+    * `pos`, saying which document occupies which token range of the
+    * packed sequence. This is the ingredient sequence packing owes
+    * the training side — position-id resets and block-diagonal
+    * ("document-masked") attention both need to know where documents
+    * begin inside a packed row, and deriving it after the fact means
+    * re-running the whole offset computation. Same plan shape as
+    * [[packSequences]] (the spans ARE the pieces the packer already
+    * routes — one extra projection in the final agg, no new
+    * shuffle). */
+  def packSequencesWithSpans(df: DataFrame, idCol: String,
+      idsCol: String, seqLen: Int, nBuckets: Int = 1024): DataFrame =
+    packPieces(df, idCol, idsCol, seqLen, nBuckets)
+      .groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("__doc"),
+        col("ids")))).as("__ps"))
+      .select(col("seq_id"),
+        flatten(transform(col("__ps"), p => p.getField("ids")))
+          .as("token_ids"),
+        transform(col("__ps"), p => struct(
+          p.getField("__doc").as("doc_id"),
+          p.getField("pos").as("pos"),
+          size(p.getField("ids")).as("len"))).as("doc_spans"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .select("seq_id", "n_tokens", "token_ids", "doc_spans")
+
+  /** Shared slicing core of the sequence packers: each document
+    * (with its two-level-prefix-sum global offset) row-locally
+    * slices itself into the fixed-length sequences it spans —
+    * (seq_id, pos, __doc, ids) piece rows, one narrow groupBy away
+    * from assembled sequences. */
+  private def packPieces(df: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nBuckets: Int): DataFrame = {
     require(seqLen > 0)
     val withOff = withGlobalOffset(
       df.select(col(idCol), col(idsCol))
@@ -148,7 +190,7 @@ object Pack {
         .withColumn("__n", when(col(idsCol).isNull, 0L)
           .otherwise(size(col(idsCol)).cast("long"))),
       idCol, "__n", nBuckets)
-    val pieces = withOff
+    withOff
       .filter(col("__n") > 0)
       .withColumn("__piece", explode(transform(
         sequence(expr(s"__off DIV $seqLen"),
@@ -162,16 +204,11 @@ object Pack {
           struct(
             s.cast("long").as("seq_id"),
             (from % seqLen).cast("int").as("pos"),
+            col(idCol).as("__doc"),
             slice(col(idsCol), (from - col("__off") + 1).cast("int"),
               (until - from).cast("int")).as("ids"))
         })))
       .select(col("__piece.seq_id"), col("__piece.pos"),
-        col("__piece.ids"))
-    pieces.groupBy("seq_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("ids")))),
-        p => p.getField("ids"))).as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")))
-      .select("seq_id", "n_tokens", "token_ids")
+        col("__piece.__doc").as("__doc"), col("__piece.ids"))
   }
 }

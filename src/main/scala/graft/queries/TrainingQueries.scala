@@ -4559,6 +4559,72 @@ object TrainingQueries {
            |    ELSE 0 END) AS BIGINT) AS h_lo
            |FROM cf JOIN med USING (doc_id) WHERE cf.p >= 1
            |GROUP BY 1""".stripMargin)),
+
+    // Sequence packing WITH boundary metadata: doc_spans says which
+    // document occupies which token range of each packed sequence —
+    // the position-id-reset / document-masked-attention ingredient.
+    // The oracle rebuilds per-doc BPE token counts, the global
+    // offset prefix sum, and every doc×sequence overlap interval
+    // arithmetically (exploded to one row per span for hashing).
+    QueryDef(
+      "t106_pack_spans",
+      (s, dir) => graft.operators.Pack.packSequencesWithSpans(
+        spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenIds(col("text"),
+              graft.functions.Bpe.GateMerges).as("ids")),
+        "doc_id", "ids", seqLen = 512, nBuckets = 7)
+        .select(col("seq_id"), explode(col("doc_spans")).as("sp"))
+        .select(col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.pos").as("pos"), col("sp.len").as("len")),
+      Some(
+        s"""WITH RECURSIVE
+           |${graft.functions.Bpe.duckSql(
+               graft.functions.Bpe.GateMerges,
+               "documents", "doc_id", "text")},
+           |wt AS (SELECT w, min_by(s, len(s)) AS syms
+           |  FROM __bpe_rec GROUP BY w),
+           |dw AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+           |      AS ws
+           |  FROM documents),
+           |dwx AS (SELECT doc_id, unnest(ws) AS w FROM dw),
+           |n AS (SELECT doc_id, CAST(SUM(len(wt.syms)) AS BIGINT) AS nt
+           |  FROM dwx JOIN wt USING (w) GROUP BY 1),
+           |off AS (SELECT doc_id, nt,
+           |    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS o
+           |  FROM n),
+           |sp AS (SELECT doc_id, nt, o,
+           |    unnest(range(CAST(o // 512 AS BIGINT),
+           |      CAST((o + nt - 1) // 512 + 1 AS BIGINT))) AS s
+           |  FROM off WHERE nt > 0)
+           |SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+           |  CAST(GREATEST(s * 512, o) % 512 AS INT) AS pos,
+           |  CAST(LEAST((s + 1) * 512, o + nt)
+           |    - GREATEST(s * 512, o) AS INT) AS len
+           |FROM sp""".stripMargin)),
+
+    // BPE round trip: decode(tokenIds(text)) reconstructs the
+    // whitespace-split word concatenation for ASCII docs — one
+    // trivially-stated oracle that any vocab-table, id-space, or
+    // merge-order corruption breaks.
+    QueryDef(
+      "t107_bpe_roundtrip",
+      (s, dir) => spread(s, docs(s, dir))
+        .filter(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          graft.functions.Bpe.decode(
+            graft.functions.Bpe.tokenIds(col("text"),
+              graft.functions.Bpe.GateMerges),
+            graft.functions.Bpe.GateMerges).as("decoded")),
+      Some(
+        """SELECT doc_id, array_to_string(
+          |    list_filter(string_split(text, ' '), x -> len(x) > 0),
+          |    '') AS decoded
+          |  FROM documents
+          |  WHERE octet_length(encode(text)) = length(text)""".stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -56,6 +56,21 @@ class BpeSpec extends SparkSpec {
     assert(ids(2) == 1, s"non-ASCII atom must map to <unk>, got ${ids(2)}")
   }
 
+  test("decode: inverts tokenIds up to the word pre-split; <unk> is explicit") {
+    import spark.implicits._
+    val out = Seq(("the customer paid", 0), ("x Ω y", 1))
+      .toDF("text", "d")
+      .select(col("d"), Bpe.decode(
+        Bpe.tokenIds(col("text"), Bpe.GateMerges),
+        Bpe.GateMerges).as("decoded"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // ASCII: word concatenation (the delimiter is consumed by the
+    // pre-split, a documented apply-side property)
+    assert(out(0) == "thecustomerpaid")
+    // non-ASCII atom surfaces as the literal <unk> token
+    assert(out(1) == "x<unk>y")
+  }
+
   test("apply: lowest-rank-first leftmost semantics, not left-to-right") {
     import spark.implicits._
     // merges: rank0 (b,c), rank1 (a,b). "abc": left-to-right greedy

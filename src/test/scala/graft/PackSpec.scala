@@ -91,6 +91,54 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesWithSpans: spans tile each sequence and reassemble the docs") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i * 13 % 997, (0 until (if (i == 7) 60 else (i % 9).toInt))
+        .map(j => (i * 100 + j).toInt).toSeq)
+    }.groupBy(_._1).map(_._2.head).toSeq.toDF("id", "ids")
+    val seqs = graft.operators.Pack.packSequencesWithSpans(
+      docs, "id", "ids", seqLen = 16, nBuckets = 5)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2),
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(p => (p.getLong(0), p.getInt(1), p.getInt(2)))))
+      .toSeq
+    // token_ids identical to the span-less packer
+    val plain = graft.operators.Pack.packSequences(docs, "id", "ids",
+      16, 5).orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    assert(seqs.map(t => (t._1, t._2, t._3)) == plain)
+    // spans tile [0, n_tokens) in order: sorted by pos, no gaps, no
+    // overlap, and each span's slice is a contiguous run of its doc
+    val byDoc = docs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    seqs.foreach { case (sid, n, ids, spans) =>
+      assert(spans.map(_._2) == spans.map(_._2).sorted, s"seq $sid order")
+      assert(spans.scanLeft(0) { case (acc, (_, pos, len)) =>
+        assert(pos == acc, s"seq $sid gap/overlap at $pos, want $acc")
+        acc + len
+      }.last == n, s"seq $sid spans don't cover n_tokens")
+      spans.foreach { case (doc, pos, len) =>
+        val slice = ids.slice(pos, pos + len)
+        assert(byDoc(doc).containsSlice(slice),
+          s"seq $sid span of doc $doc is not a run of that doc")
+      }
+    }
+    // every doc's spans, concatenated across sequences in seq order,
+    // rebuild the doc exactly
+    val rebuilt = seqs.flatMap { case (sid, _, ids, spans) =>
+      spans.map { case (doc, pos, len) =>
+        (doc, sid, ids.slice(pos, pos + len))
+      }
+    }.groupBy(_._1).map { case (doc, g) =>
+      doc -> g.sortBy(_._2).flatMap(_._3).toSeq
+    }
+    byDoc.filter(_._2.nonEmpty).foreach { case (doc, ids) =>
+      assert(rebuilt(doc) == ids, s"doc $doc not rebuilt from spans")
+    }
+  }
+
   test("packSequences: a NULL token array is an empty doc, not -1 tokens") {
     import spark.implicits._
     // legacy sizeOfNull makes bare size(null) = -1, which would shift
