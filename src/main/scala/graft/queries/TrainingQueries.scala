@@ -4625,6 +4625,58 @@ object TrainingQueries {
           |    '') AS decoded
           |  FROM documents
           |  WHERE octet_length(encode(text)) = length(text)""".stripMargin)),
+
+    // CHANGE DATA FEED at per-commit granularity (t90's diff, walked
+    // commit by commit): three deterministic commits, then
+    // changeFeed(1, 3) — the v2 boundary and the v3 boundary each
+    // surface their own added/removed events tagged commit_version,
+    // NOT one net diff. The oracle rebuilds all three snapshot CTEs
+    // and both EXCEPT ALL boundary diffs.
+    QueryDef(
+      "t108_change_feed",
+      (s, dir) => {
+        import graft.operators.{CommitLogTableFormat => clf}
+        val base = "/tmp/graft_gate_cdf"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val cust = Tables(s, dir, "customer")
+        clf.fullRefresh(s, cust, base) // v1
+        val v2 = cust.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")))
+        clf.fullRefresh(s, v2, base) // v2
+        val v3 = v2.filter(col("c_custkey") % 3 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 2 === 0, col("c_acctbal") + 7.0)
+              .otherwise(col("c_acctbal")))
+        clf.fullRefresh(s, v3, base) // v3
+        clf.changeFeed(s, base, 1L, 3L)
+      },
+      Some(
+        s"""WITH v1 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           |    c_mktsegment FROM customer),
+           |v2 AS (SELECT c_custkey, c_name, c_nationkey,
+           |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+           |      ELSE c_acctbal END AS c_acctbal,
+           |    c_mktsegment FROM customer WHERE c_custkey % 7 <> 0),
+           |v3 AS (SELECT c_custkey, c_name, c_nationkey,
+           |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 7.0
+           |      ELSE c_acctbal END AS c_acctbal,
+           |    c_mktsegment FROM v2 WHERE c_custkey % 3 <> 0)
+           |SELECT *, 'added' AS change, CAST(2 AS BIGINT) AS commit_version
+           |FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+           |UNION ALL
+           |SELECT *, 'removed' AS change, CAST(2 AS BIGINT)
+           |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+           |UNION ALL
+           |SELECT *, 'added' AS change, CAST(3 AS BIGINT)
+           |FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2)
+           |UNION ALL
+           |SELECT *, 'removed' AS change, CAST(3 AS BIGINT)
+           |FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3)"""
+          .stripMargin)),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

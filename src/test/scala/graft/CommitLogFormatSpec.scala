@@ -360,4 +360,62 @@ class CommitLogFormatSpec extends SparkSpec {
       CommitLogTableFormat.diffSnapshots(spark, path, 1L, 99L).count()
     }
   }
+
+  test("changeFeed: per-commit events, not a net diff; genesis boundary") {
+    val path = tmpDir("cl") + "/t"
+    def refresh(rows: (Long, String)*) = CommitLogTableFormat.fullRefresh(
+      spark, rows.toDF("k", "v"), path)
+    refresh((1L, "a"), (2L, "b"))            // v1
+    refresh((1L, "a"), (2L, "b"), (3L, "c")) // v2: +3
+    refresh((1L, "a"), (2L, "b"))            // v3: -3
+    def events(from: Long, to: Long) =
+      CommitLogTableFormat.changeFeed(spark, path, from, to)
+        .select("k", "change", "commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // row 3 added in v2 and removed in v3: nets to NOTHING in a
+    // snapshot diff, but is two events in the feed
+    assert(events(1L, 3L) ===
+      Set((3L, "added", 2L), (3L, "removed", 3L)))
+    assert(CommitLogTableFormat.diffSnapshots(spark, path, 1L, 3L)
+      .count() === 0L)
+    // genesis: fromVersion 0 surfaces v1 as all-added
+    assert(events(0L, 1L) === Set((1L, "added", 1L), (2L, "added", 1L)))
+    intercept[IllegalArgumentException] {
+      CommitLogTableFormat.changeFeed(spark, path, 2L, 2L)
+    }
+  }
+
+  test("tailChangeFeed: resumes from checkpoint, replay is a no-op") {
+    val path = tmpDir("cl") + "/t"
+    val cp = tmpDir("cl-cp") + "/tail.ckpt"
+    def refresh(rows: (Long, String)*) = CommitLogTableFormat.fullRefresh(
+      spark, rows.toDF("k", "v"), path)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, String)])]()
+    def proc(df: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      seen += v -> df.select("k", "change").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // nothing committed yet: caught up, no checkpoint written
+    assert(CommitLogTableFormat.tailChangeFeed(spark, path, cp)(proc) == 0)
+    refresh((1L, "a"))            // v1
+    refresh((1L, "a"), (2L, "b")) // v2
+    assert(CommitLogTableFormat.tailChangeFeed(spark, path, cp)(proc) == 2)
+    assert(seen.toSeq === Seq(
+      1L -> Set((1L, "added")), 2L -> Set((2L, "added"))))
+    // caught up: nothing reprocessed
+    assert(CommitLogTableFormat.tailChangeFeed(spark, path, cp)(proc) == 0)
+    assert(seen.size == 2)
+    // new commit: exactly the delta arrives
+    refresh((2L, "b")) // v3: -1
+    assert(CommitLogTableFormat.tailChangeFeed(spark, path, cp)(proc) == 1)
+    assert(seen.last === 3L -> Set((1L, "removed")))
+    // a processor crash BEFORE checkpoint replays that version
+    refresh((2L, "b"), (4L, "d")) // v4
+    intercept[RuntimeException] {
+      CommitLogTableFormat.tailChangeFeed(spark, path, cp) {
+        (_, _) => throw new RuntimeException("boom")
+      }
+    }
+    assert(CommitLogTableFormat.tailChangeFeed(spark, path, cp)(proc) == 1)
+    assert(seen.last === 4L -> Set((4L, "added")))
+  }
 }
