@@ -211,7 +211,7 @@ object NearDup {
     * For m=3 (the classic radius): 5 blocks of 13/13/13/13/12 bits,
     * 10 tables keyed on ~25-bit block pairs. */
   def simhashBandsPaired(sigs: DataFrame, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 6,
       s"maxHamming=$maxHamming out of the supported 1..6 band-scheme range")
     val blocks = maxHamming + 2
@@ -241,10 +241,11 @@ object NearDup {
         (blockVal(i) * lit(1L << width(j)) + blockVal(j))
           .cast("string").as("band_hash"))
     }
-    sigs.select(col(idCol), col("simhash"),
-      explode(array(bandStructs: _*)).as("bd"))
-      .select(col(idCol), col("bd.band_id").as("band_id"),
-        col("bd.band_hash").as("band_hash"), col("simhash"))
+    sigs.select(Seq(col(idCol), col("simhash")) ++ carry.map(col) :+
+        explode(array(bandStructs: _*)).as("bd"): _*)
+      .select(Seq(col(idCol), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"), col("simhash")) ++
+        carry.map(col): _*)
   }
 
   /** [[candidatePairs]] variant that carries a narrow per-id payload
@@ -329,6 +330,49 @@ object NearDup {
     dedupBySignatureFrame(df,
       df.select(col(idCol), col(sigCol).as("simhash")), idCol,
       maxHamming, maxBucket)
+
+  /** TWO-SIGNATURE near-dup dedup: drop a row only when BOTH 64-bit
+    * perceptual signatures agree it duplicates a smaller-id row —
+    * hamming(A) ≤ maxHamA AND hamming(B) ≤ maxHamB. Complementary
+    * signatures (dHash's local gradients + whtHash's global
+    * structure) fail on DIFFERENT image pairs, so requiring
+    * agreement cuts the false-positive collapses either signature
+    * commits alone — the precision move for destructive dedup at
+    * corpus scale, where a single over-eager 64-bit hash family can
+    * fold unrelated content classes together.
+    *
+    * Recall is inherited from signature A: candidates come from A's
+    * paired-block bands (recall-complete for hamming(A) ≤ maxHamA,
+    * and any pair passing BOTH radii passes A's), signature B rides
+    * the banding as a carried column and is only consulted at
+    * verify — no second banding pass, no extra shuffle vs the
+    * single-signature operator. Identical-(A,B) classes collapse
+    * before banding as usual; smaller id survives. */
+  def dedupBySignaturePair(df: DataFrame, idCol: String,
+      sigACol: String, sigBCol: String, maxHamA: Int = 3,
+      maxHamB: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val sigs = df.select(col(idCol), col(sigACol).as("simhash"),
+      col(sigBCol).as("__sigb"))
+    val reps = sigs.groupBy("simhash", "__sigb")
+      .agg(min(col(idCol)).as(idCol))
+    val removedIdentical = sigs
+      .join(reps.withColumnRenamed(idCol, "__rep"),
+        Seq("simhash", "__sigb"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val bands = simhashBandsPaired(reps, idCol, maxHamA,
+      carry = Seq("__sigb"))
+      .withColumn("__pl",
+        struct(col("simhash").as("a"), col("__sigb").as("b")))
+    val verified = candidatePairsCarrying(bands, idCol, "__pl",
+      maxBucket)
+      .filter(
+        bit_count(col("p1.a").bitwiseXOR(col("p2.a"))) <= maxHamA &&
+        bit_count(col("p1.b").bitwiseXOR(col("p2.b"))) <= maxHamB)
+    val removed = verified.select(col("d2").as(idCol))
+      .unionByName(removedIdentical).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
 
   /** Shared core: `sigs` is (idCol, simhash). Identical-signature
     * classes collapse before banding (see [[dedupBySimhash]] doc),

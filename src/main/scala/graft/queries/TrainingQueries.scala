@@ -4677,6 +4677,96 @@ object TrainingQueries {
            |SELECT *, 'removed' AS change, CAST(3 AS BIGINT)
            |FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3)"""
           .stripMargin)),
+
+    // TWO-SIGNATURE image near-dup (dHash candidates, WHT veto):
+    // families of 3 synthetic 9x8 tiles differing only at pixel 70 —
+    // even families perturb by +-3 (both signatures see near-dups,
+    // family collapses), odd families by +-90 (dHash's local
+    // gradients still within radius, but the WHT's global
+    // coefficients swing past the median -> the B-signature VETOES
+    // the collapse either way the data falls; the oracle computes
+    // the exact ground truth pairwise, both hammings included).
+    // Real PNG codec in the loop as in t72/t73/t105.
+    QueryDef(
+      "t109_image_neardup_twosig",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val amp = if (fam % 2 == 0) 3 else 90
+              val gray = Array.tabulate(72) { j =>
+                if (j == 70)
+                  ((fam * 37 + 4900 + mem * amp) % 251).toInt
+                else ((fam * 37 + j.toLong * j) % 251).toInt
+              }
+              mm.MediaRecord(id, "image", "image/png", 9, 8, 0L,
+                mm.grayPng(gray, 9, 8))
+            }
+          }
+        val sigs = mm.decodeImageGray(media).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .withColumn("crop", expr(
+            "transform(sequence(0, 63), i -> gray[(i DIV 8) * 9 + (i % 8)])"))
+          .withColumn("cf", graft.functions.ImageOps.whtCoefs("crop"))
+          .withColumn("wht", graft.functions.ImageOps.whtHash("cf"))
+          .select(col("media_id").as("doc_id"), col("dhash"), col("wht"))
+        graft.operators.NearDup.dedupBySignaturePair(sigs, "doc_id",
+          "dhash", "wht", maxHamA = 3, maxHamB = 3)
+          .select(col("doc_id"))
+      },
+      Some {
+        val g = "CASE WHEN j = 70 THEN (fam * 37 + 4900 + mem * " +
+          "(CASE WHEN fam % 2 = 0 THEN 3 ELSE 90 END)) % 251 " +
+          "ELSE (fam * 37 + j * j) % 251 END"
+        s"""WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |pix AS (SELECT doc_id, j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j)),
+           |dbits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.gv > p1.gv THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN pix p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN pix p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |hama AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM dbits x JOIN dbits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |cf AS (SELECT px.doc_id, CAST(rp.p AS INT) AS p,
+           |    SUM(px.gv * CASE WHEN (
+           |        bit_count((CAST(rp.p AS INT) // 8) & (CAST(ci.i AS INT) // 8)) +
+           |        bit_count((CAST(rp.p AS INT) % 8) & (CAST(ci.i AS INT) % 8))
+           |      ) % 2 = 0 THEN 1 ELSE -1 END) AS c
+           |  FROM (SELECT unnest(range(64)) AS i) ci
+           |  JOIN pix px ON px.j = (CAST(ci.i AS INT) // 8) * 9
+           |    + (CAST(ci.i AS INT) % 8),
+           |  (SELECT unnest(range(64)) AS p) rp
+           |  GROUP BY 1, 2),
+           |med AS (SELECT doc_id, c AS m FROM (
+           |  SELECT doc_id, c,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+           |    FROM cf WHERE p >= 1) WHERE rn = 32),
+           |wbits AS (SELECT cf.doc_id, cf.p,
+           |    CASE WHEN cf.c > med.m THEN 1 ELSE 0 END AS b
+           |  FROM cf JOIN med USING (doc_id) WHERE cf.p >= 1),
+           |hamb AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM wbits x JOIN wbits y ON x.p = y.p
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT a.hi_id FROM hama a
+           |  JOIN hamb b ON a.hi_id = b.hi_id AND a.lo_id = b.lo_id
+           |  WHERE a.h <= 3 AND b.h <= 3)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing

@@ -524,6 +524,29 @@ class NearDupSpec extends SparkSpec {
     assert(survEmpty.collect().map(_.getLong(0)).toSet === batch)
   }
 
+  test("dedupBySignaturePair: B-signature vetoes what A alone would collapse") {
+    import spark.implicits._
+    def bits(ps: Int*): Long = ps.foldLeft(0L)((a, p) => a | (1L << p))
+    val rows = Seq(
+      (1L, 0L, 0L),                      // anchor
+      (2L, bits(5), bits(9)),            // A:1 bit, B:1 bit -> dropped
+      (3L, bits(7), bits(1, 2, 3, 40)),  // A:1 bit, B:4 bits -> VETO
+      (4L, bits(0, 8, 16, 24, 32, 40, 48, 56), bits(9)), // A far -> stays
+      (5L, bits(1, 9, 17, 25, 33, 41, 49, 57), bits(61)), // A far from all
+      (6L, bits(1, 9, 17, 25, 33, 41, 49, 57), bits(61))) // identical twin
+                                                          // of 5 -> dropped
+      .toDF("id", "a", "b")
+    val kept = NearDup.dedupBySignaturePair(rows, "id", "a", "b",
+      maxHamA = 3, maxHamB = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+    // sanity: single-signature dedup on A alone WOULD have dropped 3
+    val aOnly = NearDup.dedupBySignature(
+      rows.select(col("id"), col("a")), "id", "a", maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!aOnly.contains(3L))
+  }
+
   test("dedupByContainmentIncremental: late superset inside the tau band survives") {
     import spark.implicits._
     // H = 12 tokens → 10 shingles; D = H + one token → 11 shingles,
