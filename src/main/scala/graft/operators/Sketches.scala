@@ -117,6 +117,38 @@ object Sketches {
     * disjoint data MERGE by summing matching cells (spec-asserted) —
     * the property that lets per-day sketches roll up into a month
     * without touching the raw corpus again. */
+  /** Per-group DISTINCT-COUNT ASSET: Datasketches HLL state as a
+    * binary column — the persistable/incremental form of
+    * [[distinctProfile]]. Where `approx_count_distinct` answers once
+    * and throws its state away, this keeps the sketch, so "unique
+    * keys per source, updated daily" becomes: sketch today's
+    * partition, [[distinctSketchMerge]] with the stored asset, store
+    * back — O(today) work, the month's raw corpus never re-scanned.
+    * HLL register state is a per-bucket max, so merge is exact: the
+    * merged sketch is bit-for-bit the sketch of the union, whatever
+    * the batch/partition split (spec-asserted). `lgK` = log2 of
+    * register count (default 12 → ~1.6% rse, 4 KB/group). */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String],
+      col_ : String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(col_), lit(lgK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll sketches up — across days, partitions, or any asset split:
+    * groups re-aggregate with an HLL union (`n_rows` sums). Groups
+    * present in only some inputs survive with their own state. */
+  def distinctSketchMerge(sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Read an asset: (groupCols..., n_rows, approx_distinct). */
+  def distinctSketchEstimate(sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.select(groupCols.map(col) :+ col("n_rows") :+
+      hll_sketch_estimate(col("hll")).as("approx_distinct"): _*)
+
   def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 16, s"bad depth $depth")

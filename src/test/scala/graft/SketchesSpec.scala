@@ -148,4 +148,41 @@ class SketchesSpec extends SparkSpec {
     val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(w === m, "merged per-part sketches must equal the whole-data sketch")
   }
+
+  test("distinctSketch asset: daily merge == whole-corpus sketch, estimate accurate") {
+    import spark.implicits._
+    // day 1: sources a (4000 distinct) + b (300); day 2: a again with
+    // half-overlapping keys, plus a NEW source c
+    val day1 = ((0 until 8000).map(i => ("a", (i % 4000).toLong)) ++
+      (0 until 900).map(i => ("b", (i % 300).toLong)))
+      .toDF("src", "k")
+    val day2 = ((0 until 6000).map(i => ("a", (2000 + i % 4000).toLong)) ++
+      (0 until 400).map(i => ("c", (i % 200).toLong)))
+      .toDF("src", "k")
+    val merged = Sketches.distinctSketchMerge(
+      Sketches.distinctSketch(day1, Seq("src"), "k")
+        .unionByName(Sketches.distinctSketch(day2, Seq("src"), "k")),
+      Seq("src"))
+    val est = Sketches.distinctSketchEstimate(merged, Seq("src"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // HLL registers are per-bucket maxima: merged state answers
+    // EXACTLY what the whole-corpus sketch answers
+    val whole = Sketches.distinctSketchEstimate(
+      Sketches.distinctSketch(day1.unionByName(day2), Seq("src"), "k"),
+      Seq("src"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est === whole, "merge must be lossless vs whole-corpus sketch")
+    // accuracy: a = 6000 true distinct (0..5999), b = 300, c = 200;
+    // lgK 12 -> rse ~1.6%, allow 3x
+    val truth = Map("a" -> 6000.0, "b" -> 300.0, "c" -> 200.0)
+    truth.foreach { case (s, t) =>
+      assert(math.abs(est(s)._2 - t) / t < 0.05,
+        s"source $s estimate ${est(s)._2} vs true $t")
+    }
+    // n_rows sums exactly; c survives the merge with day-2-only state
+    assert(est("a")._1 == 14000L && est("b")._1 == 900L &&
+      est("c")._1 == 400L)
+  }
 }
