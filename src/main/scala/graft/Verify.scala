@@ -25,12 +25,20 @@ object Verify {
     // which is how three green gates vanished from the round-6
     // correctness list without anything turning red
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    // deterministic name order + begin/end stamps: when a run wedges,
+    // the last "start" line names the culprit instead of leaving a
+    // 40-of-159 output dir and a mystery (which is exactly how the
+    // round-7 full-verify hang had to be diagnosed with jstack)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] done  $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }

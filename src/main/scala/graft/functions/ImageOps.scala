@@ -68,6 +68,47 @@ object ImageOps {
     * pair disagree exactly where near-dup review wants two opinions.
     * The median is computed ONCE in the fold's initial accumulator,
     * not per bit. */
+  /** [[whtHash]]∘[[whtCoefs]] fused into ONE expression with the
+    * coefficient array BOUND in the fold's initial accumulator — the
+    * composition the hashing pipelines must use. Chaining the two as
+    * separate `withColumn`s lets CollapseProject SUBSTITUTE the whole
+    * 64×64 coefficient aggregate into every `element_at(cf, …)` of the
+    * 63-step hash fold (and any intermediate crop projection into
+    * every pixel access below that), turning an O(64²) hash into an
+    * O(64⁴)-per-row interpreted cascade — the t109 gate ran HOURS at
+    * sf0.01 until this fusion (jstack showed the filter re-evaluating
+    * nested ArrayAggregates per row). Here `a.cf`/`a.med` are
+    * accumulator FIELDS, evaluated once per row by construction, and
+    * the 8×8 tile is read straight off the raw gray column with row
+    * stride `stride` (pixel (r,c) = gray[r·stride + c]) so no crop
+    * projection exists to substitute. The coefficient expression still
+    * appears twice in the init (cf + median) — 2·64² ≈ 8k ops/row,
+    * the intended cost. */
+  def whtHashFromGray(grayCol: String, stride: Int): Column = {
+    require(stride >= 8)
+    val g = s"`$grayCol`"
+    val cf =
+      s"""transform(sequence(0, 63), p ->
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+         |    (acc, i) -> acc +
+         |      CAST($g[(i DIV 8) * $stride + (i % 8)] AS BIGINT) * IF(
+         |        (bit_count((p DIV 8) & (i DIV 8)) +
+         |         bit_count((p % 8) & (i % 8))) % 2 = 0,
+         |        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))""".stripMargin
+    expr(
+      s"""aggregate(sequence(1, 63),
+         |  named_struct(
+         |    'cf', $cf,
+         |    'med', element_at(array_sort(slice($cf, 2, 63)), 32),
+         |    'acc', CAST(0 AS BIGINT)),
+         |  (a, p) -> named_struct(
+         |    'cf', a.cf,
+         |    'med', a.med,
+         |    'acc', a.acc + IF(element_at(a.cf, p + 1) > a.med,
+         |      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
+         |  a -> a.acc)""".stripMargin)
+  }
+
   def whtHash(coefsCol: String): Column = {
     val cf = s"`$coefsCol`"
     expr(

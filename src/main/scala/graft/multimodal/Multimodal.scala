@@ -1003,6 +1003,100 @@ object Multimodal {
     }
   }
 
+  /** REAL YUV4MPEG2 (.y4m) codec — the THIRD real [[VideoCodec]] and
+    * the UNCOMPRESSED one (the interchange format decoders emit and
+    * toolchains test with): an ASCII stream header (`YUV4MPEG2 W.. H..
+    * F.. C..`) followed by `FRAME<params>\n` records of raw planar
+    * YUV. The Y plane IS the luminance raster, so each emitted frame
+    * re-encodes it as a LOSSLESS grayscale PNG (the [[GifCodec]]
+    * contract: frames decodable by the same javax.imageio path as
+    * every still) and pixel stats are exact by format construction —
+    * no codec arithmetic at all stands between the container bytes
+    * and the numbers. Chroma planes are skipped by the colorspace's
+    * size formula (C420*: w·h/2 extra bytes; C422: w·h; C444: 2·w·h;
+    * Cmono: none; C tag absent defaults to C420 per the spec).
+    * Unlike MJPEG/GIF, raw YUV has NO resync marker — a malformed
+    * FRAME magic or a truncated frame body ends the stream there
+    * (scanning pixel bytes for headers would fabricate frames), so a
+    * torn tail loses the tail, never corrupts earlier frames. */
+  object Y4mCodec extends VideoCodec {
+    override def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val n = bytes.length
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < n && bytes(i) != 0x0a) i += 1
+        i // == n when unterminated
+      }
+      val h0 = lineEnd(0)
+      if (h0 >= n) return IndexedSeq.empty
+      val header = new String(bytes, 0, h0, "US-ASCII")
+      if (!header.startsWith("YUV4MPEG2")) return IndexedSeq.empty
+      val tags = header.split(' ').drop(1)
+      def tag(c: Char): Option[String] =
+        tags.find(t => t.nonEmpty && t.head == c).map(_.tail)
+      val (w, hgt) =
+        try (tag('W').map(_.toInt).getOrElse(-1),
+          tag('H').map(_.toInt).getOrElse(-1))
+        catch { case _: NumberFormatException => (-1, -1) }
+      if (w <= 0 || hgt <= 0 || w.toLong * hgt > (64 << 20))
+        return IndexedSeq.empty
+      val cs = tag('C').getOrElse("420") // C absent → 4:2:0 per spec
+      val ySize = w * hgt
+      val chromaSize =
+        if (cs.startsWith("420")) (w / 2) * (hgt / 2) * 2
+        else if (cs.startsWith("422")) (w / 2) * hgt * 2
+        else if (cs.startsWith("444")) ySize * 2
+        else if (cs.startsWith("mono")) 0
+        else return IndexedSeq.empty
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      var p = h0 + 1
+      var ok = true
+      while (ok && p < n) {
+        val fe = lineEnd(p)
+        val magicOk = fe < n && fe - p >= 5 &&
+          new String(bytes, p, 5, "US-ASCII") == "FRAME" &&
+          (fe - p == 5 || bytes(p + 5) == ' ') // params are space-led
+        if (!magicOk || fe + 1 + ySize + chromaSize > n) ok = false
+        else {
+          val yStart = fe + 1
+          val gray = Array.tabulate(ySize)(i => bytes(yStart + i) & 0xff)
+          out += grayPng(gray, w, hgt)
+          p = yStart + ySize + chromaSize
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** Minimal YUV4MPEG2 writer — the synthesis half for [[Y4mCodec]]
+    * ([[aviMjpeg]]/[[gifAnimated]] pattern): frames are row-major
+    * gray Y planes; chroma planes (for the subsampled colorspaces)
+    * fill with the neutral 128, so the stream is a faithful gray
+    * video under any YUV→RGB matrix. */
+  def y4mVideo(frames: Seq[Array[Int]], width: Int, height: Int,
+      colorspace: String = "420jpeg"): Array[Byte] = {
+    require(frames.nonEmpty)
+    require(colorspace == "mono" || (width % 2 == 0 && height % 2 == 0),
+      "subsampled colorspaces need even dimensions")
+    val chromaSize =
+      if (colorspace.startsWith("420")) (width / 2) * (height / 2) * 2
+      else if (colorspace.startsWith("422")) (width / 2) * height * 2
+      else if (colorspace.startsWith("444")) width * height * 2
+      else if (colorspace == "mono") 0
+      else throw new IllegalArgumentException(s"colorspace $colorspace")
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C$colorspace\n"
+      .getBytes("US-ASCII"))
+    frames.foreach { g =>
+      require(g.length == width * height)
+      bo.write("FRAME\n".getBytes("US-ASCII"))
+      g.foreach(v => bo.write(v & 0xff))
+      var i = 0
+      while (i < chromaSize) { bo.write(128); i += 1 }
+    }
+    bo.toByteArray
+  }
+
   /** Minimal MJPEG-in-AVI writer (RIFF/AVI envelope with a `movi`
     * LIST of `00dc` compressed-video chunks — the standard layout) —
     * the synthesis half that makes [[MjpegCodec]] testable end-to-end

@@ -149,6 +149,100 @@ object Sketches {
     sketches.select(groupCols.map(col) :+ col("n_rows") :+
       hll_sketch_estimate(col("hll")).as("approx_distinct"): _*)
 
+  /** xxhash64 output mapped to a uniform fraction in [0, 1): the
+    * signed long is re-centred to its unsigned position, so hash
+    * ORDER (signed ascending) equals position order and the k-th
+    * smallest hash IS the k-th smallest fraction. */
+  private def hashFrac(h: Column): Column =
+    h.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+
+  private val KmvCol = "kmv"
+
+  /** Per-group KMV ("k minimum values" / theta) DISTINCT-VALUE
+    * sketch: the k smallest distinct xxhash64 values of `col_`, kept
+    * as a sorted array — the sketch family that, unlike HLL
+    * ([[distinctSketch]]), supports set INTERSECTION: retained
+    * hashes are a uniform sample of the value universe below a known
+    * threshold, so two sketches can be compared value-by-value.
+    * Estimator: with θ = frac(kth smallest), E[distinct] = (k−1)/θ
+    * (RSE ≈ 1/√(k−2)); a sketch with fewer than k values has seen
+    * EVERY distinct hash and estimates exactly.
+    *
+    * Distribution shape: stage 1 prunes map-side — per (group, input
+    * partition) only that partition's k smallest distinct hashes
+    * survive (a partition-local fold over ≤ partition-size state) —
+    * so the one shuffle moves ≤ k·partitions hashes per group, never
+    * the corpus; stage 2 folds the partials to the global k minima.
+    * `n_rows` rides along so assets stay self-describing. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], col_ : String,
+      k: Int = 256): DataFrame = {
+    require(k >= 16, s"kmv k=$k too small for the (k-1)/theta estimator")
+    val partials = df
+      .select(groupCols.map(col) :+ xxhash64(col(col_)).as("__h") :+
+        spark_partition_id().as("__pid"): _*)
+      .groupBy(groupCols.map(col) :+ col("__pid"): _*)
+      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as(KmvCol),
+        count(lit(1)).as("n_rows"))
+    kmvMerge(partials.drop("__pid"), groupCols, k)
+  }
+
+  /** Union-merge KMV assets — across days, partitions, any split: the
+    * k smallest of the combined retained hashes are exactly the k
+    * smallest of the unioned inputs (every dropped hash was already
+    * above a surviving k-th minimum), so merge(sketch(A), sketch(B))
+    * == sketch(A ∪ B) bit-for-bit, spec-asserted. State folded per
+    * group is ≤ k·inputs hashes. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col(KmvCol))))), 1, k).as(KmvCol),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Read an asset: (groupCols..., n_rows, approx_distinct). A sketch
+    * below capacity holds every distinct hash → exact count. */
+  def kmvEstimate(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    sketches.select(groupCols.map(col) :+ col("n_rows") :+
+      when(size(col(KmvCol)) < k, size(col(KmvCol)).cast("double"))
+        .otherwise(lit(k - 1.0) /
+          hashFrac(element_at(col(KmvCol), k)))
+        .as("approx_distinct"): _*)
+
+  /** Pairwise SET ALGEBRA over two KMV assets built with the same k,
+    * joined per group: distinct estimates for each side, their union,
+    * and — the operation HLL structurally cannot answer — their
+    * INTERSECTION. θ = frac of the k-th smallest UNION hash (≤ both
+    * sides' thresholds, so every retained hash below θ is known to
+    * BOTH sketches if and only if it is in both sets); the
+    * intersection estimate is |{h ∈ A ∩ B : frac(h) < θ}| / θ.
+    * Sketches below capacity degrade to exact counts (θ = 1 counts
+    * every common hash). Groups missing from either side are dropped
+    * (no sketch → no estimate). The join moves k-length arrays per
+    * group — asset-sized, never corpus-sized. */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    val left = a.select(groupCols.map(col) :+ col(KmvCol).as("__ka"): _*)
+    val right = b.select(groupCols.map(col) :+ col(KmvCol).as("__kb"): _*)
+    val unioned = slice(array_sort(
+      array_union(col("__ka"), col("__kb"))), 1, k)
+    val est = (kv: Column) =>
+      when(size(kv) < k, size(kv).cast("double"))
+        .otherwise(lit(k - 1.0) / hashFrac(element_at(kv, k)))
+    val joined = left.join(right, groupCols)
+      .withColumn("__ku", unioned)
+      .withColumn("__theta",
+        when(size(col("__ku")) < k, lit(1.0))
+          .otherwise(hashFrac(element_at(col("__ku"), k))))
+    joined.select(groupCols.map(col) :+
+      est(col("__ka")).as("est_a") :+
+      est(col("__kb")).as("est_b") :+
+      est(col("__ku")).as("est_union") :+
+      (size(filter(array_intersect(col("__ka"), col("__kb")),
+        h => hashFrac(h) < col("__theta"))).cast("double") /
+        col("__theta")).as("est_inter"): _*)
+  }
+
   def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 16, s"bad depth $depth")

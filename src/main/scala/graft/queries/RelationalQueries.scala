@@ -647,6 +647,33 @@ object RelationalQueries {
              |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"""
         .stripMargin)),
 
+    // ---- J9: incremental join-view maintenance — 20% of orders and
+    // ~14% of customers arrive as insert deltas; the maintained view
+    // (old view + ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR, delta sides broadcast) must
+    // equal the oracle's one-shot full join. Algorithm-vs-different-
+    // algorithm: DuckDB never sees the delta decomposition.
+    QueryDef(
+      "j9_join_view_delta",
+      (s, dir) => {
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        val (ordBase, ordDelta) = (
+          ord.filter(pmod(col("o_orderkey"), lit(5)) =!= 0),
+          ord.filter(pmod(col("o_orderkey"), lit(5)) === 0))
+        val (custBase, custDelta) = (
+          cust.filter(pmod(col("o_custkey"), lit(7)) =!= 0),
+          cust.filter(pmod(col("o_custkey"), lit(7)) === 0))
+        ordBase.join(custBase, Seq("o_custkey"))
+          .unionByName(graft.streaming.Incremental.joinViewDelta(
+            ordBase, ordDelta, custBase, custDelta, Seq("o_custkey")))
+          .select("o_orderkey", "o_custkey", "c_name")
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_name
+             |FROM orders JOIN customer ON o_custkey = c_custkey"""
+        .stripMargin)),
+
     // ---- W2: lag-window sessionization (gap > 1h starts a session) —
     // window-family depth beyond row_number; total order via (µs ts, id)
     QueryDef(
@@ -679,6 +706,35 @@ object RelationalQueries {
              |      AS prev_ts
              |    FROM events)
              |) GROUP BY 1""".stripMargin)),
+
+    // ---- W3: gap-fill/resample — irregular events regularized to a
+    // per-user daily grid (missing days are ZERO datapoints, LOCF
+    // carries the last observed day-sum forward). The grid explode
+    // runs on the aggregated (user, day) frame, never raw events;
+    // per-day sums are decimal-summed (order-free) for exact parity.
+    QueryDef(
+      "w3_gapfill_locf",
+      (s, dir) => graft.operators.TimeSeries.gapFillDaily(
+        Tables(s, dir, "events"), "user_id", "ts", "value"),
+      Some("""WITH byday AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      AS day_value
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |        FROM byday GROUP BY 1))
+             |SELECT g.user_id, g.day,
+             |  COALESCE(b.n_events, 0) AS n_events, b.day_value,
+             |  last_value(b.day_value IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled_value
+             |FROM grid g LEFT JOIN byday b USING (user_id, day)"""
+        .stripMargin)),
 
     // ---- grouping sets: ROLLUP totals (free in Spark per SURVEY §2.7,
     // exposed for the materialized-rollup A11 family)

@@ -43,6 +43,17 @@ object TrainingQueries {
     "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125)
   private val MixtureBudget = 40000L
   private val MixtureMaxEpochs = 3.0
+  // t114 drift bins: fixed install-time edges over events.value
+  // (observed range 0.01–490 at sf0.01)
+  private val PsiEdges = Seq(10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+  // t117/t118 retrieval query: one rare term (df≈5% of docs) + three
+  // common ones, so idf spread is wide; k1=1.25, b=0.75 (exact binary
+  // fractions — the BM25 constants 2.25/0.25 below are too)
+  private val BmTerms = Seq("dup", "vector", "spark", "merge")
+  // t118 query vector: quarters in [-1.25, 1.25] — exact in both
+  // decimal and binary, so the literal round-trips engine-to-engine
+  private val RrfQueryVec: Seq[Double] =
+    Seq.tabulate(Dims)(i => ((i * 7 + 3) % 11 - 5) / 4.0)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -4525,9 +4536,13 @@ object TrainingQueries {
                 mm.grayPng(gray, 8, 8))
             }
           }
+        // fused form — whtHash(whtCoefs(...)) as chained columns
+        // re-evaluates the coefficient aggregate per hash bit once
+        // CollapseProject inlines it (~30× here, and the difference
+        // between minutes and hours in t109; see ImageOps scaladoc)
         mm.decodeImageGray(media).toDF()
-          .withColumn("cf", graft.functions.ImageOps.whtCoefs("gray"))
-          .withColumn("wht", graft.functions.ImageOps.whtHash("cf"))
+          .withColumn("wht",
+            graft.functions.ImageOps.whtHashFromGray("gray", 8))
           .select(col("media_id").as("doc_id"),
             shiftrightunsigned(col("wht"), 32).as("h_hi"),
             col("wht").bitwiseAND(lit(0xffffffffL)).as("h_lo"))
@@ -4708,12 +4723,14 @@ object TrainingQueries {
                 mm.grayPng(gray, 9, 8))
             }
           }
+        // whtHashFromGray, NOT whtHash(whtCoefs(crop)): the chained
+        // form collapses into one projection whose hash fold re-evals
+        // the full coefficient aggregate per bit (O(64⁴)/row — wedged
+        // this gate for hours; see the ImageOps scaladoc)
         val sigs = mm.decodeImageGray(media).toDF()
           .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
-          .withColumn("crop", expr(
-            "transform(sequence(0, 63), i -> gray[(i DIV 8) * 9 + (i % 8)])"))
-          .withColumn("cf", graft.functions.ImageOps.whtCoefs("crop"))
-          .withColumn("wht", graft.functions.ImageOps.whtHash("cf"))
+          .withColumn("wht",
+            graft.functions.ImageOps.whtHashFromGray("gray", 9))
           .select(col("media_id").as("doc_id"), col("dhash"), col("wht"))
         graft.operators.NearDup.dedupBySignaturePair(sigs, "doc_id",
           "dhash", "wht", maxHamA = 3, maxHamB = 3)
@@ -4767,7 +4784,477 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
           .stripMargin
       }),
+
+    // ---- KMV theta sketch: distinct-set algebra with INTERSECTION —
+    // the estimate HLL's per-register maxima structurally cannot
+    // produce. Two sub-corpora (lineitem split by line-number parity)
+    // sketch their distinct order keys at k=256; per-set, union and
+    // intersection estimates must land within 20% of exact (single-set
+    // RSE ≈ 1/√254 ≈ 6.3%; the intersection compounds both
+    // thresholds). xxhash64 is fixed, so the estimates are
+    // deterministic per dataset — the tolerance absorbs sketch error,
+    // not run-to-run noise. The oracle recomputes the EXACT counts
+    // (inclusion-exclusion for the intersection) and pins the
+    // accuracy booleans TRUE, the t40 pattern: the estimator itself
+    // is engine-side and accuracy-gated, the exact algebra is
+    // cross-checked bit-for-bit.
+    QueryDef(
+      "t110_kmv_intersect",
+      (s, dir) => {
+        val k = 256
+        val li = Tables(s, dir, "lineitem")
+          .withColumn("half", pmod(col("l_linenumber"), lit(2)))
+        val sk = graft.operators.Sketches.kmvSketch(
+          spread(s, li), Seq("half"), "l_orderkey", k)
+          .withColumn("g", lit(1))
+        val est = graft.operators.Sketches.kmvSetEstimates(
+          sk.filter(col("half") === 0), sk.filter(col("half") === 1),
+          Seq("g"), k)
+        val exact = li.agg(
+          countDistinct(when(col("half") === 0, col("l_orderkey")))
+            .as("n_a"),
+          countDistinct(when(col("half") === 1, col("l_orderkey")))
+            .as("n_b"),
+          countDistinct(col("l_orderkey")).as("n_union"))
+          .withColumn("n_inter",
+            col("n_a") + col("n_b") - col("n_union"))
+        val ok = (e: Column, x: Column) =>
+          abs(e - x) <= lit(0.2) * x
+        exact.crossJoin(broadcast(est))
+          .select(col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+            ok(col("est_a"), col("n_a")).as("ok_a"),
+            ok(col("est_b"), col("n_b")).as("ok_b"),
+            ok(col("est_union"), col("n_union")).as("ok_union"),
+            ok(col("est_inter"), col("n_inter")).as("ok_inter"))
+      },
+      Some("""SELECT n_a, n_b, n_union,
+             |  n_a + n_b - n_union AS n_inter,
+             |  TRUE AS ok_a, TRUE AS ok_b,
+             |  TRUE AS ok_union, TRUE AS ok_inter
+             |FROM (SELECT
+             |  COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 0
+             |    THEN l_orderkey END) AS n_a,
+             |  COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 1
+             |    THEN l_orderkey END) AS n_b,
+             |  COUNT(DISTINCT l_orderkey) AS n_union
+             |  FROM lineitem)""".stripMargin)),
+
+    // ---- HTML boilerplate extraction: each document is wrapped in a
+    // deterministic page shell (style + script blocks with a bare `<`,
+    // a comment, an entity, an anchor, nbsp) and the extractor must
+    // recover EXACTLY the closed-form prose — the oracle does NOT
+    // replay the regexes, it constructs the expected answer
+    // arithmetically, so the gate proves script/style content-drop,
+    // tag strip, decode order (&amp; last), and whitespace collapse
+    // against an independent derivation. link_density/text_share are
+    // ratios of the same integer lengths on both engines → exact
+    // IEEE parity. Row-local codegen'd regex chain: scan-bound at
+    // 100 TB, no shuffle.
+    QueryDef(
+      "t111_html_extract",
+      (s, dir) => {
+        import graft.functions.HtmlOps
+        val html = concat(
+          lit("<html><head><style>p { color: red; }</style>" +
+            "<script>var x = 1 < 2;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- nav --><p>"), col("text"),
+          lit(" &amp; more</p><a href=\"/x\">"), col("lang"),
+          lit(" link</a>&nbsp;<br/></body></html>"))
+        spread(s, docs(s, dir))
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            HtmlOps.extractText(col("html")).as("extracted"),
+            HtmlOps.linkDensity(col("html"))
+              .cast("decimal(18,6)").as("link_density"),
+            HtmlOps.textShare(col("html"))
+              .cast("decimal(18,6)").as("text_share"))
+          .withColumn("keep",
+            col("link_density") <= 0.5 && col("text_share") >= 0.2)
+      },
+      Some("""WITH h AS (SELECT doc_id, lang, text,
+             |  '<html><head><style>p { color: red; }</style>' ||
+             |  '<script>var x = 1 < 2;</script></head><body><h1>Doc ' ||
+             |  doc_id || '</h1><!-- nav --><p>' || text ||
+             |  ' &amp; more</p><a href="/x">' || lang ||
+             |  ' link</a>&nbsp;<br/></body></html>' AS html
+             |  FROM documents),
+             |e AS (SELECT doc_id, html,
+             |  trim(regexp_replace('Doc ' || doc_id || ' ' || text ||
+             |    ' & more ' || lang || ' link', '\s+', ' ', 'g'))
+             |    AS extracted,
+             |  length(lang || ' link') AS alen FROM h)
+             |SELECT doc_id, extracted,
+             |  CAST(CASE WHEN length(extracted) > 0
+             |    THEN CAST(alen AS DOUBLE) / length(extracted)
+             |    ELSE 0.0 END AS DECIMAL(18,6)) AS link_density,
+             |  CAST(CAST(length(extracted) AS DOUBLE) / length(html)
+             |    AS DECIMAL(18,6)) AS text_share,
+             |  (link_density <= 0.5 AND text_share >= 0.2) AS keep
+             |FROM e""".stripMargin)),
+
+    // ---- PCA corpus pass: the full tagged scatter-matrix cell set
+    // (upper-triangle Σ floor(x_i·x_j·1e6), linear sums, count) —
+    // the ONLY distributed work in Pca.fit; the d×d eigensolve runs
+    // on the driver over these ≤ d(d+1)/2+d+1 cells and is gated in
+    // PcaSpec (orthonormal basis, descending eigenvalues, variance
+    // parity, reconstruction error). floor-to-BIGINT per term makes
+    // the sums order-free: DuckDB re-derives every cell bit-for-bit
+    // from a dims² lateral expansion. Map-side partial aggregation
+    // collapses the 2145 cells per partition before the one narrow
+    // shuffle — corpus rows never move.
+    QueryDef(
+      "t112_pca_moments",
+      (s, dir) => graft.operators.Pca.moments(
+        spread(s, Tables(s, dir, "embeddings")), "embedding", Dims),
+      Some(s"""SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+             |  CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) *
+             |    CAST(embedding[j + 1] AS DOUBLE) * 1000000.0)
+             |    AS BIGINT)) AS BIGINT) AS s
+             |FROM embeddings,
+             |  (SELECT unnest(range($Dims)) AS i),
+             |  (SELECT unnest(range($Dims)) AS j)
+             |WHERE j >= i GROUP BY 1, 2
+             |UNION ALL
+             |SELECT CAST(i AS INTEGER), -1,
+             |  CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) *
+             |    1000000.0) AS BIGINT)) AS BIGINT)
+             |FROM embeddings, (SELECT unnest(range($Dims)) AS i)
+             |GROUP BY 1
+             |UNION ALL
+             |SELECT -1, -1, COUNT(*) FROM embeddings""".stripMargin)),
+
+    // ---- URL canonicalization: four messy-spelling families (upper
+    // scheme/host + default port + tracking params + fragment; https
+    // 443; hostname-only with all-tracking query; non-http scheme
+    // keeping its port) must land on closed-form canonical URLs — the
+    // oracle CONSTRUCTS the expected strings, it does not replay the
+    // regexes, so scheme/host lowering, port policy, '' → '/' path,
+    // param filter+sort, and fragment drop are each proven against an
+    // independent derivation. This is the key-maker for crawl dedup
+    // (canonical) and per-domain caps (host); row-local, no shuffle.
+    QueryDef(
+      "t113_url_canonical",
+      (s, dir) => {
+        import graft.functions.UrlOps
+        val id = col("doc_id").cast("string")
+        val m = pmod(col("doc_id"), lit(4))
+        val url = when(m === 0, concat(
+            lit("HTTP://WWW.Example.com:80/a/"), id,
+            lit("?z=9&utm_campaign=c&a=1#top")))
+          .when(m === 1, concat(lit("https://Example.COM:443/b%20c/"), id))
+          .when(m === 2,
+            lit("https://Sub.example.org?utm_source=s&fbclid=f"))
+          .otherwise(concat(lit("ftp://Files.example.net:21/x/"), id))
+        spread(s, docs(s, dir))
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canon", UrlOps.canonicalUrl(col("url")))
+          .withColumn("host", UrlOps.host(col("url")))
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4
+             |    WHEN 0 THEN 'HTTP://WWW.Example.com:80/a/' || doc_id
+             |      || '?z=9&utm_campaign=c&a=1#top'
+             |    WHEN 1 THEN 'https://Example.COM:443/b%20c/' || doc_id
+             |    WHEN 2 THEN 'https://Sub.example.org?utm_source=s&fbclid=f'
+             |    ELSE 'ftp://Files.example.net:21/x/' || doc_id END AS url,
+             |  CASE doc_id % 4
+             |    WHEN 0 THEN 'http://www.example.com/a/' || doc_id
+             |      || '?a=1&z=9'
+             |    WHEN 1 THEN 'https://example.com/b%20c/' || doc_id
+             |    WHEN 2 THEN 'https://sub.example.org/'
+             |    ELSE 'ftp://files.example.net:21/x/' || doc_id END AS canon,
+             |  CASE doc_id % 4
+             |    WHEN 0 THEN 'www.example.com'
+             |    WHEN 1 THEN 'example.com'
+             |    WHEN 2 THEN 'sub.example.org'
+             |    ELSE 'files.example.net' END AS host
+             |FROM documents""".stripMargin)),
+
+    // ---- PSI corpus-drift monitor: events split at 2024-01-15 into
+    // baseline/current snapshots; per-bin (p−q)·ln(p/q) terms over
+    // fixed value edges. Each side collapses to ≤ 7 cells map-side —
+    // two 100-TB snapshots meet only at a bins×bins join. The oracle
+    // replays the arithmetic (counts → ε-floored shares → term) so
+    // binning, the full-outer bin union, and the ln-term all match to
+    // 6 dp.
+    QueryDef(
+      "t114_psi_drift",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val split = lit("2024-01-15").cast("timestamp")
+        graft.operators.Drift.psiNumeric(
+          spread(s, ev).filter(col("ts") < split),
+          spread(s, ev).filter(col("ts") >= split),
+          "value", PsiEdges)
+          .withColumn("psi_term",
+            col("psi_term").cast("decimal(18,6)"))
+      },
+      Some {
+        val binSql = PsiEdges.map(e =>
+          s"(CASE WHEN value >= $e THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT $binSql AS bin, COUNT(*) AS n_base
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+           |c AS (SELECT $binSql AS bin, COUNT(*) AS n_cur
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1),
+           |j AS (SELECT bin, COALESCE(n_base, 0) AS n_base,
+           |    COALESCE(n_cur, 0) AS n_cur
+           |  FROM b FULL OUTER JOIN c USING (bin)),
+           |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
+           |SELECT bin, n_base, n_cur,
+           |  CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS psi_term
+           |FROM (SELECT bin, n_base, n_cur,
+           |    greatest(CAST(n_base AS DOUBLE) / tb, 1e-6) AS p,
+           |    greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6) AS q
+           |  FROM j, t)""".stripMargin
+      }),
+
+    // ---- THIRD real video container (t63 MJPEG / t75 GIF sibling),
+    // the UNCOMPRESSED one: docs become YUV4MPEG2 streams whose
+    // 16×16 Y planes carry a saturating ramp min(base+p, 255) —
+    // patterned, so a frame-boundary shear (e.g. mis-skipped C420
+    // chroma) shifts the mean, unlike a solid frame. Raw YUV + PNG
+    // re-encode are lossless end-to-end, so DuckDB rederives every
+    // frame's mean luminance from the construction arithmetic alone
+    // (same ÷256 IEEE division both sides).
+    QueryDef(
+      "t115_y4m_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("doc_id") % 4 + 1).cast("int").as("nf"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, nf) =>
+              val frames = (0 until nf).map { i =>
+                val base = ((id * 47 + i * 61) % 200).toInt
+                Array.tabulate(16 * 16)(p => math.min(base + p, 255))
+              }
+              mm.MediaRecord(id, "video", "video/x-y4m", 16, 16,
+                nf * 100L, mm.y4mVideo(frames, 16, 16))
+            }
+          }
+        mm.frameStats(mm.sampleFramesDecoded(media, everyMs = 100,
+          codec = mm.Y4mCodec)).toDF()
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("ts_ms"), col("width"), col("height"), col("mean_lum"))
+      },
+      Some {
+        s"""WITH v AS (
+           |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |f AS (SELECT doc_id, unnest(range(nf)) AS i FROM v),
+           |px AS (SELECT doc_id, i, (doc_id * 47 + i * 61) % 200 AS base,
+           |    unnest(range(256)) AS p
+           |  FROM f),
+           |m AS (SELECT doc_id, i,
+           |    SUM(LEAST(base + p, 255)) AS lum_sum
+           |  FROM px GROUP BY doc_id, i)
+           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |  CAST(i * 100 AS BIGINT) AS ts_ms,
+           |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           |  CAST(lum_sum AS DOUBLE) / 256.0 AS mean_lum
+           |FROM m""".stripMargin
+      }),
+
+    // ---- Bounded-iteration graph analytics: 3-round PageRank over a
+    // REAL data-derived directed graph (supplier→customer edges where
+    // they co-occur on a returned ('R') lineitem, customer→supplier on
+    // an accepted ('A') one — cycles exist wherever a pair trades in
+    // both states). Link-graph rank is the standard web-crawl quality
+    // prior for sampling weights; the fixed-point BIGINT formulation
+    // (see Graph.pageRankFixedPoint) makes a distributed iterative
+    // algorithm BIT-EXACT against DuckDB replaying the same three
+    // unrolled rounds — no float tolerance hides a wiring bug.
+    QueryDef(
+      "t116_pagerank",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val b = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("sk"),
+            (col("o_custkey") + 1000000L).as("ck"), col("l_returnflag"))
+        val edges = b.filter(col("l_returnflag") === "R")
+          .select(col("sk").as("src"), col("ck").as("dst"))
+          .unionByName(b.filter(col("l_returnflag") === "A")
+            .select(col("ck").as("src"), col("sk").as("dst")))
+          .distinct()
+        graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iters = 3)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      Some {
+        val contrib = (r: String) =>
+          s"""SELECT e.dst AS node,
+             |    SUM(($r.rank * 85) // (100 * deg.deg)) AS m
+             |  FROM e JOIN $r ON e.src = $r.node
+             |    JOIN deg ON e.src = deg.src GROUP BY 1""".stripMargin
+        // SUM(BIGINT) is HUGEINT in DuckDB — cast each round's rank
+        // back down so the final schema is BIGINT like the Spark side
+        val round = (c: String) =>
+          s"""SELECT nodes.node,
+             |    CAST((SELECT 150000000 // n FROM nn)
+             |      + COALESCE($c.m, 0) AS BIGINT) AS rank
+             |  FROM nodes LEFT JOIN $c USING (node)""".stripMargin
+        s"""WITH b AS (SELECT l_suppkey AS sk, o_custkey + 1000000 AS ck,
+           |    l_returnflag AS f
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT DISTINCT sk AS src, ck AS dst FROM b WHERE f = 'R'
+           |  UNION SELECT DISTINCT ck AS src, sk AS dst FROM b WHERE f = 'A'),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, (SELECT 1000000000 // n FROM nn) AS rank
+           |  FROM nodes),
+           |c1 AS (${contrib("r0")}),
+           |r1 AS (${round("c1")}),
+           |c2 AS (${contrib("r1")}),
+           |r2 AS (${round("c2")}),
+           |c3 AS (${contrib("r2")}),
+           |r3 AS (${round("c3")})
+           |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+      }),
+
+    // ---- BM25 keyword relevance, whole-corpus scored in one pass:
+    // corpus stats (n, Σdl, per-term df) collapse to ONE row map-side
+    // and broadcast back — no token instance ever shuffles. The ln in
+    // idf is the one sub-ulp cross-engine hazard, so scores round to
+    // 6 dp before the (score, id) ordering (the t31 contract).
+    QueryDef(
+      "t117_bm25_topk",
+      (s, dir) => graft.operators.Retrieval
+        .bm25(spread(s, docs(s, dir)), "doc_id", "text", BmTerms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20),
+      Some(s"""WITH ${bm25Ctes(BmTerms)}
+              |SELECT doc_id, bm25 FROM sc
+              |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion of the BM25
+    // keyword ranking with a vector-cosine ranking against a literal
+    // query embedding. Ranks are integers, so the fused 1/(60+r) sum
+    // is BIT-EXACT cross-engine — the reason RRF beats score
+    // interpolation for heterogeneous rankers. Global row_number here
+    // is gate-scale only; production fuses per-query candidate lists
+    // (≤ k rows after ANN/top-k), where the rank window is local to
+    // each query's partition.
+    QueryDef(
+      "t118_rrf_fusion",
+      (s, dir) => {
+        import graft.functions.VectorOps
+        val kw = graft.operators.Retrieval
+          .bm25(spread(s, docs(s, dir)), "doc_id", "text", BmTerms)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        val qv = array(RrfQueryVec.map(lit): _*)
+        val cs = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), VectorOps.cosine(col("v"), qv,
+            VectorOps.norm(col("v")), VectorOps.norm(qv)).as("cos"))
+        val rv = cs.withColumn("rv", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        kw.join(rv, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("rk"), col("rv"),
+            graft.operators.Retrieval.rrf(60, col("rk"), col("rv"))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+      },
+      Some {
+        val qvLit = RrfQueryVec.mkString("[", ", ", "]")
+        s"""WITH ${bm25Ctes(BmTerms)},
+           |rk AS (SELECT doc_id, row_number() OVER (
+           |    ORDER BY bm25 DESC, doc_id ASC) AS rk FROM sc),
+           |q AS (SELECT $qvLit AS qv),
+           |cs AS (SELECT vec_id,
+           |    round(${DuckSql.dot("embedding", "qv", Dims)}
+           |      / (sqrt(${DuckSql.dot("embedding", "embedding", Dims)})
+           |         * sqrt(${DuckSql.dot("qv", "qv", Dims)})), 6) AS cos
+           |  FROM embeddings, q),
+           |rv AS (SELECT vec_id, row_number() OVER (
+           |    ORDER BY cos DESC, vec_id ASC) AS rv FROM cs)
+           |SELECT doc_id, rk, rv,
+           |  1.0 / (60.0 + rk) + 1.0 / (60.0 + rv) AS rrf
+           |FROM rk JOIN rv ON doc_id = vec_id
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // ---- Interchange-format round trip: the documents table leaves
+    // as ORC, CSV, and JSON-lines and comes back bit-identical — one
+    // content digest per format, all three pinned to the digest DuckDB
+    // computes from the parquet original. Proves the non-parquet
+    // source/sink legs (the formats a lake ingests from partners /
+    // exports to BI) are lossless for a typed schema, reads with
+    // EXPLICIT schemas (no inference nondeterminism), and md5-digest
+    // parity holds end-to-end. 10 hex chars per row digest keeps the
+    // BIGINT sum overflow-free past 10⁵× this corpus.
+    QueryDef(
+      "t119_interchange_roundtrip",
+      (s, dir) => {
+        val base = "/tmp/graft_gate_interchange"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        d.write.mode("overwrite").orc(s"$base/orc")
+        d.write.mode("overwrite").csv(s"$base/csv")
+        d.write.mode("overwrite").json(s"$base/json")
+        val back = Seq(
+          "orc" -> s.read.schema(d.schema).orc(s"$base/orc"),
+          "csv" -> s.read.schema(d.schema).csv(s"$base/csv"),
+          "json" -> s.read.schema(d.schema).json(s"$base/json"))
+        back.map { case (fmt, df) =>
+          df.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(
+              concat_ws("|", col("text"), col("lang"), col("source"))
+                .cast("binary")), 1, 10), 16, 10).cast("long")).as("h"))
+            .withColumn("fmt", lit(fmt))
+            .select("fmt", "n", "sum_id", "sum_chars", "h")
+        }.reduceLeft(_ unionByName _)
+      },
+      Some {
+        val h = DuckSql.hexToLong(
+          "md5(text || '|' || lang || '|' || source)", 10)
+        s"""WITH d AS (SELECT COUNT(*) AS n,
+           |    CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |    CAST(SUM($h) AS BIGINT) AS h
+           |  FROM documents)
+           |SELECT fmt, n, sum_id, sum_chars, h
+           |FROM d, (VALUES ('orc'), ('csv'), ('json')) t(fmt)""".stripMargin
+      }),
   )
+
+  /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same
+    * corpus stats, same per-term expression tree, same left-assoc sum
+    * in declared term order, same round-6 (k1 = 1.25, b = 0.75 →
+    * literals 2.25/1.25/0.25/0.75, all exact). Ends with `sc` =
+    * (doc_id, bm25). */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(tk, '$t') THEN 1.0 ELSE 0.0 END) AS df_$i"
+    }.mkString(",\n    ")
+    val chain = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE)"
+      s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * ($tf * 2.25)" +
+        s" / ($tf + 1.25 * (0.25 + 0.75 * (dl / (sumdl / n))))"
+    }.mkString("(", " + ", ")")
+    s"""tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+       |    $dfCols
+       |  FROM tk2),
+       |sc AS (SELECT doc_id, round($chain, 6) AS bm25 FROM tk2, st)""".stripMargin
+  }
 
   /** DuckDB mirror of NearDup.simhashBandsPaired's 10-table packing
     * at maxHamming = 3: blocks of 13/13/13/13/12 bits at offsets

@@ -335,6 +335,34 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Incremental JOIN-view maintenance under INSERT-ONLY deltas: the
+    * new rows of V = L ⋈ R after batches ΔL, ΔR arrive are exactly
+    *
+    *   ΔV = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR
+    *
+    * (L, R = the bases BEFORE the batch), so maintaining the view is
+    * appending ΔV — three joins each carrying one delta side instead
+    * of re-joining two full corpora: O(Δ) probe work per batch where
+    * the naive refresh is O(|L|+|R|) every time. Deltas are
+    * broadcast by default (`broadcastDeltas=false` for backfill-sized
+    * batches — the joins then shuffle on the key like any big join).
+    * `keys` are common column names: pre-rename one side (a view
+    * defines its own join spelling once). Updates/deletes are NOT
+    * expressible as ΔV appends — route those through [[cdcStream]] /
+    * CommitLogTableFormat.applyCdc and refresh affected keys. The j9
+    * gate proves batch-maintained state equals the full re-join;
+    * IncrementalViewSpec chains multiple batches. */
+  def joinViewDelta(baseL: DataFrame, deltaL: DataFrame,
+      baseR: DataFrame, deltaR: DataFrame, keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
+    val (dl, dr) =
+      if (broadcastDeltas) (broadcast(deltaL), broadcast(deltaR))
+      else (deltaL, deltaR)
+    dl.join(baseR, keys)
+      .unionByName(baseL.join(dr, keys))
+      .unionByName(dl.join(dr, keys))
+  }
+
   def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
       lateness: String = "1 day"): DataFrame =
     events

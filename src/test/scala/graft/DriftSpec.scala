@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+
+  test("psiNumeric: identical distributions → all terms 0; known " +
+    "shift reproduces the hand-computed PSI") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i => i % 100 * 1.0).toDF("v")
+    val same = Drift.psiNumeric(base, base, "v", Seq(25.0, 50.0, 75.0))
+      .collect()
+    assert(same.length == 4)
+    assert(same.forall(_.getDouble(3) == 0.0),
+      "identical sides must give exactly-zero terms")
+    // shift: base uniform over 4 bins (250 each); cur puts 400 in bin
+    // 0, 200 in each other → terms from (0.25,0.4) and 3×(0.25,0.2)
+    val cur = ((0 until 400).map(_ => 10.0) ++
+      (0 until 200).map(_ => 30.0) ++ (0 until 200).map(_ => 60.0) ++
+      (0 until 200).map(_ => 80.0)).toDF("v")
+    val got = Drift.psiNumeric(base, cur, "v", Seq(25.0, 50.0, 75.0))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    def term(p: Double, q: Double) = (p - q) * math.log(p / q)
+    assert(math.abs(got(0) - term(0.25, 0.4)) < 1e-12)
+    (1 to 3).foreach(b =>
+      assert(math.abs(got(b) - term(0.25, 0.2)) < 1e-12))
+    // total lands in the "moderate shift" band
+    val total = got.values.sum
+    assert(total > 0.1 && total < 0.25, s"psi=$total")
+  }
+
+  test("psiCategorical: appeared/vanished categories spike finitely " +
+    "via the eps floor") {
+    import spark.implicits._
+    val base = (Seq.fill(90)("en") ++ Seq.fill(10)("de")).toDF("lang")
+    val cur = (Seq.fill(80)("en") ++ Seq.fill(20)("zh")).toDF("lang")
+    val got = Drift.psiCategorical(base, cur, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("en", "de", "zh"))
+    // de vanished, zh appeared: both sides present in output, both
+    // terms large-positive and finite
+    val (dn, dc, dterm) = got("de")
+    val (zn, zc, zterm) = got("zh")
+    assert(dn == 10L && dc == 0L && zn == 0L && zc == 20L)
+    assert(dterm.isFinite && zterm.isFinite)
+    assert(dterm > 0.5 && zterm > 1.0, s"de=$dterm zh=$zterm")
+  }
+
+  test("both corpus sides reduce map-side: the join is bins-sized " +
+    "(partial aggregation before the shuffle)") {
+    import spark.implicits._
+    val df = (0 until 10000).map(_ % 500 * 1.0).toDF("v")
+      .repartition(8)
+    val plan = Drift.psiNumeric(df, df, "v", Seq(100.0, 300.0))
+      .queryExecution.executedPlan.toString
+    // partial_count before the exchange = map-side collapse
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected partial aggregation in:\n$plan")
+  }
+}

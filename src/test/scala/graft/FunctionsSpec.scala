@@ -163,4 +163,68 @@ class FunctionsSpec extends SparkSpec {
       .select(VectorOps.cosine(col("v"), col("v"), col("n"), col("n")).as("c"))
     assert(df.collect()(0).getDouble(0) == 1.0)
   }
+
+  test("HtmlOps.extractText: script/style content drops, tag content " +
+    "stays, entities decode once, whitespace collapses") {
+    import graft.functions.HtmlOps
+    val cases = Seq(
+      // script body with a bare '<' must vanish entirely
+      "<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>" -> "a b",
+      // multi-line style, case-insensitive tag
+      "<STYLE>\np { c: 1; }\n</STYLE>keep" -> "keep",
+      // commented-out markup must not survive the tag pass
+      "x <!-- <p>hidden</p> --> y" -> "x y",
+      // &amp;lt; decodes to &lt; — ONE level, never to '<'
+      "a &amp;lt; b" -> "a &lt; b",
+      "A&nbsp;&quot;q&quot;&#39;s&#39; &lt;tag&gt; &amp; done" ->
+        "A \"q\"'s' <tag> & done",
+      "<div class=\"x\">  spaced \t out  </div>" -> "spaced out",
+      "<br/><hr />" -> "")
+    val got = cases.map(_._1).toDF("h")
+      .select(HtmlOps.extractText(col("h")).as("t"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, t) =>
+      assert(t == want, s"got '$t' want '$want'")
+    }
+  }
+
+  test("HtmlOps.linkDensity and textShare edge cases") {
+    import graft.functions.HtmlOps
+    val df = Seq(
+      "<a href=\"/\">nav</a> <a>more</a>", // all-link page
+      "<p>plain prose only</p>", // no anchors
+      "<script>x()</script>", // no text at all
+      "<abbr>ABC</abbr> <a>x</a>" // <abbr> must NOT count as anchor
+    ).toDF("h").select(
+      HtmlOps.linkDensity(col("h")).as("ld"),
+      HtmlOps.textShare(col("h")).as("ts"))
+    val rows = df.collect()
+    // "nav more" = 8 chars, all from anchors
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0)
+    // empty extraction: both signals 0, no divide-by-zero
+    assert(rows(2).getDouble(0) == 0.0 && rows(2).getDouble(1) == 0.0)
+    // "ABC x" = 5 chars, anchor "x" = 1 — <abbr> content is NOT link text
+    assert(rows(3).getDouble(0) == 0.2)
+  }
+
+  test("UrlOps.canonicalUrl edge policies beyond the t113 families") {
+    import graft.functions.UrlOps
+    val cases = Seq(
+      // NON-default port survives even on http
+      "http://Host.com:8080/p?b=2&a=1" -> "http://host.com:8080/p?a=1&b=2",
+      // empty param segments (a=1&&b=2) drop; value-less param kept
+      "https://h.io/x?a=1&&flag&utm_x=1" -> "https://h.io/x?a=1&flag",
+      // fragment-only extras
+      "https://h.io/x#sec" -> "https://h.io/x",
+      // not a URL: passes through untouched (no scheme://)
+      "plain text" -> "plain text",
+      "relative/path?b=1" -> "relative/path?b=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, c) =>
+      assert(c == want, s"got '$c' want '$want'")
+    }
+  }
 }

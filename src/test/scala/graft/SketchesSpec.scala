@@ -185,4 +185,61 @@ class SketchesSpec extends SparkSpec {
     assert(est("a")._1 == 14000L && est("b")._1 == 900L &&
       est("c")._1 == 400L)
   }
+
+  test("kmvSketch: merge is bit-for-bit the whole-corpus sketch; " +
+    "below-capacity groups estimate exactly") {
+    import spark.implicits._
+    val k = 64
+    val day1 = ((0 until 5000).map(i => ("a", (i % 3000).toLong)) ++
+      (0 until 100).map(i => ("b", (i % 40).toLong))).toDF("src", "v")
+    val day2 = ((0 until 5000).map(i => ("a", (1500 + i % 3000).toLong)) ++
+      (0 until 60).map(i => ("c", (i % 25).toLong))).toDF("src", "v")
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(day1, Seq("src"), "v", k)
+        .unionByName(Sketches.kmvSketch(day2, Seq("src"), "v", k)),
+      Seq("src"), k)
+    val whole = Sketches.kmvSketch(day1.unionByName(day2),
+      Seq("src"), "v", k)
+    // every dropped hash was above a surviving k-th minimum: the
+    // merged retained set IS the whole-corpus retained set
+    val m = merged.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val w = whole.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(m === w, "kmvMerge must equal the whole-corpus sketch")
+    val est = Sketches.kmvEstimate(merged, Seq("src"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // b (40 distinct) and c (25) are below k → EXACT
+    assert(est("b") == 40.0 && est("c") == 25.0)
+    // a: 4500 true distinct; k=64 → rse ~1/sqrt(62) ≈ 12.7%, allow 3x
+    assert(math.abs(est("a") - 4500.0) / 4500.0 <= 0.38,
+      s"kmv estimate ${est("a")} vs 4500")
+  }
+
+  test("kmvSetEstimates: intersection within tolerance, exact when " +
+    "both sketches below capacity") {
+    import spark.implicits._
+    val k = 128
+    // A = 0..3999, B = 2000..5999 → |A|=|B|=4000, |A∪B|=6000, |A∩B|=2000
+    val a = (0 until 4000).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val b = (2000 until 6000).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val est = Sketches.kmvSetEstimates(
+      Sketches.kmvSketch(a, Seq("grp"), "v", k),
+      Sketches.kmvSketch(b, Seq("grp"), "v", k),
+      Seq("grp"), k).collect()(0)
+    val (ea, eu, ei) = (est.getDouble(1), est.getDouble(3), est.getDouble(4))
+    assert(math.abs(ea - 4000) / 4000.0 <= 0.3, s"est_a=$ea")
+    assert(math.abs(eu - 6000) / 6000.0 <= 0.3, s"est_union=$eu")
+    assert(math.abs(ei - 2000) / 2000.0 <= 0.5, s"est_inter=$ei")
+    // tiny sets: every hash retained → estimates are EXACT counts
+    val sa = (0 until 50).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val sb = (30 until 80).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val ex = Sketches.kmvSetEstimates(
+      Sketches.kmvSketch(sa, Seq("grp"), "v", k),
+      Sketches.kmvSketch(sb, Seq("grp"), "v", k),
+      Seq("grp"), k).collect()(0)
+    assert(ex.getDouble(1) == 50.0 && ex.getDouble(2) == 50.0 &&
+      ex.getDouble(3) == 80.0 && ex.getDouble(4) == 20.0,
+      s"below-capacity set algebra must be exact: $ex")
+  }
 }

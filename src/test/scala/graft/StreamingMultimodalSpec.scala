@@ -383,7 +383,11 @@ class StreamingMultimodalSpec extends SparkSpec {
       val row = decodeImageGray(media).toDF()
         .withColumn("cf", ImageOps.whtCoefs("gray"))
         .withColumn("wht", ImageOps.whtHash("cf"))
+        .withColumn("whtF", ImageOps.whtHashFromGray("gray", 8))
         .collect().head
+      // the fused (accumulator-bound) form is bit-identical to the
+      // chained composition it replaces in the hashing pipelines
+      assert(row.getAs[Long]("whtF") == row.getAs[Long]("wht"))
       (row.getAs[scala.collection.Seq[Long]]("cf").toSeq,
         row.getAs[Long]("wht"))
     }
@@ -406,6 +410,18 @@ class StreamingMultimodalSpec extends SparkSpec {
     val (cfC, hC) = sig(gray.map(_ * 2))
     assert(cfC == cf.map(_ * 2))
     assert(hC == h)
+    // stride > 8: a 9-wide image whose left 8x8 crop is `gray` hashes
+    // identically through whtHashFromGray(_, 9) — the t109 shape
+    val wide = Array.tabulate(72) { j =>
+      val (r, c) = (j / 9, j % 9)
+      if (c < 8) gray(r * 8 + c) else 7
+    }
+    val mediaW = Seq(MediaRecord(2L, "image", "image/png", 9, 8, 0L,
+      grayPng(wide, 9, 8))).toDS()
+    val hW = decodeImageGray(mediaW).toDF()
+      .withColumn("whtF", ImageOps.whtHashFromGray("gray", 9))
+      .collect().head.getAs[Long]("whtF")
+    assert(hW == h)
   }
 
   test("annIndexStream: O(delta) appends, drift-triggered retrain, replay no-op") {
@@ -1091,5 +1107,53 @@ class StreamingMultimodalSpec extends SparkSpec {
       .dedupBySignature(sigs, "doc_id", "fp", maxHamming = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L))
+  }
+
+  test("multimodal: Y4M codec, uncompressed frame round trip") {
+    import Multimodal._
+    // patterned Y planes: raw YUV is uncompressed, so the round trip
+    // is pixel-exact by construction; C420 chroma (neutral 128) must
+    // be skipped by the size formula or frame boundaries shear
+    val frames = (0 until 3).map { k =>
+      Array.tabulate(16 * 16)(j => (k * 70 + (j % 16) * 3 + j / 16) % 256)
+    }
+    val y4m = y4mVideo(frames, 16, 16)
+    assert(new String(y4m, 0, 9, "US-ASCII") == "YUV4MPEG2")
+    val split = Y4mCodec.frames(y4m)
+    assert(split.size == 3)
+    split.zip(frames).foreach { case (png, expected) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xff) == expected(y * 16 + x),
+          s"pixel ($x,$y)")
+    }
+
+    // mono colorspace: no chroma bytes at all
+    val mono = Y4mCodec.frames(y4mVideo(frames, 16, 16, "mono"))
+    assert(mono.size == 3 &&
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        mono(1))).getRGB(3, 2) == (0xff000000 | 0x515151)) // (70+3·3+2)=81
+
+    // torn tail: a truncated frame body ends the stream THERE (no
+    // resync marker in raw YUV) - earlier frames intact, tail lost
+    val torn = Y4mCodec.frames(
+      java.util.Arrays.copyOfRange(y4m, 0, y4m.length - 10))
+    assert(torn.size == 2)
+    // garbage / wrong magic / malformed header yield nothing
+    assert(Y4mCodec.frames(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Y4mCodec.frames("YUV4MPEG2 Wx Hy\nFRAME\n".getBytes).isEmpty)
+    assert(Y4mCodec.frames(
+      "JUNK W16 H16\nFRAME\n".getBytes ++ Array.fill(384)(1.toByte))
+      .isEmpty)
+
+    // full distributed path: solid frames -> mean_lum == gray exactly
+    val solid = Seq(60, 130, 255).map(g => Array.fill(16 * 16)(g))
+    val media = Seq(MediaRecord(41L, "video", "video/x-y4m", 16, 16, 300L,
+      y4mVideo(solid, 16, 16))).toDS()
+    val stats = frameStats(sampleFramesDecoded(media, 100L,
+      codec = Y4mCodec)).collect().sortBy(_.frame_idx)
+    assert(stats.map(_.mean_lum).toSeq == Seq(60.0, 130.0, 255.0))
   }
 }
