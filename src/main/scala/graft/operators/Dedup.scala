@@ -44,6 +44,46 @@ object Dedup {
   def distinctOn(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
 
+  /** FIELD-level survivorship (MDM "golden record"): per `keys`
+    * cluster, each requested string field independently resolves to
+    * its MODAL non-null value, ties to the lexicographically smallest
+    * — the D-family completed from row-level winners ([[keepLatest]],
+    * the t60 canonical pick) to fused records, which is what entity
+    * resolution emits after matching. One pass regardless of field
+    * count: fields unpivot to (key, field, value) rows, ONE count
+    * aggregate + ONE modal-pick aggregate, then a pivot-back
+    * projection — 2 narrow shuffles total, nothing proportional to
+    * |fields|. NULL field values never become candidates (a cluster
+    * whose field is all-NULL stays NULL). Also returns `n_members`,
+    * the cluster size. */
+  def goldenRecord(df: DataFrame, keys: Seq[String],
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty)
+    val k = keys.map(col)
+    val unpivoted = df.select((k :+ explode(map(
+      fields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*))
+      .as(Seq("__field", "__value"))): _*)
+      .filter(col("__value").isNotNull)
+    val counts = unpivoted
+      .groupBy((k :+ col("__field")) :+ col("__value"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // min_by over (-cnt, value): highest count first, then smallest
+    // value — a total order, so the pick is deterministic
+    val modal = counts
+      .groupBy(k :+ col("__field"): _*)
+      .agg(min_by(col("__value"),
+        struct((-col("__cnt")).as("a"), col("__value").as("b")))
+        .as("__modal"))
+    val sizes = df.groupBy(k: _*).agg(count(lit(1)).as("n_members"))
+    // pivot with EXPLICIT field values: one aggregate, not one join
+    // per field; each (key, field) has exactly one modal row so
+    // first() is deterministic
+    val picks = modal.groupBy(k: _*)
+      .pivot("__field", fields).agg(first(col("__modal")))
+    sizes.join(picks, keys, "left")
+      .select((k ++ fields.map(col) :+ col("n_members")): _*)
+  }
+
   /** PARAGRAPH-level corpus dedup — the Dolma/FineWeb recipe that
     * sits between document-level dedup (t01) and token-span removal
     * ([[SpanStats.removeDuplicatedSpans]]): split each document into

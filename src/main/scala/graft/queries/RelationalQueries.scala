@@ -756,6 +756,103 @@ object RelationalQueries {
              |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
         .stripMargin)),
 
+    // ---- D6: field-level survivorship ("golden record") — per
+    // user_id cluster each field independently resolves to its modal
+    // value with a lexical tie-break; the oracle recomputes each
+    // field's mode via count + row_number windows and joins them back
+    // (a different algorithm from the operator's single unpivoted
+    // pass, so the hash compare checks the semantics, not the plan).
+    QueryDef(
+      "d6_golden_record",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("kbucket", concat(lit("k"),
+            (get_json_object(col("props"), "$.k").cast("int") % 5)
+              .cast("string")))
+        graft.operators.Dedup.goldenRecord(e, Seq("user_id"),
+          Seq("event_type", "kbucket"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    'k' || CAST(CAST(json_extract_string(props, '$.k')
+             |      AS INT) % 5 AS VARCHAR) AS kbucket
+             |  FROM events),
+             |te AS (SELECT user_id, event_type AS v, COUNT(*) AS c
+             |  FROM e GROUP BY 1, 2),
+             |me AS (SELECT user_id, v AS event_type FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY c DESC, v ASC) AS rn FROM te) WHERE rn = 1),
+             |tk AS (SELECT user_id, kbucket AS v, COUNT(*) AS c
+             |  FROM e GROUP BY 1, 2),
+             |mk AS (SELECT user_id, v AS kbucket FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY c DESC, v ASC) AS rn FROM tk) WHERE rn = 1),
+             |sz AS (SELECT user_id, COUNT(*) AS n_members FROM e
+             |  GROUP BY 1)
+             |SELECT sz.user_id, me.event_type, mk.kbucket, sz.n_members
+             |FROM sz JOIN me USING (user_id) JOIN mk USING (user_id)"""
+        .stripMargin)),
+
+    // ---- W4: sliding (hop) windows in batch — the streaming window
+    // shape run over history. Spark's window(ts, 1h, 30m) assigns each
+    // event to exactly two hops; the oracle reconstructs the same
+    // assignment from epoch-µs arithmetic (both hop starts are ts
+    // floored to its 30-min bucket minus k·30min, k ∈ {0,1} — always
+    // in range since ts − start_k ∈ [k·30m, (k+1)·30m) ⊂ [0, 1h)).
+    // DECIMAL event sums so the per-window totals are order-exact.
+    QueryDef(
+      "w4_hop_window",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("ws"), col("n"), col("sum_value")),
+      Some("""WITH e AS (SELECT
+             |    epoch_us(date_trunc('microseconds', ts)) AS us, value
+             |  FROM events),
+             |hops AS (SELECT
+             |    us - us % 1800000000 - k.k * 1800000000 AS ws_us,
+             |    value
+             |  FROM e, (VALUES (0), (1)) k(k))
+             |SELECT make_timestamp(ws_us) AS ws, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM hops GROUP BY 1""".stripMargin)),
+
+    // ---- W5: ntile quartiles per segment (total order via the
+    // (acctbal DESC, custkey) tie-break so bucket edges are exact)
+    QueryDef(
+      "w5_ntile",
+      (s, dir) => Tables(s, dir, "customer")
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile")),
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  ntile(4) OVER (PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+             |FROM customer""".stripMargin)),
+
+    // ---- W6: running (prefix) sum per user over the total event
+    // order — DECIMAL accumulation so every prefix is exact, cast to
+    // DOUBLE only at the edge
+    QueryDef(
+      "w6_running_sum",
+      (s, dir) => Tables(s, dir, "events")
+        .withColumn("running", sum(col("value").cast("decimal(18,6)"))
+          .over(Window.partitionBy("user_id")
+            .orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .select(col("event_id"), col("user_id"), col("running")),
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id
+             |    ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS DOUBLE) AS running
+             |FROM events""".stripMargin)),
+
     // ---- V9: extraction gap analysis (missing days vs calendar range)
     QueryDef(
       "v9_gap_analysis",

@@ -346,4 +346,41 @@ class MergeDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(drop(1L) === "q" && drop(2L) === "" && drop(3L) === "")
   }
+
+  test("goldenRecord: per-field mode, lexical ties, nulls never win, " +
+    "all-null field stays null") {
+    import spark.implicits._
+    val df = Seq(
+      // cluster 1: city mode = NY (2 vs 1); tier tie a/b 2-2 → "a";
+      // mail has nulls but a single non-null value wins over 3 nulls
+      (1L, "NY", "a", null.asInstanceOf[String]),
+      (1L, "NY", "b", "x@y.z"),
+      (1L, "LA", "a", null.asInstanceOf[String]),
+      (1L, "SF", "b", null.asInstanceOf[String]),
+      // cluster 2: single member; mail all-null → stays null
+      (2L, "LA", "c", null.asInstanceOf[String]))
+      .toDF("id", "city", "tier", "mail")
+    val got = Dedup.goldenRecord(df, Seq("id"),
+      Seq("city", "tier", "mail"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), Option(r.getString(3)),
+          r.getLong(4)))).toMap
+    assert(got(1L) == (("NY", "a", Some("x@y.z"), 4L)))
+    assert(got(2L) == (("LA", "c", None, 1L)))
+  }
+
+  test("goldenRecord: one unpivot pass — shuffle count independent of " +
+    "field width") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (i % 10L, s"c${i % 3}", s"t${i % 4}", s"m${i % 2}", s"z${i % 5}"))
+      .toDF("id", "f1", "f2", "f3", "f4")
+    val plan4 = Dedup.goldenRecord(df, Seq("id"),
+      Seq("f1", "f2", "f3", "f4")).queryExecution.executedPlan.toString
+    val plan1 = Dedup.goldenRecord(df, Seq("id"), Seq("f1"))
+      .queryExecution.executedPlan.toString
+    def shuffles(p: String) = p.sliding("Exchange".length)
+      .count(_ == "Exchange")
+    assert(shuffles(plan4) == shuffles(plan1))
+  }
 }
