@@ -272,4 +272,61 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Per-partition Misra–Gries candidate generation with `k`
+    * counters: at most k (value, weight) rows survive per partition,
+    * with the classic guarantee that any value whose LOCAL frequency
+    * exceeds n_p/(k+1) keeps a counter — so by pigeonhole any GLOBAL
+    * heavy hitter (freq·(k+1) > n) is emitted by at least one
+    * partition, whatever the row order or partitioning (the summary's
+    * per-item estimates are order-dependent; its survivor SET above
+    * the threshold is not, which is all [[heavyHitters]] consumes).
+    * Unlike [[countMin]] there is no hash-collision overcount and the
+    * output size is a hard k·partitions bound, not a grid. */
+  def misraGries(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("value")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { v =>
+          if (v != null) {
+            if (counters.contains(v) || counters.size < k)
+              counters(v) = counters.getOrElse(v, 0L) + 1L
+            else { // decrement-all step: drop zeros
+              val dead = scala.collection.mutable.ArrayBuffer[String]()
+              counters.keysIterator.foreach { key =>
+                val c = counters(key) - 1L
+                if (c == 0L) dead += key else counters(key) = c
+              }
+              dead.foreach(counters.remove)
+            }
+          }
+        }
+        counters.iterator.map { case (v, c) => (v, c) }
+      }.toDF("value", "weight")
+  }
+
+  /** EXACT heavy hitters via the sketch-candidates + recount recipe:
+    * [[misraGries]] yields ≤ k·partitions candidate values (recall-
+    * complete for freq·(k+1) > n by the guarantee above), the corpus
+    * is semi-joined down to candidate rows against the BROADCAST
+    * candidate set, and exact counts filter on freq·(k+1) > n —
+    * deterministic output regardless of the sketch's internal order
+    * sensitivity. Scale shape: two corpus scans, but the only shuffle
+    * is the candidate-row recount (heavy values only); the naive form
+    * shuffles every distinct value. Output: (value, freq), the true
+    * heavy hitters with exact counts. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val candidates = misraGries(df, keyCol, k)
+      .select(col("value")).distinct()
+    val keyed = df.select(col(keyCol).cast("string").as("value"))
+    val n = keyed.agg(count(lit(1)).as("n"))
+    keyed.join(broadcast(candidates), Seq("value"), "left_semi")
+      .groupBy("value").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(n))
+      .filter(col("freq") * (k + 1) > col("n"))
+      .select(col("value"), col("freq"))
+  }
 }

@@ -5231,6 +5231,35 @@ object TrainingQueries {
            |SELECT fmt, n, sum_id, sum_chars, h
            |FROM d, (VALUES ('orc'), ('csv'), ('json')) t(fmt)""".stripMargin
       }),
+
+    // ---- Misra–Gries heavy hitters: 5 genuinely heavy keys (~1000
+    // rows each) hide among ~5000 singletons; per-partition k=16
+    // summaries emit ≤ k·partitions candidates (recall-complete for
+    // freq·(k+1) > n by the MG guarantee, any row order), then an
+    // exact broadcast-semi-join recount filters to the true heavy
+    // set — deterministic output from an order-sensitive sketch. The
+    // oracle is the naive full GROUP BY + HAVING, which at 100 TB
+    // would shuffle every distinct value; the sketch path shuffles
+    // only candidate rows.
+    QueryDef(
+      "t120_heavy_hitters",
+      (s, dir) => {
+        val e = spread(s, Tables(s, dir, "events"))
+          .withColumn("key",
+            when(col("event_id") % 2 === 0, col("event_type"))
+              .otherwise(concat(col("event_type"), lit("-"),
+                col("event_id").cast("string"))))
+        graft.operators.Sketches.heavyHitters(e, "key", k = 16)
+      },
+      Some("""WITH e AS (SELECT CASE WHEN event_id % 2 = 0
+             |    THEN event_type
+             |    ELSE event_type || '-' || CAST(event_id AS VARCHAR)
+             |    END AS value
+             |  FROM events),
+             |n AS (SELECT COUNT(*) AS n FROM e)
+             |SELECT value, COUNT(*) AS freq FROM e, n
+             |GROUP BY value, n.n HAVING COUNT(*) * 17 > n.n"""
+        .stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

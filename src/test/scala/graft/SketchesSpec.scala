@@ -242,4 +242,37 @@ class SketchesSpec extends SparkSpec {
       ex.getDouble(3) == 80.0 && ex.getDouble(4) == 20.0,
       s"below-capacity set algebra must be exact: $ex")
   }
+
+  test("misraGries: recall guarantee holds under any partitioning; " +
+    "candidate count bounded by k per partition") {
+    import spark.implicits._
+    // 3 heavy values (500 each) among 1500 singletons: n = 3000,
+    // k = 16 → heavy iff freq*17 > 3000, i.e. freq > 176
+    val rows = (0 until 1500).flatMap(i =>
+      Seq(s"heavy${i % 3}", s"tail$i")).map(Tuple1(_))
+    val k = 16
+    for (parts <- Seq(1, 4, 13)) {
+      val df = rows.toDF("v").repartition(parts)
+      val cand = Sketches.misraGries(df, "v", k).collect()
+      assert(cand.length <= k * parts, s"parts=$parts: ${cand.length}")
+      val vals = cand.map(_.getString(0)).toSet
+      assert((0 until 3).forall(h => vals(s"heavy$h")),
+        s"parts=$parts lost a heavy hitter: $vals")
+    }
+  }
+
+  test("heavyHitters: exact counts, equals the naive groupBy-filter; " +
+    "empty when nothing crosses the threshold") {
+    import spark.implicits._
+    val rows = ((0 until 1500).flatMap(i =>
+      Seq(s"heavy${i % 3}", s"tail$i")) ++ Seq("heavy0")).map(Tuple1(_))
+    val df = rows.toDF("v").repartition(7)
+    val got = Sketches.heavyHitters(df, "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("heavy0" -> 501L, "heavy1" -> 500L,
+      "heavy2" -> 500L))
+    // uniform data: no value's freq*(k+1) exceeds n → empty result
+    val flat = (0 until 300).map(i => Tuple1(s"u$i")).toDF("v")
+    assert(Sketches.heavyHitters(flat, "v", k = 16).count() == 0L)
+  }
 }
