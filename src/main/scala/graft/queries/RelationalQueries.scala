@@ -756,6 +756,46 @@ object RelationalQueries {
              |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
         .stripMargin)),
 
+    // ---- J10: bucketed co-located join — both fact tables written
+    // bucketed by the join key (8 buckets, sorted), so the join reads
+    // bucket i against bucket i with NO Exchange on either side (the
+    // plan assert lives in ScaleSpec; at 100 TB this is the difference
+    // between joining in place and shuffling both corpora). The gate
+    // pins semantics: the bucketed round trip must not change the
+    // join's result vs DuckDB joining the raw parquet.
+    QueryDef(
+      "j10_bucketed_join",
+      (s, dir) => {
+        val base = "/tmp/graft_gate_buckets"
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        s.sql("DROP TABLE IF EXISTS g_orders_bkt")
+        s.sql("DROP TABLE IF EXISTS g_lineitem_bkt")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable("g_orders_bkt")
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable("g_lineitem_bkt")
+        s.table("g_lineitem_bkt")
+          .join(s.table("g_orders_bkt"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
     // ---- D6: field-level survivorship ("golden record") — per
     // user_id cluster each field independently resolves to its modal
     // value with a lexical tie-break; the oracle recomputes each

@@ -363,6 +363,29 @@ object Incremental {
       .unionByName(dl.join(dr, keys))
   }
 
+  /** Watermarked STREAM-STREAM inner join: rows pair when they share
+    * `keys` and their event times sit within ±`within` of each other.
+    * Both sides carry a watermark and the join condition carries the
+    * time bound — the two ingredients Structured Streaming needs to
+    * know when buffered state for a key can be dropped (without them
+    * the state store grows without bound; with them each side retains
+    * at most lateness+within of history). The time bound uses a
+    * half-open upper edge (`<`) so adjacent windows never double-pair
+    * a row. Column names must be disjoint apart from `keys` (the
+    * standard pre-rename contract). Works identically as a batch join
+    * — the spec pins stream output == batch join output. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      lateness: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val bound =
+      expr(s"`$rightTs` >= `$leftTs` - INTERVAL $within") &&
+        expr(s"`$rightTs` < `$leftTs` + INTERVAL $within")
+    keys.foldLeft(l.join(r, keyCond && bound))((df, k) => df.drop(r(k)))
+  }
+
   def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
       lateness: String = "1 day"): DataFrame =
     events

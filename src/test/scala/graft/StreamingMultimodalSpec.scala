@@ -573,6 +573,51 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamJoin: watermarked interval join equals the batch " +
+    "join; out-of-bound and cross-key rows never pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Incremental.streamStreamJoin(
+      clicks.toDF.toDF("k", "click", "cts"),
+      buys.toDF.toDF("k", "buy", "bts"),
+      Seq("k"), "cts", "bts", lateness = "1 hour", within = "10 minutes")
+    val q = joined.select("k", "click", "buy")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, "c1", t("2026-01-01T10:00:00Z")),
+        (2L, "c2", t("2026-01-01T10:00:00Z")),
+        (3L, "c3", t("2026-01-01T10:00:00Z")))
+      buys.addData(
+        (1L, "b-in", t("2026-01-01T10:05:00Z")), // within +10m → pairs
+        (2L, "b-late", t("2026-01-01T10:20:00Z")), // outside → never
+        (3L, "b-edge", t("2026-01-01T10:10:00Z"))) // half-open edge → no
+      q.processAllAvailable()
+      // a second micro-batch can still pair against buffered state
+      buys.addData((2L, "b-in2", t("2026-01-01T09:55:00Z"))) // -5m → pairs
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(got.toSeq == Seq((1L, "c1", "b-in"), (2L, "c2", "b-in2")))
+      // the SAME operator evaluated as a batch join gives the same rows
+      val bGot = Incremental.streamStreamJoin(
+        Seq((1L, "c1", t("2026-01-01T10:00:00Z")),
+          (2L, "c2", t("2026-01-01T10:00:00Z")),
+          (3L, "c3", t("2026-01-01T10:00:00Z"))).toDF("k", "click", "cts"),
+        Seq((1L, "b-in", t("2026-01-01T10:05:00Z")),
+          (2L, "b-late", t("2026-01-01T10:20:00Z")),
+          (3L, "b-edge", t("2026-01-01T10:10:00Z")),
+          (2L, "b-in2", t("2026-01-01T09:55:00Z"))).toDF("k", "buy", "bts"),
+        Seq("k"), "cts", "bts", "1 hour", "10 minutes")
+        .select("k", "click", "buy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(bGot.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("dailyRollup: watermarked tumbling window over event-time") {
     val events = Seq(
       ("2026-01-01T10:00:00Z", 3L), ("2026-01-01T23:59:00Z", 3L),
