@@ -47,10 +47,18 @@ object UrlOps {
   /** Canonical sorted query: '?k=v&…' or '' when nothing survives. */
   private def query(url: Column): Column = {
     val raw = regexp_extract(url, UrlRe, 4) // includes leading '?'
+    // case-insensitive tracking-param match (UTM_SOURCE=x is the same
+    // tracking link as utm_source=x) and empty-KEY params ('=v', '=')
+    // dropped — both per the scaladoc contract; bare-name params
+    // ('flag', no '=') are kept, they are meaningful keys
     val params = filter(
       split(regexp_replace(raw, "^\\?", ""), "&"),
-      p => p =!= "" && !p.startsWith("utm_") &&
-        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+      p => {
+        val lp = lower(p)
+        p =!= "" && !p.startsWith("=") && !lp.startsWith("utm_") &&
+          !lp.startsWith("fbclid=") && !lp.startsWith("gclid=") &&
+          lp =!= "fbclid" && lp =!= "gclid"
+      })
     val sorted = array_join(array_sort(params), "&")
     when(sorted === "", lit("")).otherwise(concat(lit("?"), sorted))
   }

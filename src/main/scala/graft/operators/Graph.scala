@@ -86,6 +86,14 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    ranks
+    // the final ranks are already materialized (count() above), so the
+    // loop-scoped caches can release NOW instead of leaking pinned
+    // storage for the rest of the session (e is the corpus-sized one)
+    val out = ranks.localCheckpoint(eager = true)
+    ranks.unpersist()
+    e.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    out
   }
 }

@@ -25,13 +25,18 @@ object Retrieval {
     *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
     *   idf(t)   = ln((n − df + 0.5) / (df + 0.5) + 1)
     *
-    * Scale shape: ONE corpus pass builds (id, tokens, dl); the corpus
-    * statistics (n, Σdl, per-term df) collapse to a SINGLE row
-    * map-side — a |terms|+2-column aggregate, no shuffle of token
-    * instances — and ride back as a broadcast cross join. Per-document
-    * term frequencies are row-local array filters. Nothing about the
-    * corpus side grows with |terms|, and nothing shuffles at all:
-    * scan → agg(1 row) → broadcast → project.
+    * Scale shape: TWO corpus passes, each shuffle-free — one for the
+    * corpus statistics (n, Σdl, per-term df collapse to a SINGLE row
+    * map-side, a |terms|+2-column aggregate; no token instance ever
+    * shuffles), one for the scoring projection against the broadcast
+    * stats row. Per-document term frequencies are row-local array
+    * filters. Nothing about the corpus side grows with |terms|, and
+    * nothing shuffles at all: (scan → agg(1 row)) then (scan →
+    * broadcast-cross → project). Callers scoring MANY query sets
+    * against one corpus should persist the tokenized frame upstream
+    * and pass that in — the operator deliberately does not cache
+    * (an operator-owned persist would outlive the call and pin
+    * executor storage, the Graph.pageRank lesson).
     *
     * Output: (idCol, bm25 DOUBLE rounded 6 dp). Not filtered or
     * ordered — compose with top-k or [[rrf]] downstream.

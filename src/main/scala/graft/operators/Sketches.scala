@@ -168,22 +168,42 @@ object Sketches {
     * (RSE ≈ 1/√(k−2)); a sketch with fewer than k values has seen
     * EVERY distinct hash and estimates exactly.
     *
-    * Distribution shape: stage 1 prunes map-side — per (group, input
-    * partition) only that partition's k smallest distinct hashes
-    * survive (a partition-local fold over ≤ partition-size state) —
-    * so the one shuffle moves ≤ k·partitions hashes per group, never
-    * the corpus; stage 2 folds the partials to the global k minima.
-    * `n_rows` rides along so assets stay self-describing. */
+    * Distribution shape: the corpus reduces to DISTINCT
+    * (group, partition, hash) rows first — a spillable hash aggregate
+    * with map-side partial dedup, so what crosses the one Exchange is
+    * 16-byte deduplicated hash rows, never row payloads — then a
+    * per-(group, partition) rank window keeps the k minima BEFORE any
+    * array materializes: every aggregation buffer from here on holds
+    * ≤ k elements. (The first version collect_set the whole distinct
+    * set into one array buffer per group before slicing — an
+    * unbounded, unspillable allocation at corpus scale.) NULLs are
+    * excluded up front, matching COUNT(DISTINCT col) semantics —
+    * xxhash64 would otherwise hash a NULL to the seed constant and
+    * permanently inflate every estimate by one. `n_rows` (non-null
+    * rows) rides along so assets stay self-describing. */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], col_ : String,
       k: Int = 256): DataFrame = {
     require(k >= 16, s"kmv k=$k too small for the (k-1)/theta estimator")
-    val partials = df
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.filter(col(col_).isNotNull)
       .select(groupCols.map(col) :+ xxhash64(col(col_)).as("__h") :+
         spark_partition_id().as("__pid"): _*)
+    val pruned = keyed
+      .dropDuplicates(groupCols ++ Seq("__pid", "__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCols.map(col) :+ col("__pid"): _*)
+          .orderBy(col("__h").asc)))
+      .filter(col("__rn") <= k)
+    val partials = pruned
       .groupBy(groupCols.map(col) :+ col("__pid"): _*)
-      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as(KmvCol),
-        count(lit(1)).as("n_rows"))
-    kmvMerge(partials.drop("__pid"), groupCols, k)
+      .agg(array_sort(collect_list(col("__h"))).as(KmvCol))
+      .withColumn("n_rows", lit(0L)) // true count joined below
+    val merged = kmvMerge(partials.drop("__pid"), groupCols, k)
+      .drop("n_rows")
+    val counts = df.filter(col(col_).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    merged.join(counts, groupCols)
   }
 
   /** Union-merge KMV assets — across days, partitions, any split: the
@@ -309,8 +329,10 @@ object Sketches {
   }
 
   /** EXACT heavy hitters via the sketch-candidates + recount recipe:
-    * [[misraGries]] yields ≤ k·partitions candidate values (recall-
-    * complete for freq·(k+1) > n by the guarantee above), the corpus
+    * a [[misraGries]]-identical partition pass (inlined so the same
+    * scan also counts n) yields ≤ k·partitions candidate values
+    * (recall-complete for freq·(k+1) > n by the guarantee above), the
+    * corpus
     * is semi-joined down to candidate rows against the BROADCAST
     * candidate set, and exact counts filter on freq·(k+1) > n —
     * deterministic output regardless of the sketch's internal order
@@ -319,14 +341,45 @@ object Sketches {
     * shuffles every distinct value. Output: (value, freq), the true
     * heavy hitters with exact counts. */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val candidates = misraGries(df, keyCol, k)
-      .select(col("value")).distinct()
-    val keyed = df.select(col(keyCol).cast("string").as("value"))
-    val n = keyed.agg(count(lit(1)).as("n"))
-    keyed.join(broadcast(candidates), Seq("value"), "left_semi")
+    // candidate pass also emits one (null, partitionRowCount) sentinel
+    // per partition, so n comes out of the SAME scan — two corpus
+    // scans total (candidates, recount), not three
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mg = df.select(col(keyCol).cast("string").as("value")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap[String, Long]()
+        var rows = 0L
+        it.foreach { v =>
+          if (v != null) {
+            rows += 1L
+            if (counters.contains(v) || counters.size < k)
+              counters(v) = counters.getOrElse(v, 0L) + 1L
+            else {
+              val dead = scala.collection.mutable.ArrayBuffer[String]()
+              counters.keysIterator.foreach { key =>
+                val c = counters(key) - 1L
+                if (c == 0L) dead += key else counters(key) = c
+              }
+              dead.foreach(counters.remove)
+            }
+          }
+        }
+        counters.iterator.map { case (v, c) => (v, c) } ++
+          Iterator((null.asInstanceOf[String], rows))
+      }.toDF("value", "weight")
+    // ≤ k·partitions candidates + one sentinel per partition — a
+    // bounded driver collect (the Lloyd-centroid / Pack-totals class),
+    // executed ONCE; re-deriving them lazily would re-scan the corpus
+    // on every downstream action
+    val mgRows = mg.collect()
+    val n = mgRows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val cand = mgRows.filter(!_.isNullAt(0)).map(_.getString(0)).distinct
+    val candDf = spark.createDataset(cand.toSeq).toDF("value")
+    df.select(col(keyCol).cast("string").as("value"))
+      .join(broadcast(candDf), Seq("value"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(n))
-      .filter(col("freq") * (k + 1) > col("n"))
+      .filter(col("freq") * (k + 1) > n)
       .select(col("value"), col("freq"))
   }
 }

@@ -25,8 +25,14 @@ object TimeSeries {
     *  - `day_value`  — the day's exact value sum (decimal-summed,
     *                   order-free), NULL on gap days,
     *  - `filled_value` — last observed `day_value` carried forward
-    *                   (LOCF); never NULL (day one is observed by
-    *                   construction of the per-key span). */
+    *                   (LOCF). Day one is observed by construction of
+    *                   the per-key span, but if its events all carry
+    *                   NULL `valCol`, `day_value` — and therefore
+    *                   `filled_value` until the first non-NULL day —
+    *                   is NULL: LOCF carries observations, it does
+    *                   not invent a zero for a day that reported
+    *                   "present but valueless". Consumers needing a
+    *                   total function should coalesce downstream. */
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String): DataFrame = {
     val byDay = df

@@ -805,32 +805,39 @@ object RelationalQueries {
     QueryDef(
       "d6_golden_record",
       (s, dir) => {
+        // null-hardened derivation: a missing/non-integer props.k maps
+        // to 'k-1' on BOTH engines (Spark cast and DuckDB TRY_CAST
+        // both yield NULL for garbage; a strict CAST would THROW in
+        // DuckDB where Spark silently nulls — engine divergence)
         val e = Tables(s, dir, "events")
-          .withColumn("kbucket", concat(lit("k"),
-            (get_json_object(col("props"), "$.k").cast("int") % 5)
-              .cast("string")))
+          .withColumn("kbucket", concat(lit("k"), coalesce(
+            get_json_object(col("props"), "$.k").cast("int") % 5,
+            lit(-1)).cast("string")))
         graft.operators.Dedup.goldenRecord(e, Seq("user_id"),
           Seq("event_type", "kbucket"))
       },
+      // LEFT joins: a cluster whose field is all-NULL must survive
+      // with a NULL golden value (goldenRecord's contract), not drop
       Some("""WITH e AS (SELECT user_id, event_type,
-             |    'k' || CAST(CAST(json_extract_string(props, '$.k')
-             |      AS INT) % 5 AS VARCHAR) AS kbucket
+             |    'k' || CAST(COALESCE(TRY_CAST(
+             |      json_extract_string(props, '$.k') AS INT) % 5, -1)
+             |      AS VARCHAR) AS kbucket
              |  FROM events),
              |te AS (SELECT user_id, event_type AS v, COUNT(*) AS c
-             |  FROM e GROUP BY 1, 2),
+             |  FROM e WHERE event_type IS NOT NULL GROUP BY 1, 2),
              |me AS (SELECT user_id, v AS event_type FROM (
              |  SELECT *, row_number() OVER (PARTITION BY user_id
              |    ORDER BY c DESC, v ASC) AS rn FROM te) WHERE rn = 1),
              |tk AS (SELECT user_id, kbucket AS v, COUNT(*) AS c
-             |  FROM e GROUP BY 1, 2),
+             |  FROM e WHERE kbucket IS NOT NULL GROUP BY 1, 2),
              |mk AS (SELECT user_id, v AS kbucket FROM (
              |  SELECT *, row_number() OVER (PARTITION BY user_id
              |    ORDER BY c DESC, v ASC) AS rn FROM tk) WHERE rn = 1),
              |sz AS (SELECT user_id, COUNT(*) AS n_members FROM e
              |  GROUP BY 1)
              |SELECT sz.user_id, me.event_type, mk.kbucket, sz.n_members
-             |FROM sz JOIN me USING (user_id) JOIN mk USING (user_id)"""
-        .stripMargin)),
+             |FROM sz LEFT JOIN me USING (user_id)
+             |  LEFT JOIN mk USING (user_id)""".stripMargin)),
 
     // ---- W4: sliding (hop) windows in batch — the streaming window
     // shape run over history. Spark's window(ts, 1h, 30m) assigns each

@@ -5206,9 +5206,14 @@ object TrainingQueries {
         d.write.mode("overwrite").orc(s"$base/orc")
         d.write.mode("overwrite").csv(s"$base/csv")
         d.write.mode("overwrite").json(s"$base/json")
+        // multiLine: embedded newlines arrive quoted from the writer
+        // and must not split records on read. The remaining DECLARED
+        // CSV-leg limitation is the format's own: an empty string
+        // reads back as NULL (ORC/JSON legs are exact for it).
         val back = Seq(
           "orc" -> s.read.schema(d.schema).orc(s"$base/orc"),
-          "csv" -> s.read.schema(d.schema).csv(s"$base/csv"),
+          "csv" -> s.read.schema(d.schema).option("multiLine", "true")
+            .csv(s"$base/csv"),
           "json" -> s.read.schema(d.schema).json(s"$base/json"))
         back.map { case (fmt, df) =>
           df.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),

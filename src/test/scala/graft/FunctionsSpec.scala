@@ -219,7 +219,15 @@ class FunctionsSpec extends SparkSpec {
       "https://h.io/x#sec" -> "https://h.io/x",
       // not a URL: passes through untouched (no scheme://)
       "plain text" -> "plain text",
-      "relative/path?b=1" -> "relative/path?b=1")
+      "relative/path?b=1" -> "relative/path?b=1",
+      // tracking params are matched case-insensitively — the same
+      // page crawled via an uppercase tracking link must dedup
+      "https://h.io/x?UTM_SOURCE=a&b=1" -> "https://h.io/x?b=1",
+      "https://h.io/x?FbClId=z" -> "https://h.io/x",
+      // empty-KEY params ('=v') drop per the scaladoc contract
+      "https://h.io/x?=v&a=1" -> "https://h.io/x?a=1",
+      // bare fbclid with no '=' is still a tracking param
+      "https://h.io/x?gclid" -> "https://h.io/x")
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.canonicalUrl(col("u")).as("c"))
       .collect().map(_.getString(0))

@@ -243,6 +243,21 @@ class SketchesSpec extends SparkSpec {
       s"below-capacity set algebra must be exact: $ex")
   }
 
+  test("kmvSketch: NULLs are excluded like COUNT(DISTINCT); n_rows " +
+    "counts non-null rows only") {
+    import spark.implicits._
+    val df = ((0 until 100).map(v => Tuple1(java.lang.Long.valueOf(v.toLong))) ++
+      Seq(Tuple1(null.asInstanceOf[java.lang.Long]),
+        Tuple1(null.asInstanceOf[java.lang.Long])))
+      .toDF("v").withColumn("grp", lit("g"))
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(df, Seq("grp"), "v", 256), Seq("grp"), 256)
+      .collect()(0)
+    // below capacity → exact: 100 distinct, not 101 (no NULL hash)
+    assert(est.getDouble(2) == 100.0, s"NULL leaked into the sketch: $est")
+    assert(est.getLong(1) == 100L, s"n_rows counted NULL rows: $est")
+  }
+
   test("misraGries: recall guarantee holds under any partitioning; " +
     "candidate count bounded by k per partition") {
     import spark.implicits._
