@@ -20,6 +20,35 @@ object Drift {
     * — not quantiles — are the production shape: the monitor's bins
     * are pinned at install time so week-over-week PSIs compare, and
     * the metric cannot depend on baseline scan order. */
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of rows outside
+    * |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality — the standard robust z-score). Medians here are EXACT
+    * (`percentile`), which buffers per-group value multiplicities in
+    * the aggregation — the oracle-parity form. At 100-TB scale swap
+    * the median passes for [[Sketches.quantileProfile]]'s GK sketch
+    * (rank error ε, bounded state); the outlier SCAN itself is the
+    * same one narrow join either way. Three passes: group medians,
+    * group MADs (needs the medians), then the counting scan; the two
+    * profile frames are group-cardinality-sized and broadcast. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__ad", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy((g :+ col("med")) :+ col("mad"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > lit(k * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select((g :+ col("med") :+ col("mad") :+ col("n") :+
+        col("n_outliers")): _*)
+  }
+
   def numericBin(c: Column, edges: Seq[Double]): Column = {
     require(edges == edges.sorted && edges.distinct.size == edges.size,
       s"edges must be strictly increasing: $edges")

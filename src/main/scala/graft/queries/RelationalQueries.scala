@@ -900,6 +900,49 @@ object RelationalQueries {
              |  AS DOUBLE) AS running
              |FROM events""".stripMargin)),
 
+    // ---- W7: full sessionization — session IDS via a running sum
+    // over the gap flags (w2 only counted sessions), then per-session
+    // rollups: event count, exact µs duration, DECIMAL value total.
+    // Two stacked windows + one aggregate, all on the same
+    // (user, time, id) total order.
+    QueryDef(
+      "w7_session_stats",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 3600000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("duration_us"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+             |    epoch_us(date_trunc('microseconds', ts)) AS us
+             |  FROM events),
+             |f AS (SELECT *, CASE WHEN prev_us IS NULL
+             |      OR us - prev_us > 3600000000 THEN 1 ELSE 0 END
+             |      AS new_session
+             |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+             |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
+             |g AS (SELECT *, CAST(SUM(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS session_id
+             |  FROM f)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MAX(us) - MIN(us) AS duration_us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
     // ---- V9: extraction gap analysis (missing days vs calendar range)
     QueryDef(
       "v9_gap_analysis",

@@ -5265,6 +5265,35 @@ object TrainingQueries {
              |SELECT value, COUNT(*) AS freq FROM e, n
              |GROUP BY value, n.n HAVING COUNT(*) * 17 > n.n"""
         .stripMargin)),
+
+    // ---- Robust per-type outlier profile: median / MAD / robust
+    // z-count. Medians are interpolated from the same sorted doubles
+    // on both engines (Spark `percentile` and DuckDB `quantile_cont`
+    // share the definition), so med/mad/counts compare bit-exactly —
+    // including the k·1.4826·MAD threshold, computed from identical
+    // operands on both sides.
+    QueryDef(
+      "t121_mad_outliers",
+      (s, dir) => graft.operators.Drift.madOutliers(
+        spread(s, Tables(s, dir, "events")), Seq("event_type"), "value"),
+      Some("""WITH med AS (SELECT event_type,
+             |    quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, med.med,
+             |    abs(e.value - med.med) AS ad
+             |  FROM events e JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.event_type, dev.med, mad.mad,
+             |  COUNT(*) AS n,
+             |  -- CAST before multiplying: a bare 1.4826 is DECIMAL in
+             |  -- DuckDB and 3.0*1.4826 would be exact where Scala's
+             |  -- k*1.4826 is an IEEE product — last-ulp divergence
+             |  CAST(SUM(CASE WHEN dev.ad >
+             |      3.0 * CAST(1.4826 AS DOUBLE) * mad.mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (event_type)
+             |GROUP BY 1, 2, 3""".stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

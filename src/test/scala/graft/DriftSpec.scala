@@ -59,4 +59,22 @@ class DriftSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"expected partial aggregation in:\n$plan")
   }
+
+  test("madOutliers: hand-computed median/MAD/robust-z counts, " +
+    "zero-MAD group yields zero outliers, even-count interpolation") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(10.0, 10.0, 10.0).map(("b", _)) ++
+      Seq(1.0, 2.0).map(("c", _))).toDF("g", "v")
+    val got = Drift.madOutliers(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // a: med 3, ad = [2,1,0,1,97], mad 1, thr 4.4478 → only 97 flags
+    assert(got("a") == ((3.0, 1.0, 5L, 1L)))
+    // b: mad 0 → threshold 0 and every ad == 0 → nothing flags
+    assert(got("b") == ((10.0, 0.0, 3L, 0L)))
+    // c: even count → med interpolates to 1.5, mad to 0.5
+    assert(got("c") == ((1.5, 0.5, 2L, 0L)))
+  }
 }
