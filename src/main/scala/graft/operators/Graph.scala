@@ -86,14 +86,17 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    // the final ranks are already materialized (count() above), so the
-    // loop-scoped caches can release NOW instead of leaking pinned
-    // storage for the rest of the session (e is the corpus-sized one)
-    val out = ranks.localCheckpoint(eager = true)
-    ranks.unpersist()
+    // Release the loop-scoped caches NOW (e is the corpus-sized one)
+    // instead of leaking pinned storage for the rest of the session.
+    // The returned ranks stay persisted — already materialized by the
+    // count() above, and N (node, rank) rows, not corpus-sized — and
+    // keep their full lineage, so losing an executor's blocks
+    // recomputes them (a localCheckpoint would truncate lineage onto
+    // non-replicated executor-local blocks: unrecoverable under
+    // dynamic allocation / spot loss). Callers unpersist when done.
     e.unpersist()
     deg.unpersist()
     nodes.unpersist()
-    out
+    ranks
   }
 }

@@ -168,42 +168,50 @@ object Sketches {
     * (RSE ≈ 1/√(k−2)); a sketch with fewer than k values has seen
     * EVERY distinct hash and estimates exactly.
     *
-    * Distribution shape: the corpus reduces to DISTINCT
-    * (group, partition, hash) rows first — a spillable hash aggregate
-    * with map-side partial dedup, so what crosses the one Exchange is
-    * 16-byte deduplicated hash rows, never row payloads — then a
+    * Distribution shape: ONE corpus scan reduces to
+    * (group, partition, hash, multiplicity) rows — a spillable hash
+    * aggregate with map-side partial combine, so what crosses the
+    * exchanges is deduplicated hash rows, never row payloads — then a
     * per-(group, partition) rank window keeps the k minima BEFORE any
     * array materializes: every aggregation buffer from here on holds
     * ≤ k elements. (The first version collect_set the whole distinct
     * set into one array buffer per group before slicing — an
-    * unbounded, unspillable allocation at corpus scale.) NULLs are
-    * excluded up front, matching COUNT(DISTINCT col) semantics —
-    * xxhash64 would otherwise hash a NULL to the seed constant and
-    * permanently inflate every estimate by one. `n_rows` (non-null
-    * rows) rides along so assets stay self-describing. */
+    * unbounded, unspillable allocation at corpus scale. Two exchanges
+    * of hash rows remain: the dedup-count keys on (…, hash), the
+    * window on (…, partition) — a narrower clustering.) NULL values
+    * hash to a NULL slot that never enters the sketch and never
+    * counts, matching COUNT(DISTINCT col) semantics — xxhash64 would
+    * otherwise hash a NULL to the seed constant and permanently
+    * inflate every estimate by one — but a group whose values are ALL
+    * NULL still emits its row (empty sketch, n_rows 0), like GROUP BY
+    * keeps the group. `n_rows` (non-null rows, multiplicity included)
+    * rides along so assets stay self-describing. */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], col_ : String,
       k: Int = 256): DataFrame = {
     require(k >= 16, s"kmv k=$k too small for the (k-1)/theta estimator")
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.filter(col(col_).isNotNull)
-      .select(groupCols.map(col) :+ xxhash64(col(col_)).as("__h") :+
-        spark_partition_id().as("__pid"): _*)
-    val pruned = keyed
-      .dropDuplicates(groupCols ++ Seq("__pid", "__h"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(groupCols.map(col) :+ col("__pid"): _*)
-          .orderBy(col("__h").asc)))
-      .filter(col("__rn") <= k)
-    val partials = pruned
-      .groupBy(groupCols.map(col) :+ col("__pid"): _*)
-      .agg(array_sort(collect_list(col("__h"))).as(KmvCol))
-      .withColumn("n_rows", lit(0L)) // true count joined below
-    val merged = kmvMerge(partials.drop("__pid"), groupCols, k)
-      .drop("n_rows")
-    val counts = df.filter(col(col_).isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
-    merged.join(counts, groupCols)
+    val g = groupCols.map(col)
+    val keyed = df.select(g :+
+      when(col(col_).isNotNull, xxhash64(col(col_))).as("__h") :+
+      spark_partition_id().as("__pid"): _*)
+    val dd = keyed
+      .groupBy(g ++ Seq(col("__pid"), col("__h")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(g :+ col("__pid"): _*)
+    val marked = dd
+      .withColumn("__nr", sum(when(col("__h").isNotNull, col("__cnt"))
+        .otherwise(0L)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("__h").asc_nulls_last)))
+    val partials = marked
+      .groupBy(g :+ col("__pid"): _*)
+      // collect_list skips NULLs: the NULL-value slot and the beyond-k
+      // tail both vanish here, while an all-NULL (group, pid) still
+      // aggregates to an EMPTY partial instead of disappearing
+      .agg(array_sort(collect_list(
+        when(col("__rn") <= k, col("__h")))).as(KmvCol),
+        coalesce(max(col("__nr")), lit(0L)).as("n_rows"))
+    kmvMerge(partials.drop("__pid"), groupCols, k)
   }
 
   /** Union-merge KMV assets — across days, partitions, any split: the
@@ -308,73 +316,68 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("value")).as[String]
-      .mapPartitions { it =>
-        val counters = scala.collection.mutable.HashMap[String, Long]()
-        it.foreach { v =>
-          if (v != null) {
-            if (counters.contains(v) || counters.size < k)
-              counters(v) = counters.getOrElse(v, 0L) + 1L
-            else { // decrement-all step: drop zeros
-              val dead = scala.collection.mutable.ArrayBuffer[String]()
-              counters.keysIterator.foreach { key =>
-                val c = counters(key) - 1L
-                if (c == 0L) dead += key else counters(key) = c
-              }
-              dead.foreach(counters.remove)
-            }
+      .mapPartitions(mgPartition(_, k, emitCountSentinel = false))
+      .toDF("value", "weight")
+  }
+
+  /** The shared per-partition Misra–Gries fold: ≤ k surviving
+    * (value, count) pairs, optionally followed by ONE
+    * (null, rowsSeen) sentinel so a caller can recover n from the
+    * same scan. One implementation so a future change to the counter
+    * logic cannot drift between [[misraGries]] and [[heavyHitters]]. */
+  private def mgPartition(it: Iterator[String], k: Int,
+      emitCountSentinel: Boolean): Iterator[(String, Long)] = {
+    val counters = scala.collection.mutable.HashMap[String, Long]()
+    var rows = 0L
+    it.foreach { v =>
+      if (v != null) {
+        rows += 1L
+        if (counters.contains(v) || counters.size < k)
+          counters(v) = counters.getOrElse(v, 0L) + 1L
+        else { // decrement-all step: drop zeros
+          val dead = scala.collection.mutable.ArrayBuffer[String]()
+          counters.keysIterator.foreach { key =>
+            val c = counters(key) - 1L
+            if (c == 0L) dead += key else counters(key) = c
           }
+          dead.foreach(counters.remove)
         }
-        counters.iterator.map { case (v, c) => (v, c) }
-      }.toDF("value", "weight")
+      }
+    }
+    val base = counters.iterator.map { case (v, c) => (v, c) }
+    if (emitCountSentinel)
+      base ++ Iterator((null.asInstanceOf[String], rows))
+    else base
   }
 
   /** EXACT heavy hitters via the sketch-candidates + recount recipe:
-    * a [[misraGries]]-identical partition pass (inlined so the same
-    * scan also counts n) yields ≤ k·partitions candidate values
-    * (recall-complete for freq·(k+1) > n by the guarantee above), the
-    * corpus
-    * is semi-joined down to candidate rows against the BROADCAST
+    * a [[misraGries]] partition pass (same fold, plus a per-partition
+    * row-count sentinel so n comes from the same scan) yields
+    * ≤ k·partitions candidate values (recall-complete for
+    * freq·(k+1) > n by the guarantee above), the corpus is
+    * semi-joined down to candidate rows against the BROADCAST
     * candidate set, and exact counts filter on freq·(k+1) > n —
     * deterministic output regardless of the sketch's internal order
     * sensitivity. Scale shape: two corpus scans, but the only shuffle
     * is the candidate-row recount (heavy values only); the naive form
-    * shuffles every distinct value. Output: (value, freq), the true
-    * heavy hitters with exact counts. */
+    * shuffles every distinct value.
+    *
+    * EAGER, unlike sibling operators: the candidate scan + a bounded
+    * driver collect (≤ k·partitions values + one sentinel per
+    * partition — the Lloyd-centroid class) run AT CALL TIME, because
+    * deriving candidates lazily would re-run the corpus scan on every
+    * action over the returned frame. The returned (value, freq)
+    * frame re-executes only the recount; candidates are a call-time
+    * snapshot of `df`. */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    // candidate pass also emits one (null, partitionRowCount) sentinel
-    // per partition, so n comes out of the SAME scan — two corpus
-    // scans total (candidates, recount), not three
     val spark = df.sparkSession
     import spark.implicits._
-    val mg = df.select(col(keyCol).cast("string").as("value")).as[String]
-      .mapPartitions { it =>
-        val counters = scala.collection.mutable.HashMap[String, Long]()
-        var rows = 0L
-        it.foreach { v =>
-          if (v != null) {
-            rows += 1L
-            if (counters.contains(v) || counters.size < k)
-              counters(v) = counters.getOrElse(v, 0L) + 1L
-            else {
-              val dead = scala.collection.mutable.ArrayBuffer[String]()
-              counters.keysIterator.foreach { key =>
-                val c = counters(key) - 1L
-                if (c == 0L) dead += key else counters(key) = c
-              }
-              dead.foreach(counters.remove)
-            }
-          }
-        }
-        counters.iterator.map { case (v, c) => (v, c) } ++
-          Iterator((null.asInstanceOf[String], rows))
-      }.toDF("value", "weight")
-    // ≤ k·partitions candidates + one sentinel per partition — a
-    // bounded driver collect (the Lloyd-centroid / Pack-totals class),
-    // executed ONCE; re-deriving them lazily would re-scan the corpus
-    // on every downstream action
-    val mgRows = mg.collect()
-    val n = mgRows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-    val cand = mgRows.filter(!_.isNullAt(0)).map(_.getString(0)).distinct
+    val mgRows = df.select(col(keyCol).cast("string").as("value"))
+      .as[String]
+      .mapPartitions(mgPartition(_, k, emitCountSentinel = true))
+      .collect()
+    val n = mgRows.filter(_._1 == null).map(_._2).sum
+    val cand = mgRows.collect { case (v, _) if v != null => v }.distinct
     val candDf = spark.createDataset(cand.toSeq).toDF("value")
     df.select(col(keyCol).cast("string").as("value"))
       .join(broadcast(candDf), Seq("value"), "left_semi")

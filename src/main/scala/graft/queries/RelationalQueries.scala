@@ -766,24 +766,30 @@ object RelationalQueries {
     QueryDef(
       "j10_bucketed_join",
       (s, dir) => {
-        val base = "/tmp/graft_gate_buckets"
+        // scope path AND catalog names by the input dir so concurrent
+        // runs (sf0.01 verify + sf1 bench on one box) cannot delete
+        // each other's bucketed tables mid-join
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val base = s"/tmp/graft_gate_buckets_$tag"
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
-        s.sql("DROP TABLE IF EXISTS g_orders_bkt")
-        s.sql("DROP TABLE IF EXISTS g_lineitem_bkt")
+        s.sql(s"DROP TABLE IF EXISTS g_orders_bkt_$tag")
+        s.sql(s"DROP TABLE IF EXISTS g_lineitem_bkt_$tag")
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/orders").saveAsTable("g_orders_bkt")
+          .option("path", s"$base/orders")
+          .saveAsTable(s"g_orders_bkt_$tag")
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem").saveAsTable("g_lineitem_bkt")
-        s.table("g_lineitem_bkt")
-          .join(s.table("g_orders_bkt"),
+          .option("path", s"$base/lineitem")
+          .saveAsTable(s"g_lineitem_bkt_$tag")
+        s.table(s"g_lineitem_bkt_$tag")
+          .join(s.table(s"g_orders_bkt_$tag"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("n_items"),
@@ -805,13 +811,17 @@ object RelationalQueries {
     QueryDef(
       "d6_golden_record",
       (s, dir) => {
-        // null-hardened derivation: a missing/non-integer props.k maps
-        // to 'k-1' on BOTH engines (Spark cast and DuckDB TRY_CAST
-        // both yield NULL for garbage; a strict CAST would THROW in
-        // DuckDB where Spark silently nulls — engine divergence)
+        // null-hardened derivation: props.k parses as an integer ONLY
+        // when it is one syntactically — a regex guard both engines
+        // evaluate identically. (A bare cast diverges on decimal
+        // strings: Spark cast('3.7' AS INT) truncates to 3 where
+        // DuckDB TRY_CAST yields NULL, and a strict DuckDB CAST would
+        // throw where Spark silently nulls.) Anything non-integer maps
+        // to 'k-1' on both sides.
+        val kStr = get_json_object(col("props"), "$.k")
         val e = Tables(s, dir, "events")
           .withColumn("kbucket", concat(lit("k"), coalesce(
-            get_json_object(col("props"), "$.k").cast("int") % 5,
+            when(kStr.rlike("^-?[0-9]+$"), kStr.cast("int")) % 5,
             lit(-1)).cast("string")))
         graft.operators.Dedup.goldenRecord(e, Seq("user_id"),
           Seq("event_type", "kbucket"))
@@ -819,9 +829,11 @@ object RelationalQueries {
       // LEFT joins: a cluster whose field is all-NULL must survive
       // with a NULL golden value (goldenRecord's contract), not drop
       Some("""WITH e AS (SELECT user_id, event_type,
-             |    'k' || CAST(COALESCE(TRY_CAST(
-             |      json_extract_string(props, '$.k') AS INT) % 5, -1)
-             |      AS VARCHAR) AS kbucket
+             |    'k' || CAST(COALESCE(CASE
+             |      WHEN regexp_matches(json_extract_string(props, '$.k'),
+             |        '^-?[0-9]+$')
+             |      THEN CAST(json_extract_string(props, '$.k') AS INT)
+             |      END % 5, -1) AS VARCHAR) AS kbucket
              |  FROM events),
              |te AS (SELECT user_id, event_type AS v, COUNT(*) AS c
              |  FROM e WHERE event_type IS NOT NULL GROUP BY 1, 2),

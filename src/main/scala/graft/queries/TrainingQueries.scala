@@ -5261,8 +5261,9 @@ object TrainingQueries {
              |    ELSE event_type || '-' || CAST(event_id AS VARCHAR)
              |    END AS value
              |  FROM events),
-             |n AS (SELECT COUNT(*) AS n FROM e)
+             |n AS (SELECT COUNT(*) AS n FROM e WHERE value IS NOT NULL)
              |SELECT value, COUNT(*) AS freq FROM e, n
+             |WHERE value IS NOT NULL
              |GROUP BY value, n.n HAVING COUNT(*) * 17 > n.n"""
         .stripMargin)),
 

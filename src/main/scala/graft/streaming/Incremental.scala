@@ -369,11 +369,14 @@ object Incremental {
     * time bound — the two ingredients Structured Streaming needs to
     * know when buffered state for a key can be dropped (without them
     * the state store grows without bound; with them each side retains
-    * at most lateness+within of history). The time bound uses a
-    * half-open upper edge (`<`) so adjacent windows never double-pair
-    * a row. Column names must be disjoint apart from `keys` (the
-    * standard pre-rename contract). Works identically as a batch join
-    * — the spec pins stream output == batch join output. */
+    * at most lateness+within of history). Both edges of the ±within
+    * bound are CLOSED — an interval join evaluates each pair once, so
+    * there is no double-pairing to guard against, and an asymmetric
+    * edge would silently accept a row exactly `within` early while
+    * rejecting one exactly `within` late. Column names must be
+    * disjoint apart from `keys` (the standard pre-rename contract).
+    * Works identically as a batch join — the spec pins stream output
+    * == batch join output. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       lateness: String, within: String): DataFrame = {
@@ -382,7 +385,7 @@ object Incremental {
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val bound =
       expr(s"`$rightTs` >= `$leftTs` - INTERVAL $within") &&
-        expr(s"`$rightTs` < `$leftTs` + INTERVAL $within")
+        expr(s"`$rightTs` <= `$leftTs` + INTERVAL $within")
     keys.foldLeft(l.join(r, keyCond && bound))((df, k) => df.drop(r(k)))
   }
 

@@ -256,6 +256,18 @@ class SketchesSpec extends SparkSpec {
     // below capacity → exact: 100 distinct, not 101 (no NULL hash)
     assert(est.getDouble(2) == 100.0, s"NULL leaked into the sketch: $est")
     assert(est.getLong(1) == 100L, s"n_rows counted NULL rows: $est")
+    // a group whose values are ALL NULL still emits its row — empty
+    // sketch, n_rows 0, exact estimate 0 — like GROUP BY keeps the
+    // group rather than silently dropping a present-but-valueless one
+    val mixed = Seq(("g", java.lang.Long.valueOf(7L)),
+      ("h", null.asInstanceOf[java.lang.Long]),
+      ("h", null.asInstanceOf[java.lang.Long])).toDF("grp", "v")
+    val both = Sketches.kmvEstimate(
+      Sketches.kmvSketch(mixed, Seq("grp"), "v", 256), Seq("grp"), 256)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(both("g") == ((1L, 1.0)))
+    assert(both("h") == ((0L, 0.0)), s"all-NULL group dropped: $both")
   }
 
   test("misraGries: recall guarantee holds under any partitioning; " +

@@ -594,14 +594,15 @@ class StreamingMultimodalSpec extends SparkSpec {
       buys.addData(
         (1L, "b-in", t("2026-01-01T10:05:00Z")), // within +10m → pairs
         (2L, "b-late", t("2026-01-01T10:20:00Z")), // outside → never
-        (3L, "b-edge", t("2026-01-01T10:10:00Z"))) // half-open edge → no
+        (3L, "b-edge", t("2026-01-01T10:10:00Z"))) // closed edge → pairs
       q.processAllAvailable()
       // a second micro-batch can still pair against buffered state
       buys.addData((2L, "b-in2", t("2026-01-01T09:55:00Z"))) // -5m → pairs
       q.processAllAvailable()
       val got = spark.table("ssj_out").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
-      assert(got.toSeq == Seq((1L, "c1", "b-in"), (2L, "c2", "b-in2")))
+      assert(got.toSeq == Seq((1L, "c1", "b-in"), (2L, "c2", "b-in2"),
+        (3L, "c3", "b-edge")))
       // the SAME operator evaluated as a batch join gives the same rows
       val bGot = Incremental.streamStreamJoin(
         Seq((1L, "c1", t("2026-01-01T10:00:00Z")),
