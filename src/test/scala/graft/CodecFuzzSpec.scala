@@ -50,6 +50,8 @@ class CodecFuzzSpec extends SparkSpec {
   private def validAvi = Multimodal.aviMjpeg(
     Seq(Multimodal.solidJpeg(50, 8, 8), Multimodal.solidJpeg(90, 8, 8)),
     8, 8)
+  private def validY4m = Multimodal.y4mVideo(
+    Seq(Array.tabulate(64)(i => i * 3), Array.fill(64)(128)), 8, 8)
   private def validTar: Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     // a one-entry archive via the public write path is overkill here;
@@ -67,13 +69,15 @@ class CodecFuzzSpec extends SparkSpec {
       "MjpegCodec.frames" -> (b => Multimodal.MjpegCodec.frames(b)),
       "MjpegCodec.firstFrame" -> (b => Multimodal.MjpegCodec.firstFrame(b)),
       "GifCodec.frames" -> (b => Multimodal.GifCodec.frames(b)),
+      "Y4mCodec.frames" -> (b => Multimodal.Y4mCodec.frames(b)),
       "AudioDecoder.pcmSamples" ->
         (b => Multimodal.AudioDecoder.pcmSamples(b)),
       "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
-      () => validFlac, () => validGif, () => validAvi, () => validTar)
+      () => validFlac, () => validGif, () => validAvi, () => validY4m,
+      () => validTar)
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =
@@ -132,5 +136,26 @@ class CodecFuzzSpec extends SparkSpec {
         assert(img != null, "GifCodec returned an undecodable frame")
       }
     }
+
+    // Y4M: same decodable-frames contract, plus the torn-tail shape —
+    // raw YUV has no resync marker, so truncation mid-frame must lose
+    // the TAIL only: surviving frames decode and frame 0 of a
+    // body-truncated stream is byte-identical to the intact frame 0
+    for (_ <- 0 until 10) {
+      val frames = Try(Multimodal.Y4mCodec.frames(mutate(validY4m)))
+        .getOrElse(IndexedSeq.empty)
+      frames.foreach { png =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        assert(img != null, "Y4mCodec returned an undecodable frame")
+      }
+    }
+    val intact = Multimodal.Y4mCodec.frames(validY4m)
+    assert(intact.length == 2)
+    val torn = Multimodal.Y4mCodec.frames(
+      validY4m.dropRight(10)) // rips into frame 2's plane bytes
+    assert(torn.length == 1)
+    assert(torn.head.toSeq == intact.head.toSeq,
+      "truncating the tail corrupted an earlier Y4M frame")
   }
 }
