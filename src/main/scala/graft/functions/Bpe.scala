@@ -156,9 +156,17 @@ object Bpe {
     * (the t107 gate pins the ASCII round trip cross-engine). */
   def decode(ids: Column, merges: Seq[(String, String)]): Column = {
     val v = vocab(merges)
+    // Out-of-vocab ids (corrupt stream, foreign vocab) must surface as
+    // a visible sentinel, never vanish: an unguarded element_at would
+    // NULL ids ≥ size (then array_join silently DROPS them), error on
+    // id = -1 (SQL index 0), and alias id < -1 to a from-the-end
+    // lookup. Guard the range explicitly; the nullReplacement arm
+    // additionally covers NULL ids in the input array.
     array_join(
-      transform(ids, i => element_at(array(v.map(lit): _*),
-        (i + lit(1)).cast("int"))), "")
+      transform(ids, i =>
+        when(i >= 0 && i < lit(v.size),
+          element_at(array(v.map(lit): _*), (i + lit(1)).cast("int")))),
+      "", "�")
   }
 
   /** BPE token count of `text` under a merge table. */

@@ -463,6 +463,7 @@ object Flac {
         s"frame sample size $frameBps != STREAMINFO $bps")
       r.alignToByte()
       val headerEnd = r.position
+      require(headerEnd < bytes.length, "truncated FLAC frame header")
       val wantCrc8 = bytes(headerEnd) & 0xff
       require(crc8(bytes, frameStart, headerEnd) == wantCrc8,
         "FLAC frame header CRC-8 mismatch")

@@ -376,6 +376,13 @@ object CommitLogTableFormat extends TableFormat {
       keys: Seq[String], opCol: String, versionCol: String,
       deleteOp: String = "D"): Unit = {
     commitWith(spark, path) { base =>
+      // A NULL op evaluates to NULL in both the upsert and the delete
+      // filter and would be silently discarded — neither applied nor
+      // rejected — hiding a malformed CDC feed. Fail fast instead.
+      val nullOps = source.filter(col(opCol).isNull).limit(1).count()
+      require(nullOps == 0L,
+        s"applyCdc: changeset contains rows with NULL '$opCol' — " +
+          "every change must carry an explicit operation")
       val latest = Dedup.keepLatest(source, keys, Seq(col(versionCol)))
       val upserts = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
       base match {

@@ -52,9 +52,14 @@ object Drift {
   def numericBin(c: Column, edges: Seq[Double]): Column = {
     require(edges == edges.sorted && edges.distinct.size == edges.size,
       s"edges must be strictly increasing: $edges")
-    edges.foldLeft(lit(0)) { (acc, e) =>
-      acc + when(c >= e, 1).otherwise(0)
-    }
+    // NULL values get their own NULL bin (psiOver joins bins
+    // null-safely) instead of silently folding into bin 0 with the
+    // below-first-edge population — a corpus whose null share moves
+    // must surface in its own cell.
+    when(c.isNull, lit(null).cast("int")).otherwise(
+      edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(c >= e, 1).otherwise(0)
+      })
   }
 
   /** Per-bin PSI decomposition of a numeric column over fixed
@@ -78,8 +83,13 @@ object Drift {
       eps: Double): DataFrame = {
     val b = base.groupBy(bin).agg(count(lit(1)).as("n_base"))
     val c = cur.groupBy(bin).agg(count(lit(1)).as("n_cur"))
-    val joined = b.join(c, Seq("bin"), "full_outer")
-      .select(col("bin"),
+    // Null-safe join key: groupBy keeps NULL as a group, but a plain
+    // equi-join never matches NULL to NULL, so an identical null
+    // population on both sides would surface as TWO unmatched rows,
+    // each eps-floored into a large psi_term — a stable corpus would
+    // falsely alarm. <=> lands both sides' null bins in one cell.
+    val joined = b.join(c, b("bin") <=> c("bin"), "full_outer")
+      .select(coalesce(b("bin"), c("bin")).as("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = joined.agg(sum("n_base").as("__tb"),

@@ -65,6 +65,15 @@ object TrainingQueries {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Scratch path for a gate that materializes a table, scoped by the
+    * input dir (j10 pattern): concurrent sf0.01 verify + sf1 bench runs
+    * share one box and must never clobber each other's tables mid-query.
+    * NOT used where the DuckDB oracle itself reads the path (t65/t68 —
+    * oracle SQL is static, so those paths must stay fixed). */
+  private def gatePath(dir: String, name: String): String =
+    s"/tmp/graft_gate_${name}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   private def toksSql = "string_split(text, ' ')"
 
   private def inList(words: Seq[String]): String =
@@ -2706,7 +2715,7 @@ object TrainingQueries {
       "t69_ivfpq_retrain",
       (s, dir) => {
         val ann = graft.operators.Ann
-        val base = "/tmp/graft_gate_ann_deploy"
+        val base = gatePath(dir, "ann_deploy")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3530,7 +3539,7 @@ object TrainingQueries {
     QueryDef(
       "t84_webdataset_shards",
       (s, dir) => {
-        val base = "/tmp/graft_gate_tar"
+        val base = gatePath(dir, "tar")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3579,7 +3588,7 @@ object TrainingQueries {
     QueryDef(
       "t85_tar_roundtrip",
       (s, dir) => {
-        val base = "/tmp/graft_gate_tar_rt"
+        val base = gatePath(dir, "tar_rt")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3701,7 +3710,7 @@ object TrainingQueries {
       "t87_optimize_zorder",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_optimize"
+        val base = gatePath(dir, "optimize")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3844,7 +3853,7 @@ object TrainingQueries {
       "t90_snapshot_diff",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_diff"
+        val base = gatePath(dir, "diff")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3886,7 +3895,7 @@ object TrainingQueries {
       "t91_stats_pruned_scan",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_prune"
+        val base = gatePath(dir, "prune")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -3919,7 +3928,7 @@ object TrainingQueries {
       "t92_cdc_apply",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_cdc"
+        val base = gatePath(dir, "cdc")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -4097,7 +4106,7 @@ object TrainingQueries {
       "t96_schema_evolution",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_evolve"
+        val base = gatePath(dir, "evolve")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -4651,7 +4660,7 @@ object TrainingQueries {
       "t108_change_feed",
       (s, dir) => {
         import graft.operators.{CommitLogTableFormat => clf}
-        val base = "/tmp/graft_gate_cdf"
+        val base = gatePath(dir, "cdf")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -4865,10 +4874,14 @@ object TrainingQueries {
           .select(col("doc_id"), html.as("html"))
           .select(col("doc_id"),
             HtmlOps.extractText(col("html")).as("extracted"),
+            // quantize at 6 dp via decimal, but EMIT double: the two
+            // engines' decimal surface reprs differ (trailing zeros),
+            // while decimal(18,6)->double is the same correctly-
+            // rounded n/1e6 on both (t13 pattern; r7 driver lesson)
             HtmlOps.linkDensity(col("html"))
-              .cast("decimal(18,6)").as("link_density"),
+              .cast("decimal(18,6)").cast("double").as("link_density"),
             HtmlOps.textShare(col("html"))
-              .cast("decimal(18,6)").as("text_share"))
+              .cast("decimal(18,6)").cast("double").as("text_share"))
           .withColumn("keep",
             col("link_density") <= 0.5 && col("text_share") >= 0.2)
       },
@@ -4885,11 +4898,11 @@ object TrainingQueries {
              |    AS extracted,
              |  length(lang || ' link') AS alen FROM h)
              |SELECT doc_id, extracted,
-             |  CAST(CASE WHEN length(extracted) > 0
+             |  CAST(CAST(CASE WHEN length(extracted) > 0
              |    THEN CAST(alen AS DOUBLE) / length(extracted)
-             |    ELSE 0.0 END AS DECIMAL(18,6)) AS link_density,
-             |  CAST(CAST(length(extracted) AS DOUBLE) / length(html)
-             |    AS DECIMAL(18,6)) AS text_share,
+             |    ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS link_density,
+             |  CAST(CAST(CAST(length(extracted) AS DOUBLE) / length(html)
+             |    AS DECIMAL(18,6)) AS DOUBLE) AS text_share,
              |  (link_density <= 0.5 AND text_share >= 0.2) AS keep
              |FROM e""".stripMargin)),
 
@@ -4987,8 +5000,11 @@ object TrainingQueries {
           spread(s, ev).filter(col("ts") < split),
           spread(s, ev).filter(col("ts") >= split),
           "value", PsiEdges)
+          // quantize at 6 dp but emit double — decimal-typed output
+          // columns hash-mismatch across engines (trailing-zero repr);
+          // decimal(18,6)->double is bit-identical both sides
           .withColumn("psi_term",
-            col("psi_term").cast("decimal(18,6)"))
+            col("psi_term").cast("decimal(18,6)").cast("double"))
       },
       Some {
         val binSql = PsiEdges.map(e =>
@@ -5003,7 +5019,8 @@ object TrainingQueries {
            |  FROM b FULL OUTER JOIN c USING (bin)),
            |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
            |SELECT bin, n_base, n_cur,
-           |  CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS psi_term
+           |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6))
+           |    AS DOUBLE) AS psi_term
            |FROM (SELECT bin, n_base, n_cur,
            |    greatest(CAST(n_base AS DOUBLE) / tb, 1e-6) AS p,
            |    greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6) AS q
@@ -5196,7 +5213,7 @@ object TrainingQueries {
     QueryDef(
       "t119_interchange_roundtrip",
       (s, dir) => {
-        val base = "/tmp/graft_gate_interchange"
+        val base = gatePath(dir, "interchange")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run

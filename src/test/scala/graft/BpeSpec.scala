@@ -71,6 +71,28 @@ class BpeSpec extends SparkSpec {
     assert(out(1) == "x<unk>y")
   }
 
+  test("decode: out-of-vocab ids surface as a visible sentinel, " +
+    "never silently dropped (r7 advice)") {
+    import spark.implicits._
+    val vocabSize = Bpe.vocab(Bpe.GateMerges).size
+    val good = Seq("the").toDF("text")
+      .select(Bpe.tokenIds(col("text"), Bpe.GateMerges).as("ids"))
+      .select(col("ids").getItem(0).as("id")).head().getInt(0)
+    val out = Seq(
+      (0, Seq(good)),                    // in-vocab control
+      (1, Seq(good, vocabSize + 7)),     // beyond vocab
+      (2, Seq(-1, good))                 // negative id
+    ).toDF("d", "ids")
+      .select(col("d"),
+        Bpe.decode(col("ids"), Bpe.GateMerges).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(!out(0).contains("�"))
+    assert(out(1) == out(0) + "�",
+      s"OOV id must decode to the sentinel, got '${out(1)}'")
+    assert(out(2) == "�" + out(0),
+      s"negative id must decode to the sentinel, got '${out(2)}'")
+  }
+
   test("apply: lowest-rank-first leftmost semantics, not left-to-right") {
     import spark.implicits._
     // merges: rank0 (b,c), rank1 (a,b). "abc": left-to-right greedy

@@ -345,6 +345,24 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("applyCdc: a NULL op fails fast instead of silently dropping " +
+    "the row (r7 advice) and leaves the table unchanged") {
+    import spark.implicits._
+    val path = tmpDir("cl-cdc-nullop") + "/t"
+    CommitLogTableFormat.fullRefresh(spark,
+      Seq((1L, "a", 1L)).toDF("k", "v", "ver"), path)
+    val bad = Seq((1L, "a2", Some("U"), 2L),
+      (2L, "b", Option.empty[String], 2L)).toDF("k", "v", "op", "ver")
+    val e = intercept[IllegalArgumentException] {
+      CommitLogTableFormat.applyCdc(spark, bad, path, Seq("k"), "op", "ver")
+    }
+    assert(e.getMessage.contains("NULL 'op'"), e.getMessage)
+    val got = CommitLogTableFormat.read(spark, path).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, "a", 1L)), "failed batch must not commit")
+  }
+
   test("diffSnapshots: multiset delta between versions, typed misses") {
     import spark.implicits._
     val path = tmpDir("cl-diff") + "/t"

@@ -48,6 +48,38 @@ class DriftSpec extends SparkSpec {
     assert(dterm > 0.5 && zterm > 1.0, s"de=$dterm zh=$zterm")
   }
 
+  test("NULL populations land in ONE matched bin: a stable corpus " +
+    "with identical null shares reports zero drift (r7 advice)") {
+    import spark.implicits._
+    // 20% nulls on BOTH sides, same value distribution otherwise —
+    // before the null-safe join this alarmed: the two null bins never
+    // matched, each eps-floored into a large psi_term.
+    val mk = () => ((0 until 80).map(i => Some(i % 4 * 30.0)) ++
+      Seq.fill(20)(Option.empty[Double])).toDF("v")
+    val rows = Drift.psiNumeric(mk(), mk(), "v", Seq(25.0, 50.0, 75.0))
+      .collect()
+    // 4 value bins + exactly ONE null bin
+    assert(rows.length == 5, rows.mkString("; "))
+    val nullBin = rows.filter(_.isNullAt(0))
+    assert(nullBin.length == 1, "null values must form a single bin")
+    assert(nullBin.head.getLong(1) == 20L && nullBin.head.getLong(2) == 20L)
+    assert(rows.forall(_.getDouble(3) == 0.0),
+      "identical sides (incl. null share) must give zero terms: " +
+        rows.mkString("; "))
+    // and a null-share MOVE is visible: null bin term dominates
+    val moved = ((0 until 95).map(i => Some(i % 4 * 30.0)) ++
+      Seq.fill(5)(Option.empty[Double])).toDF("v")
+    val alarm = Drift.psiNumeric(mk(), moved, "v", Seq(25.0, 50.0, 75.0))
+      .collect().filter(_.isNullAt(0))
+    assert(alarm.length == 1 && alarm.head.getDouble(3) > 0.1,
+      s"null-share move must alarm: ${alarm.mkString}")
+    // categorical twin: identical null category on both sides is quiet
+    val cat = (Seq.fill(9)(Some("en")) ++ Seq.fill(1)(None)).toDF("lang")
+    val catRows = Drift.psiCategorical(cat, cat, "lang").collect()
+    assert(catRows.length == 2 &&
+      catRows.forall(_.getDouble(3) == 0.0), catRows.mkString("; "))
+  }
+
   test("both corpus sides reduce map-side: the join is bins-sized " +
     "(partial aggregation before the shuffle)") {
     import spark.implicits._

@@ -128,6 +128,24 @@ class FlacSpec extends SparkSpec {
     intercept[Exception](Flac.decode(valid.take(30)))
   }
 
+  test("EVERY truncation point fails with the decoder's own message, " +
+    "never an index error (r7 advice: header/CRC-8 boundary)") {
+    val samples = Array.tabulate(96)(i => (i * 11 - 300).toShort)
+    val valid = Flac.encode(samples, 8000, blockSize = 32)
+    // sweep all proper prefixes: each must either be rejected by a
+    // descriptive require (IllegalArgumentException) — including the
+    // cut EXACTLY between a frame header and its CRC-8 byte — or by
+    // a controlled EOF signal, never ArrayIndexOutOfBoundsException
+    (0 until valid.length).foreach { n =>
+      try { Flac.decode(valid.take(n)); fail(s"prefix $n decoded") }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"prefix $n: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("the JDK genuinely has no FLAC provider — the codec is ours") {
     val bytes = Flac.encode(shorts(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
       13, 14, 15, 16), 8000, blockSize = 16)
