@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skewed joins — the classic remedy when
+  * one join key carries a disproportionate share of a big fact side
+  * (the crawl-domain / hot-customer / default-value key).
+  *
+  * First line of defense is AQE's runtime skew-join split
+  * (spark.sql.adaptive.skewJoin.*), which re-splits oversized
+  * sort-merge partitions after the shuffle writes. Explicit salting
+  * is the DETERMINISTIC fallback for the cases AQE doesn't cover:
+  * shuffled-hash joins, a hot key so large even one split of it
+  * spills, or plans that must behave identically run over run
+  * (replayable pipelines). The trade is explicit: the small side is
+  * replicated `salts`× through the shuffle, the big side's hot key
+  * spreads over `salts` reducers.
+  *
+  * Mechanics: the big side gets a salt derived by HASHING ITS WHOLE
+  * ROW (xxhash64 over all columns, mod salts) — deterministic, no
+  * rand() (idempotent re-runs, retryable tasks), and uniform even
+  * when the non-key attributes repeat; the small side cross-joins a
+  * literal 0..salts-1 array (an explode, NOT a shuffle). The join key
+  * becomes (keys..., salt), so each reducer sees 1/salts of the hot
+  * key's rows. Result is bit-identical to the unsalted join
+  * (SkewJoinSpec proves parity and spread).
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner/left equi-join of a skewed `big` side against a `small`
+    * side on `keys`, salted `salts` ways. `small` must be the
+    * deduplicated dimension side (unique per key-tuple) — each of its
+    * rows is replicated once per salt, so a non-unique small side
+    * would multiply matches exactly as it would unsalted. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting supports inner/left joins, got $joinType")
+    val saltedBig = big.withColumn(SaltCol,
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong))
+        .cast("int"))
+    val saltedSmall = small.withColumn(SaltCol,
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, keys :+ SaltCol, joinType)
+      .drop(SaltCol)
+  }
+}

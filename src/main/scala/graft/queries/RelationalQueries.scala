@@ -976,5 +976,73 @@ object RelationalQueries {
              |SELECT COUNT(*) AS missing_days FROM days
              |WHERE d NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)"""
         .stripMargin)),
+
+    // ---- D7: SCD Type-2 intervals from a change stream (Scd.scd2) —
+    // the history-preserving sibling of keepLatest: consecutive
+    // observations with an unchanged tracked value collapse into one
+    // validity episode [valid_from, valid_to). Orders acts as the
+    // change log: per customer, order keys are the version sequence
+    // (globally unique — scd2 requires a tie-free version; the
+    // testdata's lineitem repeats (orderkey, linenumber), which
+    // breaks cross-engine window order) and the order status is the
+    // tracked attribute. ONE key-shuffle total (both windows share
+    // the partitioning; ScdSpec pins a single Exchange). Oracle: the
+    // same lag-change-detect + lead-close in DuckDB SQL.
+    QueryDef(
+      "d7_scd2_intervals",
+      (s, dir) => graft.operators.Scd.scd2(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderstatus")),
+        Seq("o_custkey"), "o_orderkey", Seq("o_orderstatus")),
+      Some("""WITH m AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderkey) AS pv,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderkey) AS rn
+             |  FROM orders),
+             |c AS (SELECT o_custkey, o_orderkey, o_orderstatus
+             |  FROM m WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM pv)
+             |SELECT o_custkey, o_orderstatus,
+             |  o_orderkey AS valid_from,
+             |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS valid_to,
+             |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) IS NULL AS is_current
+             |FROM c""".stripMargin)),
+
+    // ---- J11: explicit salted skew join (SkewJoin.saltedJoin) — a
+    // derived key sends ~80% of lineitem to one value (the hot-domain
+    // shape); the salted join spreads that key over 16 reducers while
+    // the dimension side replicates 16×. The gate pins BIT-IDENTICAL
+    // results to the plain unsalted join the oracle runs; the spread
+    // and determinism mechanics are spec'd (SkewJoinSpec). AQE's
+    // skew-split is the default remedy — this is the deterministic
+    // fallback it documents.
+    QueryDef(
+      "j11_salted_skew_join",
+      (s, dir) => {
+        val hot = when(col("l_orderkey") % 10 < 8, 0L)
+          .otherwise(col("l_orderkey") % 97)
+        val fact = Tables(s, dir, "lineitem")
+          .select(hot.as("k"), col("l_quantity"))
+        val dim = Tables(s, dir, "supplier")
+          .groupBy((col("s_suppkey") % 97).as("k"))
+          .agg(count(lit(1)).as("dim_n"))
+        graft.operators.SkewJoin.saltedJoin(fact, dim, Seq("k"), 16)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)") * col("dim_n"))
+              .cast("double").as("weighted_qty"))
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+             |      ELSE l_orderkey % 97 END AS k, l_quantity
+             |  FROM lineitem),
+             |d AS (SELECT s_suppkey % 97 AS k, COUNT(*) AS dim_n
+             |  FROM supplier GROUP BY 1)
+             |SELECT k, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * dim_n)
+             |    AS DOUBLE) AS weighted_qty
+             |FROM f JOIN d USING (k) GROUP BY 1""".stripMargin)),
   )
 }

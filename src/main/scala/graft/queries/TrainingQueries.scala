@@ -5312,6 +5312,121 @@ object TrainingQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev JOIN mad USING (event_type)
              |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- Lexical-diversity quality signals (Quality
+    // .lexicalDiversity): type/token ratio, hapax share, and word
+    // entropy — the vocabulary-richness family (template/spam pages
+    // reuse a tiny vocabulary). Spark computes ZERO-SHUFFLE by
+    // sorting each row's own token array and run-length folding it
+    // (the t51 pattern, token total bound in the fold's initial
+    // accumulator); the oracle takes the completely different
+    // explode → GROUP BY (doc, token) route — same numbers. Ratios
+    // are exact integer divisions; entropy rounds to 6 at the one
+    // final point (t50 ln-parity precedent).
+    QueryDef(
+      "t122_lexical_diversity",
+      (s, dir) => graft.operators.Quality.lexicalDiversity(
+        spread(s, docs(s, dir)), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w, COUNT(*) AS c
+             |  FROM tk GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+             |  FROM c GROUP BY 1),
+             |agg AS (SELECT c.doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS types,
+             |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hapax,
+             |    SUM(-(CAST(c AS DOUBLE) / n.n)
+             |      * ln(CAST(c AS DOUBLE) / n.n)) AS ent
+             |  FROM c JOIN n USING (doc_id) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(n.n, 0) AS n_tokens,
+             |  COALESCE(agg.types, 0) AS n_types,
+             |  COALESCE(agg.hapax, 0) AS n_hapax,
+             |  CASE WHEN COALESCE(n.n, 0) > 0
+             |    THEN round(CAST(agg.types AS DOUBLE) / n.n, 6)
+             |    ELSE 0.0 END AS ttr,
+             |  CASE WHEN COALESCE(agg.types, 0) > 0
+             |    THEN round(CAST(agg.hapax AS DOUBLE) / agg.types, 6)
+             |    ELSE 0.0 END AS hapax_share,
+             |  round(COALESCE(agg.ent, 0.0), 6) AS word_entropy
+             |FROM documents d
+             |LEFT JOIN n ON n.doc_id = d.doc_id
+             |LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin)),
+
+    // ---- G.711 A-LAW decode under the oracle (t74's E1-world
+    // sibling, WAV format tag 6): same construction — encoded byte
+    // i = ord(char) + 128·(i%2) — but expanded through the A-law
+    // curve (XOR 0x55 toggle, segment shift, INVERTED sign
+    // convention vs μ-law), which the oracle replays as pure integer
+    // arithmetic. Same exact-binary-fraction RMS/ZCR contract as
+    // t64/t74; doc slice %3=1 so t74 (%3=0) and this gate cover
+    // different rows.
+    QueryDef(
+      "t123_alaw_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 8 && col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("US-ASCII")
+              val enc = Array.tabulate(bytes.length)(i =>
+                ((bytes(i) & 0xff) + (i % 2) * 128).toByte)
+              mm.MediaRecord(id, "audio", "audio/basic", 0, 0,
+                bytes.length * 1000L / 8000L,
+                mm.wavG711(enc, 8000, aLaw = true))
+            }
+          }
+        mm.decodeAudioSamples(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            explode(graft.functions.AudioOps.windowFeatures("samples", 4))
+              .as("f"))
+          .select(col("doc_id"), col("f.window").as("window"),
+            col("f.n").as("n"), col("f.rms").as("rms"),
+            col("f.zcr").as("zcr"))
+      },
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 8 AND doc_id % 3 = 1),
+           |sm AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM a),
+           |u AS (SELECT doc_id, n, i,
+           |    xor(ord(substr(text, CAST(i + 1 AS INT), 1))
+           |      + 128 * (i % 2), 85) AS av,
+           |    CAST(i * 4 // n AS INT) AS w
+           |  FROM sm),
+           |k AS (SELECT doc_id, i, w,
+           |    CAST(CASE WHEN av >= 128 THEN 1 ELSE -1 END *
+           |      CASE WHEN (av // 16) % 8 = 0
+           |        THEN (av % 16) * 16 + 8
+           |        ELSE ((av % 16) * 16 + 264)
+           |          * (1 << ((av // 16) % 8 - 1)) END
+           |      AS BIGINT) AS kv
+           |  FROM u),
+           |p AS (SELECT doc_id, w, kv,
+           |    lag(kv) OVER (PARTITION BY doc_id ORDER BY i) AS pk,
+           |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+           |  FROM k),
+           |agg AS (SELECT doc_id, w, COUNT(*) AS n_w,
+           |    CAST(SUM(kv * kv) AS BIGINT) AS k2,
+           |    CAST(COALESCE(SUM(CASE WHEN pw = w AND pk * kv < 0
+           |      THEN 1 ELSE 0 END), 0) AS INT) AS zcr
+           |  FROM p GROUP BY doc_id, w)
+           |SELECT doc_id, w AS window, CAST(n_w AS INT) AS n,
+           |  sqrt(CAST(k2 AS DOUBLE) / 1073741824.0 / CAST(n_w AS DOUBLE))
+           |    AS rms,
+           |  zcr
+           |FROM agg""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

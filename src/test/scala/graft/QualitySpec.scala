@@ -69,6 +69,31 @@ class QualitySpec extends SparkSpec {
     assert(rows == Map(1L -> 3L)) // "abc","bcd","cde"; "ab" has none
   }
 
+  test("lexicalDiversity: hand-computed counts/ratios/entropy; empty " +
+    "and degenerate docs report zeros; plan stays exchange-free") {
+    val docs = Seq(
+      (1L, "a b a b c"),     // counts: a2 b2 c1 → N5 types3 hapax1
+      (2L, "x x x x"),       // single type, no hapax, entropy 0
+      (3L, ""),              // no tokens at all
+      (4L, "one  two")       // double space: empty token filtered
+    ).toDF("doc_id", "text")
+    val got = Quality.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ent1 = r6(-(0.4 * math.log(0.4)) * 2 - 0.2 * math.log(0.2))
+    assert(got(1L) == ((5L, 3L, 1L, 0.6, r6(1.0 / 3), ent1)))
+    assert(got(2L) == ((4L, 1L, 0L, 0.25, 0.0, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((2L, 2L, 2L, 1.0, 1.0, r6(math.log(2)))))
+    // zero-shuffle contract: a pure map stage, like repetitionSignals
+    val plan = Quality.lexicalDiversity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+  }
+
   test("scoring is partitioning-independent") {
     val ref = Seq(Tuple1(refText)).toDF("text")
     val docs = (0L until 50L)
