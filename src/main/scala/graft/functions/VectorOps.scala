@@ -14,10 +14,27 @@ object VectorOps {
   /** Cast a float vector to double once, up front. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double vectors. */
+  /** Sequential-fold dot product of two equal-length double vectors.
+    * Runs as the native codegen'd [[graft.expressions.DotProduct]]
+    * kernel — Spark interprets lambda-bearing HOFs, so the previous
+    * `aggregate(zip_with(_*_), 0.0, _+_)` paid per-element dispatch +
+    * boxing on every candidate pair; the kernel is bit-identical
+    * (same element-order fold, same NULL propagation). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Sequential-fold squared Euclidean distance — fuses the
+    * `norm2(zip_with(a, b, _-_))` assignment kernel of the IVF/PQ/
+    * k-means family into one native pass (no intermediate difference
+    * array, no interpreter). Same fold order and NULL contract. */
+  def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SquaredDistance(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** L2 norm (sequential fold). */
   def norm(v: Column): Column = sqrt(dot(v, v))

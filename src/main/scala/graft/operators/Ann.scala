@@ -124,8 +124,7 @@ object Ann {
   def ivfAssignCells(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String,
       centVecCol: String): DataFrame = {
-    val d2: Column = VectorOps.norm2(
-      zip_with(col(vecCol), col(centVecCol), (x, y) => x - y))
+    val d2: Column = VectorOps.sqDist(col(vecCol), col(centVecCol))
     vectors.crossJoin(broadcast(centroids))
       .groupBy(col(idCol))
       .agg(min(struct(d2.as("d2"), col(centIdCol).as("cell"))).as("__b"))
@@ -158,8 +157,7 @@ object Ann {
     * the sub-vectors, and `books` (m × ksub rows) is broadcast. */
   def pqAssign(vectors: DataFrame, idCol: String, vecCol: String,
       books: DataFrame, m: Int, dsub: Int): DataFrame = {
-    val d2: Column = VectorOps.norm2(
-      zip_with(col("sv"), col("cv"), (x, y) => x - y))
+    val d2: Column = VectorOps.sqDist(col("sv"), col("cv"))
     subvectors(vectors, idCol, vecCol, m, dsub)
       .join(broadcast(books.select(col("sub"), col("code"), col("cv"))),
         Seq("sub"))
@@ -245,9 +243,9 @@ object Ann {
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       books: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
     require(k > 0)
-    val pd: Column = VectorOps.norm2(zip_with(
+    val pd: Column = VectorOps.sqDist(
       slice(col(probeVecCol), col("sub") * dsub + 1, lit(dsub)),
-      col("cv"), (x, y) => x - y))
+      col("cv"))
     val lut = probes.crossJoin(broadcast(books))
       .select(col(probeIdCol).as("p_id"), col("sub"), col("code"),
         pd.as("pd"))
@@ -325,8 +323,7 @@ object Ann {
       centIdCol, centVecCol, books, m, dsub)
       .select(col(idCol).as("c_id"), col("cell"), col("codes"))
     val pcells = probes.crossJoin(broadcast(centroids))
-      .withColumn("__d2", VectorOps.norm2(
-        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__d2", VectorOps.sqDist(col(vecCol), col(centVecCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(idCol)
           .orderBy(col("__d2").asc, col(centIdCol).asc)))
@@ -335,9 +332,9 @@ object Ann {
         col(centIdCol).as("cell"),
         zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)
           .as("__prv"))
-    val pd: Column = VectorOps.norm2(zip_with(
+    val pd: Column = VectorOps.sqDist(
       slice(col("__prv"), col("sub") * dsub + 1, lit(dsub)),
-      col("cv"), (x, y) => x - y))
+      col("cv"))
     val lut = pcells.crossJoin(broadcast(books))
       .select(col("p_id"), col("cell"), col("sub"), col("code"),
         pd.as("pd"))
@@ -446,16 +443,15 @@ object Ann {
       m: Int, dsub: Int, k: Int, nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0)
     val pcells = probes.crossJoin(broadcast(centroids))
-      .withColumn("__d2", VectorOps.norm2(
-        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__d2", VectorOps.sqDist(col(vecCol), col(centVecCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(idCol)
           .orderBy(col("__d2").asc, col(centIdCol).asc)))
       .filter(col("__rn") <= nprobe)
       .select(col(idCol).as("p_id"), col(centIdCol).as("cell"))
-    val pd: Column = VectorOps.norm2(zip_with(
+    val pd: Column = VectorOps.sqDist(
       slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)),
-      col("cv"), (x, y) => x - y))
+      col("cv"))
     val lut = probes.crossJoin(broadcast(books))
       .select(col(idCol).as("p_id"), col("sub"), col("code"), pd.as("pd"))
       .groupBy("p_id", "sub")
@@ -496,8 +492,7 @@ object Ann {
         col("__cn"), col("cell"))
     // probe → nprobe nearest cells (same broadcast pass as assignment)
     val pcells = probes.crossJoin(broadcast(centroids))
-      .withColumn("__d2", VectorOps.norm2(
-        zip_with(col(vecCol), col(centVecCol), (x, y) => x - y)))
+      .withColumn("__d2", VectorOps.sqDist(col(vecCol), col(centVecCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(idCol)
           .orderBy(col("__d2").asc, col(centIdCol).asc)))

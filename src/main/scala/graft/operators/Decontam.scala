@@ -69,8 +69,7 @@ object Decontam {
       .withColumn("__cn", VectorOps.norm(col("__cv")))
       .join(cells, Seq(idCol))
     // bench is broadcast-small: rank its cells with a plain window
-    val bd2 = VectorOps.norm2(
-      zip_with(col("__bv"), col(centVecCol), (x, y) => x - y))
+    val bd2 = VectorOps.sqDist(col("__bv"), col(centVecCol))
     val bProbes = bench.select(col(benchVecCol).as("__bv"))
       .withColumn("__bid", monotonically_increasing_id())
       .crossJoin(broadcast(centroids))

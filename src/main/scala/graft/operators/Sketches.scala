@@ -385,4 +385,84 @@ object Sketches {
       .filter(col("freq") * (k + 1) > n)
       .select(col("value"), col("freq"))
   }
+
+  // --------------------------------------------------------------------
+  // Fixed-edge histogram sketch — the MERGEABLE quantile asset (the
+  // HDR-histogram production shape, and the quantile sibling of the
+  // distinctSketch HLL asset): per group, integer counts per bin over
+  // edges PINNED at install time. Counts are exact BIGINTs, so merge
+  // (sum by bin) is EXACT — build per day/partition/source, store,
+  // roll up months later with O(bins) work and bit-identical results
+  // to a single-pass build, whatever the split (spec-asserted).
+  // Quantile estimates interpolate inside the winning bin: error is
+  // bounded by bin width, deterministic, and replayable arithmetic
+  // (the t124 gate has DuckDB rederive the estimates bit-for-bit —
+  // impossible for GK/KLL state). percentile_approx/quantileProfile
+  // remains the right call for unknown ranges; this asset is for the
+  // monitored-metric case where edges are a config constant.
+  // --------------------------------------------------------------------
+
+  /** Build the asset: (groupCols..., bin, n) — one narrow shuffle of
+    * ≤ |edges|+1 cells per group; the corpus never moves. Bin ids are
+    * [[Drift.numericBin]]'s convention: bin k = # edges ≤ x, so bin 0
+    * is (-inf, e₀) and bin |edges| is [e_last, inf); NULL values get
+    * the NULL bin (kept: a null-share move must be visible in the
+    * asset, same argument as PSI's null cell). */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String],
+      col_ : String, edges: Seq[Double]): DataFrame =
+    df.groupBy((groupCols.map(col) :+
+        Drift.numericBin(col(col_), edges).as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Roll assets up across any split: sum counts by (group, bin). */
+  def histogramMerge(sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile estimates from an asset: one row per (group,
+    * percentile) — (groupCols..., p, q). For target rank t = p·N
+    * (NULL-bin values excluded from N — quantiles are over observed
+    * values), the winning bin is the first with cumulative ≥ t, and
+    * the estimate interpolates linearly inside it:
+    * lo + (t − cum_below)/n_bin · (hi − lo). The unbounded outer bins
+    * have no width — they clamp to their single finite edge (values
+    * below e₀ estimate as e₀, above e_last as e_last: the documented
+    * saturation of a fixed-range histogram). Closed-form IEEE
+    * arithmetic → externally replayable. */
+  def histogramQuantile(sketches: DataFrame, groupCols: Seq[String],
+      edges: Seq[Double], percentiles: Seq[Double]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    val g = groupCols.map(col)
+    val eArr = edges.toArray
+    val lo = (b: Column) => // finite low edge of bin b (clamped)
+      element_at(array(eArr.map(lit): _*),
+        greatest(least(b, lit(eArr.length)), lit(1)).cast("int"))
+    val hi = (b: Column) => // finite high edge of bin b (clamped)
+      element_at(array(eArr.map(lit): _*),
+        greatest(least(b + 1, lit(eArr.length)), lit(1)).cast("int"))
+    val session = sketches.sparkSession
+    import session.implicits._
+    val pDf = percentiles.toDF("p")
+    val obs = sketches.filter(col("bin").isNotNull)
+    val totals = obs.groupBy(g: _*).agg(sum(col("n")).as("__N"))
+    val cum = obs.withColumn("__cum",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(g: _*).orderBy(col("bin"))))
+      .join(totals, groupCols)
+    cum.crossJoin(broadcast(pDf))
+      .withColumn("__t", col("p") * col("__N").cast("double"))
+      // winning bin: first with cum >= t (t > 0 since p > 0)
+      .filter(col("__cum").cast("double") >= col("__t") &&
+        (col("__cum") - col("n")).cast("double") < col("__t"))
+      .withColumn("q",
+        when(col("bin") === 0, lo(col("bin"))) // (-inf, e0) clamps
+          .when(col("bin") === eArr.length, lo(col("bin"))) // [e_last, inf)
+          .otherwise(lo(col("bin")) +
+            (col("__t") - (col("__cum") - col("n")).cast("double")) /
+              col("n").cast("double") * (hi(col("bin")) - lo(col("bin")))))
+      .select((g :+ col("p") :+ col("q")): _*)
+  }
 }

@@ -977,6 +977,28 @@ object RelationalQueries {
              |WHERE d NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)"""
         .stripMargin)),
 
+    // ---- W8: relative-position window functions — percent_rank and
+    // cume_dist per event_type over a TIE-FREE total order
+    // (value, event_id), completing the window family (w1 rank,
+    // w2 lag, w4 hop, w5 ntile, w6 running sum, w7 session stats).
+    // Both are exact integer ratios → IEEE-identical cross-engine.
+    QueryDef(
+      "w8_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT event_type, event_id, value,
+             |  percent_rank() OVER (PARTITION BY event_type
+             |    ORDER BY value ASC, event_id ASC) AS pr,
+             |  cume_dist() OVER (PARTITION BY event_type
+             |    ORDER BY value ASC, event_id ASC) AS cd
+             |FROM events""".stripMargin)),
+
     // ---- D7: SCD Type-2 intervals from a change stream (Scd.scd2) —
     // the history-preserving sibling of keepLatest: consecutive
     // observations with an unchanged tracked value collapse into one

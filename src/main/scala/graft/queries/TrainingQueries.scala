@@ -46,6 +46,9 @@ object TrainingQueries {
   // t114 drift bins: fixed install-time edges over events.value
   // (observed range 0.01–490 at sf0.01)
   private val PsiEdges = Seq(10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+
+  /** t124's pinned histogram-asset edges (events.value ∈ [0, ~500]). */
+  private val HistEdges = Seq(1.0, 5.0, 25.0, 125.0, 250.0)
   // t117/t118 retrieval query: one rare term (df≈5% of docs) + three
   // common ones, so idf spread is wide; k1=1.25, b=0.75 (exact binary
   // fractions — the BM25 constants 2.25/0.25 below are too)
@@ -5426,6 +5429,60 @@ object TrainingQueries {
            |    AS rms,
            |  zcr
            |FROM agg""".stripMargin
+      }),
+
+    // ---- Mergeable quantile ASSET (Sketches.histogramSketch/Merge/
+    // Quantile) — the HDR-histogram production shape and the quantile
+    // sibling of the HLL distinct asset (t117 family): integer counts
+    // per FIXED bin edge merge exactly across any corpus split. The
+    // gate builds per-(event_type, event-id-parity) sketches, merges
+    // the halves, and estimates p25/p50/p95 by in-bin interpolation —
+    // DuckDB rederives counts from scratch (proving merge ≡ one-pass
+    // build) and replays the closed-form interpolation bit-for-bit,
+    // which GK/KLL opaque state can never offer. Scale: ≤ bins cells
+    // per group move, the corpus never shuffles.
+    QueryDef(
+      "t124_histogram_quantile",
+      (s, dir) => {
+        val sk = graft.operators.Sketches.histogramSketch(
+          spread(s, Tables(s, dir, "events"))
+            .withColumn("half", pmod(col("event_id"), lit(2))),
+          Seq("event_type", "half"), "value", HistEdges)
+        val merged = graft.operators.Sketches.histogramMerge(
+          sk.drop("half"), Seq("event_type"))
+        graft.operators.Sketches.histogramQuantile(
+          merged, Seq("event_type"), HistEdges, Seq(0.25, 0.5, 0.95))
+      },
+      Some {
+        val binSql = HistEdges.map(e =>
+          s"(CASE WHEN value >= $e THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        // bare 1.0 literals are DECIMAL in DuckDB — cast each edge so
+        // the interpolation arithmetic is IEEE double like Spark's
+        val edgeList = HistEdges.map(e => s"CAST($e AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        val ne = HistEdges.size
+        val lo = s"($edgeList)[LEAST(GREATEST(bin, 1), $ne)]"
+        val hi = s"($edgeList)[LEAST(GREATEST(bin + 1, 1), $ne)]"
+        s"""WITH b AS (SELECT event_type, $binSql AS bin FROM events),
+           |sk AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM b GROUP BY 1, 2),
+           |c AS (SELECT event_type, bin, n,
+           |    CAST(SUM(n) OVER (PARTITION BY event_type
+           |      ORDER BY bin) AS BIGINT) AS cum,
+           |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS nn
+           |  FROM sk),
+           |x AS (SELECT event_type, p, bin, n, cum,
+           |    p * CAST(nn AS DOUBLE) AS t
+           |  FROM c, (SELECT unnest([0.25, 0.5, 0.95]) AS p))
+           |SELECT event_type, p,
+           |  CASE WHEN bin = 0 OR bin = $ne THEN $lo
+           |    ELSE $lo + (t - CAST(cum - n AS DOUBLE))
+           |      / CAST(n AS DOUBLE) * ($hi - $lo) END AS q
+           |FROM x
+           |WHERE CAST(cum AS DOUBLE) >= t
+           |  AND CAST(cum - n AS DOUBLE) < t""".stripMargin
       }),
   )
 

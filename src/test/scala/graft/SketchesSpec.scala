@@ -302,4 +302,51 @@ class SketchesSpec extends SparkSpec {
     val flat = (0 until 300).map(i => Tuple1(s"u$i")).toDF("v")
     assert(Sketches.heavyHitters(flat, "v", k = 16).count() == 0L)
   }
+
+  test("histogram asset: split-then-merge is BIT-identical to a " +
+    "one-pass build, whatever the split") {
+    import spark.implicits._
+    val edges = Seq(10.0, 20.0, 40.0)
+    val df = (0 until 1000)
+      .map(i => ("g" + i % 2, i % 50 * 1.0)).toDF("g", "v")
+    val onePass = Sketches.histogramSketch(df, Seq("g"), "v", edges)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val split = df.withColumn("part", pmod(crc32(col("v").cast("string")),
+      lit(7)))
+    val merged = Sketches.histogramMerge(
+      Sketches.histogramSketch(split, Seq("g", "part"), "v", edges)
+        .drop("part"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(merged === onePass)
+  }
+
+  test("histogramQuantile: hand-computed interpolation, outer-bin " +
+    "clamps, NULL bin excluded from N") {
+    import spark.implicits._
+    val edges = Seq(10.0, 20.0, 40.0)
+    // g: 4 below 10 | 8 in [10,20) | 6 in [20,40) | 2 >= 40, 2 NULLs
+    val vals: Seq[Option[Double]] =
+      (0 until 4).map(i => Some(i * 2.0)) ++
+        (0 until 8).map(i => Some(10.0 + i)) ++
+        (0 until 6).map(i => Some(20.0 + i * 3)) ++
+        Seq(Some(45.0), Some(50.0), None, None)
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val sk = Sketches.histogramSketch(df, Seq("g"), "v", edges)
+    // null bin present in the ASSET (drift visibility)...
+    assert(sk.filter(col("bin").isNull).head().getLong(2) == 2L)
+    val q = Sketches.histogramQuantile(sk, Seq("g"), edges,
+      Seq(0.1, 0.5, 0.8, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // ...but N = 20 observed values, not 22
+    // p=0.1 → t=2 → bin 0 (cum 4) → clamps to first edge
+    assert(q(0.1) == 10.0)
+    // p=0.5 → t=10 → bin 1 (cum 4..12): 10 + (10-4)/8 * 10 = 17.5
+    assert(q(0.5) == 17.5)
+    // p=0.8 → t=16 → bin 2 (cum 12..18): 20 + (16-12)/6 * 20
+    assert(q(0.8) == 20.0 + 4.0 / 6.0 * 20.0)
+    // p=1.0 → t=20 → bin 3 (open top) → clamps to last edge
+    assert(q(1.0) == 40.0)
+  }
 }
