@@ -20,6 +20,20 @@ final case class QueryDef(
   * with the same truncation DuckDB applies at µs precision.
   */
 object Tables {
+
+  /** Scratch path for a gate that materializes a table, scoped by the
+    * input dir: concurrent sf0.01 verify + sf1 bench runs share one
+    * box and must never clobber each other's tables mid-query. The
+    * ONE definition of the scoping scheme — j10's catalog-name tag
+    * and every /tmp gate path derive from it. NOT used where the
+    * DuckDB oracle itself reads the path (t65/t68 — oracle SQL is
+    * static, so those paths must stay fixed). */
+  def gateTag(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode)
+
+  def gatePath(dir: String, name: String): String =
+    s"/tmp/graft_gate_${name}_${gateTag(dir)}"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>

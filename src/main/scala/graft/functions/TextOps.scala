@@ -116,12 +116,17 @@ object TextOps {
     * and the zip_with lambdas touch only their element arguments. */
   def ngramsRaw(toks: Column, n: Int): Column = {
     require(n >= 1)
-    val m = size(toks) - (n - 1) // span positions
-    val slices = (0 until n).map(i => slice(toks, lit(i + 1), m))
-    when(m >= 1,
-      slices.reduce((acc, s) =>
-        zip_with(acc, s, (x, y) => concat(x, lit(" "), y))))
-      .otherwise(array().cast("array<string>"))
+    // Native kernel (expressions.Ngrams): one loop, one UTF8String
+    // concat per gram — replaces the n-slice / n−1-zip_with composed
+    // form, which allocated n+n−1 transient arrays per row and paid
+    // interpreted-lambda dispatch per element. Same contract
+    // bit-for-bit, incl. NULL input → empty array and NULL tokens
+    // nulling their spanning grams (see the expression's scaladoc;
+    // the historical slices/zip_with construction and the O(tokens²)
+    // CollapseProject trap it dodged are documented there too).
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Ngrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), n))
   }
 
   /** MinHash via affine permutations over ONE base hash per shingle:

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, array, coalesce, col, floor, greatest, input_file_name, least, lit, max, min, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{aggregate, array, coalesce, col, floor, greatest, input_file_name, least, lit, max, min, raise_error, shiftleft, shiftright, when}
 
 /** Minimal transactional commit log over plain parquet — the
   * Delta-shaped third [[TableFormat]] binding, with no jars beyond
@@ -378,12 +378,16 @@ object CommitLogTableFormat extends TableFormat {
     commitWith(spark, path) { base =>
       // A NULL op evaluates to NULL in both the upsert and the delete
       // filter and would be silently discarded — neither applied nor
-      // rejected — hiding a malformed CDC feed. Fail fast instead.
-      val nullOps = source.filter(col(opCol).isNull).limit(1).count()
-      require(nullOps == 0L,
-        s"applyCdc: changeset contains rows with NULL '$opCol' — " +
-          "every change must carry an explicit operation")
-      val latest = Dedup.keepLatest(source, keys, Seq(col(versionCol)))
+      // rejected — hiding a malformed CDC feed. Fail fast WITHOUT an
+      // extra scan: the guard rides the op projection itself
+      // (raise_error fires executor-side on the first NULL op the
+      // merge pass evaluates; a separate count() action would read
+      // the whole changeset twice on every healthy call).
+      val checked = source.withColumn(opCol,
+        when(col(opCol).isNotNull, col(opCol)).otherwise(raise_error(
+          lit(s"applyCdc: changeset contains rows with NULL '$opCol'" +
+            " — every change must carry an explicit operation"))))
+      val latest = Dedup.keepLatest(checked, keys, Seq(col(versionCol)))
       val upserts = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
       base match {
         case None => upserts

@@ -39,17 +39,14 @@ object Quality {
 
   /** Positional char trigrams as plain 3-char strings (no separator —
     * single chars are unambiguous, and a separator would collide with
-    * space characters in the text). Same slice/zip_with construction
-    * as [[TextOps.ngramsRaw]], same reason (lambda bodies touch only
-    * element arguments — see its PERF note). */
-  private def charTrigrams(text: org.apache.spark.sql.Column) = {
-    val chars = split(lower(text), "")
-    val m = size(chars) - 2
-    val slices = (0 until 3).map(i => slice(chars, lit(i + 1), m))
-    when(m >= 1,
-      slices.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * space characters in the text). Native [[graft.expressions.Ngrams]]
+    * kernel at sep = "" — same output as the historical slice/zip_with
+    * construction, none of its transient arrays. */
+  private def charTrigrams(text: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Ngrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          split(lower(text), "")), 3, ""))
 
   /** One reference LM as three small frames (all broadcastable):
     * trigram counts, prefix totals, charset size — column names
@@ -170,23 +167,33 @@ object Quality {
     * (the HOF-inlining trap: an outer column in a lambda body
     * re-evaluates per element). Pure map stage at 100 TB.
     *
-    * Ratios and entropy round to 6 dp at the single final point (the
-    * t50 convention: both engines' ln agree bit-for-bit; the rounding
-    * absorbs summation-order ulps). Empty documents report zeros. */
+    * Ratios are exact integer divisions. Entropy accumulates
+    * ORDER-FREE in fixed point: each type's term −p·ln p is a pure
+    * function of the integer pair (count, N), so it is bit-identical
+    * on any engine (t31/t50 ln-parity precedent) — but a plain double
+    * SUM of those terms depends on summation order (Spark folds in
+    * sorted-run order, an external GROUP BY sums in hash order),
+    * which makes round-at-6dp a latent boundary flake. Flooring each
+    * term to a ×1e12 BIGINT first (identical floor of an identical
+    * double) turns the sum associative-exact; total ≤ ln(types)·1e12
+    * ≪ 2⁵³, so the final /1e12 is one exact double op. Rounds to
+    * 6 dp at the single final point. Empty documents report zeros. */
   def lexicalDiversity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = filter(TextOps.tokens(col(textCol)),
       x => length(x) > lit(0))
     val nd = (c: org.apache.spark.sql.Column) => c.cast("double")
-    // term for a finished run of length `run` out of `n`: −p·ln p
+    // fixed-point term for a finished run of length `run` out of `n`:
+    // floor(−p·ln p · 1e12) as BIGINT (order-free summation)
     val runTerm = (run: org.apache.spark.sql.Column,
         n: org.apache.spark.sql.Column) =>
-      -(nd(run) / nd(n)) * log(nd(run) / nd(n))
+      floor(-(nd(run) / nd(n)) * log(nd(run) / nd(n)) * lit(1e12))
+        .cast("long")
     val stats = aggregate(
       array_sort(toks),
       struct(size(toks).cast("long").as("n"),
         lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("types"), lit(0L).as("hapax"), lit(0.0).as("ent")),
+        lit(0L).as("types"), lit(0L).as("hapax"), lit(0L).as("ent")),
       (acc, x) => {
         // x never equals NULL-prev, so `change` is false on the first
         // element and the empty-run flush below never fires early
@@ -199,7 +206,7 @@ object Quality {
           (acc("hapax") + when(change && acc("run") === 1L, lit(1L))
             .otherwise(lit(0L))).as("hapax"),
           (acc("ent") + when(change, runTerm(acc("run"), acc("n")))
-            .otherwise(lit(0.0))).as("ent"))
+            .otherwise(lit(0L))).as("ent"))
       },
       acc => {
         val last = acc("prev").isNotNull // flush the final run
@@ -209,7 +216,7 @@ object Quality {
           (acc("hapax") + when(last && acc("run") === 1L, lit(1L))
             .otherwise(lit(0L))).as("hapax"),
           (acc("ent") + when(last, runTerm(acc("run"), acc("n")))
-            .otherwise(lit(0.0))).as("ent"))
+            .otherwise(lit(0L))).as("ent"))
       })
     docs.select(col(idCol), stats.as("__lx"))
       .select(col(idCol),
@@ -222,6 +229,7 @@ object Quality {
         when(col("__lx.types") > 0,
           round(nd(col("__lx.hapax")) / nd(col("__lx.types")), 6))
           .otherwise(lit(0.0)).as("hapax_share"),
-        round(col("__lx.ent"), 6).as("word_entropy"))
+        round(col("__lx.ent").cast("double") / lit(1e12), 6)
+          .as("word_entropy"))
   }
 }

@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   *
   * Mechanics: the big side gets a salt derived by HASHING ITS WHOLE
   * ROW (xxhash64 over all columns, mod salts) — deterministic, no
-  * rand() (idempotent re-runs, retryable tasks), and uniform even
-  * when the non-key attributes repeat; the small side cross-joins a
-  * literal 0..salts-1 array (an explode, NOT a shuffle). The join key
-  * becomes (keys..., salt), so each reducer sees 1/salts of the hot
+  * rand(): a nondeterministic salt re-rolled on task retry is the
+  * classic repartition-retry duplication hazard. The DETERMINISM
+  * CAP that buys: spread under a hot key is bounded by the number of
+  * DISTINCT row values carrying that key — byte-identical duplicate
+  * rows hash to one salt and stay on one reducer. When duplicates
+  * dominate the hot key (the default-value-key pathology), pass
+  * `saltBy` — any column(s) that distinguish the duplicates (a
+  * unique id, a file/line lineage column) — and the salt hashes
+  * those instead. The small side cross-joins a literal 0..salts-1
+  * array (an explode, NOT a shuffle). The join key becomes
+  * (keys..., salt), so each reducer sees its salt's share of the hot
   * key's rows. Result is bit-identical to the unsalted join
   * (SkewJoinSpec proves parity and spread).
   */
@@ -34,14 +41,18 @@ object SkewJoin {
     * side on `keys`, salted `salts` ways. `small` must be the
     * deduplicated dimension side (unique per key-tuple) — each of its
     * rows is replicated once per salt, so a non-unique small side
-    * would multiply matches exactly as it would unsalted. */
+    * would multiply matches exactly as it would unsalted. `saltBy`:
+    * columns whose hash drives the salt (default: the whole row —
+    * see the duplicate-row cap above). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltBy: Seq[String] = Nil): DataFrame = {
     require(salts >= 2, s"salts must be >= 2, got $salts")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left joins, got $joinType")
+    val saltSrc = if (saltBy.nonEmpty) saltBy else big.columns.toSeq
     val saltedBig = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong))
+      pmod(xxhash64(saltSrc.map(col): _*), lit(salts.toLong))
         .cast("int"))
     val saltedSmall = small.withColumn(SaltCol,
       explode(array((0 until salts).map(lit): _*)))

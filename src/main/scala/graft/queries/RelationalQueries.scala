@@ -768,9 +768,10 @@ object RelationalQueries {
       (s, dir) => {
         // scope path AND catalog names by the input dir so concurrent
         // runs (sf0.01 verify + sf1 bench on one box) cannot delete
-        // each other's bucketed tables mid-join
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val base = s"/tmp/graft_gate_buckets_$tag"
+        // each other's bucketed tables mid-join (shared scheme:
+        // Tables.gateTag/gatePath)
+        val tag = Tables.gateTag(dir)
+        val base = Tables.gatePath(dir, "buckets")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run

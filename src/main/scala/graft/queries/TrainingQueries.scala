@@ -68,14 +68,10 @@ object TrainingQueries {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
-  /** Scratch path for a gate that materializes a table, scoped by the
-    * input dir (j10 pattern): concurrent sf0.01 verify + sf1 bench runs
-    * share one box and must never clobber each other's tables mid-query.
-    * NOT used where the DuckDB oracle itself reads the path (t65/t68 —
-    * oracle SQL is static, so those paths must stay fixed). */
+  /** One shared definition of the dir-scoped scratch scheme —
+    * see [[graft.Tables.gatePath]]. */
   private def gatePath(dir: String, name: String): String =
-    s"/tmp/graft_gate_${name}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    Tables.gatePath(dir, name)
 
   private def toksSql = "string_split(text, ' ')"
 
@@ -5324,8 +5320,10 @@ object TrainingQueries {
     // (the t51 pattern, token total bound in the fold's initial
     // accumulator); the oracle takes the completely different
     // explode → GROUP BY (doc, token) route — same numbers. Ratios
-    // are exact integer divisions; entropy rounds to 6 at the one
-    // final point (t50 ln-parity precedent).
+    // are exact integer divisions; entropy sums floor(term·1e12)
+    // BIGINTs (each term is a pure function of the integer pair
+    // (count, N) → bit-identical ln both sides, t31/t50 precedent),
+    // so the cross-engine match is EXACT, not order-lucky.
     QueryDef(
       "t122_lexical_diversity",
       (s, dir) => graft.operators.Quality.lexicalDiversity(
@@ -5342,8 +5340,9 @@ object TrainingQueries {
              |    CAST(COUNT(*) AS BIGINT) AS types,
              |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
              |      AS BIGINT) AS hapax,
-             |    SUM(-(CAST(c AS DOUBLE) / n.n)
-             |      * ln(CAST(c AS DOUBLE) / n.n)) AS ent
+             |    CAST(SUM(CAST(floor(-(CAST(c AS DOUBLE) / n.n)
+             |      * ln(CAST(c AS DOUBLE) / n.n) * 1e12)
+             |      AS BIGINT)) AS BIGINT) AS ent
              |  FROM c JOIN n USING (doc_id) GROUP BY 1)
              |SELECT d.doc_id,
              |  COALESCE(n.n, 0) AS n_tokens,
@@ -5355,7 +5354,8 @@ object TrainingQueries {
              |  CASE WHEN COALESCE(agg.types, 0) > 0
              |    THEN round(CAST(agg.hapax AS DOUBLE) / agg.types, 6)
              |    ELSE 0.0 END AS hapax_share,
-             |  round(COALESCE(agg.ent, 0.0), 6) AS word_entropy
+             |  round(CAST(COALESCE(agg.ent, 0) AS DOUBLE) / 1e12, 6)
+             |    AS word_entropy
              |FROM documents d
              |LEFT JOIN n ON n.doc_id = d.doc_id
              |LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin)),
@@ -5475,7 +5475,8 @@ object TrainingQueries {
            |  FROM sk),
            |x AS (SELECT event_type, p, bin, n, cum,
            |    p * CAST(nn AS DOUBLE) AS t
-           |  FROM c, (SELECT unnest([0.25, 0.5, 0.95]) AS p))
+           |  FROM c, (SELECT unnest([CAST(0.25 AS DOUBLE),
+           |    CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p))
            |SELECT event_type, p,
            |  CASE WHEN bin = 0 OR bin = $ne THEN $lo
            |    ELSE $lo + (t - CAST(cum - n AS DOUBLE))

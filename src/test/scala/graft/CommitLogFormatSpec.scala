@@ -353,10 +353,15 @@ class CommitLogFormatSpec extends SparkSpec {
       Seq((1L, "a", 1L)).toDF("k", "v", "ver"), path)
     val bad = Seq((1L, "a2", Some("U"), 2L),
       (2L, "b", Option.empty[String], 2L)).toDF("k", "v", "op", "ver")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       CommitLogTableFormat.applyCdc(spark, bad, path, Seq("k"), "op", "ver")
     }
-    assert(e.getMessage.contains("NULL 'op'"), e.getMessage)
+    // raise_error fires executor-side; the driver sees it wrapped —
+    // find the message anywhere in the cause chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("NULL 'op'"), msgs)
     val got = CommitLogTableFormat.read(spark, path).get
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet

@@ -76,6 +76,48 @@ class ExpressionAndPropertySpec extends SparkSpec {
     assert(n("a b").forall(_ == Long.MaxValue))
   }
 
+  test("native Ngrams == composed slices/zip_with, incl. NULL input, " +
+    "short docs, empty tokens, and the char-trigram sep='' form") {
+    import org.apache.spark.sql.GraftColumnBridge
+    def native(c: org.apache.spark.sql.Column, n: Int, sep: String) =
+      GraftColumnBridge.column(graft.expressions.Ngrams(
+        GraftColumnBridge.expression(c), n, sep))
+    def composed(toks: org.apache.spark.sql.Column, n: Int,
+        sep: String) = {
+      val m = size(toks) - (n - 1)
+      val slices = (0 until n).map(i => slice(toks, lit(i + 1), m))
+      when(m >= 1, slices.reduce((acc, s) => zip_with(acc, s,
+        (x, y) => if (sep.isEmpty) concat(x, y)
+          else concat(x, lit(sep), y))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val texts = Seq(Some("alpha beta gamma delta epsilon"),
+      Some("a  b c"), // double space → empty token inside grams
+      Some("ab"), Some(""), Option.empty[String],
+      Some("unicode ü 日本語 x y"))
+    val df = texts.toDF("text")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("ch", split(lower(col("text")), ""))
+    for ((colName, n, sep) <- Seq(("tk", 2, " "), ("tk", 3, " "),
+        ("tk", 5, " "), ("ch", 3, ""))) {
+      val rows = df.select(
+        native(col(colName), n, sep).as("nat"),
+        composed(col(colName), n, sep).as("cmp")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(!r.isNullAt(0), s"native must never be NULL ($t)")
+        assert(r.getSeq[String](0) == (if (r.isNullAt(1)) Seq.empty
+          else r.getSeq[String](1)),
+          s"$colName n=$n sep='$sep' text=$t")
+      }
+    }
+    // null TOKEN inside the array nulls exactly its spanning grams
+    val withNull = spark.sql(
+      "SELECT array('a', cast(null as string), 'b', 'c') AS tk")
+    val got = withNull.select(native(col("tk"), 2, " ").as("g"))
+      .head().getSeq[String](0)
+    assert(got == Seq(null, null, "b c"))
+  }
+
   test("property: D1 gold equals latest-loaded version per (scope, id)") {
     import graft.gold.Pipedrive
     val versionGen = Gen.listOfN(40, for {

@@ -83,11 +83,16 @@ class QualitySpec extends SparkSpec {
           r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ent1 = r6(-(0.4 * math.log(0.4)) * 2 - 0.2 * math.log(0.2))
+    // entropy replays the operator's fixed-point contract:
+    // Σ floor(−p·ln p · 1e12) / 1e12, rounded to 6
+    def fp(t: Double) = math.floor(t * 1e12).toLong
+    val ent1 = r6((2 * fp(-(0.4 * math.log(0.4))) +
+      fp(-(0.2 * math.log(0.2)))) / 1e12)
     assert(got(1L) == ((5L, 3L, 1L, 0.6, r6(1.0 / 3), ent1)))
     assert(got(2L) == ((4L, 1L, 0L, 0.25, 0.0, 0.0)))
     assert(got(3L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
-    assert(got(4L) == ((2L, 2L, 2L, 1.0, 1.0, r6(math.log(2)))))
+    assert(got(4L) == ((2L, 2L, 2L, 1.0, 1.0,
+      r6(2 * fp(-(0.5 * math.log(0.5))) / 1e12))))
     // zero-shuffle contract: a pure map stage, like repetitionSignals
     val plan = Quality.lexicalDiversity(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
