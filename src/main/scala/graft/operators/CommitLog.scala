@@ -302,6 +302,31 @@ object CommitLogTableFormat extends TableFormat {
     listVersions(f, root)
   }
 
+  /** Commit history: (version, commit_ts_millis) ascending. The
+    * commit instant is the manifest file's modification time — the
+    * atomic publish (link/rename into `_log/`) is what MAKES the
+    * version visible, so its mtime is the earliest moment any reader
+    * could have seen the snapshot. Vacuumed versions drop out of the
+    * history with their manifests. */
+  def versionHistory(spark: SparkSession,
+      path: String): Seq[(Long, Long)] = {
+    val (f, root) = fs(spark, path)
+    listVersions(f, root).map(v =>
+      v -> f.getFileStatus(manifestPath(root, v)).getModificationTime)
+  }
+
+  /** Time travel by TIMESTAMP (the Delta `timestampAsOf` contract):
+    * the latest snapshot committed at or before `tsMillis`, or None
+    * when the table had no committed version yet at that instant
+    * (or the qualifying versions were all vacuumed). Ties (an mtime
+    * exactly equal to `tsMillis`) are INCLUDED — "as of T" means
+    * "what a reader starting at T would have seen". */
+  def readAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): Option[DataFrame] =
+    versionHistory(spark, path)
+      .filter(_._2 <= tsMillis).map(_._1).sorted.lastOption
+      .flatMap(v => readAt(spark, path, v))
+
   /** Time travel: the snapshot exactly as committed at `version`, or
     * None if that version never existed or was vacuumed. Reproducing
     * "the corpus a model was trained on" is a first-class need of a

@@ -345,6 +345,31 @@ class CommitLogFormatSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("readAsOf: timestamp time travel resolves the latest version " +
+    "committed at or before T; before-genesis is None; ties include") {
+    import spark.implicits._
+    val path = tmpDir("cl-asof") + "/t"
+    def snap(xs: Int*) = xs.toDF("k")
+    CommitLogTableFormat.fullRefresh(spark, snap(1), path)
+    CommitLogTableFormat.fullRefresh(spark, snap(1, 2), path)
+    CommitLogTableFormat.fullRefresh(spark, snap(1, 2, 3), path)
+    val hist = CommitLogTableFormat.versionHistory(spark, path)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2) == hist.map(_._2).sorted,
+      "commit timestamps must be non-decreasing with version")
+    def rowsAsOf(ts: Long) =
+      CommitLogTableFormat.readAsOf(spark, path, ts).map(_.count())
+    val Seq((_, t1), (_, t2), (_, t3)) = hist
+    assert(rowsAsOf(t1 - 1).isEmpty, "before genesis → None")
+    assert(rowsAsOf(t1) === Some(1L)) // tie includes
+    assert(rowsAsOf(t3) === Some(3L))
+    assert(rowsAsOf(Long.MaxValue) === Some(3L))
+    // a mid-history instant resolves to its floor version (only
+    // checkable when the FS clock separates the commits)
+    if (t2 > t1) assert(rowsAsOf(t2 - 1) === Some(1L))
+    if (t3 > t2) assert(rowsAsOf(t3 - 1) === Some(2L))
+  }
+
   test("applyCdc: a NULL op fails fast instead of silently dropping " +
     "the row (r7 advice) and leaves the table unchanged") {
     import spark.implicits._
