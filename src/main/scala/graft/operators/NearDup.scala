@@ -351,8 +351,19 @@ object NearDup {
   def dedupBySignaturePair(df: DataFrame, idCol: String,
       sigACol: String, sigBCol: String, maxHamA: Int = 3,
       maxHamB: Int = 3, maxBucket: Int = 1024): DataFrame = {
-    val sigs = df.select(col(idCol), col(sigACol).as("simhash"),
-      col(sigBCol).as("__sigb"))
+    // PERSIST the narrow (id, sigA, sigB) frame: the caller's
+    // signature COLUMNS are usually expensive expression chains
+    // (image decode → dHash/WHT folds), and this operator references
+    // the frame from three sub-trees (reps, the identical-twin join,
+    // the band tables). Unpersisted, CollapseProject re-derives the
+    // signature expressions at every reference — the r8 10× bench
+    // measured t109 at 225 s collapsed vs ~15 s materialized; the
+    // frame itself is 3 scalars/row. CacheRegistry discipline as in
+    // dedupByContainmentIncremental.
+    val sigs = graft.CacheRegistry.track(
+      df.select(col(idCol), col(sigACol).as("simhash"),
+        col(sigBCol).as("__sigb"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val reps = sigs.groupBy("simhash", "__sigb")
       .agg(min(col(idCol)).as(idCol))
     val removedIdentical = sigs
@@ -381,8 +392,13 @@ object NearDup {
     * id survives. */
   private def dedupBySignatureFrame(df: DataFrame, sigs: DataFrame,
       idCol: String, maxHamming: Int, maxBucket: Int): DataFrame = {
-    val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
-    val removedIdentical = sigs
+    // same materialization argument as dedupBySignaturePair: sigs is
+    // referenced by reps, the twin join, and the bands — persist the
+    // narrow frame so signature expression chains evaluate once
+    val sigsP = graft.CacheRegistry.track(
+      sigs.persist(StorageLevel.MEMORY_AND_DISK))
+    val reps = sigsP.groupBy("simhash").agg(min(col(idCol)).as(idCol))
+    val removedIdentical = sigsP
       .join(reps.withColumnRenamed(idCol, "__rep"), "simhash")
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
