@@ -303,28 +303,44 @@ object CommitLogTableFormat extends TableFormat {
   }
 
   /** Commit history: (version, commit_ts_millis) ascending. The
-    * commit instant is the manifest file's modification time — the
-    * atomic publish (link/rename into `_log/`) is what MAKES the
-    * version visible, so its mtime is the earliest moment any reader
-    * could have seen the snapshot. Vacuumed versions drop out of the
-    * history with their manifests. */
+    * commit instant is the manifest file's modification time. On
+    * `file:` hard-link publish and HDFS rename the mtime is set when
+    * the manifest CONTENT was written (the link/rename that makes it
+    * visible preserves it), so the timestamp LOWER-bounds visibility
+    * by the write→publish latency — the same caveat Delta's
+    * timestampAsOf carries for its commit files; a reader at exactly
+    * that instant may not yet have seen the version. Vacuumed
+    * versions drop out of the history with their manifests — mtimes
+    * come from the ONE directory listing (not a per-version
+    * getFileStatus), so a concurrent vacuum yields a shorter history,
+    * never a FileNotFoundException mid-walk. */
   def versionHistory(spark: SparkSession,
       path: String): Seq[(Long, Long)] = {
     val (f, root) = fs(spark, path)
-    listVersions(f, root).map(v =>
-      v -> f.getFileStatus(manifestPath(root, v)).getModificationTime)
+    val dir = logDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripSuffix(".json").toLong).toOption
+        .map(_ -> st.getModificationTime))
+      .sortBy(_._1)
   }
 
   /** Time travel by TIMESTAMP (the Delta `timestampAsOf` contract):
-    * the latest snapshot committed at or before `tsMillis`, or None
-    * when the table had no committed version yet at that instant
-    * (or the qualifying versions were all vacuumed). Ties (an mtime
-    * exactly equal to `tsMillis`) are INCLUDED — "as of T" means
-    * "what a reader starting at T would have seen". */
+    * the latest snapshot whose commit timestamp (see
+    * [[versionHistory]], incl. its write-vs-publish caveat) is at or
+    * before `tsMillis`; None when the table had no committed version
+    * yet at that instant (or the qualifying versions were all
+    * vacuumed). Ties (a timestamp exactly equal to `tsMillis`) are
+    * INCLUDED. */
   def readAsOf(spark: SparkSession, path: String,
       tsMillis: Long): Option[DataFrame] =
+    // history is version-ascending and mtimes are non-decreasing
+    // across commits (spec-pinned), so the last qualifying entry IS
+    // the latest version
     versionHistory(spark, path)
-      .filter(_._2 <= tsMillis).map(_._1).sorted.lastOption
+      .filter(_._2 <= tsMillis).map(_._1).lastOption
       .flatMap(v => readAt(spark, path, v))
 
   /** Time travel: the snapshot exactly as committed at `version`, or

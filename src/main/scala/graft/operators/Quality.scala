@@ -180,7 +180,12 @@ object Quality {
     * 6 dp at the single final point. Empty documents report zeros. */
   def lexicalDiversity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = filter(TextOps.tokens(col(textCol)),
+    // NULL text behaves like empty text (zeros, per the contract
+    // above) — unguarded, split(NULL) is NULL and the whole stats
+    // struct would go NULL, diverging from the oracle's COALESCE
+    val toks = filter(
+      coalesce(TextOps.tokens(col(textCol)),
+        array().cast("array<string>")),
       x => length(x) > lit(0))
     val nd = (c: org.apache.spark.sql.Column) => c.cast("double")
     // fixed-point term for a finished run of length `run` out of `n`:

@@ -72,10 +72,11 @@ class QualitySpec extends SparkSpec {
   test("lexicalDiversity: hand-computed counts/ratios/entropy; empty " +
     "and degenerate docs report zeros; plan stays exchange-free") {
     val docs = Seq(
-      (1L, "a b a b c"),     // counts: a2 b2 c1 → N5 types3 hapax1
-      (2L, "x x x x"),       // single type, no hapax, entropy 0
-      (3L, ""),              // no tokens at all
-      (4L, "one  two")       // double space: empty token filtered
+      (1L, Some("a b a b c")), // counts: a2 b2 c1 → N5 types3 hapax1
+      (2L, Some("x x x x")),   // single type, no hapax, entropy 0
+      (3L, Some("")),          // no tokens at all
+      (4L, Some("one  two")),  // double space: empty token filtered
+      (5L, Option.empty[String]) // NULL text behaves like empty
     ).toDF("doc_id", "text")
     val got = Quality.lexicalDiversity(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -93,6 +94,8 @@ class QualitySpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
     assert(got(4L) == ((2L, 2L, 2L, 1.0, 1.0,
       r6(2 * fp(-(0.5 * math.log(0.5))) / 1e12))))
+    assert(got(5L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)),
+      "NULL text must report zeros, not NULLs (oracle COALESCE parity)")
     // zero-shuffle contract: a pure map stage, like repetitionSignals
     val plan = Quality.lexicalDiversity(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString

@@ -60,6 +60,36 @@ class SkewJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("saltBy: byte-identical duplicate hot rows get zero spread " +
+    "under the whole-row default but full spread via saltBy — with " +
+    "parity either way") {
+    import spark.implicits._
+    // the default-value-key pathology: the hot key's rows all repeat
+    val dup = ((0 until 1600).map(i => (0L, "same", i.toLong)) ++
+      (0 until 40).map(i => ((i % 9) + 1L, s"v$i", 10000L + i)))
+      .toDF("k", "payload", "row_id")
+    val dupNoId = dup.drop("row_id")
+      .withColumn("row_id", lit(0L)) // make every hot row identical
+    val defSpread = dupNoId.filter(col("k") === 0)
+      .select(countDistinct(pmod(
+        xxhash64(dupNoId.columns.map(col): _*), lit(8L))))
+      .head().getLong(0)
+    assert(defSpread == 1L, "identical rows must expose the cap")
+    // saltBy a distinguishing column restores the spread
+    val byIdSpread = dup.filter(col("k") === 0)
+      .select(countDistinct(pmod(xxhash64(col("row_id")), lit(8L))))
+      .head().getLong(0)
+    assert(byIdSpread == 8L)
+    val plain = dup.join(dim(), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    val salted = SkewJoin.saltedJoin(dup, dim(), Seq("k"), 8,
+      saltBy = Seq("row_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    assert(salted == plain, "saltBy path must keep bit-parity")
+  }
+
   test("non-equi or unsupported join types are rejected") {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedJoin(fact(), dim(), Seq("k"), 1)
