@@ -25,14 +25,25 @@ object Tables {
     * input dir: concurrent sf0.01 verify + sf1 bench runs share one
     * box and must never clobber each other's tables mid-query. The
     * ONE definition of the scoping scheme — j10's catalog-name tag
-    * and every /tmp gate path derive from it. NOT used where the
-    * DuckDB oracle itself reads the path (t65/t68 — oracle SQL is
-    * static, so those paths must stay fixed). */
+    * and every /tmp gate path derive from it, INCLUDING the two
+    * gates whose DuckDB oracle reads the path off disk (t65/t68):
+    * their oracle strings interpolate [[oracleGatePath]], which
+    * resolves against the dir Verify was launched with. */
   def gateTag(dir: String): String =
     java.lang.Integer.toHexString(dir.hashCode)
 
   def gatePath(dir: String, name: String): String =
     s"/tmp/graft_gate_${name}_${gateTag(dir)}"
+
+  /** The testdata dir the dumped oracle SQL will be evaluated against.
+    * Verify.main pins it (system property) from its own sfDir arg
+    * BEFORE any QueryDef materializes, so an export-reading oracle
+    * names the same scoped path the Spark side of that run writes.
+    * Default = the driver's canonical correctness dir. */
+  def oracleDir: String =
+    sys.props.getOrElse("graft.verify.dir", "/root/testdata/sf0.01")
+
+  def oracleGatePath(name: String): String = gatePath(oracleDir, name)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

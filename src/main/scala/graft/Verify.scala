@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Pin the oracle-side dir BEFORE any QueryDef materializes: the
+    // t65/t68 oracle SQL interpolates Tables.oracleGatePath, which
+    // must name the scoped path THIS run's Spark side writes.
+    System.setProperty("graft.verify.dir", sfDir)
     // optional extra args: restrict to the named queries (local
     // iteration aid; the driver always passes exactly two args)
     val only: Set[String] = args.drop(2).toSet

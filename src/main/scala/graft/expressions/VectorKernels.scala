@@ -15,18 +15,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * a tight primitive loop over `ArrayData.getDouble` instead, keeping
   * the whole verify stage inside whole-stage codegen.
   *
-  * SEMANTICS ARE BIT-FOR-BIT THE HOF FORM'S — this matters twice:
-  * every DuckDB oracle replays the same left-assoc sequential fold,
-  * and [[graft.functions.VectorOps]]'s scaladoc promises
-  * deterministic element-order summation. Concretely:
+  * SEMANTICS, for ARRAY<DOUBLE> inputs, ARE BIT-FOR-BIT THE HOF
+  * FORM'S — this matters twice: every DuckDB oracle replays the same
+  * left-assoc sequential fold, and [[graft.functions.VectorOps]]'s
+  * scaladoc promises deterministic element-order summation.
+  * Concretely:
   *   - accumulate in ELEMENT ORDER: acc = ((0+t₀)+t₁)+… (no pairwise
   *     / vectorized reassociation),
   *   - NULL array → NULL (nullIntolerant),
   *   - mismatched lengths → NULL (zip_with pads with NULL, the old
   *     fold nulled out),
   *   - any NULL element → NULL (same propagation).
-  * Float inputs widen per element (x.toDouble), matching
-  * `VectorOps.asDouble`'s cast-then-fold.
+  *
+  * FLOAT inputs widen per element (x.toDouble) BEFORE multiplying /
+  * subtracting — i.e. the contract is `VectorOps.asDouble`-then-fold,
+  * NOT the raw float-precision HOF (`zip_with(a, b, _*_)` over floats
+  * multiplied in FLOAT before the double fold; the two differ on
+  * values that are not exact binary fractions). The widened contract
+  * is the one the oracles and recall specs pin (VectorKernelSpec has
+  * a non-exact-fraction float parity row). Integer-element arrays are
+  * REJECTED at type-check (the HOF form coerced them); cast with
+  * `VectorOps.asDouble` first.
   */
 object VectorKernelHelper {
   /** dot = Σ a_i·b_i, sequential; null on length mismatch/null elem. */

@@ -313,18 +313,33 @@ object CommitLogTableFormat extends TableFormat {
     * versions drop out of the history with their manifests — mtimes
     * come from the ONE directory listing (not a per-version
     * getFileStatus), so a concurrent vacuum yields a shorter history,
-    * never a FileNotFoundException mid-walk. */
+    * never a FileNotFoundException mid-walk.
+    *
+    * Timestamps are MONOTONIZED in version order (running max — the
+    * same guard Delta applies to its commit files): writer clock skew
+    * or object-store mtime semantics can hand a LATER version an
+    * EARLIER raw mtime, and without the running max [[readAsOf]]
+    * would silently skip a qualifying earlier version or surface a
+    * later one. With it, history timestamps are non-decreasing by
+    * construction, so timestamp resolution is stable whatever the
+    * file times say. */
   def versionHistory(spark: SparkSession,
       path: String): Seq[(Long, Long)] = {
     val (f, root) = fs(spark, path)
     val dir = logDir(root)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".json"))
-      .flatMap(st => scala.util.Try(
-        st.getPath.getName.stripSuffix(".json").toLong).toOption
-        .map(_ -> st.getModificationTime))
-      .sortBy(_._1)
+    val raw =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripSuffix(".json").toLong).toOption
+          .map(_ -> st.getModificationTime))
+        .sortBy(_._1)
+    var runningMax = Long.MinValue
+    raw.map { case (v, ts) =>
+      runningMax = math.max(runningMax, ts)
+      (v, runningMax)
+    }
   }
 
   /** Time travel by TIMESTAMP (the Delta `timestampAsOf` contract):
@@ -336,9 +351,10 @@ object CommitLogTableFormat extends TableFormat {
     * INCLUDED. */
   def readAsOf(spark: SparkSession, path: String,
       tsMillis: Long): Option[DataFrame] =
-    // history is version-ascending and mtimes are non-decreasing
-    // across commits (spec-pinned), so the last qualifying entry IS
-    // the latest version
+    // history is version-ascending and its timestamps non-decreasing
+    // BY CONSTRUCTION (versionHistory monotonizes raw mtimes), so the
+    // last qualifying entry IS the latest version even under writer
+    // clock skew / out-of-order file mtimes
     versionHistory(spark, path)
       .filter(_._2 <= tsMillis).map(_._1).lastOption
       .flatMap(v => readAt(spark, path, v))

@@ -43,6 +43,15 @@ object Scd {
       tracked: Seq[String]): DataFrame = {
     require(keys.nonEmpty && tracked.nonEmpty,
       "scd2 needs at least one key and one tracked column")
+    // the temp/output names below silently overwrite same-named input
+    // columns (withColumn replaces) — a change stream already carrying
+    // e.g. valid_from would corrupt intermediate state, so refuse it
+    val reserved =
+      Seq("__first", "__chg", "valid_from", "valid_to", "is_current")
+    val clash = changes.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with scd2's " +
+        "reserved output/temp names — rename them upstream")
     val byKey = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol))
     val changed = tracked

@@ -446,7 +446,13 @@ object Sketches {
     val session = sketches.sparkSession
     import session.implicits._
     val pDf = percentiles.toDF("p")
-    val obs = sketches.filter(col("bin").isNotNull)
+    // defensively collapse to one row per (group, bin) first: handed a
+    // raw (unmerged) sketch, duplicate bin rows would make the
+    // cumulative window's within-bin order arbitrary and the
+    // winning-bin filter/interpolation silently wrong. Cheap — the
+    // frame is at most groups × (bins+1) rows; identity on an asset.
+    val obs = histogramMerge(sketches, groupCols)
+      .filter(col("bin").isNotNull)
     val totals = obs.groupBy(g: _*).agg(sum(col("n")).as("__N"))
     val cum = obs.withColumn("__cum",
       sum(col("n")).over(org.apache.spark.sql.expressions.Window

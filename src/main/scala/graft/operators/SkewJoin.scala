@@ -50,7 +50,25 @@ object SkewJoin {
     require(salts >= 2, s"salts must be >= 2, got $salts")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left joins, got $joinType")
-    val saltSrc = if (saltBy.nonEmpty) saltBy else big.columns.toSeq
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"inputs must not already carry the internal salt column '$SaltCol'")
+    // default salt source = every HASHABLE big-side column: xxhash64
+    // rejects map-typed columns at analysis with an obscure error, so
+    // filter them here; if nothing hashable distinguishes the rows the
+    // caller must name a salt source explicitly
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltSrc =
+      if (saltBy.nonEmpty) saltBy
+      else big.schema.fields.filter(f => hashable(f.dataType))
+        .map(_.name).toSeq
+    require(saltSrc.nonEmpty,
+      "no hashable big-side column to derive the salt from — pass saltBy")
     val saltedBig = big.withColumn(SaltCol,
       pmod(xxhash64(saltSrc.map(col): _*), lit(salts.toLong))
         .cast("int"))

@@ -2447,7 +2447,7 @@ object TrainingQueries {
       "t65_snapshot_export",
       (s, dir) => {
         val cl = graft.operators.CommitLogTableFormat
-        val base = "/tmp/graft_gate_export"
+        val base = Tables.gatePath(dir, "export")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -2471,13 +2471,14 @@ object TrainingQueries {
             col("o_totalprice"))
       },
       Some {
-        """SELECT CAST(1 AS INT) AS version, o_orderkey, o_custkey,
-          |  o_totalprice
-          |FROM read_parquet('/tmp/graft_gate_export/v1/*.parquet')
-          |UNION ALL
-          |SELECT CAST(2 AS INT) AS version, o_orderkey, o_custkey,
-          |  o_totalprice
-          |FROM read_parquet('/tmp/graft_gate_export/v2/*.parquet')"""
+        val base = Tables.oracleGatePath("export")
+        s"""SELECT CAST(1 AS INT) AS version, o_orderkey, o_custkey,
+           |  o_totalprice
+           |FROM read_parquet('$base/v1/*.parquet')
+           |UNION ALL
+           |SELECT CAST(2 AS INT) AS version, o_orderkey, o_custkey,
+           |  o_totalprice
+           |FROM read_parquet('$base/v2/*.parquet')"""
           .stripMargin
       }),
 
@@ -2637,7 +2638,7 @@ object TrainingQueries {
       "t68_export_partition_prune",
       (s, dir) => {
         val cl = graft.operators.CommitLogTableFormat
-        val base = "/tmp/graft_gate_export_part"
+        val base = Tables.gatePath(dir, "export_part")
         val fsPath = new org.apache.hadoop.fs.Path(base)
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
@@ -2657,11 +2658,12 @@ object TrainingQueries {
             col("o_totalprice"), col("o_orderpriority"))
       },
       Some {
-        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-          |FROM read_parquet(
-          |  '/tmp/graft_gate_export_part/v2/*/*.parquet',
-          |  hive_partitioning=1)
-          |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"""
+        val base = Tables.oracleGatePath("export_part")
+        s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           |FROM read_parquet(
+           |  '$base/v2/*/*.parquet',
+           |  hive_partitioning=1)
+           |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"""
           .stripMargin
       }),
 

@@ -370,6 +370,38 @@ class CommitLogFormatSpec extends SparkSpec {
     if (t3 > t2) assert(rowsAsOf(t3 - 1) === Some(2L))
   }
 
+  test("versionHistory monotonizes out-of-order manifest mtimes " +
+    "(writer clock skew): readAsOf never surfaces a later version " +
+    "at an instant before an earlier one") {
+    import spark.implicits._
+    val path = tmpDir("cl-skew") + "/t"
+    def snap(xs: Int*) = xs.toDF("k")
+    CommitLogTableFormat.fullRefresh(spark, snap(1), path)
+    CommitLogTableFormat.fullRefresh(spark, snap(1, 2), path)
+    CommitLogTableFormat.fullRefresh(spark, snap(1, 2, 3), path)
+    // simulate a skewed writer with PINNED mtimes: v1 @ T, v2 @ T+10s,
+    // v3 @ T-60s (object-store mtime semantics / clock drift). The raw
+    // listing would let readAsOf(T) surface v3 — a version that did
+    // not exist at T.
+    val base = System.currentTimeMillis()
+    def pin(v: Long, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path, "_log", f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    pin(1L, base); pin(2L, base + 10000); pin(3L, base - 60000)
+    val hist = CommitLogTableFormat.versionHistory(spark, path)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2) == Seq(base, base + 10000, base + 10000),
+      "running-max monotonization over the raw mtimes")
+    // an instant in [T, T+10s) resolves to its true floor v1, not the
+    // skewed v3; at T+10s the tie surfaces the LATEST version, v3
+    assert(CommitLogTableFormat.readAsOf(spark, path, base)
+      .map(_.count()) === Some(1L))
+    assert(CommitLogTableFormat.readAsOf(spark, path, base + 10000)
+      .map(_.count()) === Some(3L))
+    assert(CommitLogTableFormat.readAsOf(spark, path, base - 1).isEmpty)
+  }
+
   test("applyCdc: a NULL op fails fast instead of silently dropping " +
     "the row (r7 advice) and leaves the table unchanged") {
     import spark.implicits._

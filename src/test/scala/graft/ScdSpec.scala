@@ -35,6 +35,21 @@ class ScdSpec extends SparkSpec {
       (3L, "x", 3L, -1L, true)))
   }
 
+  test("reserved output/temp column names in the input are rejected " +
+    "instead of silently clobbered") {
+    import spark.implicits._
+    val withReserved = Seq((1L, 1L, "a", "x"))
+      .toDF("k", "ver", "v", "valid_from")
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2(withReserved, Seq("k"), "ver", Seq("v"))
+    }
+    assert(e.getMessage.contains("valid_from"))
+    val withTemp = Seq((1L, 1L, "a", true)).toDF("k", "ver", "v", "__chg")
+    intercept[IllegalArgumentException] {
+      Scd.scd2(withTemp, Seq("k"), "ver", Seq("v"))
+    }
+  }
+
   test("asOf: point-in-time lookup honors the half-open convention") {
     val d = Scd.scd2(dim(), Seq("k"), "ver", Seq("v"))
     def at(v: Long) = Scd.asOf(d, lit(v))

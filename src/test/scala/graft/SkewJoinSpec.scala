@@ -90,6 +90,35 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted == plain, "saltBy path must keep bit-parity")
   }
 
+  test("map-typed big-side columns are excluded from the default " +
+    "salt source (xxhash64 cannot hash maps); all-map requires saltBy") {
+    import spark.implicits._
+    val big = Seq((1L, "a")).toDF("k", "v")
+      .withColumn("m", map(lit("x"), lit(1)))
+    val small = Seq((1L, "dim")).toDF("k", "d")
+    // would fail analysis with 'hash on map type' without the filter
+    assert(SkewJoin.saltedJoin(big, small, Seq("k"), salts = 4)
+      .count() == 1L)
+    // a big side with ONLY unhashable non-key columns still works via
+    // explicit saltBy on the key
+    val onlyMap = Seq(1L).toDF("k").withColumn("m", map(lit("x"), lit(1)))
+    assert(SkewJoin.saltedJoin(onlyMap, small, Seq("k"), salts = 4,
+      saltBy = Seq("k")).count() == 1L)
+  }
+
+  test("a pre-existing internal salt column on either side is " +
+    "rejected instead of silently clobbered") {
+    import spark.implicits._
+    val big = Seq((1L, 0)).toDF("k", "__graft_salt")
+    val small = Seq((1L, "dim")).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("k"), salts = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(small, big, Seq("k"), salts = 4)
+    }
+  }
+
   test("non-equi or unsupported join types are rejected") {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedJoin(fact(), dim(), Seq("k"), 1)

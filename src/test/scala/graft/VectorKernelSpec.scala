@@ -57,6 +57,34 @@ class VectorKernelSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("float parity on NON-exact binary fractions: kernel == " +
+    "asDouble-then-fold, and that is NOT the raw float-precision HOF") {
+    import spark.implicits._
+    // 0.1f/0.3f/0.7f have no exact binary representation: a float
+    // multiply then widen differs from widen-then-double-multiply in
+    // the last bits — the kernel's pinned contract is the latter
+    val df = Seq((Array(0.1f, 0.3f, 0.7f), Array(0.3f, 0.7f, 0.1f)))
+      .toDF("a", "b")
+    val viaKernel = df.select(
+      VectorOps.dot(col("a"), col("b"))).head().getDouble(0)
+    val viaWidened = df.select(VectorOps.dot(
+      VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))))
+      .head().getDouble(0)
+    val viaRawFloatHof = df.select(
+      hofDot(col("a"), col("b")).cast("double")).head().getDouble(0)
+    assert(viaKernel == viaWidened,
+      "float inputs must follow the asDouble-then-fold contract exactly")
+    assert(viaKernel != viaRawFloatHof,
+      "chosen values must actually exercise the float/double divergence")
+    // same pin for sqDist
+    val sqKernel = df.select(
+      VectorOps.sqDist(col("a"), col("b"))).head().getDouble(0)
+    val sqWidened = df.select(VectorOps.sqDist(
+      VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))))
+      .head().getDouble(0)
+    assert(sqKernel == sqWidened)
+  }
+
   test("float inputs widen per element like asDouble-then-fold; " +
     "the kernel runs inside WholeStageCodegen") {
     import spark.implicits._
