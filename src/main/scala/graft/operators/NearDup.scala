@@ -1170,10 +1170,26 @@ object NearDup {
     * (id_a, id_b, n_inter, n_a, n_b, cont_a, cont_b) with cont_a =
     * containment of A's shingle set in B's, rounded to 6; kept when
     * either direction reaches `tau`. Docs with fewer than 3 tokens
-    * have empty shingle sets and never pair. */
+    * have empty shingle sets and never pair.
+    *
+    * HOT-GRAM GUARD (`maxDf`, default off = exact): the gram join's
+    * amplification for a gram of document frequency df is df² rows —
+    * one degenerate boilerplate shingle appearing in 10⁶ docs is a
+    * 10¹²-row join with no cap, the containment sibling of the
+    * banded family's oversized-bucket pathology (`maxBucket`,
+    * `candidatePairsCarrying`). With `maxDf` set, grams whose df
+    * exceeds it are EXCLUDED from intersection counting (numerator)
+    * while n_a/n_b stay the FULL set sizes — so every reported
+    * containment is a LOWER BOUND of the exact value. The guard is
+    * therefore strictly CONSERVATIVE for dedup: it can only MISS
+    * pairs (recall loss on pairs whose overlap is mostly boilerplate,
+    * logged via [[hotGrams]]), never fabricate one — guard-on dedup
+    * keeps a superset of the exact run's survivors, and a hot gram's
+    * join cost is capped at maxDf² instead of df². */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     // ONE definition of "a document's shingle rows" for the whole
     // containment family (shared pre-explode helper) — batch and
     // incremental paths cannot drift, and sizes come off the arrays
@@ -1181,8 +1197,9 @@ object NearDup {
     val pre = containmentShingleFrame(docs, idCol, textCol)
     val sizes = pre.select(col("doc_id").as("__id"),
       col("n_grams").as("__n"))
-    val grams = pre.select(col("doc_id").as("__id"),
-      explode(col("__sh")).as("__g"))
+    val grams = capGramsByDf(
+      pre.select(col("doc_id").as("__id"), explode(col("__sh")).as("__g")),
+      "__g", maxDf)
     val inter = grams.select(col("__id").as("__ida"), col("__g"))
       .join(grams.select(col("__id").as("__idb"), col("__g")), Seq("__g"))
       .filter(col("__ida") < col("__idb"))
@@ -1199,6 +1216,34 @@ object NearDup {
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         col("n_inter"), col("n_a"), col("n_b"),
         col("cont_a"), col("cont_b"))
+  }
+
+  /** The df cap behind `maxDf` (identity when off): rows whose gram's
+    * document frequency WITHIN `grams` exceeds the cap are dropped
+    * before any join. Shingle rows are distinct per doc
+    * ([[graft.functions.TextOps.shingles3]] is array_distinct), so
+    * count(*) per gram IS df. The hot set is bounded by
+    * |gram rows| / maxDf — a map-side-combined aggregate plus an
+    * anti-join, never a collect; AQE broadcasts it when small. */
+  private def capGramsByDf(grams: DataFrame, gramCol: String,
+      maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) grams
+    else grams.join(
+      grams.groupBy(gramCol).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(gramCol),
+      Seq(gramCol), "left_anti")
+
+  /** Diagnostic for the [[containmentPairs]] `maxDf` guard — the
+    * grams the cap would exclude, with their document frequencies
+    * (the drop-with-log half of the policy, [[oversizedBuckets]]'s
+    * containment sibling): inspect these to pick a cap that excises
+    * boilerplate without touching informative overlap. */
+  def hotGrams(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    containmentGramIndex(docs, idCol, textCol)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
   }
 
   /** Inverted gram index of a corpus — the asset
@@ -1250,25 +1295,37 @@ object NearDup {
     * history plus the surviving batch docs, so dropped docs never
     * enter it and the asset grows O(survivors) per day. With an
     * empty index this is exactly [[dedupByContainment]]
-    * (spec-asserted). */
+    * (spec-asserted).
+    *
+    * `maxDf` (default off): [[containmentPairs]]' hot-gram guard,
+    * applied to BOTH joins this operator runs — the in-batch pass
+    * inherits it, and the history join drops gram rows hot on EITHER
+    * side (df within the batch, or df within the index, above the
+    * cap) while `__inn` stays the full incoming size. Same
+    * conservative contract: capped containment only underestimates,
+    * so guard-on keeps a superset of the exact run's survivors. */
   def dedupByContainmentIncremental(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame,
-      tau: Double): (DataFrame, DataFrame) = {
+      tau: Double, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     // the batch's gram rows feed the history join AND the updated
     // index — persist once (CacheRegistry discipline); the in-batch
     // dedup pass re-derives its own frame inside containmentPairs
     val inc = graft.CacheRegistry.track(
       containmentGramIndex(docs, idCol, textCol)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val ex = existingIndex.select(col("doc_id").as("__exid"),
-      col("gram"), col("n_grams").as("__exn"))
+    val ex = capGramsByDf(
+      existingIndex.select(col("doc_id").as("__exid"),
+        col("gram"), col("n_grams").as("__exn")),
+      "gram", maxDf)
     // cont(incoming → existing) per (incoming, existing) pair: count
     // of shared grams over the INCOMING size — one narrow gram join,
     // (id, id) counts only, the t100 discipline
-    val droppedVsHistory = inc
-      .select(col("doc_id").as("__inid"), col("gram"),
-        col("n_grams").as("__inn"))
+    val droppedVsHistory = capGramsByDf(
+      inc.select(col("doc_id").as("__inid"), col("gram"),
+        col("n_grams").as("__inn")),
+      "gram", maxDf)
       .join(ex, Seq("gram"))
       .groupBy("__inid", "__inn", "__exid", "__exn")
       .agg(count(lit(1)).as("__inter"))
@@ -1276,7 +1333,8 @@ object NearDup {
         col("__inn") <= col("__exn"))
       .select(col("__inid").as(idCol)).distinct()
     val afterHistory = docs.join(droppedVsHistory, Seq(idCol), "left_anti")
-    val survivors = dedupByContainment(afterHistory, idCol, textCol, tau)
+    val survivors =
+      dedupByContainment(afterHistory, idCol, textCol, tau, maxDf)
     // survivors' gram rows already exist in `inc` — semi-join, never
     // re-shingle
     val updated = existingIndex.unionByName(
@@ -1295,10 +1353,13 @@ object NearDup {
     * When the larger side reaches tau in the smaller (near-equal
     * sizes under tau < 1), the smaller side's own containment is
     * necessarily higher still, so the drop direction stays
-    * keep-largest. Returns the surviving rows of `docs`. */
+    * keep-largest. Returns the surviving rows of `docs`. `maxDf`:
+    * [[containmentPairs]]' hot-gram guard (conservative — guard-on
+    * survivors are a superset of the exact run's). */
   def dedupByContainment(docs: DataFrame, idCol: String,
-      textCol: String, tau: Double): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, tau)
+      textCol: String, tau: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, tau, maxDf)
     val dropped = pairs.select(
       when(col("cont_a") >= tau && col("n_a") < col("n_b"), col("id_a"))
         .when(col("cont_b") >= tau && col("n_b") < col("n_a"), col("id_b"))

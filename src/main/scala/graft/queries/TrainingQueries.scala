@@ -5487,6 +5487,61 @@ object TrainingQueries {
            |WHERE CAST(cum AS DOUBLE) >= t
            |  AND CAST(cum - n AS DOUBLE) < t""".stripMargin
       }),
+
+    // Hot-gram-capped containment (t100 under the maxDf guard): every
+    // doc gets a 3-token boilerplate prefix, planting one universal
+    // shingle (df = all docs — the degenerate gram whose df² join
+    // amplification the guard exists to cap). With maxDf = 50 that
+    // gram leaves the join; excerpt→source containment drops from
+    // 12/12 to the LOWER BOUND 11/12 ≈ 0.9167 (full n_a, capped
+    // numerator) and stays above tau 0.9, so the genuine relations
+    // all survive while boilerplate co-occurrence contributes zero
+    // rows. Oracle replays the df computation, the exclusion, and
+    // the full-size denominators.
+    QueryDef(
+      "t125_containment_capped",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir))
+          .select(col("doc_id"),
+            concat(lit("cx cy cz "), col("text")).as("text"))
+        val ex = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        graft.operators.NearDup.containmentPairs(
+          d.unionByName(ex), "doc_id", "text", tau = 0.9, maxDf = 50)
+      },
+      Some(
+        s"""WITH u AS (
+           |  SELECT doc_id, 'cx cy cz ' || text AS text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(list_slice(
+           |      string_split('cx cy cz ' || text, ' '), 1, 14),
+           |      ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM u),
+           |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
+           |  WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |hot AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) > 50),
+           |gk AS (SELECT doc_id, gr FROM g
+           |  WHERE gr NOT IN (SELECT gr FROM hot)),
+           |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM gk a JOIN gk b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT i.ida AS id_a, i.idb AS id_b, i.n_inter,
+           |  sa.n AS n_a, sb.n AS n_b,
+           |  round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS cont_a,
+           |  round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS cont_b
+           |FROM i JOIN sz sa ON sa.doc_id = i.ida
+           |  JOIN sz sb ON sb.doc_id = i.idb
+           |WHERE round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) >= 0.9
+           |   OR round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) >= 0.9"""
+          .stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

@@ -482,6 +482,60 @@ class NearDupSpec extends SparkSpec {
     assert(loose.length == 3, "partially-contained pairs at tau 0.2")
   }
 
+  test("maxDf hot-gram guard: a boilerplate shingle in every doc " +
+    "stops amplifying the gram join; genuine excerpts still drop; " +
+    "guard-on survivors are a superset of exact") {
+    import spark.implicits._
+    // 40 docs sharing ONE boilerplate shingle (h1 h2 h3) + unique
+    // tails: every pair shares exactly that gram (cont 1/4 = 0.25),
+    // so at tau 0.2 the exact join emits all C(40,2) = 780 pairs —
+    // the df² amplification in miniature (at 100 TB, df ~10⁶ makes
+    // this a 10¹²-row join)
+    val boiler = (0 until 40).map(i => (i.toLong, s"h1 h2 h3 x$i y$i z$i"))
+    val docs = boiler.toDF("doc_id", "text")
+    val exact = NearDup.containmentPairs(docs, "doc_id", "text", 0.2)
+    assert(exact.count() == 780L, "exact: every pair via the hot gram")
+    // guard on: the hot gram (df 40 > 10) leaves the join; no pair
+    // shares anything else, so the candidate space collapses to zero
+    val capped = NearDup.containmentPairs(docs, "doc_id", "text", 0.2,
+      maxDf = 10)
+    assert(capped.count() == 0L, "capped: boilerplate-only pairs gone")
+    // the drop-with-log half: exactly the boilerplate gram, df = 40
+    val hot = NearDup.hotGrams(docs, "doc_id", "text", maxDf = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot.toSeq === Seq(("h1 h2 h3", 40L)))
+
+    // a GENUINE excerpt relation rides non-hot grams and survives the
+    // guard; its containment is reported as a LOWER bound (full n_a)
+    val source = (100L, "h1 h2 h3 a b c d e f g h i j")
+    val excerpt = (101L, "a b c d e f") // 4 shingles, none hot, all in source
+    val docs2 = (boiler :+ source :+ excerpt).toDF("doc_id", "text")
+    val pair = NearDup.containmentPairs(docs2, "doc_id", "text", 0.9,
+      maxDf = 10).filter(col("id_a") === 100L && col("id_b") === 101L)
+      .collect()
+    assert(pair.length == 1 && pair(0).getDouble(6) == 1.0,
+      "excerpt→source containment via non-hot grams only")
+    // conservative contract: guard-on keeps a SUPERSET of exact's
+    // survivors (capped containment only underestimates)
+    val exactKept = NearDup.dedupByContainment(docs2, "doc_id", "text",
+      0.9).collect().map(_.getLong(0)).toSet
+    val cappedKept = NearDup.dedupByContainment(docs2, "doc_id", "text",
+      0.9, maxDf = 10).collect().map(_.getLong(0)).toSet
+    assert(exactKept.subsetOf(cappedKept))
+    assert(!cappedKept.contains(101L), "the genuine excerpt still drops")
+
+    // incremental path: hot gram capped on BOTH sides of the history
+    // join, genuine excerpt of history still drops
+    val idx = NearDup.containmentGramIndex(docs2, "doc_id", "text")
+    val incoming = Seq(
+      (200L, "a b c d e f"),             // excerpt of shipped 100: drops
+      (201L, "h1 h2 h3 q1 q2 q3"))       // shares only the hot gram: stays
+      .toDF("doc_id", "text")
+    val (surv, _) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.9, maxDf = 10)
+    assert(surv.collect().map(_.getLong(0)).toSet === Set(201L))
+  }
+
   test("dedupByContainment: excerpts drop, chains keep the root, ties keep min id") {
     import spark.implicits._
     val a = "a b c d e f g h i j k l"   // 10 shingles — the root
