@@ -477,6 +477,45 @@ object Ann {
       .select("p_id", "rn", "c_id", "ad2")
   }
 
+  /** Exact re-rank stage over [[ivfPqSearchIndexed]] — the standard
+    * refinement step production ANN deployments run after ADC (FAISS'
+    * IndexRefineFlat shape): ADC scores carry PQ quantization error,
+    * so the true nearest neighbor is sometimes ranked just below a
+    * coarser candidate. Retrieve `k·refine` candidates by ADC, join
+    * ONLY those ids back to the raw vectors, re-score with exact
+    * squared L2, return the exact top-`k`.
+    *
+    * Scale shape: the candidate frame is |probes|·k·refine rows —
+    * tiny — so it BROADCASTS against the corpus (one corpus scan,
+    * no shuffle of the vectors); probes broadcast likewise. The cost
+    * over plain ADC is one broadcast-hash pass over the corpus and
+    * |candidates| exact d-dim distances — the recall recovery is
+    * measured in AnnRecallSpec. Output: (p_id, rn, c_id, d2) with d2
+    * the EXACT squared distance (not ADC), rounded to 6. */
+  def ivfPqSearchRefined(index: DataFrame, vectors: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      books: DataFrame, m: Int, dsub: Int, k: Int, nprobe: Int,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = ivfPqSearchIndexed(index, probes, idCol, vecCol,
+      centroids, centIdCol, centVecCol, books, m, dsub,
+      k * refine, nprobe)
+      .select(col("p_id"), col("c_id"))
+    val corpus = vectors.select(col(idCol).as("c_id"),
+      col(vecCol).as("__cv"))
+    val probeV = probes.select(col(idCol).as("p_id"),
+      col(vecCol).as("__pv"))
+    corpus.join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(probeV), Seq("p_id"))
+      .withColumn("d2",
+        round(VectorOps.sqDist(col("__pv"), col("__cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("d2").asc, col("c_id").asc)))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "c_id", "d2")
+  }
+
   /** Full IVF search: for each probe row, the top-`k` nearest corpus
     * vectors by exact cosine among the `nprobe` nearest cells.
     * Output: (probe id as p_id, rn, candidate id as c_id, cos).

@@ -208,6 +208,16 @@ object TrainingQueries {
       s"$d * $d"
     }.mkString("(", " + ", ")")
 
+  /** Exact squared distance between two EMBEDDING relations (probe vs
+    * corpus row) — the left-assoc `+` chain replays VectorOps.sqDist's
+    * sequential fold term for term. */
+  private def d2Exact(p: String, e: String): String =
+    (1 to Dims).map { i =>
+      val d = s"(CAST($p.embedding[$i] AS DOUBLE)" +
+        s" - CAST($e.embedding[$i] AS DOUBLE))"
+      s"$d * $d"
+    }.mkString("(", " + ", ")")
+
   /** Banded-minhash SQL over any (doc_id, text) relation `from` —
     * lets composed-pipeline oracles (t19) run the same signature over
     * an already-curated CTE. */
@@ -5542,6 +5552,85 @@ object TrainingQueries {
            |WHERE round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) >= 0.9
            |   OR round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) >= 0.9"""
           .stripMargin)),
+
+    // IVF-PQ search with an EXACT re-rank tail (t34 + refinement):
+    // ADC scores carry PQ quantization error, so production search
+    // retrieves k·refine candidates by ADC and re-scores just those
+    // against the raw vectors — recall recovery at the cost of one
+    // broadcast candidate join (AnnRecallSpec measures the recall
+    // delta on adversarial vectors). The oracle extends t34's chain:
+    // same trainings, same ADC candidate ranking to rn <= k·refine,
+    // then exact per-dim distances (d2Exact replays the sequential
+    // fold) and the final exact top-k order.
+    QueryDef(
+      "t126_ivfpq_search_refined",
+      (s, dir) => {
+        val ann = graft.operators.Ann
+        val e = spread(s, Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        val cents = ann.trainCentroids(e, "vec_id", "v",
+          nlist = 8, iters = 2)
+        val books = ann.trainPq(e, "vec_id", "v",
+          PqM, PqDsub, PqKsub, PqIters)
+        val index = ann.ivfPqIndex(e, "vec_id", "v",
+          cents, "cent_id", "cv", books, PqM, PqDsub)
+        val probes = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        ann.ivfPqSearchRefined(index, e, probes, "vec_id", "v",
+          cents, "cent_id", "cv", books, PqM, PqDsub,
+          k = 3, nprobe = 2, refine = 2)
+      },
+      Some {
+        val pdSum = (0 until PqM).map(i => s"pd$i").mkString(" + ")
+        val pivotPd = (0 until PqM)
+          .map(i => s"MAX(CASE WHEN e.sub = $i THEN l.pd END) AS pd$i")
+          .mkString(", ")
+        s"""WITH ${lloydSql(8, 2)},
+           |${pqLloydSql(PqM, PqDsub, PqKsub, PqIters)},
+           |cents AS (SELECT * FROM c2),
+           |cells AS (SELECT c_id, cell FROM (
+           |  SELECT e.vec_id AS c_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2Trained("e", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |pcells AS (SELECT p_id, cell FROM (
+           |  SELECT p.vec_id AS p_id, c.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${d2Trained("p", "c")} ASC, c.cent_id ASC) AS rn
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p, cents c)
+           |  WHERE rn <= 2),
+           |enc AS (SELECT vec_id, sub, code FROM (
+           |  SELECT e.vec_id, c.sub, c.code,
+           |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+           |      ORDER BY ${pqD2Sql("e", "c", PqDsub)} ASC, c.code ASC) AS rn
+           |  FROM embeddings e, b$PqIters c) WHERE rn = 1),
+           |lut AS (SELECT p.vec_id AS p_id, c.sub, c.code,
+           |    ${pqD2Sql("p", "c", PqDsub)} AS pd
+           |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           |       b$PqIters c),
+           |j AS (SELECT l.p_id, e.vec_id AS c_id, $pivotPd
+           |  FROM enc e
+           |  JOIN cells cl ON cl.c_id = e.vec_id
+           |  JOIN pcells pc ON pc.cell = cl.cell
+           |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |    AND l.p_id = pc.p_id
+           |  WHERE e.vec_id <> pc.p_id GROUP BY l.p_id, e.vec_id),
+           |scored AS (SELECT p_id, c_id, round($pdSum, 6) AS ad2 FROM j),
+           |cand AS (SELECT p_id, c_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY ad2 ASC, c_id ASC) AS rn FROM scored)
+           |  WHERE rn <= 6),
+           |ex AS (SELECT cand.p_id, cand.c_id,
+           |    round(${d2Exact("p", "e")}, 6) AS d2
+           |  FROM cand
+           |  JOIN embeddings e ON e.vec_id = cand.c_id
+           |  JOIN embeddings p ON p.vec_id = cand.p_id)
+           |SELECT p_id, rn, c_id, d2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p_id
+           |    ORDER BY d2 ASC, c_id ASC) AS rn FROM ex)
+           |WHERE rn <= 3""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

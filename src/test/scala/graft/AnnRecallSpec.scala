@@ -81,8 +81,27 @@ class AnnRecallSpec extends SparkSpec {
     val rAdcFine = recallOf(Ann.pqSearchAdc(codesFine, "vec_id", probes,
       "vec_id", "v", booksFine, m = 8, dsub = 8, k = K))
 
+    // exact re-rank tail: k·refine ADC candidates re-scored against
+    // the raw vectors. refine=1 re-orders the SAME k candidates, so
+    // its recall set equals plain IVF-PQ's (structural pin: the
+    // re-rank never loses a candidate); refine=8 must RECOVER recall
+    // ADC's quantization error threw away — the knob's entire point.
+    val index = Ann.ivfPqIndex(corpus, "vec_id", "v", cents,
+      "cent_id", "cv", books, m = 4, dsub = 16)
+    val rRef1 = recallOf(Ann.ivfPqSearchRefined(index, corpus, probes,
+      "vec_id", "v", cents, "cent_id", "cv", books, m = 4, dsub = 16,
+      k = K, nprobe = 4, refine = 1))
+    val rRef8 = recallOf(Ann.ivfPqSearchRefined(index, corpus, probes,
+      "vec_id", "v", cents, "cent_id", "cv", books, m = 4, dsub = 16,
+      k = K, nprobe = 4, refine = 8))
+
     info(f"recall@$K%d ivf=$rIvf%.3f adc=$rAdc%.3f " +
-      f"adcFine=$rAdcFine%.3f ivfpq=$rIvfPq%.3f")
+      f"adcFine=$rAdcFine%.3f ivfpq=$rIvfPq%.3f " +
+      f"refined1=$rRef1%.3f refined8=$rRef8%.3f")
+    assert(rRef1 == rIvfPq,
+      f"refine=1 must keep exactly the ADC top-k set: $rRef1%.3f != $rIvfPq%.3f")
+    assert(rRef8 > rIvfPq,
+      f"exact re-rank did not recover recall: $rRef8%.3f <= $rIvfPq%.3f")
     // floors at ~half the measured values (uniform-random 64-dim
     // vectors are the quantization worst case; real embedding
     // manifolds compress far better). Structural breakage — wrong
