@@ -107,6 +107,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bandIds.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("neardupStream: bands-written-corpus-lost replay heals; " +
+    "band leaves stay duplicate-free") {
+    import graft.operators.NearDup
+    // the crash window the scaladoc documents: bands for the would-be
+    // survivors land (batch=0 leaf), the corpus append is lost, the
+    // batch replays from the checkpoint. The phantom band rows have no
+    // corpus doc, so the cross verify's inner join against corpus text
+    // drops them — the replay must reconstruct the same survivors and
+    // OVERWRITE the same leaf instead of duplicating band rows (dup
+    // rows inflate bucket counts and silently hub-collapse real
+    // candidates past maxBucket).
+    val root = tmpDir("stream-nd-crash")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tC = "one two three four five six seven eight nine"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(s"""{"id": 1, "text": "$tA"}""",
+        s"""{"id": 2, "text": "$tC"}""").mkString("\n").getBytes)
+    // simulate the crash point: survivors' bands already on disk
+    NearDup.minhashBands(Seq((1L, tA), (2L, tC)).toDF("doc_id", "text"),
+      "doc_id", "text", 12, 4)
+      .write.mode("overwrite").parquet(s"$root/bands/batch=0")
+    // fresh checkpoint replays the files as batch 0 again
+    Incremental.neardupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt",
+      "CAST(get_json_object(raw_data, '$.id') AS LONG)",
+      "get_json_object(raw_data, '$.text')")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L),
+      s"replay must land the survivors, got $corpus")
+    // leaf overwritten, not appended: one row per (doc, band_id)
+    val dup = spark.read.parquet(s"$root/bands")
+      .groupBy("doc_id", "band_id").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L, "replay duplicated band rows")
+  }
+
   test("signatureDedupStream: two drains == one batch signature dedup") {
     import graft.operators.NearDup
     val root = tmpDir("stream-sig")
