@@ -1,0 +1,218 @@
+package graft.multimodal
+
+/** MPEG-1 audio FRAME layer — the metadata walk a corpus pipeline
+  * runs over compressed audio at scale: sync scan, header parse,
+  * frame-size accounting, CBR/VBR detection, duration math, torn-tail
+  * robustness. Everything here is closed-form header arithmetic
+  * (public ISO/IEC 11172-3 frame syntax), so the t127 gate has DuckDB
+  * rederive every parsed fact from the same integer formulas.
+  *
+  * DELIBERATE BOUNDARY — parse, not PCM decode. Full Layer I–III
+  * synthesis requires the spec's table data (the 512-tap synthesis
+  * window, Layer III Huffman code tables): embedding reconstructions
+  * of those from memory in a clean-room build would ship unverifiable
+  * numbers (no reference decoder exists in this environment to check
+  * against), which is worse than the honest gap. At 100 TB the parse
+  * layer is what the DISTRIBUTED engine needs anyway — duration/
+  * bitrate/integrity stats for curation, sharding and dedup routing
+  * run on headers alone; sample-exact decode belongs in the dedicated
+  * media-decode stage alongside the GPU transforms, exactly where the
+  * pipeline already stubs non-JVM codecs. PCM-exact decode IS
+  * implemented for the lossless/telephony family (WAV/AIFF/AU PCM,
+  * G.711, ADPCM, FLAC — [[Multimodal.AudioDecoder]], [[Flac]]).
+  *
+  * Supported: MPEG-1 (version bits 11) Layers I/II/III, CRC and
+  * padding flags, all bitrate/sample-rate indexes, ID3v2 prefix skip,
+  * mid-stream resync after garbage. Free-format (bitrate index 0)
+  * frames are rejected at parse (size is not derivable from the
+  * header alone); MPEG-2/2.5 headers simply fail validation and are
+  * skipped by the resync scan.
+  */
+object Mp3 {
+
+  /** MPEG-1 bitrates in kbps by (layer, index 1..14); index 0 is
+    * free-format, 15 is invalid. Layer here is the DECODED layer
+    * number (1, 2, 3), not the inverted 2-bit header field. */
+  private[graft] val BitrateKbps: Map[Int, Array[Int]] = Map(
+    1 -> Array(0, 32, 64, 96, 128, 160, 192, 224,
+      256, 288, 320, 352, 384, 416, 448),
+    2 -> Array(0, 32, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320, 384),
+    3 -> Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320))
+
+  /** MPEG-1 sample rates by 2-bit header index; index 3 is invalid. */
+  private[graft] val SampleRate: Array[Int] =
+    Array(44100, 48000, 32000)
+
+  /** One parsed frame header. `sizeBytes` covers the whole frame
+    * (header + optional CRC + payload) — the walker's stride. */
+  final case class FrameInfo(
+      offset: Int,
+      sizeBytes: Int,
+      layer: Int,
+      bitrateKbps: Int,
+      sampleRate: Int,
+      padding: Boolean,
+      crc: Boolean,
+      channels: Int,
+      samplesPerFrame: Int)
+
+  /** Whole-stream summary: what curation reads per object. `cbr` is
+    * true when every frame carries one bitrate; `bitrateKbps` is that
+    * bitrate for CBR and the frame-weighted integer mean for VBR
+    * (floor — deterministic, oracle-replayable). `durationMs` =
+    * totalSamples · 1000 / sampleRate in Long math. */
+  final case class StreamInfo(
+      nFrames: Int,
+      layer: Int,
+      sampleRate: Int,
+      channels: Int,
+      cbr: Boolean,
+      bitrateKbps: Int,
+      nPadded: Int,
+      totalSamples: Long,
+      durationMs: Long,
+      bytesParsed: Long)
+
+  /** Frame size in bytes from header fields — the ISO formula:
+    * Layer I: (12·bitrate/rate + padding)·4 slots of 4 bytes;
+    * Layers II/III (MPEG-1): 144·bitrate/rate + padding. Integer
+    * (floor) division, bitrate in bits/s. */
+  private[multimodal] def frameSize(layer: Int, bitrateKbps: Int,
+      sampleRate: Int, padding: Boolean): Int = {
+    val br = bitrateKbps * 1000
+    val pad = if (padding) 1 else 0
+    if (layer == 1) (12 * br / sampleRate + pad) * 4
+    else 144 * br / sampleRate + pad
+  }
+
+  /** Parse + VALIDATE the 4-byte header at `off`; None when anything
+    * disqualifies it (not a sync, reserved index, free format, or the
+    * frame would run past the buffer — the torn-tail case). */
+  def parseHeaderAt(bytes: Array[Byte], off: Int): Option[FrameInfo] = {
+    if (off + 4 > bytes.length) return None
+    val b0 = bytes(off) & 0xff
+    val b1 = bytes(off + 1) & 0xff
+    val b2 = bytes(off + 2) & 0xff
+    val b3 = bytes(off + 3) & 0xff
+    if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None
+    if ((b1 & 0x18) != 0x18) return None // MPEG-1 only (version bits 11)
+    val layerBits = (b1 >> 1) & 0x3
+    if (layerBits == 0) return None // reserved
+    val layer = 4 - layerBits // 01→III, 10→II, 11→I
+    val crc = (b1 & 0x1) == 0 // protection bit 0 = CRC-16 present
+    val brIdx = (b2 >> 4) & 0xf
+    if (brIdx == 0 || brIdx == 15) return None // free format / invalid
+    val srIdx = (b2 >> 2) & 0x3
+    if (srIdx == 3) return None
+    val padding = ((b2 >> 1) & 0x1) == 1
+    val mode = (b3 >> 6) & 0x3
+    val channels = if (mode == 3) 1 else 2
+    val bitrate = BitrateKbps(layer)(brIdx)
+    val rate = SampleRate(srIdx)
+    val size = frameSize(layer, bitrate, rate, padding)
+    if (off + size > bytes.length) return None // torn tail
+    Some(FrameInfo(off, size, layer, bitrate, rate, padding, crc,
+      channels, if (layer == 1) 384 else 1152))
+  }
+
+  /** Bytes to skip for an ID3v2 prefix at offset 0 (header 10 bytes +
+    * syncsafe 28-bit size), or 0 when absent. */
+  private[multimodal] def id3v2Size(bytes: Array[Byte]): Int = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return 0
+    val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    10 + sz
+  }
+
+  /** True when the payload starts (after any ID3v2 prefix) with a
+    * valid MPEG-1 frame — the dispatch predicate. */
+  def isMp3(bytes: Array[Byte]): Boolean = {
+    val start = math.min(id3v2Size(bytes), bytes.length)
+    parseHeaderAt(bytes, start).isDefined
+  }
+
+  /** Walk every frame: skip ID3v2, stride frame to frame, and on a
+    * failed header RESYNC (scan forward for the next valid one) so
+    * one flipped byte costs the frames it corrupts, not the stream's
+    * tail. Total work is one linear pass; never throws — truncation
+    * and garbage yield fewer frames, the CodecFuzzSpec contract. */
+  def frames(bytes: Array[Byte]): Seq[FrameInfo] = {
+    val out = Seq.newBuilder[FrameInfo]
+    var pos = math.min(id3v2Size(bytes), bytes.length)
+    while (pos + 4 <= bytes.length) {
+      parseHeaderAt(bytes, pos) match {
+        case Some(f) => out += f; pos += f.sizeBytes
+        case None => pos += 1 // resync scan
+      }
+    }
+    out.result()
+  }
+
+  /** Whole-stream stats off one [[frames]] pass; None for a payload
+    * with no parseable frame. Layer/rate/channels are the FIRST
+    * frame's (a stream mixing them is corrupt; curation drops it on
+    * `cbr`+layer checks, not here). */
+  def streamInfo(bytes: Array[Byte]): Option[StreamInfo] = {
+    val fs = frames(bytes)
+    if (fs.isEmpty) return None
+    val head = fs.head
+    val brs = fs.map(_.bitrateKbps)
+    val cbr = brs.distinct.size == 1
+    val totalSamples = fs.map(_.samplesPerFrame.toLong).sum
+    Some(StreamInfo(
+      nFrames = fs.size,
+      layer = head.layer,
+      sampleRate = head.sampleRate,
+      channels = head.channels,
+      cbr = cbr,
+      bitrateKbps = (brs.map(_.toLong).sum / fs.size).toInt,
+      nPadded = fs.count(_.padding),
+      totalSamples = totalSamples,
+      durationMs = totalSamples * 1000L / head.sampleRate,
+      bytesParsed = fs.map(_.sizeBytes.toLong).sum))
+  }
+
+  // ------------------------------------------------------------------
+  // frame builder (the gate/spec fixture side — header arithmetic
+  // only; payload bytes are deterministic filler, which the parse
+  // layer never interprets)
+  // ------------------------------------------------------------------
+
+  /** One syntactically valid MPEG-1 frame: header + zero CRC slot (if
+    * requested) + filler payload. `brIdx` 1..14, `srIdx` 0..2. */
+  def buildFrame(layer: Int, brIdx: Int, srIdx: Int, padding: Boolean,
+      mono: Boolean, withCrc: Boolean = false): Array[Byte] = {
+    require(layer >= 1 && layer <= 3, s"layer 1..3, got $layer")
+    require(brIdx >= 1 && brIdx <= 14, s"brIdx 1..14, got $brIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"srIdx 0..2, got $srIdx")
+    val size = frameSize(layer, BitrateKbps(layer)(brIdx),
+      SampleRate(srIdx), padding)
+    val out = new Array[Byte](size)
+    val layerBits = 4 - layer
+    out(0) = 0xff.toByte
+    out(1) = (0xe0 | 0x18 | (layerBits << 1) |
+      (if (withCrc) 0 else 1)).toByte
+    out(2) = ((brIdx << 4) | (srIdx << 2) |
+      (if (padding) 2 else 0)).toByte
+    out(3) = (if (mono) 0xc0 else 0x00).toByte
+    var i = if (withCrc) 6 else 4
+    while (i < size) { out(i) = (i & 0x7f).toByte; i += 1 }
+    out
+  }
+
+  /** Concatenate `n` frames with per-index bitrate/padding selectors —
+    * the gate's CBR (constant selector) and VBR (varying) fixture. */
+  def buildStream(layer: Int, srIdx: Int, n: Int, mono: Boolean,
+      brIdxOf: Int => Int, paddingOf: Int => Boolean): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < n) {
+      bb.write(buildFrame(layer, brIdxOf(i), srIdx, paddingOf(i), mono))
+      i += 1
+    }
+    bb.toByteArray
+  }
+}

@@ -314,11 +314,25 @@ object Multimodal {
       // rejections spec-asserted)
       if (Flac.isFlac(bytes)) return Flac.decode(bytes)
       if (isImaAdpcmWav(bytes)) return imaAdpcmSamples(bytes)
+      // MPEG audio is PARSE-ONLY here (Mp3.frames/streamInfo):
+      // synthesis needs the spec's table data, which a clean-room
+      // build must not guess — fail with a routing hint, never with
+      // an opaque JDK "stream of unsupported format"
+      require(!Mp3.isMp3(bytes),
+        "MPEG audio payloads are parse-only (use Mp3.streamInfo for " +
+          "frame stats); route PCM decode to the media-decode stage")
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
+        // guard BEFORE any read: AudioInputStream.read returns 0
+        // (not -1) when asked for less than one frame, and a header
+        // mutated to an absurd frame size (e.g. 65535 channels) makes
+        // readAllBytes' readNBytes loop on those 0-byte reads FOREVER
+        // (fuzz-found). Real PCM/G.711 frames are <= channels×2 bytes.
+        require(fmt.getFrameSize > 0 && fmt.getFrameSize <= 64,
+          s"implausible audio frame size ${fmt.getFrameSize}")
         if (enc == AudioFormat.Encoding.ULAW ||
             enc == AudioFormat.Encoding.ALAW) {
           val raw = ais.readAllBytes()

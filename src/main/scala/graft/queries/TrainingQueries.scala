@@ -5631,6 +5631,98 @@ object TrainingQueries {
            |    ORDER BY d2 ASC, c_id ASC) AS rn FROM ex)
            |WHERE rn <= 3""".stripMargin
       }),
+
+    // MPEG audio FRAME layer under the oracle — the compressed-audio
+    // metadata walk curation runs at scale (duration, bitrate,
+    // CBR/VBR, padding accounting; PCM synthesis is deliberately out
+    // of scope, see multimodal/Mp3.scala). Each doc becomes a real
+    // MPEG-1 Layer III stream: CBR for even ids, frame-varying VBR
+    // for odd, per-frame padding rhythm, an ID3v2 prefix on every
+    // 5th id — built by header arithmetic and re-parsed by the real
+    // sync walker. The oracle rederives every output column from the
+    // same closed-form integer formulas (bitrate table lookup,
+    // 144000·br/rate floor size, padding count, sample-exact
+    // duration), so hash-equality pins the whole parse layer.
+    QueryDef(
+      "t127_mp3_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Mp3
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 4)
+          .select(col("doc_id"), length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, len) =>
+              val n = 1 + (len % 7)
+              val srIdx = (id % 3).toInt
+              val cbr = id % 2 == 0
+              val brIdxOf: Int => Int = i =>
+                if (cbr) (1 + (id % 14)).toInt
+                else (1 + ((id + i) % 14)).toInt
+              val padOf: Int => Boolean = i => (id + i) % 2 == 1
+              val body = Mp3.buildStream(3, srIdx, n, mono = true,
+                brIdxOf, padOf)
+              val payload = if (id % 5 == 0) {
+                // ID3v2 prefix (skipped by the walker): 10-byte
+                // header + len%50 syncsafe-sized junk
+                val extra = len % 50
+                val tag = new Array[Byte](10 + extra)
+                tag(0) = 'I'; tag(1) = 'D'; tag(2) = '3'; tag(3) = 4
+                tag(6) = ((extra >> 21) & 0x7f).toByte
+                tag(7) = ((extra >> 14) & 0x7f).toByte
+                tag(8) = ((extra >> 7) & 0x7f).toByte
+                tag(9) = (extra & 0x7f).toByte
+                tag ++ body
+              } else body
+              val info = Mp3.streamInfo(payload).get
+              (id, info.nFrames, info.sampleRate, info.cbr,
+                info.bitrateKbps, info.nPadded, info.durationMs,
+                info.bytesParsed)
+            }
+          }
+          .toDF("doc_id", "n_frames", "sample_rate", "cbr",
+            "bitrate_kbps", "n_padded", "duration_ms", "bytes_parsed")
+      },
+      Some {
+        val brList = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+        val srList = "[44100,48000,32000]"
+        s"""WITH a AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 4),
+           |f AS (SELECT doc_id, 1 + (len % 7) AS n, doc_id % 3 AS sr_idx,
+           |    unnest(range(1 + (len % 7))) AS i
+           |  FROM a),
+           |per AS (SELECT doc_id, n, sr_idx,
+           |    ($brList)[CAST(CASE WHEN doc_id % 2 = 0
+           |      THEN 1 + (doc_id % 14)
+           |      ELSE 1 + ((doc_id + i) % 14) END AS INT)] AS br,
+           |    CASE WHEN (doc_id + i) % 2 = 1 THEN 1 ELSE 0 END AS pad
+           |  FROM f),
+           |agg AS (SELECT doc_id, ANY_VALUE(n) AS n,
+           |    ANY_VALUE(sr_idx) AS sr_idx,
+           |    SUM(CAST(br AS BIGINT)) AS brsum,
+           |    COUNT(DISTINCT br) AS n_brs,
+           |    SUM(pad) AS n_padded,
+           |    SUM(144000 * CAST(br AS BIGINT)
+           |      // ($srList)[CAST(sr_idx + 1 AS INT)] + pad)
+           |      AS bytes_parsed
+           |  FROM per GROUP BY doc_id)
+           |SELECT doc_id, CAST(n AS INT) AS n_frames,
+           |  CAST(($srList)[CAST(sr_idx + 1 AS INT)] AS INT)
+           |    AS sample_rate,
+           |  n_brs = 1 AS cbr,
+           |  CAST(brsum // n AS INT) AS bitrate_kbps,
+           |  CAST(n_padded AS INT) AS n_padded,
+           |  CAST(n * 1152 * 1000
+           |    // ($srList)[CAST(sr_idx + 1 AS INT)] AS BIGINT)
+           |    AS duration_ms,
+           |  CAST(bytes_parsed AS BIGINT) AS bytes_parsed
+           |FROM agg""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

@@ -64,6 +64,40 @@ class CodecFuzzSpec extends SparkSpec {
     bo.toByteArray
   }
 
+  private def validMp3 = graft.multimodal.Mp3.buildStream(
+    3, 1, 5, mono = true, i => 1 + (i % 14), i => i % 2 == 1)
+
+  test("Mp3.frames: never throws; torn tail, garbage prefix, and " +
+    "bit flips cost at most the frames they corrupt") {
+    import graft.multimodal.Mp3
+    val valid = validMp3
+    assert(Mp3.frames(valid).size == 5)
+    // torn tail: truncate mid-last-frame -> exactly the 4 whole frames
+    val torn = java.util.Arrays.copyOfRange(valid, 0, valid.length - 3)
+    assert(Mp3.frames(torn).size == 4)
+    // garbage prefix (no 0xff bytes): resync finds every frame
+    val prefixed = Array.fill[Byte](7)(0x41) ++ valid
+    assert(Mp3.frames(prefixed).size == 5)
+    // frames() must TOTAL-FUNCTION every input: mutations and random
+    // bytes return (possibly fewer/zero frames), never throw, and
+    // every returned frame must lie inside the buffer
+    for (_ <- 0 until 40) {
+      val payload =
+        if (rnd.nextBoolean()) randomBytes(rnd.nextInt(1200))
+        else mutate(valid)
+      val fs = Mp3.frames(payload) // throwing fails the test
+      fs.foreach(f => assert(f.offset >= 0 &&
+        f.offset + f.sizeBytes <= payload.length))
+      Mp3.streamInfo(payload) // same totality for the stats pass
+    }
+    // the audio decode path REJECTS MPEG payloads with a routing
+    // message instead of an opaque JDK failure
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.AudioDecoder.pcmSamples(valid)
+    }
+    assert(e.getMessage.contains("parse-only"))
+  }
+
   test("binary parsers terminate on random and mutated inputs") {
     val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
       "MjpegCodec.frames" -> (b => Multimodal.MjpegCodec.frames(b)),
@@ -73,11 +107,13 @@ class CodecFuzzSpec extends SparkSpec {
       "AudioDecoder.pcmSamples" ->
         (b => Multimodal.AudioDecoder.pcmSamples(b)),
       "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
+      "Mp3.frames" -> (b => graft.multimodal.Mp3.frames(b)),
+      "Mp3.streamInfo" -> (b => graft.multimodal.Mp3.streamInfo(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
       () => validFlac, () => validGif, () => validAvi, () => validY4m,
-      () => validTar)
+      () => validTar, () => validMp3)
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =

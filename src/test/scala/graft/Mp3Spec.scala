@@ -1,0 +1,90 @@
+package graft
+
+import graft.multimodal.Mp3
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frame-layer facts pinned against hand-computed ISO arithmetic —
+  * no SparkSession needed (pure parsing). */
+class Mp3Spec extends AnyFunSuite {
+
+  test("Layer III frame sizes: the canonical 128kbps@44.1k case and " +
+    "friends, hand-computed") {
+    // 144000*128/44100 = 417.96 -> 417; +1 when padded
+    def size(br: Int, sr: Int, pad: Boolean) = {
+      val brIdx = Mp3.BitrateKbps(3).indexOf(br)
+      val srIdx = Mp3.SampleRate.indexOf(sr)
+      Mp3.buildFrame(3, brIdx, srIdx, pad, mono = true).length
+    }
+    assert(size(128, 44100, pad = false) == 417)
+    assert(size(128, 44100, pad = true) == 418)
+    assert(size(128, 48000, pad = false) == 384)
+    assert(size(320, 32000, pad = false) == 1440)
+    assert(size(32, 48000, pad = false) == 96)
+  }
+
+  test("Layer I slot-of-4 sizing") {
+    // (12*448000/44100 + 0)*4 = 121*4 = 484
+    assert(Mp3.buildFrame(1, 14, 0, padding = false,
+      mono = true).length == 484)
+    // padding adds one 4-byte slot in Layer I
+    assert(Mp3.buildFrame(1, 14, 0, padding = true,
+      mono = true).length == 488)
+  }
+
+  test("header round trip: every (layer, brIdx, srIdx, pad, mode) " +
+    "builds a frame the parser reads back exactly") {
+    for {
+      layer <- 1 to 3
+      brIdx <- 1 to 14
+      srIdx <- 0 to 2
+      pad <- Seq(false, true)
+      mono <- Seq(false, true)
+    } {
+      val bytes = Mp3.buildFrame(layer, brIdx, srIdx, pad, mono)
+      val f = Mp3.parseHeaderAt(bytes, 0).getOrElse(
+        fail(s"unparseable: layer=$layer br=$brIdx sr=$srIdx"))
+      assert(f.layer == layer)
+      assert(f.bitrateKbps == Mp3.BitrateKbps(layer)(brIdx))
+      assert(f.sampleRate == Mp3.SampleRate(srIdx))
+      assert(f.padding == pad)
+      assert(f.channels == (if (mono) 1 else 2))
+      assert(f.sizeBytes == bytes.length)
+      assert(f.samplesPerFrame == (if (layer == 1) 384 else 1152))
+    }
+  }
+
+  test("ID3v2 prefix skipped, syncsafe size honored; isMp3 dispatch") {
+    val body = Mp3.buildStream(3, 0, 3, mono = true, _ => 9, _ => false)
+    val extra = 200 // > 127, so the syncsafe split matters
+    val tag = new Array[Byte](10 + extra)
+    tag(0) = 'I'; tag(1) = 'D'; tag(2) = '3'; tag(3) = 4
+    tag(8) = ((extra >> 7) & 0x7f).toByte
+    tag(9) = (extra & 0x7f).toByte
+    val payload = tag ++ body
+    assert(Mp3.isMp3(payload) && Mp3.isMp3(body))
+    assert(!Mp3.isMp3(tag)) // tag alone: no frame
+    assert(Mp3.frames(payload).size == 3)
+    assert(Mp3.frames(payload).head.offset == 10 + extra)
+  }
+
+  test("streamInfo: CBR flag, VBR floor-mean bitrate, duration math") {
+    val cbr = Mp3.streamInfo(Mp3.buildStream(3, 1, 4, mono = true,
+      _ => 9, i => i % 2 == 0)).get
+    assert(cbr.cbr && cbr.bitrateKbps == 128 && cbr.nFrames == 4)
+    assert(cbr.sampleRate == 48000 && cbr.nPadded == 2)
+    // 4*1152 samples @48k = 96 ms exactly
+    assert(cbr.totalSamples == 4608L && cbr.durationMs == 96L)
+    // VBR alternating 64/128 -> floor mean 96, cbr=false
+    val vbr = Mp3.streamInfo(Mp3.buildStream(3, 1, 4, mono = true,
+      i => if (i % 2 == 0) 5 else 9, _ => false)).get
+    assert(!vbr.cbr && vbr.bitrateKbps == 96)
+    // MPEG-2 header (version bits 10) is not MPEG-1: rejected
+    val m2 = Mp3.buildFrame(3, 9, 1, padding = false, mono = true)
+    m2(1) = (m2(1) & ~0x08).toByte // clear the version-1 low bit
+    assert(Mp3.parseHeaderAt(m2, 0).isEmpty)
+    // free-format (brIdx 0) rejected: size not derivable
+    val ff = Mp3.buildFrame(3, 9, 1, padding = false, mono = true)
+    ff(2) = (ff(2) & 0x0f).toByte
+    assert(Mp3.parseHeaderAt(ff, 0).isEmpty)
+  }
+}
