@@ -35,15 +35,18 @@ object Tables {
   def gatePath(dir: String, name: String): String =
     s"/tmp/graft_gate_${name}_${gateTag(dir)}"
 
-  /** The testdata dir the dumped oracle SQL will be evaluated against.
-    * Verify.main pins it (system property) from its own sfDir arg
-    * BEFORE any QueryDef materializes, so an export-reading oracle
-    * names the same scoped path the Spark side of that run writes.
-    * Default = the driver's canonical correctness dir. */
-  def oracleDir: String =
-    sys.props.getOrElse("graft.verify.dir", "/root/testdata/sf0.01")
+  /** Placeholder an export-reading oracle embeds where the dir hash
+    * goes; Verify substitutes the REAL gateTag(sfDir) at dump time.
+    * Late binding by token, not by process-global state: the oracle
+    * string is correct no matter when (or how many times, for which
+    * dirs) the registry initializes. */
+  val GateDirToken = "__GATEDIR__"
 
-  def oracleGatePath(name: String): String = gatePath(oracleDir, name)
+  /** The token form of [[gatePath]] for oracle SQL — resolves to the
+    * same scoped path the Spark side writes once Verify substitutes
+    * the launch dir's tag. */
+  def oracleGatePath(name: String): String =
+    s"/tmp/graft_gate_${name}_$GateDirToken"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

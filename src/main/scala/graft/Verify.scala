@@ -6,10 +6,6 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // Pin the oracle-side dir BEFORE any QueryDef materializes: the
-    // t65/t68 oracle SQL interpolates Tables.oracleGatePath, which
-    // must name the scoped path THIS run's Spark side writes.
-    System.setProperty("graft.verify.dir", sfDir)
     // optional extra args: restrict to the named queries (local
     // iteration aid; the driver always passes exactly two args)
     val only: Set[String] = args.drop(2).toSet
@@ -59,8 +55,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // late-bind the export-reading oracles' scratch dir to THIS run's
+    // sfDir (the Spark side wrote to gatePath(sfDir, …)) — token
+    // substitution at dump time, so registry init order cannot matter
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(Tables.GateDirToken, Tables.gateTag(sfDir)))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }

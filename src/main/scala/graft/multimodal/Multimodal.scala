@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
   * INTER-FRAME decoding: sub-rectangle delta frames composite onto
   * the logical screen with disposal semantics): both feed
   * `sampleFramesDecoded`/`frameStats` through the same javax.imageio
-  * path — gated bit-exact by t63/t75. What remains STUBBED, declared,
-  * are the codecs the JDK genuinely lacks: inter-frame video
-  * (H.264/VP9/AV1) and perceptually-coded audio (mp3/ogg/flac) fall
-  * back to deterministic fakes with the same signature a JNI/FFI
-  * decoder would have. `JdkDecoder` routes each modality to its real
-  * codec where one exists.
+  * path — gated bit-exact by t63/t75. FLAC decode is real too — our
+  * own fuzz-tested codec ([[Flac]], CRC-8/CRC-16/MD5-verified), as
+  * are IMA ADPCM and Y4M. MPEG audio (mp3/mp2/mp1) is PARSE-ONLY:
+  * [[Mp3]] walks frames for duration/bitrate/integrity stats and
+  * `pcmSamples` FAILS FAST on MPEG payloads with a routing message
+  * (synthesis needs spec table data a clean-room build must not
+  * guess — decode belongs in the pipeline's media-decode stage).
+  * What remains STUBBED, declared, are the codecs the JDK genuinely
+  * lacks: inter-frame video (H.264/VP9/AV1) and the remaining
+  * perceptually-coded audio (ogg) fall back to deterministic fakes
+  * with the same signature a JNI/FFI decoder would have.
+  * `JdkDecoder` routes each modality to its real codec where one
+  * exists.
   *
   * Scale design: rows carry bytes, so operations must be
   * partition-local (mapPartitions — one decoder instance per task, no

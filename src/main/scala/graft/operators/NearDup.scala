@@ -1197,9 +1197,19 @@ object NearDup {
     val pre = containmentShingleFrame(docs, idCol, textCol)
     val sizes = pre.select(col("doc_id").as("__id"),
       col("n_grams").as("__n"))
-    val grams = capGramsByDf(
-      pre.select(col("doc_id").as("__id"), explode(col("__sh")).as("__g")),
-      "__g", maxDf)
+    val gramsRaw =
+      pre.select(col("doc_id").as("__id"), explode(col("__sh")).as("__g"))
+    // guard ON adds two more references to the gram frame (the df
+    // aggregate + the anti-join) on top of the self-join's two —
+    // persist the narrow capped (id, gram) frame so the tokenize/
+    // shingle chain doesn't re-derive per reference (the unpersisted
+    // multi-referenced-frame landmine; guard OFF keeps the original
+    // single-frame plan, where ReuseExchange shares the one shuffle)
+    val grams =
+      if (maxDf == Int.MaxValue) gramsRaw
+      else graft.CacheRegistry.track(
+        capGramsByDf(gramsRaw, "__g", maxDf)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     val inter = grams.select(col("__id").as("__ida"), col("__g"))
       .join(grams.select(col("__id").as("__idb"), col("__g")), Seq("__g"))
       .filter(col("__ida") < col("__idb"))
@@ -1301,9 +1311,16 @@ object NearDup {
     * applied to BOTH joins this operator runs — the in-batch pass
     * inherits it, and the history join drops gram rows hot on EITHER
     * side (df within the batch, or df within the index, above the
-    * cap) while `__inn` stays the full incoming size. Same
-    * conservative contract: capped containment only underestimates,
-    * so guard-on keeps a superset of the exact run's survivors. */
+    * cap) while `__inn` stays the full incoming size. The guarantee
+    * here is PER DECISION, not end-to-end: capped containment only
+    * underestimates, so each stage drops at most what its exact
+    * counterpart would and never fabricates a containment relation —
+    * but the two stages CASCADE: a doc the exact run drops against
+    * history can survive under the cap and then legitimately
+    * displace a smaller in-batch doc the exact run kept, so the
+    * final survivor SET is not guaranteed a superset of the exact
+    * run's (unlike the single-stage [[dedupByContainment]], where
+    * the superset property holds and is spec-asserted). */
   def dedupByContainmentIncremental(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame,
       tau: Double, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {

@@ -536,6 +536,34 @@ class NearDupSpec extends SparkSpec {
     assert(surv.collect().map(_.getLong(0)).toSet === Set(201L))
   }
 
+  test("maxDf incremental cascade is per-decision, NOT end-to-end " +
+    "superset (the documented contract): a capped history miss can " +
+    "displace an in-batch doc the exact run kept") {
+    import spark.implicits._
+    // history: 3 docs sharing boilerplate B (10 pure-B shingles, so
+    // df(B-gram) = 3 > maxDf = 2); H additionally carries d-content
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    val history = Seq(
+      (1L, s"$b d1 d2 d3 d4"), (2L, s"$b e1"), (3L, s"$b f1"))
+      .toDF("doc_id", "text")
+    val idx = NearDup.containmentGramIndex(history, "doc_id", "text")
+    // X = B + c-content: exact cont(X→H) = 10/13 ≥ 0.7 → drops vs
+    // history; Y = excerpt of X's c-content only
+    val incoming = Seq((10L, s"$b c1 c2 c3"), (11L, "c1 c2 c3"))
+      .toDF("doc_id", "text")
+    val (exact, _) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.7)
+    assert(exact.collect().map(_.getLong(0)).toSet === Set(11L),
+      "exact: X drops against history, Y survives")
+    // capped: B-grams leave the history join → X survives history,
+    // then legitimately absorbs its own excerpt Y in-batch. Survivor
+    // SET flips {11} → {10}: per-decision conservative, not superset.
+    val (capped, _) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.7, maxDf = 2)
+    assert(capped.collect().map(_.getLong(0)).toSet === Set(10L),
+      "capped: the cascade keeps the richer doc instead")
+  }
+
   test("dedupByContainment: excerpts drop, chains keep the root, ties keep min id") {
     import spark.implicits._
     val a = "a b c d e f g h i j k l"   // 10 shingles — the root
