@@ -176,10 +176,153 @@ object Mp3 {
   }
 
   // ------------------------------------------------------------------
-  // frame builder (the gate/spec fixture side — header arithmetic
-  // only; payload bytes are deterministic filler, which the parse
-  // layer never interprets)
+  // Xing/Info VBR header — the O(1) metadata path. A VBR stream's
+  // duration is unknowable from one frame header; encoders therefore
+  // put a "Xing" (VBR) or "Info" (CBR) tag in the FIRST frame's
+  // otherwise-unused side-info region carrying total frames/bytes and
+  // a 100-point seek TOC. At 100 TB this is the difference between
+  // reading 4 KB per object and scanning every byte: [[quickInfo]]
+  // answers duration/bitrate from the head frame alone and only the
+  // tagless legacy case pays the full [[frames]] walk.
   // ------------------------------------------------------------------
+
+  /** Parsed Xing/Info tag. `frames`/`streamBytes` are the AUDIO
+    * frames/bytes FOLLOWING the tag frame (the convention
+    * [[buildXingStream]] writes and [[quickInfo]] assumes); `vbr` is
+    * true for the "Xing" magic, false for "Info". */
+  final case class XingInfo(
+      vbr: Boolean,
+      frames: Option[Int],
+      streamBytes: Option[Int],
+      toc: Option[Array[Int]],
+      quality: Option[Int])
+
+  /** Side-info bytes between the MPEG-1 Layer III header (+CRC) and
+    * the Xing magic: 17 mono / 32 stereo. */
+  private def sideInfoLen(channels: Int): Int =
+    if (channels == 1) 17 else 32
+
+  /** Parse the Xing/Info tag out of the stream's FIRST frame (after
+    * any ID3v2 prefix); None when absent/truncated. */
+  def parseXing(bytes: Array[Byte]): Option[XingInfo] = {
+    val start = math.min(id3v2Size(bytes), bytes.length)
+    parseHeaderAt(bytes, start).flatMap { f =>
+      if (f.layer != 3) return None // the tag is a Layer III practice
+      var p = f.offset + 4 + (if (f.crc) 2 else 0) + sideInfoLen(f.channels)
+      if (p + 8 > bytes.length || p + 8 > f.offset + f.sizeBytes)
+        return None
+      val magic = new String(bytes, p, 4, "US-ASCII")
+      val vbr = magic == "Xing"
+      if (!vbr && magic != "Info") return None
+      p += 4
+      def be32(at: Int): Int =
+        ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) |
+          ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+      val flags = be32(p); p += 4
+      val end = math.min(bytes.length, f.offset + f.sizeBytes)
+      def take(n: Int): Boolean =
+        if (p + n <= end) true else false
+      val frames = if ((flags & 1) != 0 && take(4)) {
+        val v = be32(p); p += 4; Some(v)
+      } else if ((flags & 1) != 0) return None else None
+      val nBytes = if ((flags & 2) != 0 && take(4)) {
+        val v = be32(p); p += 4; Some(v)
+      } else if ((flags & 2) != 0) return None else None
+      val toc = if ((flags & 4) != 0 && take(100)) {
+        val t = Array.tabulate(100)(i => bytes(p + i) & 0xff); p += 100
+        Some(t)
+      } else if ((flags & 4) != 0) return None else None
+      val quality = if ((flags & 8) != 0 && take(4)) {
+        val v = be32(p); p += 4; Some(v)
+      } else if ((flags & 8) != 0) return None else None
+      Some(XingInfo(vbr, frames, nBytes, toc, quality))
+    }
+  }
+
+  /** O(1) stream stats from the head frame's Xing/Info tag: reads ONE
+    * frame, never walks the stream. None when there is no tag (or no
+    * frame count in it) — callers fall back to [[streamInfo]]'s full
+    * walk for tagless legacy streams. Duration/bitrate derive from
+    * the tag's counts: durationMs = frames·spf·1000/rate,
+    * bitrate = streamBytes·8 / (frames·spf/rate) floored to kbps
+    * (when byte count present; else the head frame's). Fields a
+    * tag cannot know without a walk are sentinel: nPadded = -1, and
+    * bytesParsed = -1 when the tag carries no byte count. */
+  def quickInfo(bytes: Array[Byte]): Option[StreamInfo] = {
+    val start = math.min(id3v2Size(bytes), bytes.length)
+    for {
+      head <- parseHeaderAt(bytes, start)
+      tag <- parseXing(bytes)
+      n <- tag.frames
+    } yield {
+      val totalSamples = n.toLong * head.samplesPerFrame
+      val durationMs = totalSamples * 1000L / head.sampleRate
+      val kbps = tag.streamBytes match {
+        case Some(b) if durationMs > 0 =>
+          (b.toLong * 8 / durationMs).toInt // bits/ms == kbps, floored
+        case _ => head.bitrateKbps
+      }
+      StreamInfo(n, head.layer, head.sampleRate, head.channels,
+        cbr = !tag.vbr, bitrateKbps = kbps, nPadded = -1,
+        totalSamples = totalSamples, durationMs = durationMs,
+        bytesParsed = tag.streamBytes.map(_.toLong).getOrElse(-1L))
+    }
+  }
+
+  /** Prepend a Xing/Info tag frame to `audio` frames: the tag frame
+    * reuses the first audio frame's parameters, zeroes its side info,
+    * and carries frames/bytes counts (+ the standard 100-point byte-
+    * offset TOC when `withToc`) describing the AUDIO portion. */
+  def buildXingStream(layer: Int, srIdx: Int, n: Int, mono: Boolean,
+      brIdxOf: Int => Int, paddingOf: Int => Boolean,
+      vbr: Boolean = true, withToc: Boolean = false): Array[Byte] = {
+    require(layer == 3, "Xing tags are a Layer III practice")
+    val audio = buildStream(layer, srIdx, n, mono, brIdxOf, paddingOf)
+    // the tag frame starts at the first audio frame's bitrate and
+    // bumps the index until the payload fits (a TOC needs ~137 bytes;
+    // a 32 kbps@44.1k frame has 104) — real encoders likewise size
+    // the tag frame independently of the audio frames, and the parser
+    // never requires them to agree
+    val need = 4 + sideInfoLen(if (mono) 1 else 2) + 16 +
+      (if (withToc) 100 else 0)
+    var tagBr = brIdxOf(0)
+    while (tagBr < 14 && frameSize(layer, BitrateKbps(layer)(tagBr),
+        SampleRate(srIdx), padding = false) < need)
+      tagBr += 1
+    val tagFrame = buildFrame(layer, tagBr, srIdx,
+      padding = false, mono)
+    // zero the filler, then write the tag at the side-info boundary
+    java.util.Arrays.fill(tagFrame, 4, tagFrame.length, 0.toByte)
+    var p = 4 + sideInfoLen(if (mono) 1 else 2)
+    val magic = if (vbr) "Xing" else "Info"
+    require(p + 8 + 8 + (if (withToc) 100 else 0) <= tagFrame.length,
+      "tag frame too small for the Xing payload at this bitrate")
+    def put32(v: Int): Unit = {
+      tagFrame(p) = (v >>> 24).toByte; tagFrame(p + 1) = (v >>> 16).toByte
+      tagFrame(p + 2) = (v >>> 8).toByte; tagFrame(p + 3) = v.toByte
+      p += 4
+    }
+    magic.getBytes("US-ASCII").copyToArray(tagFrame, p); p += 4
+    put32(if (withToc) 7 else 3) // frames | bytes | (toc)
+    put32(n)
+    put32(audio.length)
+    if (withToc) {
+      // standard TOC: entry i = 256·(byte offset at i% of playtime)/
+      // total bytes; frames are uniform per index here, so offsets
+      // interpolate linearly over frame boundaries
+      val sizes = (0 until n).map(i => frameSize(layer,
+        BitrateKbps(layer)(brIdxOf(i)), SampleRate(srIdx), paddingOf(i)))
+      val cum = sizes.scanLeft(0L)(_ + _)
+      var i = 0
+      while (i < 100) {
+        val frameAt = i * n / 100
+        tagFrame(p + i) = (cum(frameAt) * 256 / audio.length).toByte
+        i += 1
+      }
+      p += 100
+    }
+    tagFrame ++ audio
+  }
 
   /** One syntactically valid MPEG-1 frame: header + zero CRC slot (if
     * requested) + filler payload. `brIdx` 1..14, `srIdx` 0..2. */

@@ -5723,6 +5723,89 @@ object TrainingQueries {
            |  CAST(bytes_parsed AS BIGINT) AS bytes_parsed
            |FROM agg""".stripMargin
       }),
+
+    // Xing/Info VBR header under the oracle — the O(1) metadata path
+    // (t127's successor): duration/bitrate answered from the HEAD
+    // frame's tag instead of a full-stream walk, the read-4KB-not-
+    // 4GB pattern that matters at 100 TB object counts. Each doc gets
+    // a tag frame (Xing for odd ids = VBR, Info for even = CBR)
+    // prepended to its audio frames; quickInfo reads only the tag,
+    // the full walk cross-checks it (and sees the tag frame as one
+    // extra frame — both counts emitted). Oracle rederives every
+    // column from the construction arithmetic: per-frame sizes, tag
+    // frame size, floor-division duration and tag-derived kbps.
+    QueryDef(
+      "t128_mp3_xing",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Mp3
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 4)
+          .select(col("doc_id"), length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (id, len) =>
+              val n = 1 + (len % 9)
+              val srIdx = (id % 3).toInt
+              val vbr = id % 2 == 1
+              val brIdxOf: Int => Int = i =>
+                if (vbr) (1 + ((id + i) % 14)).toInt
+                else (1 + (id % 14)).toInt
+              val padOf: Int => Boolean = i => (id + i) % 2 == 1
+              val payload = Mp3.buildXingStream(3, srIdx, n,
+                mono = true, brIdxOf, padOf, vbr = vbr)
+              val q = Mp3.quickInfo(payload).get
+              val walk = Mp3.streamInfo(payload).get
+              (id, q.nFrames, !q.cbr, q.durationMs, q.bitrateKbps,
+                walk.nFrames, walk.bytesParsed)
+            }
+          }
+          .toDF("doc_id", "q_frames", "vbr", "duration_ms", "kbps",
+            "walk_frames", "walk_bytes")
+      },
+      Some {
+        val brList = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+        val srList = "[44100,48000,32000]"
+        s"""WITH a AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 4),
+           |f AS (SELECT doc_id, 1 + (len % 9) AS n, doc_id % 3 AS sr_idx,
+           |    unnest(range(1 + (len % 9))) AS i
+           |  FROM a),
+           |per AS (SELECT doc_id, n, sr_idx,
+           |    ($brList)[CAST(CASE WHEN doc_id % 2 = 1
+           |      THEN 1 + ((doc_id + i) % 14)
+           |      ELSE 1 + (doc_id % 14) END AS INT)] AS br,
+           |    CASE WHEN (doc_id + i) % 2 = 1 THEN 1 ELSE 0 END AS pad
+           |  FROM f),
+           |agg AS (SELECT doc_id, ANY_VALUE(n) AS n,
+           |    ANY_VALUE(sr_idx) AS sr_idx,
+           |    SUM(144000 * CAST(br AS BIGINT)
+           |      // ($srList)[CAST(sr_idx + 1 AS INT)] + pad)
+           |      AS audio_bytes
+           |  FROM per GROUP BY doc_id),
+           |-- the tag frame reuses frame 0's bitrate, no padding
+           |tagf AS (SELECT doc_id, n, sr_idx, audio_bytes,
+           |    144000 * CAST(($brList)[CAST(CASE WHEN doc_id % 2 = 1
+           |        THEN 1 + (doc_id % 14)
+           |        ELSE 1 + (doc_id % 14) END AS INT)] AS BIGINT)
+           |      // ($srList)[CAST(sr_idx + 1 AS INT)] AS tag_bytes
+           |  FROM agg),
+           |d AS (SELECT doc_id, n, sr_idx, audio_bytes, tag_bytes,
+           |    n * 1152 * 1000 // ($srList)[CAST(sr_idx + 1 AS INT)]
+           |      AS dur_ms
+           |  FROM tagf)
+           |SELECT doc_id, CAST(n AS INT) AS q_frames,
+           |  doc_id % 2 = 1 AS vbr,
+           |  CAST(dur_ms AS BIGINT) AS duration_ms,
+           |  CAST(audio_bytes * 8 // dur_ms AS INT) AS kbps,
+           |  CAST(n + 1 AS INT) AS walk_frames,
+           |  CAST(tag_bytes + audio_bytes AS BIGINT) AS walk_bytes
+           |FROM d""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

@@ -67,6 +67,42 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.frames(payload).head.offset == 10 + extra)
   }
 
+  test("Xing/Info tag: O(1) quickInfo matches the tag's counts; TOC " +
+    "offsets are monotone and scaled; Info flags CBR") {
+    val n = 12
+    val brOf: Int => Int = i => 1 + (i % 14)
+    val padOf: Int => Boolean = i => i % 3 == 0
+    val vbr = Mp3.buildXingStream(3, 0, n, mono = true, brOf, padOf,
+      vbr = true, withToc = true)
+    val tag = Mp3.parseXing(vbr).getOrElse(fail("no Xing tag parsed"))
+    assert(tag.vbr && tag.frames.contains(n))
+    val audioBytes = (0 until n).map(i => Mp3.buildFrame(3, brOf(i), 0,
+      padOf(i), mono = true).length).sum
+    assert(tag.streamBytes.contains(audioBytes))
+    val toc = tag.toc.getOrElse(fail("no TOC"))
+    assert(toc.length == 100 && toc.head == 0)
+    assert(toc.zip(toc.tail).forall { case (a, b) => a <= b },
+      "TOC must be monotone")
+    // quickInfo reads ONLY the head frame; the full walk sees the tag
+    // frame as one extra audio frame (counts n+1)
+    val q = Mp3.quickInfo(vbr).getOrElse(fail("no quickInfo"))
+    assert(q.nFrames == n && !q.cbr)
+    assert(q.durationMs == n.toLong * 1152 * 1000 / 44100)
+    assert(q.bitrateKbps ==
+      (audioBytes.toLong * 8 / q.durationMs).toInt)
+    assert(Mp3.streamInfo(vbr).get.nFrames == n + 1)
+    // "Info" magic = CBR
+    val cbrStream = Mp3.buildXingStream(3, 1, 4, mono = true,
+      _ => 9, _ => false, vbr = false)
+    val qi = Mp3.quickInfo(cbrStream).get
+    assert(qi.cbr && qi.nFrames == 4)
+    // tagless stream: quickInfo None -> callers walk
+    assert(Mp3.quickInfo(Mp3.buildStream(3, 0, 3, mono = true,
+      _ => 9, _ => false)).isEmpty)
+    // truncated tag frame: parse fails cleanly, never reads past end
+    assert(Mp3.parseXing(java.util.Arrays.copyOfRange(vbr, 0, 30)).isEmpty)
+  }
+
   test("streamInfo: CBR flag, VBR floor-mean bitrate, duration math") {
     val cbr = Mp3.streamInfo(Mp3.buildStream(3, 1, 4, mono = true,
       _ => 9, i => i % 2 == 0)).get
