@@ -1344,6 +1344,12 @@ object NearDup {
         col("n_grams").as("__inn")),
       "gram", maxDf)
       .join(ex, Seq("gram"))
+      // __inid =!= __exid: an id can only collide with ITSELF across
+      // the sides after a crash-replay left the doc's own gram rows
+      // in the index without its corpus row (the streaming band-index
+      // heal contract — a self-pair is cont=1 at equal size and would
+      // drop the doc forever); real incoming/history ids are disjoint
+      .filter(col("__inid") =!= col("__exid"))
       .groupBy("__inid", "__inn", "__exid", "__exn")
       .agg(count(lit(1)).as("__inter"))
       .filter(round(col("__inter") / col("__inn"), 6) >= tau &&

@@ -286,6 +286,61 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming CONTAINMENT-dedup corpus builder — the directional
+    * (excerpt⊂source) twin of [[neardupStream]]: each micro-batch
+    * dedups against itself AND the materialized inverted gram index
+    * of every document ever accepted
+    * ([[NearDup.dedupByContainmentIncremental]]); survivors append to
+    * the corpus and their gram rows land idempotently in this batch's
+    * `batch=<batchId>` index leaf. Crash-replay heal differs from the
+    * band streams: the gram index is SELF-DESCRIBING (rows carry
+    * grams + sizes, no corpus-text join to drop phantoms), so the
+    * replayed batch would self-match its own ghost rows at cont=1 —
+    * the operator's __inid =!= __exid guard is what makes the replay
+    * reconstruct instead of self-destruct (spec-pinned). `maxDf`
+    * passes through to the hot-gram guard. */
+  def containmentStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, indexPath: String, checkpoint: String,
+      idExpr: String, textExpr: String, tau: Double,
+      maxDf: Int = Int.MaxValue): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .withColumn("doc_id", expr(idExpr))
+          .withColumn("text", expr(textExpr))
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select("doc_id", "text")
+          .dropDuplicates("doc_id")
+        val exDocs = MergeOps.readIfExists(ss, corpusPath)
+          .getOrElse(incoming.limit(0))
+        // partition discovery adds a `batch` column — project it away
+        // so the index frame matches containmentGramIndex's schema
+        val exIndex = MergeOps.readIfExists(ss, indexPath)
+          .map(_.select("doc_id", "gram", "n_grams"))
+          .getOrElse(NearDup.containmentGramIndex(
+            incoming.limit(0), "doc_id", "text"))
+        val fresh = incoming.join(exDocs.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val (survivors, _) = NearDup.dedupByContainmentIncremental(
+          fresh, "doc_id", "text", exIndex, tau, maxDf)
+        val sp = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          NearDup.containmentGramIndex(sp, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          sp.write.mode("append").parquet(corpusPath)
+        } finally sp.unpersist(blocking = false)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming event-time dedup: exactly-one-row-per-key within the
     * watermark horizon — the streaming form of the D-family keep-first
     * (an at-least-once bronze replay must not duplicate silver).

@@ -147,6 +147,75 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dup == 0L, "replay duplicated band rows")
   }
 
+  test("containmentStream: excerpts drop vs history via the gram-index " +
+    "asset; late supersets and fresh docs stay") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-cont")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val src = "a b c d e f g h i j"
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    // drain 1: doc 2 is an excerpt of doc 1 IN BATCH
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, src), line(2, "a b c d e")).mkString("\n").getBytes)
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr, tau = 0.9)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    // drain 2: 3 = excerpt of SHIPPED 1 (drops via the index), 4 =
+    // fresh (stays), 5 = superset of 1 (history never kills a richer
+    // doc — stays)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(3, "c d e f g"), line(4, "x y z w v u"),
+        line(5, src + " k l m")).mkString("\n").getBytes)
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr, tau = 0.9)
+    val got = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 4L, 5L))
+    // the index asset covers exactly the accepted corpus
+    val idxIds = spark.read.parquet(s"$root/index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(idxIds.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("containmentStream: index-written-corpus-lost replay heals — " +
+    "the self-pair guard stops ghost rows from dropping their own doc") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-cont-crash")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      docs.map { case (id, t) => s"""{"id": $id, "text": "$t"}""" }
+        .mkString("\n").getBytes)
+    // crash point: survivors' gram rows already in the batch-0 leaf,
+    // corpus append lost. Without the __inid =!= __exid guard each
+    // doc would self-match its ghost at cont=1 and drop forever.
+    NearDup.containmentGramIndex(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/index/batch=0")
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt",
+      "CAST(get_json_object(raw_data, '$.id') AS LONG)",
+      "get_json_object(raw_data, '$.text')", tau = 0.9)
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L),
+      s"replay must land the survivors, got $corpus")
+    // leaf overwritten, not appended: one row per (doc, gram)
+    val dup = spark.read.parquet(s"$root/index")
+      .groupBy("doc_id", "gram").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L, "replay duplicated index rows")
+  }
+
   test("signatureDedupStream: two drains == one batch signature dedup") {
     import graft.operators.NearDup
     val root = tmpDir("stream-sig")
