@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateRegistrySpec extends AnyFunSuite {
 
-  // the round-8 driver list (CORRECTNESS_r08.json keys), 176 names
+  // the round-8 driver list (CORRECTNESS_r08.json keys, 176 names)
+  // plus the round-9 additions — 180 total
   private val pinned: Set[String] = Set(
     "a10_duration", "a11_rollup", "a12_guarded_duration", "a1_groupby_agg",
     "a2_filtered_agg", "a3_ratio_nullif", "a4_pivot", "a5_count_distinct",
@@ -32,6 +33,9 @@ class GateRegistrySpec extends AnyFunSuite {
     "t115_y4m_frames", "t116_pagerank", "t117_bm25_topk", "t118_rrf_fusion",
     "t119_interchange_roundtrip", "t11_ann_lsh_buckets", "t120_heavy_hitters", "t121_mad_outliers",
     "t122_lexical_diversity", "t123_alaw_audio", "t124_histogram_quantile", "t12_ngram_jaccard",
+    // round-9 additions
+    "t125_containment_capped", "t126_ivfpq_search_refined",
+    "t127_mp3_frames", "t128_mp3_xing",
     "t13_embedding_stats", "t14_embedding_neardup", "t15_ann_ivf_cells", "t16_neardup_survivors",
     "t17_ann_ivf_search", "t18_simhash_survivors", "t19_curate_survivors", "t20_embedding_dedup",
     "t21_curate_stats", "t22_rolling_fingerprint", "t23_ivf_train", "t24_neardup_components",
