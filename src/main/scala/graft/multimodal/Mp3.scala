@@ -134,6 +134,23 @@ object Mp3 {
     parseHeaderAt(bytes, start).isDefined
   }
 
+  /** Header-FIELD validity at the stream start (after any ID3v2
+    * prefix) WITHOUT the frame-fits check — true for an MP3 whose
+    * first frame is torn mid-payload, which [[isMp3]] deliberately
+    * rejects. This is the ROUTING predicate: error paths use it so a
+    * truncated MPEG object still gets the parse-only message instead
+    * of an opaque downstream failure. */
+  def looksLikeMpeg(bytes: Array[Byte]): Boolean = {
+    val off = math.min(id3v2Size(bytes), bytes.length)
+    if (off + 4 > bytes.length) return false
+    val b1 = bytes(off + 1) & 0xff
+    val b2 = bytes(off + 2) & 0xff
+    (bytes(off) & 0xff) == 0xff && (b1 & 0xe0) == 0xe0 &&
+      (b1 & 0x18) == 0x18 && ((b1 >> 1) & 0x3) != 0 &&
+      ((b2 >> 4) & 0xf) != 0 && ((b2 >> 4) & 0xf) != 15 &&
+      ((b2 >> 2) & 0x3) != 3
+  }
+
   /** Walk every frame: skip ID3v2, stride frame to frame, and on a
     * failed header RESYNC (scan forward for the next valid one) so
     * one flipped byte costs the frames it corrupts, not the stream's
@@ -253,12 +270,15 @@ object Mp3 {
     for {
       head <- parseHeaderAt(bytes, start)
       tag <- parseXing(bytes)
-      n <- tag.frames
+      // a corrupt/overflowed 32-bit count (>= 2^31 reads back
+      // negative) must fall back to the walk, never surface negative
+      // durations no real walk could produce
+      n <- tag.frames.filter(_ > 0)
     } yield {
       val totalSamples = n.toLong * head.samplesPerFrame
       val durationMs = totalSamples * 1000L / head.sampleRate
       val kbps = tag.streamBytes match {
-        case Some(b) if durationMs > 0 =>
+        case Some(b) if durationMs > 0 && b > 0 =>
           (b.toLong * 8 / durationMs).toInt // bits/ms == kbps, floored
         case _ => head.bitrateKbps
       }
@@ -277,6 +297,7 @@ object Mp3 {
       brIdxOf: Int => Int, paddingOf: Int => Boolean,
       vbr: Boolean = true, withToc: Boolean = false): Array[Byte] = {
     require(layer == 3, "Xing tags are a Layer III practice")
+    require(n >= 1, s"a tagged stream needs at least one audio frame, got $n")
     val audio = buildStream(layer, srIdx, n, mono, brIdxOf, paddingOf)
     // the tag frame starts at the first audio frame's bitrate and
     // bumps the index until the payload fits (a TOC needs ~137 bytes;

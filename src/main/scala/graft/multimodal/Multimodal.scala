@@ -324,8 +324,10 @@ object Multimodal {
       // MPEG audio is PARSE-ONLY here (Mp3.frames/streamInfo):
       // synthesis needs the spec's table data, which a clean-room
       // build must not guess — fail with a routing hint, never with
-      // an opaque JDK "stream of unsupported format"
-      require(!Mp3.isMp3(bytes),
+      // an opaque JDK "stream of unsupported format". The probe is
+      // field-level (looksLikeMpeg), so a TORN first frame — which
+      // the strict isMp3 rejects — still routes here.
+      require(!Mp3.looksLikeMpeg(bytes),
         "MPEG audio payloads are parse-only (use Mp3.streamInfo for " +
           "frame stats); route PCM decode to the media-decode stage")
       val ais = AudioSystem.getAudioInputStream(
@@ -335,11 +337,18 @@ object Multimodal {
         val enc = fmt.getEncoding
         // guard BEFORE any read: AudioInputStream.read returns 0
         // (not -1) when asked for less than one frame, and a header
-        // mutated to an absurd frame size (e.g. 65535 channels) makes
-        // readAllBytes' readNBytes loop on those 0-byte reads FOREVER
-        // (fuzz-found). Real PCM/G.711 frames are <= channels×2 bytes.
-        require(fmt.getFrameSize > 0 && fmt.getFrameSize <= 64,
-          s"implausible audio frame size ${fmt.getFrameSize}")
+        // mutated to an absurd frame size makes readAllBytes'
+        // readNBytes loop on those 0-byte reads FOREVER (fuzz-found).
+        // Two bounds: per-channel plausibility (<= 8 bytes/channel
+        // covers every width the paths below accept, without capping
+        // channel COUNT — a 33-channel soundfield capture is legal)
+        // and the anti-spin invariant itself: a frame larger than the
+        // whole payload can never complete a read.
+        val frameSz = fmt.getFrameSize
+        require(frameSz > 0 &&
+          frameSz <= math.max(64L, fmt.getChannels.toLong * 8) &&
+          frameSz <= bytes.length,
+          s"implausible audio frame size $frameSz")
         if (enc == AudioFormat.Encoding.ULAW ||
             enc == AudioFormat.Encoding.ALAW) {
           val raw = ais.readAllBytes()

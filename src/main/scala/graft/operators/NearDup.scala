@@ -1332,6 +1332,15 @@ object NearDup {
     val inc = graft.CacheRegistry.track(
       containmentGramIndex(docs, idCol, textCol)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // deliberately NOT persisted, unlike batch-sized `inc` above:
+    // with maxDf on, capGramsByDf scans the history index twice (df
+    // aggregate + anti-join probe), but the index is ASSET-sized —
+    // caching it per micro-batch writes a full local copy of the
+    // ever-growing asset, which costs more than a second narrow
+    // 3-column parquet scan. The production path for a 100-TB index
+    // is maintaining a (gram, df) side asset incrementally, making
+    // the cap a broadcast lookup; at current asset shapes two scans
+    // win.
     val ex = capGramsByDf(
       existingIndex.select(col("doc_id").as("__exid"),
         col("gram"), col("n_grams").as("__exn")),

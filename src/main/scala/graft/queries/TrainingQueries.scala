@@ -5787,11 +5787,11 @@ object TrainingQueries {
            |      // ($srList)[CAST(sr_idx + 1 AS INT)] + pad)
            |      AS audio_bytes
            |  FROM per GROUP BY doc_id),
-           |-- the tag frame reuses frame 0's bitrate, no padding
+           |-- the tag frame reuses frame 0's bitrate (brIdxOf(0) is
+           |-- 1 + doc_id%14 in BOTH the VBR and CBR modes), no padding
            |tagf AS (SELECT doc_id, n, sr_idx, audio_bytes,
-           |    144000 * CAST(($brList)[CAST(CASE WHEN doc_id % 2 = 1
-           |        THEN 1 + (doc_id % 14)
-           |        ELSE 1 + (doc_id % 14) END AS INT)] AS BIGINT)
+           |    144000 * CAST(($brList)[CAST(1 + (doc_id % 14) AS INT)]
+           |        AS BIGINT)
            |      // ($srList)[CAST(sr_idx + 1 AS INT)] AS tag_bytes
            |  FROM agg),
            |d AS (SELECT doc_id, n, sr_idx, audio_bytes, tag_bytes,

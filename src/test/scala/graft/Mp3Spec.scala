@@ -103,6 +103,28 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.parseXing(java.util.Arrays.copyOfRange(vbr, 0, 30)).isEmpty)
   }
 
+  test("corrupt tag and torn payload stay safe: overflowed Xing count " +
+    "falls back to the walk; torn first frame still routes as MPEG") {
+    val s = Mp3.buildXingStream(3, 1, 2, mono = true, _ => 9, _ => false)
+    // frames field sits at header(4) + mono side info(17) + magic(4)
+    // + flags(4) = offset 29; overwrite with 0xFFFFFFFF → negative Int
+    for (i <- 29 to 32) s(i) = 0xff.toByte
+    assert(Mp3.quickInfo(s).isEmpty,
+      "an overflowed frame count must fall back to the walk")
+    assert(Mp3.streamInfo(s).isDefined, "the walk still works")
+    // empty tagged stream is a caller error, not a /0 crash
+    intercept[IllegalArgumentException] {
+      Mp3.buildXingStream(3, 0, 0, mono = true, _ => 1, _ => false,
+        withToc = true)
+    }
+    // torn mid-first-frame: the strict predicate rejects (no whole
+    // frame) but the ROUTING probe still says MPEG
+    val torn = java.util.Arrays.copyOfRange(
+      Mp3.buildFrame(3, 9, 1, padding = false, mono = true), 0, 10)
+    assert(Mp3.parseHeaderAt(torn, 0).isEmpty && !Mp3.isMp3(torn))
+    assert(Mp3.looksLikeMpeg(torn))
+  }
+
   test("streamInfo: CBR flag, VBR floor-mean bitrate, duration math") {
     val cbr = Mp3.streamInfo(Mp3.buildStream(3, 1, 4, mono = true,
       _ => 9, i => i % 2 == 0)).get
