@@ -25,6 +25,12 @@ object Verify {
     // which is how three green gates vanished from the round-6
     // correctness list without anything turning red
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-gate output-schema manifest (output_schemas.json): the r7
+    // driver reds were DECIMAL columns reaching gate outputs (DuckDB
+    // hashes decimals differently); the sweep that caught them is now
+    // recorded per run AND asserted by GateSchemaSpec — not re-done
+    // by hand each round
+    val schemas = scala.collection.mutable.LinkedHashMap[String, String]()
     // deterministic name order + begin/end stamps: when a run wedges,
     // the last "start" line names the culprit instead of leaving a
     // 40-of-159 output dir and a mystery (which is exactly how the
@@ -35,7 +41,11 @@ object Verify {
       System.err.println(s"[verify] start $name")
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.fields
+          .map(f => s"${f.name}:${f.dataType.catalogString}")
+          .mkString(", ")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] done  $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
@@ -65,6 +75,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/output_schemas.json"),
+      schemas.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

@@ -264,7 +264,19 @@ object Mp3 {
     * bitrate = streamBytes·8 / (frames·spf/rate) floored to kbps
     * (when byte count present; else the head frame's). Fields a
     * tag cannot know without a walk are sentinel: nPadded = -1, and
-    * bytesParsed = -1 when the tag carries no byte count. */
+    * bytesParsed = -1 when the tag carries no byte count.
+    *
+    * INTEROP TOLERANCE (third-party files): this reader takes the
+    * tag's `frames` field as the count of audio frames FOLLOWING the
+    * tag frame — [[buildXingStream]] writes it that way and the t128
+    * gate pins it — but in-the-wild encoders disagree on whether the
+    * tag frame itself is included (LAME excludes it; some older
+    * encoders count it). On external corpora treat quickInfo's
+    * nFrames/duration/bitrate as carrying a ±1-frame (~26 ms at
+    * 44.1 kHz) tolerance relative to [[streamInfo]]'s walk; before
+    * using quickInfo counts for CURATION decisions on external data,
+    * cross-check a sample against the walk and accept
+    * |walk.nFrames − 1 − quick.nFrames| <= 1. */
   def quickInfo(bytes: Array[Byte]): Option[StreamInfo] = {
     val start = math.min(id3v2Size(bytes), bytes.length)
     for {
@@ -378,5 +390,167 @@ object Mp3 {
       i += 1
     }
     bb.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // ID3v2 TEXT-FRAME layer — O(1) per-object metadata (the t128
+  // read-the-head-not-the-stream pattern): titles/artists/albums and
+  // user TXXX pairs are the dedup keys and source-attribution fields
+  // media curation needs, and they live entirely inside the tag the
+  // frame walker already skips (id3v2Size). Clean-room from the
+  // public id3v2.3.0 / id3v2.4.0 informal standards; the declared
+  // PCM-decode boundary is untouched. Reference surface: the
+  // extractor feeds the same curation queries the reference's JSON
+  // projections (P1/P4) feed for its entities — typed scalars pulled
+  // from a nested container format.
+  // ------------------------------------------------------------------
+
+  /** One decoded ID3v2 text frame: `frameId` is the 4-char id (TIT2,
+    * TPE1, TALB, …, or TXXX), `offset` the frame header's byte offset
+    * within the payload, `description` the TXXX user-field name ("")
+    * for standard T-frames), `text` the decoded value (trailing NULs
+    * stripped). */
+  final case class Id3Text(frameId: String, offset: Int,
+      description: String, text: String)
+
+  /** Decode the text frames (T*** incl. TXXX) of an ID3v2.3/2.4 tag
+    * at offset 0. Empty when there is no tag, the tag is torn, or the
+    * global-unsynchronisation flag is set (un-escaping FF 00 pairs is
+    * spec-simple but never exercised by our writers — refused rather
+    * than half-supported; per-frame v2.4 unsync frames are likewise
+    * skipped). Non-text frames are strided over by their declared
+    * size; padding (a zero where a frame id should start) ends the
+    * walk. Frame sizes are BE-32 in v2.3 and SYNCSAFE-28 in v2.4 —
+    * the versioned parse both the builder and the t130 oracle pin.
+    * Text encodings: 0 = ISO-8859-1, 1 = UTF-16 (BOM), 2 = UTF-16BE
+    * (v2.4), 3 = UTF-8 (v2.4). */
+  def id3TextFrames(bytes: Array[Byte]): Seq[Id3Text] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return Nil
+    val version = bytes(3) & 0xff
+    if (version != 3 && version != 4) return Nil
+    val flags = bytes(5) & 0xff
+    if ((flags & 0x80) != 0) return Nil // global unsync: refused
+    val tagEnd = math.min(id3v2Size(bytes), bytes.length)
+    var p = 10
+    // extended header: v2.3 size excludes its own 4 size bytes
+    // (BE-32); v2.4 size is syncsafe and INCLUDES itself
+    if ((flags & 0x40) != 0) {
+      if (p + 4 > tagEnd) return Nil
+      val raw =
+        if (version == 3)
+          (((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+            ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)) + 4
+        else
+          ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
+            ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
+      if (raw < 4 || p + raw > tagEnd) return Nil
+      p += raw
+    }
+    val out = Seq.newBuilder[Id3Text]
+    while (p + 10 <= tagEnd && bytes(p) != 0) {
+      val idOk = (0 until 4).forall { i =>
+        val c = bytes(p + i) & 0xff
+        (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      }
+      if (!idOk) return out.result()
+      val frameId = new String(bytes, p, 4, "ISO-8859-1")
+      val size =
+        if (version == 4)
+          ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+            ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+        else
+          ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+            ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+      if (size < 0 || p + 10 + size > tagEnd) return out.result()
+      val frameFlags = bytes(p + 9) & 0xff
+      val unsyncFrame = version == 4 && (frameFlags & 0x02) != 0
+      if (frameId.charAt(0) == 'T' && size >= 1 && !unsyncFrame) {
+        val enc = bytes(p + 10) & 0xff
+        val body = p + 11
+        val bodyLen = size - 1
+        def decode(from: Int, until: Int): Option[String] = enc match {
+          case 0 => Some(new String(bytes, from, until - from,
+            "ISO-8859-1"))
+          case 1 => Some(new String(bytes, from, until - from, "UTF-16"))
+          case 2 if version == 4 =>
+            Some(new String(bytes, from, until - from, "UTF-16BE"))
+          case 3 if version == 4 =>
+            Some(new String(bytes, from, until - from, "UTF-8"))
+          case _ => None
+        }
+        def stripNul(s: String): String =
+          s.reverse.dropWhile(_ == '\u0000').reverse
+        if (frameId == "TXXX" && bodyLen >= 1) {
+          // description then value, split on the encoding's terminator
+          val wide = enc == 1 || enc == 2
+          var q = body
+          val lim = body + bodyLen
+          var term = -1
+          while (term < 0 && (if (wide) q + 1 < lim else q < lim)) {
+            val isNul =
+              if (wide) bytes(q) == 0 && bytes(q + 1) == 0
+              else bytes(q) == 0
+            if (isNul) term = q else q += (if (wide) 2 else 1)
+          }
+          if (term >= 0) {
+            val valStart = term + (if (wide) 2 else 1)
+            for {
+              d <- decode(body, term)
+              v <- decode(valStart, lim)
+            } out += Id3Text(frameId, p, d, stripNul(v))
+          }
+        } else if (frameId != "TXXX") {
+          decode(body, body + bodyLen).foreach(t =>
+            out += Id3Text(frameId, p, "", stripNul(t)))
+        }
+      }
+      p += 10 + size
+    }
+    out.result()
+  }
+
+  /** Synthesize an ID3v2.3 or v2.4 tag: `textFrames` become T-frames
+    * in declared order (ISO-8859-1, encoding byte 0), `userFrames`
+    * become TXXX (description NUL value), `padding` zero bytes follow.
+    * Frame sizes are written BE-32 (v2.3) or syncsafe (v2.4) — the
+    * same versioned arithmetic [[id3TextFrames]] parses and the t130
+    * oracle rederives offset by offset. */
+  def buildId3v2(version: Int, textFrames: Seq[(String, String)],
+      userFrames: Seq[(String, String)] = Nil,
+      padding: Int = 0): Array[Byte] = {
+    require(version == 3 || version == 4, s"ID3v2.$version unsupported")
+    require(padding >= 0)
+    val bb = new java.io.ByteArrayOutputStream()
+    def frame(id: String, payload: Array[Byte]): Unit = {
+      require(id.length == 4, s"frame id must be 4 chars: $id")
+      bb.write(id.getBytes("ISO-8859-1"))
+      val n = payload.length
+      if (version == 4) {
+        bb.write((n >> 21) & 0x7f); bb.write((n >> 14) & 0x7f)
+        bb.write((n >> 7) & 0x7f); bb.write(n & 0x7f)
+      } else {
+        bb.write((n >> 24) & 0xff); bb.write((n >> 16) & 0xff)
+        bb.write((n >> 8) & 0xff); bb.write(n & 0xff)
+      }
+      bb.write(0); bb.write(0)
+      bb.write(payload)
+    }
+    textFrames.foreach { case (id, text) =>
+      frame(id, 0.toByte +: text.getBytes("ISO-8859-1"))
+    }
+    userFrames.foreach { case (desc, value) =>
+      frame("TXXX", 0.toByte +:
+        (desc.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+          value.getBytes("ISO-8859-1")))
+    }
+    bb.write(Array.fill(padding)(0.toByte))
+    val body = bb.toByteArray
+    val sz = body.length
+    require(sz < (1 << 28), "tag too large for a syncsafe size")
+    val head = Array[Byte]('I', 'D', '3', version.toByte, 0, 0,
+      ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+      ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+    head ++ body
   }
 }

@@ -554,6 +554,13 @@ object NearDup {
       col(vecCol).as("__xv"), col("cell"))
       .withColumn("__xn", VectorOps.norm(col("__xv")))
     val crossRemoved = i2.join(ex, Seq("cell"))
+      // __id2 =!= __xid: same self-pair guard as the containment
+      // incremental — an id meets ITSELF across the sides only when a
+      // crash-replay left its assignment row in the index without its
+      // corpus row; cosine(v, v) = 1 would drop the doc forever. Real
+      // incoming/existing ids are disjoint, so this is replay-heal
+      // only (spec-pinned via semanticCellsStream).
+      .filter(col("__id2") =!= col("__xid"))
       .filter(VectorOps.cosine(col("__v2"), col("__xv"),
         col("__n2"), col("__xn")) >= threshold)
       .select(col("__id2").as(idCol))
@@ -1150,7 +1157,11 @@ object NearDup {
     * SHARE a shingle materialize, and their intersection size is the
     * join's group count — n_inter arrives as a COUNT, so nothing
     * wider than (id, id) ever shuffles and the corpus text never
-    * moves. Zipf-hot shingles concentrate join buckets (AQE
+    * moves. Grams themselves cross the join as fixed 16-byte
+    * [[containmentGramKey]]s, never as shingle TEXT (the r9 scale
+    * finding: string grams were the widest payload on the worst 10×
+    * bench rows; the collision bound is on the key's scaladoc).
+    * Zipf-hot shingles concentrate join buckets (AQE
     * skew-split, the t53 discipline) and sub-threshold pairs die in
     * the aggregate before the small sizes join.
     *
@@ -1195,14 +1206,26 @@ object NearDup {
     // incremental paths cannot drift, and sizes come off the arrays
     // for free instead of re-aggregating exploded gram rows
     val pre = containmentShingleFrame(docs, idCol, textCol)
-    val sizes = pre.select(col("doc_id").as("__id"),
-      col("n_grams").as("__n"))
-    val gramsRaw =
-      pre.select(col("doc_id").as("__id"), explode(col("__sh")).as("__g"))
+    containmentPairsFromGrams(
+      pre.select(col("doc_id").as("__id"),
+          explode(col("__sh")).as("__gt"))
+        .select(col("__id"), containmentGramKey(col("__gt")).as("__g")),
+      pre.select(col("doc_id").as("__id"), col("n_grams").as("__n")),
+      tau, maxDf)
+  }
+
+  /** The shared pair core behind [[containmentPairs]] and the
+    * incremental in-batch pass: takes an ALREADY-HASHED gram frame
+    * (__id, __g) plus a size frame (__id, __n) so the incremental
+    * path can feed its persisted index rows instead of re-shingling
+    * raw text (one tokenize/shingle stage per batch, not two). Only
+    * 16-byte gram keys and (id, id) count rows ever cross a shuffle. */
+  private def containmentPairsFromGrams(gramsRaw: DataFrame,
+      sizes: DataFrame, tau: Double, maxDf: Int): DataFrame = {
     // guard ON adds two more references to the gram frame (the df
     // aggregate + the anti-join) on top of the self-join's two —
-    // persist the narrow capped (id, gram) frame so the tokenize/
-    // shingle chain doesn't re-derive per reference (the unpersisted
+    // persist the narrow capped (id, gram-key) frame so the upstream
+    // chain doesn't re-derive per reference (the unpersisted
     // multi-referenced-frame landmine; guard OFF keeps the original
     // single-frame plan, where ReuseExchange shares the one shuffle)
     val grams =
@@ -1228,6 +1251,38 @@ object NearDup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** The fixed-width gram key every containment join shuffles instead
+    * of raw shingle text (the r9 scale fix — 3-gram strings were the
+    * widest thing crossing the wire on the worst 10× bench rows):
+    * STRUCT<h1: BIGINT, h2: BIGINT> where h1 = XXH64(gram, seed 42)
+    * and h2 = XXH64(gram, seed XXH64(salt)) — two independently
+    * seeded 64-bit XXH64 evaluations, 16 bytes total, codegen'd.
+    *
+    * Collision bound (written down, per the guard's contract): a
+    * false gram-key collision needs BOTH 64-bit hashes to collide
+    * for two distinct grams. Crediting the pair as an ideal 128-bit
+    * hash, the expected number of colliding gram pairs among G
+    * distinct grams is ~G²/2¹²⁹ — at G = 10¹³ (a 100 TB corpus'
+    * 3-gram vocabulary, generously) that is ~3·10⁻¹³ expected
+    * collisions. Even crediting only ONE independent 64-bit hash
+    * (the two streams share the XXH64 core), G = 10¹² yields ~27 000
+    * colliding gram pairs — a 3·10⁻⁸ fraction of the vocabulary,
+    * which perturbs an n_inter count only when a colliding pair
+    * lands inside one candidate document pair's shingle sets:
+    * containment decisions at tau bands (≥ 0.7) are unaffected in
+    * practice, and the direction of error is a one-count
+    * OVERestimate (extra claimed intersection), bounded per pair by
+    * the number of colliding grams it contains. */
+  def containmentGramKey(gram: Column): Column =
+    struct(xxhash64(gram).as("h1"),
+      xxhash64(lit(GramKeySalt), gram).as("h2"))
+
+  /** Seed-splitting salt for [[containmentGramKey]]'s second hash:
+    * xxhash64 chains multi-argument input, so prefixing a constant
+    * yields XXH64(gram) under a different effective seed. Changing
+    * this string invalidates every persisted v2 gram index. */
+  private val GramKeySalt = "graft-containment-h2-v2"
+
   /** The df cap behind `maxDf` (identity when off): rows whose gram's
     * document frequency WITHIN `grams` exceeds the cap are dropped
     * before any join. Shingle rows are distinct per doc
@@ -1247,11 +1302,19 @@ object NearDup {
     * grams the cap would exclude, with their document frequencies
     * (the drop-with-log half of the policy, [[oversizedBuckets]]'s
     * containment sibling): inspect these to pick a cap that excises
-    * boilerplate without touching informative overlap. */
+    * boilerplate without touching informative overlap.
+    *
+    * Deliberately emits TEXT grams, not [[containmentGramKey]]s —
+    * this is the human-inspection surface ("which boilerplate
+    * sentence is hot?"), and df over text equals df over keys modulo
+    * the documented collision bound. Never joined against the hashed
+    * index. */
   def hotGrams(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    containmentGramIndex(docs, idCol, textCol)
+    docs.withColumn("__tk", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles3(col("__tk"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
   }
@@ -1260,18 +1323,67 @@ object NearDup {
     * [[dedupByContainmentIncremental]] dedups a daily append against:
     * (doc_id, gram, n_grams) distinct rows, the historical corpus'
     * shingle sets in joinable form. Text is never stored; tomorrow's
-    * batch joins this instead of re-reading history. */
+    * batch joins this instead of re-reading history.
+    *
+    * ASSET SCHEMA v2: `gram` is the hashed [[containmentGramKey]]
+    * STRUCT<h1, h2>, not shingle text — 16 fixed bytes per row in
+    * parquet and on every shuffle. A v1 asset (gram STRING) is
+    * detected at use time and refused with a pointer to
+    * [[migrateContainmentIndexV1]] (keys are derived from gram text,
+    * so the one-time migration is a projection, no re-shingling). */
   def containmentGramIndex(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     containmentShingleFrame(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("__sh")).as("gram"),
+      .select(col("doc_id"), explode(col("__sh")).as("__gt"),
         col("n_grams"))
+      .select(col("doc_id"), containmentGramKey(col("__gt")).as("gram"),
+        col("n_grams"))
+
+  /** One-time v1 → v2 migration of a persisted containment gram
+    * index: hash the text grams in place. Same keys as
+    * [[containmentGramIndex]] produces from scratch (keys are a pure
+    * function of gram text), so a migrated asset and a rebuilt one
+    * are row-identical. */
+  def migrateContainmentIndexV1(index: DataFrame): DataFrame = {
+    require(index.schema("gram").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "migrateContainmentIndexV1 expects a v1 index (gram STRING); " +
+        s"got ${index.schema("gram").dataType}")
+    index.withColumn("gram", containmentGramKey(col("gram")))
+  }
+
+  /** Guard on every consumer of a persisted gram index: refuse a v1
+    * (text-gram) asset with a migration pointer instead of silently
+    * joining text against hashed keys (which would match nothing and
+    * "dedup" nothing). */
+  private def requireHashedGramIndex(index: DataFrame): Unit = {
+    val dt = index.schema("gram").dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.StructType],
+      "containment gram index v2 expects gram STRUCT<h1,h2> (hashed " +
+        s"keys); got $dt — migrate a v1 text-gram asset once with " +
+        "NearDup.migrateContainmentIndexV1")
+  }
+
+  /** (gram, df) side asset of a [[containmentGramIndex]] — document
+    * frequency per gram key. Index rows are distinct per (doc, gram),
+    * so count(*) IS df. [[dedupByContainmentIncrementalWithDf]]
+    * maintains this incrementally (paragraphIndex-style merge
+    * arithmetic) so the `maxDf` hot-gram cap on the history side is
+    * a lookup against an asset that is already aggregated, instead
+    * of two full scans of the ever-growing gram index per batch. */
+  def containmentGramDf(index: DataFrame): DataFrame = {
+    requireHashedGramIndex(index)
+    index.groupBy("gram").agg(count(lit(1)).as("df"))
+  }
 
   /** The single source of truth for "a document's shingle set" in the
     * containment family: (doc_id, __sh, n_grams) with empty sets
-    * filtered. Every containment op derives grams AND sizes from
-    * this one frame, so definitions can't drift and sizes never need
-    * a re-aggregation over exploded gram rows. */
+    * filtered; `__sh` is text (hashing happens post-explode in the
+    * consumers, where xxhash64 runs codegen'd per gram row instead
+    * of through an interpreted array-transform lambda). Every
+    * containment op derives grams AND sizes from this one frame, so
+    * definitions can't drift and sizes never need a re-aggregation
+    * over exploded gram rows. */
   private def containmentShingleFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.withColumn("__tk", TextOps.tokens(col(textCol)))
@@ -1290,7 +1402,10 @@ object NearDup {
     * immutable, and dropping the richer document to honor an already
     * -shipped fragment would destroy data; only the
     * contained-in-history side can lose. Survivors then batch-dedup
-    * among themselves with the full keep-largest policy.
+    * among themselves with the full keep-largest policy — computed
+    * from the SAME persisted gram rows that feed the history join
+    * and the updated index, so the batch is tokenized and shingled
+    * exactly ONCE (r9's double-shingle finding).
     *
     * Keep-largest parity with the batch policy: history kills the
     * contained side only when the incoming doc is NOT strictly
@@ -1320,35 +1435,111 @@ object NearDup {
     * displace a smaller in-batch doc the exact run kept, so the
     * final survivor SET is not guaranteed a superset of the exact
     * run's (unlike the single-stage [[dedupByContainment]], where
-    * the superset property holds and is spec-asserted). */
+    * the superset property holds and is spec-asserted).
+    *
+    * With `maxDf` ON this variant computes the history-side hot set
+    * by aggregating `existingIndex` — two scans of the asset per
+    * batch. That is fine while the asset is young; the production
+    * path once the index dwarfs the batch is
+    * [[dedupByContainmentIncrementalWithDf]], which keeps a (gram,
+    * df) side asset so the cap is a lookup. */
   def dedupByContainmentIncremental(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame,
       tau: Double, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    // the batch's gram rows feed the history join AND the updated
-    // index — persist once (CacheRegistry discipline); the in-batch
-    // dedup pass re-derives its own frame inside containmentPairs
-    val inc = graft.CacheRegistry.track(
-      containmentGramIndex(docs, idCol, textCol)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    // deliberately NOT persisted, unlike batch-sized `inc` above:
-    // with maxDf on, capGramsByDf scans the history index twice (df
-    // aggregate + anti-join probe), but the index is ASSET-sized —
-    // caching it per micro-batch writes a full local copy of the
-    // ever-growing asset, which costs more than a second narrow
-    // 3-column parquet scan. The production path for a 100-TB index
-    // is maintaining a (gram, df) side asset incrementally, making
-    // the cap a broadcast lookup; at current asset shapes two scans
-    // win.
+    requireHashedGramIndex(existingIndex)
     val ex = capGramsByDf(
       existingIndex.select(col("doc_id").as("__exid"),
         col("gram"), col("n_grams").as("__exn")),
       "gram", maxDf)
+    val (survivors, inc) =
+      containmentIncrementalCore(docs, idCol, textCol, ex, tau, maxDf)
+    // survivors' gram rows already exist in `inc` — semi-join, never
+    // re-shingle
+    val updated = existingIndex.unionByName(
+      inc.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi"))
+    (survivors, updated)
+  }
+
+  /** [[dedupByContainmentIncremental]] with the PRODUCTION hot-gram
+    * cap: the history side's df comes from `existingGramDf` — the
+    * (gram, df) side asset [[containmentGramDf]] seeds and this
+    * operator maintains — instead of being re-aggregated from the
+    * ever-growing gram index every batch. At 100 TB the index is
+    * corpus-sized while the hot set (df > maxDf) is bounded by
+    * |gram rows| / maxDf; filtering the ASSET to the hot set and
+    * anti-joining it (AQE broadcasts it when small) replaces both
+    * full index scans the base variant pays.
+    *
+    * Returns (survivors, updatedIndex, updatedGramDf). The df asset
+    * is updated with paragraphIndex-style merge arithmetic — batch
+    * survivor counts + history counts, one full-outer join — and
+    * covers exactly the docs in updatedIndex (spec-asserted:
+    * merged asset ≡ recount over the merged index). Identical
+    * survivor semantics to the base variant: same caps, same
+    * directional policy, same cascade contract (the asset's df over
+    * history equals the index-aggregated df by construction). */
+  def dedupByContainmentIncrementalWithDf(docs: DataFrame, idCol: String,
+      textCol: String, existingIndex: DataFrame,
+      existingGramDf: DataFrame, tau: Double,
+      maxDf: Int = Int.MaxValue): (DataFrame, DataFrame, DataFrame) = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    requireHashedGramIndex(existingIndex)
+    val exSel = existingIndex.select(col("doc_id").as("__exid"),
+      col("gram"), col("n_grams").as("__exn"))
+    // the asset-backed cap: ONE scan of the index, hot set from the
+    // pre-aggregated asset (vs capGramsByDf's aggregate + probe)
+    val ex =
+      if (maxDf == Int.MaxValue) exSel
+      else exSel.join(
+        existingGramDf.filter(col("df") > maxDf).select("gram"),
+        Seq("gram"), "left_anti")
+    val (survivors, inc) =
+      containmentIncrementalCore(docs, idCol, textCol, ex, tau, maxDf)
+    // survivor gram rows feed the index union AND the df merge —
+    // persist the narrow frame once (CacheRegistry discipline)
+    val survGrams = graft.CacheRegistry.track(
+      inc.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val updatedIndex = existingIndex.unionByName(survGrams)
+    val updatedDf = survGrams
+      .groupBy("gram").agg(count(lit(1)).as("__df_inc"))
+      .join(existingGramDf.select(col("gram"), col("df").as("__df_ex")),
+        Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("__df_inc"), lit(0L)) +
+          coalesce(col("__df_ex"), lit(0L))).as("df"))
+    (survivors, updatedIndex, updatedDf)
+  }
+
+  /** The shared incremental core: history join (against the already-
+    * capped `ex` frame) then the in-batch keep-largest pass — fed
+    * from the ONE persisted gram frame of the batch, so raw text is
+    * tokenized and shingled exactly once per batch. Returns
+    * (survivors, persisted batch gram frame). */
+  private def containmentIncrementalCore(docs: DataFrame, idCol: String,
+      textCol: String, ex: DataFrame, tau: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    // the batch's gram rows feed the history join, the in-batch
+    // pass, AND the updated index — persist once (CacheRegistry
+    // discipline); batch-sized, never corpus-sized
+    val inc = graft.CacheRegistry.track(
+      containmentGramIndex(docs, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // cont(incoming → existing) per (incoming, existing) pair: count
-    // of shared grams over the INCOMING size — one narrow gram join,
-    // (id, id) counts only, the t100 discipline
-    val droppedVsHistory = capGramsByDf(
+    // of shared grams over the INCOMING size — one narrow gram-key
+    // join, (id, id) counts only, the t100 discipline. PERSISTED:
+    // the drop-id frame is referenced by afterHistory, the in-batch
+    // gram semi-join, and the final anti-join — without a cache each
+    // reference would replay the whole history join (the expensive,
+    // asset-sized stage) per reference; with it, the history index
+    // is read once per batch. Batch-bounded: at most one id per
+    // incoming doc.
+    val droppedVsHistory = graft.CacheRegistry.track(capGramsByDf(
       inc.select(col("doc_id").as("__inid"), col("gram"),
         col("n_grams").as("__inn")),
       "gram", maxDf)
@@ -1364,16 +1555,44 @@ object NearDup {
       .filter(round(col("__inter") / col("__inn"), 6) >= tau &&
         col("__inn") <= col("__exn"))
       .select(col("__inid").as(idCol)).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val afterHistory = docs.join(droppedVsHistory, Seq(idCol), "left_anti")
-    val survivors =
-      dedupByContainment(afterHistory, idCol, textCol, tau, maxDf)
-    // survivors' gram rows already exist in `inc` — semi-join, never
-    // re-shingle
-    val updated = existingIndex.unionByName(
-      inc.join(survivors.select(col(idCol).as("doc_id")),
-        Seq("doc_id"), "left_semi"))
-    (survivors, updated)
+    // in-batch keep-largest pass from the persisted gram rows (the
+    // r9 double-shingle fix): anti-join `inc` down to the docs that
+    // survived history, then run the shared pair core on those rows.
+    // Sizes come off the distinct (doc, n_grams) projection — one
+    // value per doc by construction. The maxDf cap inside the pair
+    // core computes df within the post-history batch, exactly what
+    // dedupByContainment(afterHistory, …) computed before.
+    val incAfter = inc.join(
+      droppedVsHistory.select(col(idCol).as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val pairs = containmentPairsFromGrams(
+      incAfter.select(col("doc_id").as("__id"), col("gram").as("__g")),
+      incAfter.select(col("doc_id").as("__id"),
+        col("n_grams").as("__n")).distinct(),
+      tau, maxDf)
+    // anti-join against afterHistory (not docs): zero-shingle docs
+    // have no gram rows but survive by never pairing, same as the
+    // batch operator
+    val survivors = afterHistory.join(
+      containmentDropIds(pairs, idCol, tau), Seq(idCol), "left_anti")
+    (survivors, inc)
   }
+
+  /** The keep-largest drop set of a [[containmentPairs]] frame: the
+    * contained side of every tau-pair, equal sizes dropping the
+    * larger id (min-id tie-break). Shared by the batch and
+    * incremental dedup paths so the policy cannot drift. */
+  private def containmentDropIds(pairs: DataFrame, idCol: String,
+      tau: Double): DataFrame =
+    pairs.select(
+      when(col("cont_a") >= tau && col("n_a") < col("n_b"), col("id_a"))
+        .when(col("cont_b") >= tau && col("n_b") < col("n_a"), col("id_b"))
+        .when(col("n_a") === col("n_b") && col("cont_a") >= tau,
+          col("id_b"))
+        .as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
 
   /** Containment DEDUP policy over [[containmentPairs]]: a document
     * whose shingle set is `tau`-contained in a STRICTLY LARGER
@@ -1392,13 +1611,7 @@ object NearDup {
       textCol: String, tau: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val pairs = containmentPairs(docs, idCol, textCol, tau, maxDf)
-    val dropped = pairs.select(
-      when(col("cont_a") >= tau && col("n_a") < col("n_b"), col("id_a"))
-        .when(col("cont_b") >= tau && col("n_b") < col("n_a"), col("id_b"))
-        .when(col("n_a") === col("n_b") && col("cont_a") >= tau,
-          col("id_b"))
-        .as(idCol))
-      .filter(col(idCol).isNotNull).distinct()
-    docs.join(dropped, Seq(idCol), "left_anti")
+    docs.join(containmentDropIds(pairs, idCol, tau), Seq(idCol),
+      "left_anti")
   }
 }

@@ -5806,6 +5806,170 @@ object TrainingQueries {
            |  CAST(tag_bytes + audio_bytes AS BIGINT) AS walk_bytes
            |FROM d""".stripMargin
       }),
+
+    // The (gram, df) SIDE-ASSET path of incremental containment
+    // (t103's daily-append shape under t125's hot-gram guard, via the
+    // PRODUCTION cap): history is every doc behind a universal
+    // 3-token boilerplate prefix (one gram at df = corpus size), and
+    // the history-side cap consults the maintained (gram, df) asset
+    // instead of re-aggregating the ever-growing gram index — one
+    // index scan per batch, not two (plan spec-asserted in
+    // NearDupSpec). The batch carries (a) 14-token excerpts of every
+    // 10th shipped doc — the boilerplate gram leaves the join, the
+    // other 11 of 12 shingles ride through, lower-bound containment
+    // 11/12 ≈ 0.9167 ≥ 0.9, drop vs history; (b) 'zx zy zz'-prefixed
+    // REVERSED docs of every 7th — shingle-disjoint from history,
+    // stay, and their shared prefix gram (df = 2·|fresh| > maxDf)
+    // goes hot WITHIN the batch, so the in-batch cap fires too;
+    // (c) excerpts of those fresh docs — drop in-batch against their
+    // strictly-larger sources through non-hot grams only. The oracle
+    // replays both capped joins with dfs computed on each side.
+    QueryDef(
+      "t129_containment_df_asset",
+      (s, dir) => {
+        import graft.operators.NearDup
+        val base = spread(s, docs(s, dir))
+          .select(col("doc_id"), col("text"))
+        val hist = base.select(col("doc_id"),
+          concat(lit("cx cy cz "), col("text")).as("text"))
+        val e1 = hist.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        val f = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("zx zy zz "),
+              array_join(reverse(split(col("text"), " ")), " "))
+              .as("text"))
+        val fe = f.select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 14), " ")
+            .as("text"))
+        val incoming = e1.unionByName(f).unionByName(fe)
+        val idx = NearDup.containmentGramIndex(hist, "doc_id", "text")
+        val dfAsset = NearDup.containmentGramDf(idx)
+        val (surv, _, _) = NearDup.dedupByContainmentIncrementalWithDf(
+          incoming, "doc_id", "text", idx, dfAsset,
+          tau = 0.9, maxDf = 50)
+        surv.select(col("doc_id"))
+      },
+      Some(
+        s"""WITH hist AS (
+           |  SELECT doc_id, 'cx cy cz ' || text AS text FROM documents),
+           |inc AS (
+           |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+           |      list_slice(string_split('cx cy cz ' || text, ' '),
+           |        1, 14), ' ') AS text
+           |    FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000, 'zx zy zz ' || array_to_string(
+           |      list_reverse(string_split(text, ' ')), ' ')
+           |    FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 400000, array_to_string(list_slice(
+           |      string_split('zx zy zz ' || array_to_string(
+           |        list_reverse(string_split(text, ' ')), ' '), ' '),
+           |      1, 14), ' ')
+           |    FROM documents WHERE doc_id % 7 = 0),
+           |ti AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM inc),
+           |th AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM hist),
+           |gi AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM ti WHERE len(sh) > 0),
+           |gh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM th WHERE len(sh) > 0),
+           |hoth AS (SELECT gr FROM gh GROUP BY gr HAVING COUNT(*) > 50),
+           |hotb AS (SELECT gr FROM gi GROUP BY gr HAVING COUNT(*) > 50),
+           |ghk AS (SELECT * FROM gh
+           |  WHERE gr NOT IN (SELECT gr FROM hoth)),
+           |gik AS (SELECT * FROM gi
+           |  WHERE gr NOT IN (SELECT gr FROM hotb)),
+           |histdrop AS (SELECT DISTINCT inid FROM (
+           |  SELECT a.doc_id AS inid, a.n AS inn, h.doc_id AS exid,
+           |      h.n AS exn, COUNT(*) AS ninter
+           |    FROM gik a JOIN ghk h ON a.gr = h.gr
+           |    GROUP BY 1, 2, 3, 4)
+           |  WHERE round(CAST(ninter AS DOUBLE) / inn, 6) >= 0.9
+           |    AND inn <= exn),
+           |after AS (SELECT * FROM inc
+           |  WHERE doc_id NOT IN (SELECT inid FROM histdrop)),
+           |ga AS (SELECT gi.doc_id, gi.n, gi.gr FROM gi
+           |  JOIN after ON after.doc_id = gi.doc_id),
+           |hota AS (SELECT gr FROM ga GROUP BY gr HAVING COUNT(*) > 50),
+           |gak AS (SELECT * FROM ga
+           |  WHERE gr NOT IN (SELECT gr FROM hota)),
+           |i AS (SELECT a.doc_id AS ida, a.n AS na, b.doc_id AS idb,
+           |    b.n AS nb, COUNT(*) AS n_inter
+           |  FROM gak a JOIN gak b ON a.gr = b.gr
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4),
+           |p AS (SELECT ida, idb, na, nb,
+           |    round(CAST(n_inter AS DOUBLE) / na, 6) AS ca,
+           |    round(CAST(n_inter AS DOUBLE) / nb, 6) AS cb FROM i),
+           |dr AS (SELECT DISTINCT CASE
+           |    WHEN ca >= 0.9 AND na < nb THEN ida
+           |    WHEN cb >= 0.9 AND nb < na THEN idb
+           |    WHEN na = nb AND ca >= 0.9 THEN idb END AS doc_id
+           |  FROM p WHERE ca >= 0.9 OR cb >= 0.9)
+           |SELECT doc_id FROM after
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dr
+           |  WHERE doc_id IS NOT NULL)""".stripMargin)),
+
+    // ID3v2 TEXT-frame extraction (t128's successor — the other O(1)
+    // per-object metadata curation reads: title/artist/album dedup
+    // keys + a TXXX source-attribution pair, all inside the tag the
+    // frame walker skips). Each doc synthesizes a deterministic tag —
+    // v2.4 (syncsafe frame sizes) for odd ids, v2.3 (BE-32) for even,
+    // trailing padding varying by id — and the extractor's frame ids,
+    // byte offsets, descriptions and decoded texts are emitted. The
+    // oracle rederives every offset from the construction arithmetic:
+    // tag header 10 bytes, text frame stride 10 + 1 + len(text),
+    // TXXX payload 1 + len(desc) + 1 + len(value).
+    QueryDef(
+      "t130_id3v2_text",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Mp3
+        spread(s, docs(s, dir)).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val ver = if (id % 2 == 1) 4 else 3
+            val title = s"T$id"
+            val artist = s"A${id % 7}"
+            val album = s"AL${id % 13}"
+            val tag = Mp3.buildId3v2(ver,
+              Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album),
+              Seq("src" -> s"d$id"), padding = (id % 5).toInt)
+            Mp3.id3TextFrames(tag).zipWithIndex.map { case (f, i) =>
+              (id, i, f.frameId, f.offset.toLong, f.description, f.text)
+            }
+          }
+          .toDF("doc_id", "seq", "frame_id", "off", "descr", "txt")
+      },
+      Some(
+        """WITH base AS (SELECT doc_id,
+          |    'T' || CAST(doc_id AS VARCHAR) AS t,
+          |    'A' || CAST(doc_id % 7 AS VARCHAR) AS a,
+          |    'AL' || CAST(doc_id % 13 AS VARCHAR) AS al,
+          |    'd' || CAST(doc_id AS VARCHAR) AS v
+          |  FROM documents),
+          |o AS (SELECT doc_id, t, a, al, v,
+          |    CAST(10 AS BIGINT) AS o1,
+          |    CAST(10 + 11 + len(t) AS BIGINT) AS o2,
+          |    CAST(10 + 11 + len(t) + 11 + len(a) AS BIGINT) AS o3,
+          |    CAST(10 + 11 + len(t) + 11 + len(a) + 11 + len(al)
+          |      AS BIGINT) AS o4
+          |  FROM base)
+          |SELECT doc_id, CAST(0 AS INT) AS seq, 'TIT2' AS frame_id,
+          |  o1 AS off, '' AS descr, t AS txt FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INT), 'TPE1', o2, '', a FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(2 AS INT), 'TALB', o3, '', al FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(3 AS INT), 'TXXX', o4, 'src', v FROM o"""
+          .stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{MergeOps, NearDup}
+import graft.operators.{Ann, MergeOps, NearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -19,6 +19,44 @@ import org.apache.spark.storage.StorageLevel
   * invariant the reference's ON CONFLICT upsert provides.
   */
 object Incremental {
+
+  /** Replay-safe write of a corpus-builder stream's per-batch index
+    * leaf (`<dirPath>/batch=<batchId>`): overwrite — EXCEPT when the
+    * recomputed `survivors` frame is EMPTY and the leaf already
+    * exists, in which case the write is SKIPPED.
+    *
+    * Why: foreachBatch is at-least-once, and the crash window "leaf
+    * written AND corpus appended, checkpoint commit lost" replays the
+    * batch with a `fresh` frame that the anti-join against the
+    * already-appended corpus has EMPTIED. Overwriting the leaf with
+    * that empty frame would permanently DELETE the accepted docs'
+    * index rows while the corpus keeps the docs — every future batch
+    * then misses duplicates against them (destructive, unlike the
+    * other window — leaf written, corpus lost — where the replay
+    * recomputes the same survivors and the overwrite is idempotent).
+    *
+    * The skip can never suppress a legitimate write: leaf paths are
+    * written by their own batchId alone, so "leaf exists" implies
+    * this exact batch ran before, and a genuinely-empty first run
+    * writes an empty leaf only when none exists (re-skipping its
+    * replay is then a no-op on an already-empty leaf). The emptiness
+    * probe touches the already-persisted survivors frame (a limit-1
+    * action), and only on the replay path — a normal batch sees no
+    * leaf and writes immediately. Residual window, documented: a
+    * TORN corpus append (partial task files, no commit) replaying
+    * with a non-empty survivor SUBSET still narrows the leaf — torn
+    * parquet appends are the failure class the CommitLog table
+    * format's atomic commit exists for; these streams assume the
+    * corpus append is atomic-or-absent. */
+  private def writeLeafReplaySafe(rows: DataFrame, dirPath: String,
+      batchId: Long, survivors: DataFrame): Unit = {
+    val leaf = s"$dirPath/batch=$batchId"
+    val hPath = new org.apache.hadoop.fs.Path(leaf)
+    val fs = hPath.getFileSystem(
+      survivors.sparkSession.sparkContext.hadoopConfiguration)
+    if (!(fs.exists(hPath) && survivors.isEmpty))
+      rows.write.mode("overwrite").parquet(leaf)
+  }
 
   /** Stream bronze JSONL text into a silver parquet table with keyed
     * upsert per micro-batch. Returns after draining (AvailableNow).
@@ -174,9 +212,13 @@ object Incremental {
           // overwrite THIS batch's leaf (not append): replaying the
           // same batchId after a crash rewrites identical band rows
           // instead of duplicating them — partition discovery on read
-          // adds a `batch` column downstream code never selects
-          NearDup.minhashBands(survivors, "doc_id", "text", k, bands)
-            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          // adds a `batch` column downstream code never selects.
+          // Replay of a FULLY committed batch (survivors emptied by
+          // the corpus anti-join) skips the write instead of wiping
+          // the leaf — see writeLeafReplaySafe.
+          writeLeafReplaySafe(
+            NearDup.minhashBands(survivors, "doc_id", "text", k, bands),
+            bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
         } finally survivors.unpersist(blocking = false)
       }
@@ -224,9 +266,10 @@ object Incremental {
           "vec_id", "vec", exBands, exVecs, threshold, dims, tables,
           planesPerTable, maxBucket).persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          NearDup.embeddingBands(survivors, "vec_id", "vec", dims,
-            tables, planesPerTable)
-            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          writeLeafReplaySafe(
+            NearDup.embeddingBands(survivors, "vec_id", "vec", dims,
+              tables, planesPerTable),
+            bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
         } finally survivors.unpersist(blocking = false)
       }
@@ -277,8 +320,10 @@ object Incremental {
           "doc_id", "sig", exBands, maxHamming, maxBucket)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          NearDup.signatureBands(survivors, "doc_id", "sig", maxHamming)
-            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          writeLeafReplaySafe(
+            NearDup.signatureBands(survivors, "doc_id", "sig",
+              maxHamming),
+            bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
         } finally survivors.unpersist(blocking = false)
       }
@@ -292,17 +337,28 @@ object Incremental {
     * of every document ever accepted
     * ([[NearDup.dedupByContainmentIncremental]]); survivors append to
     * the corpus and their gram rows land idempotently in this batch's
-    * `batch=<batchId>` index leaf. Crash-replay heal differs from the
-    * band streams: the gram index is SELF-DESCRIBING (rows carry
-    * grams + sizes, no corpus-text join to drop phantoms), so the
-    * replayed batch would self-match its own ghost rows at cont=1 —
-    * the operator's __inid =!= __exid guard is what makes the replay
-    * reconstruct instead of self-destruct (spec-pinned). `maxDf`
-    * passes through to the hot-gram guard. */
+    * `batch=<batchId>` index leaf. Crash-replay covers BOTH windows:
+    * index-written-corpus-lost replays heal because the gram index is
+    * SELF-DESCRIBING (rows carry grams + sizes, no corpus-text join
+    * to drop phantoms) and the operator's __inid =!= __exid guard
+    * stops each doc from self-matching its own ghost rows at cont=1
+    * (spec-pinned); both-written-commit-lost replays (survivors
+    * emptied by the corpus anti-join) SKIP the leaf overwrite instead
+    * of wiping the accepted docs' gram rows
+    * ([[writeLeafReplaySafe]], spec-pinned). `maxDf`
+    * passes through to the hot-gram guard.
+    *
+    * `dfPath` (optional) switches the history-side cap to the
+    * PRODUCTION path ([[NearDup.dedupByContainmentIncrementalWithDf]]):
+    * the stream maintains a (gram, df) side asset as per-batch
+    * increment leaves — same `batch=<id>` replay contract — and the
+    * cap reads the narrow pre-aggregated asset instead of scanning
+    * the corpus-sized gram index twice per batch. Compact the leaves
+    * with the table-maintenance pass when their count grows. */
   def containmentStream(spark: SparkSession, bronzeGlob: String,
       corpusPath: String, indexPath: String, checkpoint: String,
       idExpr: String, textExpr: String, tau: Double,
-      maxDf: Int = Int.MaxValue): Unit = {
+      maxDf: Int = Int.MaxValue, dfPath: Option[String] = None): Unit = {
     val stream = spark.readStream
       .format("text")
       .load(bronzeGlob)
@@ -328,14 +384,102 @@ object Incremental {
             incoming.limit(0), "doc_id", "text"))
         val fresh = incoming.join(exDocs.select("doc_id"),
           Seq("doc_id"), "left_anti")
-        val (survivors, _) = NearDup.dedupByContainmentIncremental(
-          fresh, "doc_id", "text", exIndex, tau, maxDf)
+        val survivors = dfPath match {
+          case Some(dp) =>
+            // PRODUCTION cap path: the (gram, df) side asset lives as
+            // per-batch increment leaves (batch=<id>, same replay
+            // contract as the index); its read is leaves → sum, a
+            // pre-aggregated frame FAR narrower than the (doc, gram)
+            // index the base path would scan twice. An empty asset
+            // (first batch) aggregates the empty index.
+            val exDf = MergeOps.readIfExists(ss, dp)
+              .map(_.groupBy("gram").agg(sum("df").as("df")))
+              .getOrElse(NearDup.containmentGramDf(
+                NearDup.containmentGramIndex(incoming.limit(0),
+                  "doc_id", "text")))
+            val (s, _, _) = NearDup.dedupByContainmentIncrementalWithDf(
+              fresh, "doc_id", "text", exIndex, exDf, tau, maxDf)
+            s
+          case None =>
+            val (s, _) = NearDup.dedupByContainmentIncremental(
+              fresh, "doc_id", "text", exIndex, tau, maxDf)
+            s
+        }
         val sp = survivors.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          NearDup.containmentGramIndex(sp, "doc_id", "text")
-            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val leafGrams = NearDup.containmentGramIndex(sp,
+            "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            writeLeafReplaySafe(leafGrams, indexPath, batchId, sp)
+            // the df INCREMENT of this batch's accepted docs — the
+            // asset's leaves sum to containmentGramDf(full index)
+            // (spec-asserted)
+            dfPath.foreach(dp => writeLeafReplaySafe(
+              leafGrams.groupBy("gram").agg(count(lit(1)).as("df")),
+              dp, batchId, sp))
+          } finally leafGrams.unpersist(blocking = false)
           sp.write.mode("append").parquet(corpusPath)
         } finally sp.unpersist(blocking = false)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming SEMANTIC-cells dedup corpus builder — the SemDeDup
+    * twin of [[embeddingDedupStream]]: each micro-batch of vectors
+    * dedups against itself AND the materialized (id, vec, cell)
+    * assignment index of every vector ever accepted
+    * ([[NearDup.dedupBySemanticCellsIncremental]] against the shared
+    * `centroidsPath` asset — cosine is priced only WITHIN a cell, and
+    * assignments are computed once per vector, ever). Survivors
+    * append to the corpus and their assignment rows land idempotently
+    * in this batch's `batch=<batchId>` index leaf — the same
+    * crash-replay contract as the band streams: index-written-
+    * corpus-lost replays heal via the operator's __id2 =!= __xid
+    * self-pair guard (a ghost assignment row would otherwise drop its
+    * own doc at cosine 1), and both-written-commit-lost replays skip
+    * the leaf overwrite ([[writeLeafReplaySafe]]). `vecExpr` is SQL
+    * over `raw_data` producing an `array<double>`. */
+  def semanticCellsStream(spark: SparkSession, bronzeGlob: String,
+      corpusPath: String, indexPath: String, centroidsPath: String,
+      checkpoint: String, idExpr: String, vecExpr: String,
+      threshold: Double): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(bronzeGlob)
+      .withColumnRenamed("value", "raw_data")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val cents = ss.read.parquet(centroidsPath)
+        val incoming = batch
+          .withColumn("vec_id", expr(idExpr))
+          .withColumn("vec", expr(vecExpr))
+          .filter(col("vec_id").isNotNull && col("vec").isNotNull)
+          .select("vec_id", "vec")
+          .dropDuplicates("vec_id")
+        val exCorpus = MergeOps.readIfExists(ss, corpusPath)
+          .getOrElse(incoming.limit(0))
+        // partition discovery adds a `batch` column — project it away
+        // so the index frame matches ivfAssign's schema
+        val exIndex = MergeOps.readIfExists(ss, indexPath)
+          .map(_.select("vec_id", "vec", "cell"))
+          .getOrElse(Ann.ivfAssign(incoming.limit(0), "vec_id", "vec",
+            cents, "cent_id", "cv"))
+        val fresh = incoming.join(exCorpus.select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        val survivors = NearDup.dedupBySemanticCellsIncremental(fresh,
+          "vec_id", "vec", exIndex, cents, "cent_id", "cv", threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          writeLeafReplaySafe(
+            Ann.ivfAssign(survivors, "vec_id", "vec", cents,
+              "cent_id", "cv"),
+            indexPath, batchId, survivors)
+          survivors.write.mode("append").parquet(corpusPath)
+        } finally survivors.unpersist(blocking = false)
       }
       .start()
     q.awaitTermination()

@@ -109,11 +109,16 @@ class CodecFuzzSpec extends SparkSpec {
       "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
       "Mp3.frames" -> (b => graft.multimodal.Mp3.frames(b)),
       "Mp3.streamInfo" -> (b => graft.multimodal.Mp3.streamInfo(b)),
+      "Mp3.id3TextFrames" ->
+        (b => graft.multimodal.Mp3.id3TextFrames(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
       () => validFlac, () => validGif, () => validAvi, () => validY4m,
-      () => validTar, () => validMp3)
+      () => validTar, () => validMp3,
+      () => graft.multimodal.Mp3.buildId3v2(4,
+        Seq("TIT2" -> "fuzz title", "TALB" -> "fuzz album"),
+        Seq("src" -> "fuzz"), padding = 7) ++ validMp3)
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =

@@ -145,4 +145,70 @@ class Mp3Spec extends AnyFunSuite {
     ff(2) = (ff(2) & 0x0f).toByte
     assert(Mp3.parseHeaderAt(ff, 0).isEmpty)
   }
+  test("ID3v2 text frames: v2.3/v2.4 round trip with exact offsets, " +
+    "TXXX pairs, padding; frame walk coexists; torn/unsync/v2.2 " +
+    "refused cleanly") {
+    for (ver <- Seq(3, 4)) {
+      val tag = Mp3.buildId3v2(ver,
+        Seq("TIT2" -> "A Title", "TPE1" -> "Artist"),
+        Seq("src" -> "crawl-7"), padding = 11)
+      val fs = Mp3.id3TextFrames(tag)
+      assert(fs.map(f => (f.frameId, f.description, f.text)) == Seq(
+        ("TIT2", "", "A Title"), ("TPE1", "", "Artist"),
+        ("TXXX", "src", "crawl-7")), s"v2.$ver frames")
+      // offsets follow the construction arithmetic the t130 oracle
+      // rederives: header 10, text-frame stride 10 + 1 + len
+      assert(fs(0).offset == 10)
+      assert(fs(1).offset == 10 + 11 + "A Title".length)
+      assert(fs(2).offset == fs(1).offset + 11 + "Artist".length)
+      // the frame walker skips the whole tag (padding included) and
+      // the text layer is unaffected by trailing audio
+      val full = tag ++ Mp3.buildStream(3, 0, 2, mono = true,
+        _ => 9, _ => false)
+      assert(Mp3.frames(full).size == 2)
+      assert(Mp3.id3TextFrames(full) == fs)
+    }
+    // v2.4 UTF-8 text (encoding 3) decodes beyond latin1; the same
+    // bytes relabeled v2.3 skip the frame (enc 3 undefined there)
+    val txt = "caf\u00e9 \u2713"
+    val p8 = 3.toByte +: txt.getBytes("UTF-8")
+    val fr = "TIT2".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, ((p8.length >> 7) & 0x7f).toByte,
+        (p8.length & 0x7f).toByte, 0, 0) ++ p8
+    val sz = fr.length
+    def head(ver: Byte) = Array[Byte]('I', 'D', '3', ver, 0, 0,
+      ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+      ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+    assert(Mp3.id3TextFrames(head(4) ++ fr).map(_.text) == Seq(txt))
+    assert(Mp3.id3TextFrames(head(3) ++ fr).isEmpty)
+    // UTF-16-with-BOM (encoding 1) is valid in both versions
+    val p16 = 1.toByte +: txt.getBytes("UTF-16")
+    val fr16 = "TALB".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, ((p16.length >> 7) & 0x7f).toByte,
+        (p16.length & 0x7f).toByte, 0, 0) ++ p16
+    val sz16 = fr16.length
+    val tag16 = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      ((sz16 >> 21) & 0x7f).toByte, ((sz16 >> 14) & 0x7f).toByte,
+      ((sz16 >> 7) & 0x7f).toByte, (sz16 & 0x7f).toByte) ++ fr16
+    assert(Mp3.id3TextFrames(tag16).map(_.text) == Seq(txt))
+    // trailing NULs strip (common v2.3 writer habit)
+    val nulTag = Mp3.buildId3v2(3, Seq("TIT2" -> "Name\u0000"))
+    assert(Mp3.id3TextFrames(nulTag).head.text == "Name")
+    // torn tag: partial prefix never throws, yields a prefix of the
+    // full parse
+    val whole = Mp3.buildId3v2(4, Seq("TIT2" -> "tt", "TPE1" -> "aa"))
+    for (cut <- 0 to whole.length) {
+      val part = Mp3.id3TextFrames(java.util.Arrays.copyOfRange(
+        whole, 0, cut))
+      assert(Mp3.id3TextFrames(whole).startsWith(part.map(identity)) ||
+        part.isEmpty || part == Mp3.id3TextFrames(whole).take(part.size))
+    }
+    // global unsynchronisation and v2.2 are refused, not half-parsed
+    val un = Mp3.buildId3v2(4, Seq("TIT2" -> "x"))
+    un(5) = 0x80.toByte
+    assert(Mp3.id3TextFrames(un).isEmpty)
+    val v22 = Mp3.buildId3v2(4, Seq("TIT2" -> "x"))
+    v22(3) = 2
+    assert(Mp3.id3TextFrames(v22).isEmpty)
+  }
 }

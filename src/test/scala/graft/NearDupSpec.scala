@@ -651,4 +651,132 @@ class NearDupSpec extends SparkSpec {
       twin, "doc_id", "text", idx, 0.9)
     assert(survTwin.count() == 0)
   }
+
+  test("containment gram keys: pure function of gram text — a v1 " +
+    "text-gram asset migrates row-identically to a fresh v2 build, " +
+    "and un-migrated v1 assets are refused with the pointer") {
+    import graft.functions.TextOps
+    val history = Seq((1L, textA), (2L, textC), (3L, textE))
+      .toDF("doc_id", "text")
+    val v2 = NearDup.containmentGramIndex(history, "doc_id", "text")
+    // the v1 (pre-hash) index derivation: text grams, same rows
+    val pre = history.withColumn("__tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.shingles3(col("__tk")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val v1 = pre.select(col("doc_id"), explode(col("sh")).as("gram"),
+      size(col("sh")).cast("long").as("n_grams"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("gram.h1"), col("gram.h2"),
+        col("n_grams"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(rows(NearDup.migrateContainmentIndexV1(v1)) === rows(v2),
+      "migration = projection; keys derive from gram text alone")
+    // key-collision semantics pinned: distinct grams get distinct
+    // keys here (the 2^-128 bound is documented on the key), and a
+    // REPEATED gram across docs gets the SAME key — df over keys
+    // equals df over text
+    val keyed = rows(v2)
+    assert(keyed.map(r => (r._2, r._3)).size ==
+      v1.select("gram").distinct().count(),
+      "distinct text grams <-> distinct keys on this corpus")
+    // un-migrated v1 assets are refused, not silently no-op'd (text
+    // joined against hashed keys would match nothing and 'dedup'
+    // nothing)
+    val err = intercept[IllegalArgumentException] {
+      NearDup.dedupByContainmentIncremental(
+        history, "doc_id", "text", v1, 0.9)
+    }
+    assert(err.getMessage.contains("migrateContainmentIndexV1"))
+  }
+
+  test("dedupByContainmentIncrementalWithDf: survivor parity with " +
+    "the index-aggregated cap, merged asset == recount, and the " +
+    "history index is scanned ONCE (the two capGramsByDf scans gone)") {
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    val history = Seq(
+      (1L, s"$b d1 d2 d3 d4"), (2L, s"$b e1"), (3L, s"$b f1"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_cont_asset")
+    NearDup.containmentGramIndex(history, "doc_id", "text")
+      .write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    NearDup.containmentGramDf(idx).write.parquet(s"$dir/df")
+    val asset = spark.read.parquet(s"$dir/df")
+    val incoming = Seq((10L, s"$b c1 c2 c3"), (11L, "c1 c2 c3"))
+      .toDF("doc_id", "text")
+    val (s1, _) = NearDup.dedupByContainmentIncremental(
+      incoming, "doc_id", "text", idx, 0.7, maxDf = 2)
+    val (s2, u2, d2) = NearDup.dedupByContainmentIncrementalWithDf(
+      incoming, "doc_id", "text", idx, asset, 0.7, maxDf = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s1) === ids(s2), "asset cap == index-aggregated cap")
+    assert(ids(s2) === Set(10L), "the documented capped-cascade result")
+    // merged asset == recount over the merged index (the t93-style
+    // merge arithmetic never drifts from the ground truth)
+    def dfMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("gram.h1"), col("gram.h2"), col("df"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+    assert(dfMap(d2) === dfMap(NearDup.containmentGramDf(u2)))
+    // the production claim, asserted on the PLAN: the base variant's
+    // capGramsByDf pays two scans of the persisted index (df
+    // aggregate + anti-join probe); the asset path pays one. The
+    // history join lives inside the persisted drop-id frame, so
+    // count file scans both in the visible logical plan and inside
+    // each DISTINCT cached plan (multiple references to one cache
+    // execute its scans once).
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def physScans(p: SparkPlan): Int = {
+      val self = p match {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("/idx")) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children
+      }
+      self + kids.map(physScans).sum
+    }
+    def idxScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.optimizedPlan
+      val logical = plan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation
+            if h.location.rootPaths.exists(_.toString.contains("/idx")) => 1
+          case _ => 0
+        }
+      }.sum
+      val seen = scala.collection.mutable.Set[Int]()
+      val cached = plan.collect {
+        case im: InMemoryRelation
+            if seen.add(System.identityHashCode(im.cachedPlan)) =>
+          physScans(im.cachedPlan)
+      }.sum
+      logical + cached
+    }
+    assert(idxScans(s1) == 2, "base variant: df aggregate + probe")
+    assert(idxScans(s2) == 1, "asset path: the one history join scan")
+    // and the batch is tokenized/shingled exactly ONCE (the r9
+    // double-shingle finding): every Ngrams chain in the survivors
+    // plan lives inside the single persisted gram frame
+    // (InMemoryRelation), so the visible logical plan carries none
+    def ngramCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case n: graft.expressions.Ngrams => n
+        }.size).sum
+      }.sum
+    assert(ngramCount(s2) == 0,
+      "no second tokenize/shingle chain outside the persisted frame")
+    assert(ngramCount(s1) == 0,
+      "base variant inherits the single-pass core too")
+  }
 }

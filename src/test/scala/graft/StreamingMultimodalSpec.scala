@@ -426,6 +426,223 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("semanticCellsStream: two drains == one batch SemDeDup of the union") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-sc")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cent_id", "cv").write.parquet(s"$root/cents")
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val v2 = Seq(0.99, 0.01, 0.0, 0.0)  // cosine(v1, v2) ~ 1: dup
+    val v3 = Seq(0.0, 1.0, 0.0, 0.0)
+    val v4 = Seq(0.98, 0.02, 0.0, 0.0)  // dup of EXISTING 1
+    val v5 = Seq(0.0, 0.9, 0.2, 0.0)    // cosine(v3, v5) ~ 0.976: dup
+    val v6 = Seq(0.0, 0.0, 1.0, 0.0)    // orthogonal: fresh
+    def line(id: Long, v: Seq[Double]) =
+      s"""{"id": $id, "vec": [${v.mkString(", ")}]}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val vecExpr =
+      "from_json(get_json_object(raw_data, '$.vec'), 'array<double>')"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, v1), line(2, v2), line(3, v3)).mkString("\n").getBytes)
+    Incremental.semanticCellsStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/cents", s"$root/ckpt", idExpr, vecExpr,
+      threshold = 0.95)
+    assert(spark.read.parquet(s"$root/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(4, v4), line(5, v5), line(6, v6)).mkString("\n").getBytes)
+    Incremental.semanticCellsStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/cents", s"$root/ckpt", idExpr, vecExpr,
+      threshold = 0.95)
+    val streamed = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 3L, 6L))
+    // equivalence with the one-shot batch operator over the union
+    val cents = spark.read.parquet(s"$root/cents")
+    val union = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4), (5L, v5),
+      (6L, v6)).toDF("vec_id", "vec")
+    val batch = NearDup.dedupBySemanticCells(union, "vec_id", "vec",
+      cents, "cent_id", "cv", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+    // the assignment index covers exactly the accepted corpus
+    val idxIds = spark.read.parquet(s"$root/index")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(idxIds.toSeq == Seq(1L, 3L, 6L))
+  }
+
+  test("semanticCellsStream: index-written-corpus-lost replay heals — " +
+    "the self-pair guard stops ghost assignments at cosine 1") {
+    import graft.operators.Ann
+    val root = tmpDir("stream-sc-crash")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cent_id", "cv").write.parquet(s"$root/cents")
+    val docs = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      docs.map { case (id, v) =>
+        s"""{"id": $id, "vec": [${v.mkString(", ")}]}"""
+      }.mkString("\n").getBytes)
+    // crash point: assignments already in the batch-0 leaf, corpus
+    // append lost. Without the __id2 =!= __xid guard each doc would
+    // self-match its ghost at cosine 1 and drop forever.
+    Ann.ivfAssign(docs.toDF("vec_id", "vec"), "vec_id", "vec",
+      spark.read.parquet(s"$root/cents"), "cent_id", "cv")
+      .write.mode("overwrite").parquet(s"$root/index/batch=0")
+    Incremental.semanticCellsStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/cents", s"$root/ckpt",
+      "CAST(get_json_object(raw_data, '$.id') AS LONG)",
+      "from_json(get_json_object(raw_data, '$.vec'), 'array<double>')",
+      threshold = 0.95)
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L),
+      s"replay must land the survivors, got $corpus")
+    val dup = spark.read.parquet(s"$root/index")
+      .groupBy("vec_id", "cell").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L, "replay duplicated index rows")
+  }
+
+  test("containmentStream: fully-committed batch replay (commit lost) " +
+    "skips the leaf overwrite instead of wiping accepted gram rows") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-cont-commitlost")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val src = "a b c d e f g h i j"
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, src), line(2, "p q r s t u v")).mkString("\n").getBytes)
+    // the destructive window: BOTH the index leaf and the corpus
+    // append landed, only the checkpoint commit was lost. The replay
+    // recomputes an EMPTY survivor set (fresh is emptied by the
+    // corpus anti-join); overwriting batch=0 with it would delete the
+    // accepted docs' gram rows while the corpus keeps the docs —
+    // every later batch would then miss containment dups against them.
+    val docs = Seq((1L, src), (2L, "p q r s t u v")).toDF("doc_id", "text")
+    NearDup.containmentGramIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/index/batch=0")
+    docs.write.mode("append").parquet(s"$root/corpus")
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr, tau = 0.9)
+    // the leaf survived the replay — and no corpus dup either
+    assert(spark.read.parquet(s"$root/index").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "replay wiped the accepted docs' index leaf")
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // and the healed index still does its job: a later excerpt of the
+    // shipped doc drops against history
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(3, "c d e f g")).mkString("\n").getBytes)
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr, tau = 0.9)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "excerpt must still drop against the preserved index")
+  }
+
+  test("containmentStream with the (gram, df) asset: capped survivors " +
+    "match the index-aggregated cap; leaves sum to the full recount") {
+    import graft.operators.NearDup
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    val day1 = Seq(line(1, s"$b d1 d2 d3 d4"), line(2, s"$b e1"),
+      line(3, s"$b f1"))
+    // the cascade fixture: X rides the capped history join (B-grams
+    // hot at df 3 > 2), then absorbs its own excerpt Y in-batch
+    val day2 = Seq(line(10, s"$b c1 c2 c3"), line(11, "c1 c2 c3"))
+    for (variant <- Seq("asset", "base")) {
+      val root = tmpDir(s"stream-cont-df-$variant")
+      val bronzeDir = s"$root/bronze"
+      new java.io.File(bronzeDir).mkdirs()
+      val dfPath =
+        if (variant == "asset") Some(s"$root/gramdf") else None
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+        day1.mkString("\n").getBytes)
+      Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+        s"$root/index", s"$root/ckpt", idExpr, textExpr,
+        tau = 0.7, maxDf = 2, dfPath = dfPath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+        day2.mkString("\n").getBytes)
+      Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+        s"$root/index", s"$root/ckpt", idExpr, textExpr,
+        tau = 0.7, maxDf = 2, dfPath = dfPath)
+      val corpus = spark.read.parquet(s"$root/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(corpus == Seq(1L, 2L, 3L, 10L),
+        s"$variant cap path survivors")
+      if (variant == "asset") {
+        // the asset's increment leaves sum to a recount of the index
+        val summed = spark.read.parquet(s"$root/gramdf")
+          .groupBy("gram").agg(sum("df").as("df"))
+          .select(col("gram.h1"), col("gram.h2"), col("df"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val recount = NearDup.containmentGramDf(
+          spark.read.parquet(s"$root/index")
+            .select("doc_id", "gram", "n_grams"))
+          .select(col("gram.h1"), col("gram.h2"), col("df"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        assert(summed == recount, "asset drifted from the index")
+      }
+    }
+  }
+
+  test("neardupStream: fully-committed batch replay (commit lost) " +
+    "skips the band-leaf overwrite — the same contract as containment") {
+    import graft.operators.NearDup
+    val root = tmpDir("stream-nd-commitlost")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tC = "one two three four five six seven eight nine"
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, tA), line(2, tC)).mkString("\n").getBytes)
+    val docs = Seq((1L, tA), (2L, tC)).toDF("doc_id", "text")
+    NearDup.minhashBands(docs, "doc_id", "text", 12, 4)
+      .write.mode("overwrite").parquet(s"$root/bands/batch=0")
+    docs.write.mode("append").parquet(s"$root/corpus")
+    Incremental.neardupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    assert(spark.read.parquet(s"$root/bands").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "replay wiped the accepted docs' band leaf")
+    // the preserved band index still catches a cross-drain dup
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(3, tA)).mkString("\n").getBytes)
+    Incremental.neardupStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/bands", s"$root/ckpt", idExpr, textExpr)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "dup of a shipped doc must still drop via the preserved bands")
+  }
+
   test("multimodal: image dHash through the real lossless codec") {
     import Multimodal._
     import graft.functions.ImageOps
