@@ -612,4 +612,129 @@ object Flac {
       part += 1
     }
   }
+  // ------------------------------------------------------------------
+  // VORBIS_COMMENT metadata (block type 4) — the lossless family's
+  // ID3v2: TITLE/ARTIST/DATE/... fields media curation reads as dedup
+  // keys and source attribution, O(1) per object (the block sits
+  // before any audio frame). Clean-room from the public FLAC format
+  // spec (metadata block framing) + the Vorbis comment header spec
+  // (little-endian length-prefixed UTF-8 "FIELD=value" strings).
+  // ------------------------------------------------------------------
+
+  /** One decoded comment field: `offset` is the byte offset of the
+    * field's 4-byte length prefix within the stream, `field` the name
+    * uppercased (the spec makes names case-insensitive ASCII), `value`
+    * the UTF-8 value (may itself contain '=' — only the FIRST '='
+    * splits). */
+  final case class VorbisField(offset: Int, field: String, value: String)
+
+  /** Parsed VORBIS_COMMENT block: encoder vendor string + fields in
+    * stored order. */
+  final case class VorbisComments(vendor: String, fields: Seq[VorbisField])
+
+  /** Decode the first VORBIS_COMMENT block of a FLAC stream. None when
+    * the stream has no such block or the block is malformed/truncated
+    * (never throws — the CodecFuzzSpec totality contract). The walk
+    * strides non-comment blocks by their declared size, exactly like
+    * [[decode]]'s metadata loop. */
+  def vorbisComments(bytes: Array[Byte]): Option[VorbisComments] = {
+    if (!isFlac(bytes)) return None
+    var pos = 4
+    var last = false
+    while (!last) {
+      if (pos + 4 > bytes.length) return None
+      val h = bytes(pos) & 0xff
+      last = (h & 0x80) != 0
+      val btype = h & 0x7f
+      val blen = ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      pos += 4
+      if (pos + blen > bytes.length) return None
+      if (btype == 4) {
+        val end = pos + blen
+        var p = pos
+        def le32(at: Int): Long =
+          ((bytes(at) & 0xffL)) | ((bytes(at + 1) & 0xffL) << 8) |
+            ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+        if (p + 4 > end) return None
+        val vlen = le32(p); p += 4
+        if (vlen > end - p) return None
+        val vendor = new String(bytes, p, vlen.toInt, "UTF-8")
+        p += vlen.toInt
+        if (p + 4 > end) return None
+        val n = le32(p); p += 4
+        val out = Seq.newBuilder[VorbisField]
+        var i = 0L
+        while (i < n) {
+          if (p + 4 > end) return None
+          val flen = le32(p)
+          if (flen > end - p - 4) return None
+          val s = new String(bytes, p + 4, flen.toInt, "UTF-8")
+          val eq = s.indexOf('=')
+          if (eq > 0) out += VorbisField(p,
+            s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+            s.substring(eq + 1))
+          p += 4 + flen.toInt
+          i += 1
+        }
+        return Some(VorbisComments(vendor, out.result()))
+      }
+      pos += blen
+    }
+    None
+  }
+
+  /** Raw VORBIS_COMMENT block payload (no 4-byte block header):
+    * LE-32 vendor length + vendor, LE-32 field count, then LE-32
+    * length + "FIELD=value" per field — the exact arithmetic the t131
+    * oracle rederives offset by offset. */
+  private def vorbisCommentPayload(vendor: String,
+      fields: Seq[(String, String)]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+      bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+    }
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length); bb.write(vb)
+    le32(fields.length)
+    fields.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('=') &&
+        k.forall(c => c >= 0x20 && c <= 0x7d),
+        s"invalid Vorbis field name: $k")
+      val fb = s"$k=$v".getBytes("UTF-8")
+      le32(fb.length); bb.write(fb)
+    }
+    bb.toByteArray
+  }
+
+  /** Insert a VORBIS_COMMENT block right after STREAMINFO in an
+    * existing FLAC stream (e.g. [[encode]]'s output): STREAMINFO's
+    * last-metadata flag moves to the inserted block, audio frames are
+    * untouched, and [[decode]] strides over the new block unchanged
+    * (spec-asserted). */
+  def withVorbisComments(flac: Array[Byte], vendor: String,
+      fields: Seq[(String, String)]): Array[Byte] = {
+    require(isFlac(flac), "not a FLAC stream")
+    require(flac.length >= 8, "truncated FLAC stream")
+    val h = flac(4) & 0xff
+    val wasLast = (h & 0x80) != 0
+    val silen = ((flac(5) & 0xff) << 16) | ((flac(6) & 0xff) << 8) |
+      (flac(7) & 0xff)
+    val insertAt = 8 + silen
+    require(insertAt <= flac.length, "truncated STREAMINFO")
+    val payload = vorbisCommentPayload(vendor, fields)
+    require(payload.length < (1 << 24), "comment block too large")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(flac, 0, 4)
+    out.write(h & 0x7f) // STREAMINFO: clear last-metadata flag
+    out.write(flac, 5, insertAt - 5)
+    out.write((if (wasLast) 0x80 else 0x00) | 4) // type 4, inherited flag
+    out.write((payload.length >> 16) & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write(payload.length & 0xff)
+    out.write(payload)
+    out.write(flac, insertAt, flac.length - insertAt)
+    out.toByteArray
+  }
 }

@@ -1209,17 +1209,22 @@ object NearDup {
     containmentPairsFromGrams(
       pre.select(col("doc_id").as("__id"),
           explode(col("__sh")).as("__gt"))
-        .select(col("__id"), containmentGramKey(col("__gt")).as("__g")),
+        .select(col("__id"), xxhash64(col("__gt")).as("__g1"),
+          xxhash64(lit(GramKeySalt), col("__gt")).as("__g2")),
       pre.select(col("doc_id").as("__id"), col("n_grams").as("__n")),
       tau, maxDf)
   }
 
   /** The shared pair core behind [[containmentPairs]] and the
     * incremental in-batch pass: takes an ALREADY-HASHED gram frame
-    * (__id, __g) plus a size frame (__id, __n) so the incremental
-    * path can feed its persisted index rows instead of re-shingling
-    * raw text (one tokenize/shingle stage per batch, not two). Only
-    * 16-byte gram keys and (id, id) count rows ever cross a shuffle. */
+    * (__id, __g1, __g2) plus a size frame (__id, __n) so the
+    * incremental path can feed its persisted index rows instead of
+    * re-shingling raw text (one tokenize/shingle stage per batch, not
+    * two). Only 16-byte gram keys and (id, id) count rows ever cross
+    * a shuffle — and the keys travel as TWO FLAT LONG columns, not a
+    * STRUCT: sorting/grouping on primitive longs stays in the
+    * codegen'd fast path, where struct keys pay per-row nested
+    * compare/serialize overhead (measured at 10× on t100). */
   private def containmentPairsFromGrams(gramsRaw: DataFrame,
       sizes: DataFrame, tau: Double, maxDf: Int): DataFrame = {
     // guard ON adds two more references to the gram frame (the df
@@ -1231,10 +1236,12 @@ object NearDup {
     val grams =
       if (maxDf == Int.MaxValue) gramsRaw
       else graft.CacheRegistry.track(
-        capGramsByDf(gramsRaw, "__g", maxDf)
+        capGramsByDf(gramsRaw, Seq("__g1", "__g2"), maxDf)
           .persist(StorageLevel.MEMORY_AND_DISK))
-    val inter = grams.select(col("__id").as("__ida"), col("__g"))
-      .join(grams.select(col("__id").as("__idb"), col("__g")), Seq("__g"))
+    val inter = grams
+      .select(col("__id").as("__ida"), col("__g1"), col("__g2"))
+      .join(grams.select(col("__id").as("__idb"), col("__g1"),
+        col("__g2")), Seq("__g1", "__g2"))
       .filter(col("__ida") < col("__idb"))
       .groupBy("__ida", "__idb")
       .agg(count(lit(1)).as("n_inter"))
@@ -1251,12 +1258,17 @@ object NearDup {
         col("cont_a"), col("cont_b"))
   }
 
-  /** The fixed-width gram key every containment join shuffles instead
-    * of raw shingle text (the r9 scale fix — 3-gram strings were the
+  /** The fixed-width gram key the containment family uses instead of
+    * raw shingle text (the r9 scale fix — 3-gram strings were the
     * widest thing crossing the wire on the worst 10× bench rows):
     * STRUCT<h1: BIGINT, h2: BIGINT> where h1 = XXH64(gram, seed 42)
     * and h2 = XXH64(gram, seed XXH64(salt)) — two independently
     * seeded 64-bit XXH64 evaluations, 16 bytes total, codegen'd.
+    * The STRUCT is the ASSET-BOUNDARY form (the persisted index / df
+    * asset schema); inside the operators every join and groupBy runs
+    * on the two FLAT long columns instead — primitive sort/compare
+    * stays in codegen where struct keys pay nested compare/serialize
+    * per row (measured at 10×, PERF_NOTES round 10).
     *
     * Collision bound (written down, per the guard's contract): a
     * false gram-key collision needs BOTH 64-bit hashes to collide
@@ -1289,14 +1301,17 @@ object NearDup {
     * ([[graft.functions.TextOps.shingles3]] is array_distinct), so
     * count(*) per gram IS df. The hot set is bounded by
     * |gram rows| / maxDf — a map-side-combined aggregate plus an
-    * anti-join, never a collect; AQE broadcasts it when small. */
-  private def capGramsByDf(grams: DataFrame, gramCol: String,
+    * anti-join, never a collect; AQE broadcasts it when small.
+    * `keyCols` are the flat gram-key columns (see the pair core's
+    * flat-longs note). */
+  private def capGramsByDf(grams: DataFrame, keyCols: Seq[String],
       maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) grams
     else grams.join(
-      grams.groupBy(gramCol).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select(gramCol),
-      Seq(gramCol), "left_anti")
+      grams.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(keyCols.map(col): _*),
+      keyCols, "left_anti")
 
   /** Diagnostic for the [[containmentPairs]] `maxDf` guard — the
     * grams the cap would exclude, with their document frequencies
@@ -1373,7 +1388,11 @@ object NearDup {
     * of two full scans of the ever-growing gram index per batch. */
   def containmentGramDf(index: DataFrame): DataFrame = {
     requireHashedGramIndex(index)
-    index.groupBy("gram").agg(count(lit(1)).as("df"))
+    // aggregate on the FLAT longs (codegen'd primitive grouping),
+    // re-struct only at the asset boundary
+    index.select(col("gram.h1").as("h1"), col("gram.h2").as("h2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      .select(struct(col("h1"), col("h2")).as("gram"), col("df"))
   }
 
   /** The single source of truth for "a document's shingle set" in the
@@ -1451,8 +1470,9 @@ object NearDup {
     requireHashedGramIndex(existingIndex)
     val ex = capGramsByDf(
       existingIndex.select(col("doc_id").as("__exid"),
-        col("gram"), col("n_grams").as("__exn")),
-      "gram", maxDf)
+        col("gram.h1").as("__g1"), col("gram.h2").as("__g2"),
+        col("n_grams").as("__exn")),
+      Seq("__g1", "__g2"), maxDf)
     val (survivors, inc) =
       containmentIncrementalCore(docs, idCol, textCol, ex, tau, maxDf)
     // survivors' gram rows already exist in `inc` — semi-join, never
@@ -1489,14 +1509,17 @@ object NearDup {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     requireHashedGramIndex(existingIndex)
     val exSel = existingIndex.select(col("doc_id").as("__exid"),
-      col("gram"), col("n_grams").as("__exn"))
+      col("gram.h1").as("__g1"), col("gram.h2").as("__g2"),
+      col("n_grams").as("__exn"))
     // the asset-backed cap: ONE scan of the index, hot set from the
-    // pre-aggregated asset (vs capGramsByDf's aggregate + probe)
+    // pre-aggregated asset (vs capGramsByDf's aggregate + probe) —
+    // flat-longs keys throughout (the pair core's struct-key note)
     val ex =
       if (maxDf == Int.MaxValue) exSel
       else exSel.join(
-        existingGramDf.filter(col("df") > maxDf).select("gram"),
-        Seq("gram"), "left_anti")
+        existingGramDf.filter(col("df") > maxDf)
+          .select(col("gram.h1").as("__g1"), col("gram.h2").as("__g2")),
+        Seq("__g1", "__g2"), "left_anti")
     val (survivors, inc) =
       containmentIncrementalCore(docs, idCol, textCol, ex, tau, maxDf)
     // survivor gram rows feed the index union AND the df merge —
@@ -1507,10 +1530,12 @@ object NearDup {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val updatedIndex = existingIndex.unionByName(survGrams)
     val updatedDf = survGrams
-      .groupBy("gram").agg(count(lit(1)).as("__df_inc"))
-      .join(existingGramDf.select(col("gram"), col("df").as("__df_ex")),
-        Seq("gram"), "full_outer")
-      .select(col("gram"),
+      .select(col("gram.h1").as("h1"), col("gram.h2").as("h2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("__df_inc"))
+      .join(existingGramDf.select(col("gram.h1").as("h1"),
+        col("gram.h2").as("h2"), col("df").as("__df_ex")),
+        Seq("h1", "h2"), "full_outer")
+      .select(struct(col("h1"), col("h2")).as("gram"),
         (coalesce(col("__df_inc"), lit(0L)) +
           coalesce(col("__df_ex"), lit(0L))).as("df"))
     (survivors, updatedIndex, updatedDf)
@@ -1540,10 +1565,11 @@ object NearDup {
     // is read once per batch. Batch-bounded: at most one id per
     // incoming doc.
     val droppedVsHistory = graft.CacheRegistry.track(capGramsByDf(
-      inc.select(col("doc_id").as("__inid"), col("gram"),
+      inc.select(col("doc_id").as("__inid"),
+        col("gram.h1").as("__g1"), col("gram.h2").as("__g2"),
         col("n_grams").as("__inn")),
-      "gram", maxDf)
-      .join(ex, Seq("gram"))
+      Seq("__g1", "__g2"), maxDf)
+      .join(ex, Seq("__g1", "__g2"))
       // __inid =!= __exid: an id can only collide with ITSELF across
       // the sides after a crash-replay left the doc's own gram rows
       // in the index without its corpus row (the streaming band-index
@@ -1568,7 +1594,8 @@ object NearDup {
       droppedVsHistory.select(col(idCol).as("doc_id")),
       Seq("doc_id"), "left_anti")
     val pairs = containmentPairsFromGrams(
-      incAfter.select(col("doc_id").as("__id"), col("gram").as("__g")),
+      incAfter.select(col("doc_id").as("__id"),
+        col("gram.h1").as("__g1"), col("gram.h2").as("__g2")),
       incAfter.select(col("doc_id").as("__id"),
         col("n_grams").as("__n")).distinct(),
       tau, maxDf)

@@ -5970,6 +5970,56 @@ object TrainingQueries {
           |UNION ALL
           |SELECT doc_id, CAST(3 AS INT), 'TXXX', o4, 'src', v FROM o"""
           .stripMargin)),
+
+    // VORBIS_COMMENT extraction (t130's lossless-family sibling): the
+    // FLAC metadata block carrying TITLE/ARTIST/... fields, read O(1)
+    // before any audio frame. Each doc encodes a real 16-sample FLAC
+    // stream, splices a deterministic comment block after STREAMINFO
+    // (last-metadata flag moves to it), and the extractor's field
+    // names, byte offsets and values are emitted. The oracle
+    // rederives every offset from the block arithmetic: magic 4 +
+    // STREAMINFO (4 + 34) + block header 4 + LE vendor (4 + 9) +
+    // count 4 = 63 for the first length prefix, then stride
+    // 4 + len("FIELD=value") per field.
+    QueryDef(
+      "t131_vorbis_comment",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Flac
+        spread(s, docs(s, dir)).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val samples = Array.tabulate(16)(i =>
+              (((id * 7 + i * 13) % 251) - 125).toShort)
+            val base = Flac.encode(samples, 8000, blockSize = 16)
+            val tagged = Flac.withVorbisComments(base, "graft r10",
+              Seq("TITLE" -> s"T$id", "ARTIST" -> s"A${id % 7}",
+                "SRC" -> s"d$id"))
+            val vc = Flac.vorbisComments(tagged).get
+            vc.fields.zipWithIndex.map { case (f, i) =>
+              (id, i, f.field, f.offset.toLong, f.value)
+            }
+          }
+          .toDF("doc_id", "seq", "field", "off", "fval")
+      },
+      Some(
+        """WITH b AS (SELECT doc_id,
+          |    'T' || CAST(doc_id AS VARCHAR) AS t,
+          |    'A' || CAST(doc_id % 7 AS VARCHAR) AS a,
+          |    'd' || CAST(doc_id AS VARCHAR) AS v
+          |  FROM documents),
+          |o AS (SELECT doc_id, t, a, v,
+          |    CAST(63 AS BIGINT) AS o1,
+          |    CAST(63 + 4 + 6 + len(t) AS BIGINT) AS o2,
+          |    CAST(63 + 4 + 6 + len(t) + 4 + 7 + len(a) AS BIGINT)
+          |      AS o3
+          |  FROM b)
+          |SELECT doc_id, CAST(0 AS INT) AS seq, 'TITLE' AS field,
+          |  o1 AS off, t AS fval FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INT), 'ARTIST', o2, a FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(2 AS INT), 'SRC', o3, v FROM o"""
+          .stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

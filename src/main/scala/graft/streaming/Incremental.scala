@@ -393,7 +393,11 @@ object Incremental {
             // index the base path would scan twice. An empty asset
             // (first batch) aggregates the empty index.
             val exDf = MergeOps.readIfExists(ss, dp)
-              .map(_.groupBy("gram").agg(sum("df").as("df")))
+              .map(_.select(col("gram.h1").as("h1"),
+                col("gram.h2").as("h2"), col("df"))
+                .groupBy("h1", "h2").agg(sum("df").as("df"))
+                .select(struct(col("h1"), col("h2")).as("gram"),
+                  col("df")))
               .getOrElse(NearDup.containmentGramDf(
                 NearDup.containmentGramIndex(incoming.limit(0),
                   "doc_id", "text")))
@@ -415,7 +419,11 @@ object Incremental {
             // asset's leaves sum to containmentGramDf(full index)
             // (spec-asserted)
             dfPath.foreach(dp => writeLeafReplaySafe(
-              leafGrams.groupBy("gram").agg(count(lit(1)).as("df")),
+              leafGrams.select(col("gram.h1").as("h1"),
+                col("gram.h2").as("h2"))
+                .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+                .select(struct(col("h1"), col("h2")).as("gram"),
+                  col("df")),
               dp, batchId, sp))
           } finally leafGrams.unpersist(blocking = false)
           sp.write.mode("append").parquet(corpusPath)

@@ -107,6 +107,8 @@ class CodecFuzzSpec extends SparkSpec {
       "AudioDecoder.pcmSamples" ->
         (b => Multimodal.AudioDecoder.pcmSamples(b)),
       "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
+      "Flac.vorbisComments" ->
+        (b => graft.multimodal.Flac.vorbisComments(b)),
       "Mp3.frames" -> (b => graft.multimodal.Mp3.frames(b)),
       "Mp3.streamInfo" -> (b => graft.multimodal.Mp3.streamInfo(b)),
       "Mp3.id3TextFrames" ->
@@ -118,7 +120,9 @@ class CodecFuzzSpec extends SparkSpec {
       () => validTar, () => validMp3,
       () => graft.multimodal.Mp3.buildId3v2(4,
         Seq("TIT2" -> "fuzz title", "TALB" -> "fuzz album"),
-        Seq("src" -> "fuzz"), padding = 7) ++ validMp3)
+        Seq("src" -> "fuzz"), padding = 7) ++ validMp3,
+      () => graft.multimodal.Flac.withVorbisComments(validFlac,
+        "fuzz vendor", Seq("TITLE" -> "fuzz", "SRC" -> "s=1")))
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =

@@ -189,4 +189,45 @@ class FlacSpec extends SparkSpec {
     val (_, out) = Flac.decode(bytes)
     assert(out.toSeq === samples.map(s => (s / 32768.0).toFloat).toSeq)
   }
+  test("VORBIS_COMMENT: round trip with exact offsets, UTF-8 and '=' " +
+    "in values, decode unaffected; malformed blocks never throw") {
+    import graft.multimodal.Flac
+    val samples = Array.tabulate[Short](40)(i => (i * 31 - 500).toShort)
+    val base = Flac.encode(samples, 8000, blockSize = 16)
+    assert(Flac.vorbisComments(base).isEmpty, "no block in plain encode")
+    val fields = Seq(
+      "TITLE" -> "caf\u00e9 \u2713",   // beyond latin1: UTF-8 path
+      "Artist" -> "a=b=c",                // '=' in value; name case folds
+      "SRC" -> "crawl-7")
+    val tagged = Flac.withVorbisComments(base, "graft r10", fields)
+    val vc = Flac.vorbisComments(tagged)
+      .getOrElse(fail("no comment block parsed"))
+    assert(vc.vendor == "graft r10")
+    assert(vc.fields.map(f => (f.field, f.value)) == Seq(
+      ("TITLE", "caf\u00e9 \u2713"), ("ARTIST", "a=b=c"),
+      ("SRC", "crawl-7")))
+    // offsets follow the block arithmetic the t131 oracle rederives
+    val vendorLen = "graft r10".getBytes("UTF-8").length
+    val o1 = 4 + 4 + 34 + 4 + 4 + vendorLen + 4
+    assert(vc.fields(0).offset == o1)
+    assert(vc.fields(1).offset ==
+      o1 + 4 + "TITLE=caf\u00e9 \u2713".getBytes("UTF-8").length)
+    // the inserted block is metadata-transparent: decode identical
+    val (r0, d0) = Flac.decode(base)
+    val (r1, d1) = Flac.decode(tagged)
+    assert(r0 == r1 && d0.toSeq == d1.toSeq,
+      "decode must stride over the comment block unchanged")
+    // truncation at EVERY point inside the comment region parses to
+    // None or a prefix, never throws (totality contract)
+    for (cut <- 0 to math.min(tagged.length, o1 + 24)) {
+      val part = java.util.Arrays.copyOfRange(tagged, 0, cut)
+      Flac.vorbisComments(part) // must return, not throw
+    }
+    // a declared field length running past the block is malformed,
+    // not a crash: corrupt the first field's LE-32 length
+    val bad = tagged.clone()
+    bad(o1) = 0xff.toByte; bad(o1 + 1) = 0xff.toByte
+    assert(Flac.vorbisComments(bad).isEmpty ||
+      Flac.vorbisComments(bad).get.fields.isEmpty)
+  }
 }
