@@ -440,6 +440,89 @@ object Multimodal {
     buf.array()
   }
 
+  /** One decoded RIFF LIST/INFO tag: `offset` is the byte offset of
+    * the sub-chunk's fourcc within the payload, `tag` the fourcc
+    * (INAM title, IART artist, ICMT comment, …), `value` the text
+    * with trailing NULs stripped (INFO text is historically
+    * ISO-8859-1). */
+  final case class RiffTag(offset: Int, tag: String, value: String)
+
+  /** Decode the first LIST/INFO chunk of a RIFF/WAVE payload — the
+    * WAV family's ID3v2/VORBIS_COMMENT sibling (t130/t131): O(1)
+    * per-object title/artist/comment curation reads off the container
+    * walk the decoders already do. Empty on a non-RIFF payload, a
+    * missing INFO list, or any malformed/truncated framing (never
+    * throws — the CodecFuzzSpec totality contract). Sub-chunks pad to
+    * even, exactly like every other RIFF walk here. */
+  def riffInfoTags(bytes: Array[Byte]): Seq[RiffTag] = {
+    if (bytes.length < 12 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WAVE") return Nil
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val tag = new String(bytes, o, 4, "ISO-8859-1")
+      val len = le32(o + 4)
+      if (len < 0 || len > bytes.length - o - 8) return Nil
+      if (tag == "LIST" && len >= 4 &&
+        new String(bytes, o + 8, 4, "US-ASCII") == "INFO") {
+        val end = o + 8 + len.toInt
+        var p = o + 12
+        val out = Seq.newBuilder[RiffTag]
+        while (p + 8 <= end) {
+          val sub = new String(bytes, p, 4, "ISO-8859-1")
+          val slen = le32(p + 4)
+          if (slen < 0 || slen > end - p - 8) return out.result()
+          val raw = new String(bytes, p + 8, slen.toInt, "ISO-8859-1")
+          out += RiffTag(p, sub,
+            raw.reverse.dropWhile(_ == '\u0000').reverse)
+          p += 8 + slen.toInt + (slen.toInt & 1)
+        }
+        return out.result()
+      }
+      o += 8 + len.toInt + (len.toInt & 1)
+    }
+    Nil
+  }
+
+  /** Append a LIST/INFO chunk to a RIFF/WAVE payload and fix the RIFF
+    * size field: each (fourcc, value) becomes a sub-chunk whose body
+    * is the ISO-8859-1 text + a terminating NUL, padded to even — the
+    * exact arithmetic the t132 oracle rederives. Appending (the
+    * common trailing-INFO layout) leaves every fmt/data offset
+    * untouched, so decoders that ignore unknown chunks — including
+    * javax.sound — read the audio unchanged (spec-asserted). */
+  def withRiffInfo(wav: Array[Byte],
+      tags: Seq[(String, String)]): Array[Byte] = {
+    require(wav.length >= 12 &&
+      new String(wav, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(wav, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE")
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("INFO".getBytes("US-ASCII"))
+    tags.foreach { case (fourcc, value) =>
+      require(fourcc.length == 4, s"fourcc must be 4 chars: $fourcc")
+      val vb = value.getBytes("ISO-8859-1")
+      val stored = vb.length + 1 // terminating NUL
+      body.write(fourcc.getBytes("ISO-8859-1"))
+      body.write(stored & 0xff); body.write((stored >> 8) & 0xff)
+      body.write((stored >> 16) & 0xff); body.write((stored >> 24) & 0xff)
+      body.write(vb); body.write(0)
+      if ((stored & 1) == 1) body.write(0) // pad to even
+    }
+    val list = body.toByteArray
+    val out = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + list.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(wav, 0, 4)
+      .putInt(wav.length - 8 + 8 + list.length) // fixed RIFF size
+      .put(wav, 8, wav.length - 8)
+      .put("LIST".getBytes("US-ASCII")).putInt(list.length)
+      .put(list)
+    out.array()
+  }
+
   /** Minimal mono G.711 WAV writer (format tag 7 = μ-law, 6 = A-law;
     * 18-byte fmt chunk with cbSize=0, as non-PCM WAVE requires) — the
     * synthesis half that lets specs and the t74 gate drive the REAL

@@ -6020,6 +6020,55 @@ object TrainingQueries {
           |UNION ALL
           |SELECT doc_id, CAST(2 AS INT), 'SRC', o3, v FROM o"""
           .stripMargin)),
+
+    // RIFF LIST/INFO extraction (the WAV third of the t130/t131
+    // metadata trio): each doc writes a real 16-sample PCM WAV (44
+    // header + 32 data = 76 bytes), appends a LIST/INFO chunk with
+    // deterministic INAM/IART/ICMT tags, and the extractor's
+    // fourccs, byte offsets and values are emitted. Oracle offsets:
+    // first sub-chunk fourcc at 76 + 12 = 88, then stride
+    // 8 + padded(len(value) + 1) with even padding.
+    QueryDef(
+      "t132_riff_info",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        spread(s, docs(s, dir)).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val samples = Array.tabulate(16)(i =>
+              (((id * 11 + i * 17) % 397) - 198).toShort)
+            val wav = Multimodal.withRiffInfo(
+              Multimodal.wavPcm16(samples, 8000),
+              Seq("INAM" -> s"T$id", "IART" -> s"A${id % 7}",
+                "ICMT" -> s"d$id"))
+            Multimodal.riffInfoTags(wav).zipWithIndex.map {
+              case (t, i) => (id, i, t.tag, t.offset.toLong, t.value)
+            }
+          }
+          .toDF("doc_id", "seq", "tag", "off", "tval")
+      },
+      Some(
+        """WITH b AS (SELECT doc_id,
+          |    'T' || CAST(doc_id AS VARCHAR) AS n,
+          |    'A' || CAST(doc_id % 7 AS VARCHAR) AS a,
+          |    'd' || CAST(doc_id AS VARCHAR) AS c
+          |  FROM documents),
+          |p AS (SELECT doc_id, n, a, c,
+          |    len(n) + 1 + ((len(n) + 1) % 2) AS pn,
+          |    len(a) + 1 + ((len(a) + 1) % 2) AS pa
+          |  FROM b),
+          |o AS (SELECT doc_id, n, a, c,
+          |    CAST(88 AS BIGINT) AS o1,
+          |    CAST(88 + 8 + pn AS BIGINT) AS o2,
+          |    CAST(88 + 8 + pn + 8 + pa AS BIGINT) AS o3
+          |  FROM p)
+          |SELECT doc_id, CAST(0 AS INT) AS seq, 'INAM' AS tag,
+          |  o1 AS off, n AS tval FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INT), 'IART', o2, a FROM o
+          |UNION ALL
+          |SELECT doc_id, CAST(2 AS INT), 'ICMT', o3, c FROM o"""
+          .stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

@@ -109,6 +109,8 @@ class CodecFuzzSpec extends SparkSpec {
       "Flac.decode" -> (b => graft.multimodal.Flac.decode(b)),
       "Flac.vorbisComments" ->
         (b => graft.multimodal.Flac.vorbisComments(b)),
+      "Multimodal.riffInfoTags" ->
+        (b => Multimodal.riffInfoTags(b)),
       "Mp3.frames" -> (b => graft.multimodal.Mp3.frames(b)),
       "Mp3.streamInfo" -> (b => graft.multimodal.Mp3.streamInfo(b)),
       "Mp3.id3TextFrames" ->
@@ -122,7 +124,9 @@ class CodecFuzzSpec extends SparkSpec {
         Seq("TIT2" -> "fuzz title", "TALB" -> "fuzz album"),
         Seq("src" -> "fuzz"), padding = 7) ++ validMp3,
       () => graft.multimodal.Flac.withVorbisComments(validFlac,
-        "fuzz vendor", Seq("TITLE" -> "fuzz", "SRC" -> "s=1")))
+        "fuzz vendor", Seq("TITLE" -> "fuzz", "SRC" -> "s=1")),
+      () => Multimodal.withRiffInfo(validWav,
+        Seq("INAM" -> "fuzz", "ICMT" -> "x")))
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =

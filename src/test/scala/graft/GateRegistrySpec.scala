@@ -38,7 +38,7 @@ class GateRegistrySpec extends AnyFunSuite {
     "t127_mp3_frames", "t128_mp3_xing",
     // round-10 additions
     "t129_containment_df_asset", "t130_id3v2_text",
-    "t131_vorbis_comment",
+    "t131_vorbis_comment", "t132_riff_info",
     "t13_embedding_stats", "t14_embedding_neardup", "t15_ann_ivf_cells", "t16_neardup_survivors",
     "t17_ann_ivf_search", "t18_simhash_survivors", "t19_curate_survivors", "t20_embedding_dedup",
     "t21_curate_stats", "t22_rolling_fingerprint", "t23_ivf_train", "t24_neardup_components",

@@ -1528,4 +1528,35 @@ class StreamingMultimodalSpec extends SparkSpec {
       codec = Y4mCodec)).collect().sortBy(_.frame_idx)
     assert(stats.map(_.mean_lum).toSeq == Seq(60.0, 130.0, 255.0))
   }
+  test("multimodal: RIFF LIST/INFO tags — exact offsets, decode " +
+    "transparency, totality on torn payloads") {
+    import Multimodal._
+    val samples = Array.tabulate[Short](16)(i => (i * 100 - 800).toShort)
+    val wav = wavPcm16(samples, 8000)
+    assert(riffInfoTags(wav).isEmpty, "no INFO list in the plain writer")
+    val tagged = withRiffInfo(wav,
+      Seq("INAM" -> "A Name", "IART" -> "Artist", "ICMT" -> "c=1"))
+    val tags = riffInfoTags(tagged)
+    assert(tags.map(t => (t.tag, t.value)) == Seq(
+      ("INAM", "A Name"), ("IART", "Artist"), ("ICMT", "c=1")))
+    // offsets follow the append arithmetic the t132 oracle rederives:
+    // base wav 44 + 32 data, LIST header 8 + 'INFO' -> first sub at 88
+    assert(tags(0).offset == wav.length + 12)
+    val p1 = "A Name".length + 1 + (("A Name".length + 1) % 2)
+    assert(tags(1).offset == wav.length + 12 + 8 + p1)
+    // decoders that ignore unknown chunks read the audio unchanged
+    val (r0, d0) = AudioDecoder.pcmSamples(wav)
+    val (r1, d1) = AudioDecoder.pcmSamples(tagged)
+    assert(r0 == r1 && d0.toSeq == d1.toSeq,
+      "trailing INFO list must be decode-transparent")
+    // the fixed RIFF size covers the appended list
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    assert(le32(tagged, 4) == tagged.length - 8)
+    // totality: every truncation point parses without throwing
+    for (cut <- 0 to tagged.length)
+      riffInfoTags(java.util.Arrays.copyOfRange(tagged, 0, cut))
+    assert(riffInfoTags("not riff".getBytes).isEmpty)
+  }
 }
