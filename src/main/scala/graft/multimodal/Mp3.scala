@@ -511,11 +511,17 @@ object Mp3 {
   }
 
   /** Synthesize an ID3v2.3 or v2.4 tag: `textFrames` become T-frames
-    * in declared order (ISO-8859-1, encoding byte 0), `userFrames`
-    * become TXXX (description NUL value), `padding` zero bytes follow.
-    * Frame sizes are written BE-32 (v2.3) or syncsafe (v2.4) — the
-    * same versioned arithmetic [[id3TextFrames]] parses and the t130
-    * oracle rederives offset by offset. */
+    * in declared order, `userFrames` become TXXX (description NUL
+    * value), `padding` zero bytes follow. Text encoding is chosen per
+    * frame so the [[id3TextFrames]] round trip is LOSSLESS: latin1-
+    * representable text gets encoding 0 (ISO-8859-1); anything else
+    * gets encoding 3 (UTF-8) under v2.4 and is REFUSED under v2.3
+    * (whose only non-latin1 encoding is BOM'd UTF-16, which this
+    * builder does not emit) — silently mapping 'café' to 'caf?' would
+    * let distinct titles collide in dedup keys built from synthesized
+    * tags. Frame sizes are written BE-32 (v2.3) or syncsafe (v2.4) —
+    * the same versioned arithmetic [[id3TextFrames]] parses and the
+    * t130 oracle rederives offset by offset. */
   def buildId3v2(version: Int, textFrames: Seq[(String, String)],
       userFrames: Seq[(String, String)] = Nil,
       padding: Int = 0): Array[Byte] = {
@@ -536,13 +542,26 @@ object Mp3 {
       bb.write(0); bb.write(0)
       bb.write(payload)
     }
+    // encoding 0 iff every char is latin1-representable (getBytes
+    // would otherwise substitute '?' — a silent lossy collision);
+    // v2.4 falls back to encoding 3 (UTF-8), v2.3 refuses.
+    def enc(texts: String*): Byte =
+      if (texts.forall(_.forall(_ <= 'ÿ'))) 0
+      else {
+        require(version == 4, "non-latin1 text needs ID3v2.4 " +
+          s"(UTF-8 frames): ${texts.mkString("|")}")
+        3
+      }
+    def encode(e: Byte, s: String): Array[Byte] =
+      s.getBytes(if (e == 0) "ISO-8859-1" else "UTF-8")
     textFrames.foreach { case (id, text) =>
-      frame(id, 0.toByte +: text.getBytes("ISO-8859-1"))
+      val e = enc(text)
+      frame(id, e +: encode(e, text))
     }
     userFrames.foreach { case (desc, value) =>
-      frame("TXXX", 0.toByte +:
-        (desc.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
-          value.getBytes("ISO-8859-1")))
+      val e = enc(desc, value)
+      frame("TXXX", e +:
+        (encode(e, desc) ++ Array(0.toByte) ++ encode(e, value)))
     }
     bb.write(Array.fill(padding)(0.toByte))
     val body = bb.toByteArray

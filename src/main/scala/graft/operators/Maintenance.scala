@@ -164,6 +164,33 @@ object Maintenance {
     fold.size
   }
 
+  /** Compact ALL of a stream's per-batch leaf assets in one
+    * maintenance pass — the explicit policy the streaming corpus
+    * builders' scaladocs defer to. [[graft.streaming.Incremental]]'s
+    * builders each accumulate one `batch=<id>` leaf PER MICRO-BATCH
+    * in every asset dir they maintain (band index, gram index,
+    * (gram, df) increments, assignment index): a year of 5-minute
+    * batches is ~100k directories per asset, and every batch's
+    * history read re-lists all of them. This folds each dir with
+    * [[compactBands]] (same newest-leaf-untouched replay contract,
+    * same `_compact_pending` crash protocol, per dir independently —
+    * a crash mid-pass leaves some dirs compacted and some not, each
+    * internally consistent).
+    *
+    * CONTENT-INVARIANT by construction: folding concatenates leaf
+    * rows verbatim — no aggregation — so every consumer contract
+    * survives: gram/band index reads are unioned rows either way,
+    * and the df asset's 'leaves sum to the full recount' invariant
+    * is preserved because summing is the READER's groupBy. The
+    * reserved `batch=-1` df seed leaf folds like any other (its
+    * counts just travel in the consolidated leaf). Run between
+    * drains, never concurrently with one.
+    *
+    * Returns leaves folded per dir (0 = nothing to do / missing). */
+  def compactLeaves(spark: SparkSession, assetDirs: Seq[String],
+      targetFiles: Int = 8): Map[String, Int] =
+    assetDirs.map(d => d -> compactBands(spark, d, targetFiles)).toMap
+
   /** File-count + size stats for a table (the health-check side). */
   def tableStats(spark: SparkSession, path: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)

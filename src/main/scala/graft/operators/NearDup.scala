@@ -31,6 +31,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object NearDup {
 
+  /** Default hot-gram cap for the containment family (df > this is
+    * excluded from intersection counting — see `containmentPairs`'s
+    * HOT-GRAM GUARD note). FINITE BY DEFAULT: a gram of document
+    * frequency df costs df² join rows, so one boilerplate shingle in
+    * 10⁶ docs is a 10¹²-row join — the only superlinear cliff in the
+    * family, and at 100 TB it is not survivable. A trigram shared by
+    * more than 500 documents is boilerplate for containment purposes
+    * (common-language or template text — mass VERBATIM duplicates are
+    * exact-dedup's job, upstream); excluding it makes every reported
+    * containment a conservative LOWER BOUND (dedup keeps a superset
+    * of the exact run's survivors) and caps any gram's join cost at
+    * 500² = 250k rows. The EXACT exhaustive form is an explicit
+    * opt-in: pass `maxDf = NearDup.ContainmentExhaustive`. Audit what
+    * a cap excludes with [[hotGrams]]. */
+  val ContainmentMaxDfDefault = 500
+
+  /** Opt-in 'no hot-gram cap' sentinel for the containment family:
+    * exact semantics, df²-unbounded join — small/trusted corpora
+    * only. */
+  val ContainmentExhaustive: Int = Int.MaxValue
+
   /** DISTINCT 3-gram shingle frame — (idCol, __shraw, __ntk). The
     * single most expensive projection of the text dedup family; the
     * composed operators build it ONCE, persist it, and derive BOTH the
@@ -1183,7 +1204,8 @@ object NearDup {
     * either direction reaches `tau`. Docs with fewer than 3 tokens
     * have empty shingle sets and never pair.
     *
-    * HOT-GRAM GUARD (`maxDf`, default off = exact): the gram join's
+    * HOT-GRAM GUARD (`maxDf`, default [[ContainmentMaxDfDefault]];
+    * exact = opt-in [[ContainmentExhaustive]]): the gram join's
     * amplification for a gram of document frequency df is df² rows —
     * one degenerate boilerplate shingle appearing in 10⁶ docs is a
     * 10¹²-row join with no cap, the containment sibling of the
@@ -1198,7 +1220,7 @@ object NearDup {
     * keeps a superset of the exact run's survivors, and a hot gram's
     * join cost is capped at maxDf² instead of df². */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+      tau: Double, maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     // ONE definition of "a document's shingle rows" for the whole
@@ -1234,7 +1256,7 @@ object NearDup {
     // multi-referenced-frame landmine; guard OFF keeps the original
     // single-frame plan, where ReuseExchange shares the one shuffle)
     val grams =
-      if (maxDf == Int.MaxValue) gramsRaw
+      if (maxDf == ContainmentExhaustive) gramsRaw
       else graft.CacheRegistry.track(
         capGramsByDf(gramsRaw, Seq("__g1", "__g2"), maxDf)
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1306,7 +1328,7 @@ object NearDup {
     * flat-longs note). */
   private def capGramsByDf(grams: DataFrame, keyCols: Seq[String],
       maxDf: Int): DataFrame =
-    if (maxDf == Int.MaxValue) grams
+    if (maxDf == ContainmentExhaustive) grams
     else grams.join(
       grams.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__df"))
@@ -1441,7 +1463,8 @@ object NearDup {
     * empty index this is exactly [[dedupByContainment]]
     * (spec-asserted).
     *
-    * `maxDf` (default off): [[containmentPairs]]' hot-gram guard,
+    * `maxDf` (default [[ContainmentMaxDfDefault]], exact opt-in via
+    * [[ContainmentExhaustive]]): [[containmentPairs]]' hot-gram guard,
     * applied to BOTH joins this operator runs — the in-batch pass
     * inherits it, and the history join drops gram rows hot on EITHER
     * side (df within the batch, or df within the index, above the
@@ -1464,7 +1487,7 @@ object NearDup {
     * df) side asset so the cap is a lookup. */
   def dedupByContainmentIncremental(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame,
-      tau: Double, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      tau: Double, maxDf: Int = ContainmentMaxDfDefault): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     requireHashedGramIndex(existingIndex)
@@ -1504,7 +1527,7 @@ object NearDup {
   def dedupByContainmentIncrementalWithDf(docs: DataFrame, idCol: String,
       textCol: String, existingIndex: DataFrame,
       existingGramDf: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue): (DataFrame, DataFrame, DataFrame) = {
+      maxDf: Int = ContainmentMaxDfDefault): (DataFrame, DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     requireHashedGramIndex(existingIndex)
@@ -1515,7 +1538,7 @@ object NearDup {
     // pre-aggregated asset (vs capGramsByDf's aggregate + probe) —
     // flat-longs keys throughout (the pair core's struct-key note)
     val ex =
-      if (maxDf == Int.MaxValue) exSel
+      if (maxDf == ContainmentExhaustive) exSel
       else exSel.join(
         existingGramDf.filter(col("df") > maxDf)
           .select(col("gram.h1").as("__g1"), col("gram.h2").as("__g2")),
@@ -1636,7 +1659,7 @@ object NearDup {
     * survivors are a superset of the exact run's). */
   def dedupByContainment(docs: DataFrame, idCol: String,
       textCol: String, tau: Double,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
     val pairs = containmentPairs(docs, idCol, textCol, tau, maxDf)
     docs.join(containmentDropIds(pairs, idCol, tau), Seq(idCol),
       "left_anti")

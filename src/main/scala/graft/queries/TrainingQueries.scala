@@ -4282,9 +4282,12 @@ object TrainingQueries {
     // the gate plants a 14-token EXCERPT of every 10th doc (id +
     // 100000); the excerpt's 12 shingles are all in its source, so
     // containment(excerpt→source) = 1.0 while Jaccard is ~0.2 —
-    // below every near-dup band. Exact inverted gram join, never
-    // all-pairs; oracle replays shingling, the gram join, and both
-    // directional ratios.
+    // below every near-dup band. Inverted gram join, never all-pairs,
+    // running under the FINITE DEFAULT hot-gram cap
+    // (NearDup.ContainmentMaxDfDefault — the exhaustive form is an
+    // explicit opt-in since round 11); the oracle replays shingling,
+    // the df cap, the gram join, and both directional ratios, so the
+    // gate stays green at any scale factor.
     QueryDef(
       "t100_containment_pairs",
       (s, dir) => {
@@ -4310,9 +4313,13 @@ object TrainingQueries {
            |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
            |  WHERE len(sh) > 0),
            |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |hot AS (SELECT gr FROM g GROUP BY gr
+           |  HAVING COUNT(*) > ${graft.operators.NearDup.ContainmentMaxDfDefault}),
+           |gk AS (SELECT doc_id, gr FROM g
+           |  WHERE gr NOT IN (SELECT gr FROM hot)),
            |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
            |    COUNT(*) AS n_inter
-           |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  FROM gk a JOIN gk b ON a.gr = b.gr AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT i.ida AS id_a, i.idb AS id_b, i.n_inter,
            |  sa.n AS n_a, sb.n AS n_b,
@@ -4324,9 +4331,10 @@ object TrainingQueries {
            |   OR round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) >= 0.9"""
           .stripMargin)),
 
-    // Containment DEDUP policy (t100 composed): excerpts drop against
-    // their strictly-larger containers, equal shingle counts keep the
-    // smaller id. Same planted-excerpt fixture; survivors are the
+    // Containment DEDUP policy (t100 composed), under the same
+    // FINITE DEFAULT hot-gram cap (oracle replays it): excerpts drop
+    // against their strictly-larger containers, equal shingle counts
+    // keep the smaller id. Same planted-excerpt fixture; survivors are the
     // originals minus whatever full-duplicate chains resolve. Oracle
     // derives drops from the pair SQL with the same keep-largest
     // when-chain and anti-joins.
@@ -4356,9 +4364,13 @@ object TrainingQueries {
            |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
            |  WHERE len(sh) > 0),
            |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |hot AS (SELECT gr FROM g GROUP BY gr
+           |  HAVING COUNT(*) > ${graft.operators.NearDup.ContainmentMaxDfDefault}),
+           |gk AS (SELECT doc_id, gr FROM g
+           |  WHERE gr NOT IN (SELECT gr FROM hot)),
            |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
            |    COUNT(*) AS n_inter
-           |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  FROM gk a JOIN gk b ON a.gr = b.gr AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
            |p AS (SELECT i.ida, i.idb, sa.n AS na, sb.n AS nb,
            |    round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS ca,
@@ -6068,6 +6080,155 @@ object TrainingQueries {
           |SELECT doc_id, CAST(1 AS INT), 'IART', o2, a FROM o
           |UNION ALL
           |SELECT doc_id, CAST(2 AS INT), 'ICMT', o3, c FROM o"""
+          .stripMargin)),
+
+    // LEAF-COMPACTION equivalence (Maintenance.compactLeaves, the
+    // explicit policy for the streaming builders' per-batch
+    // `batch=<id>` asset leaves): the gate writes the containment
+    // gram index as THREE batch leaves (history split doc_id % 3),
+    // folds all but the newest with compactLeaves (requiring exactly
+    // 2 folds — the newest leaf is the stream's replay target and
+    // must survive untouched), then runs incremental containment
+    // dedup against the COMPACTED dir. The oracle replays the dedup
+    // over the full uncompacted history — compaction must be
+    // invisible to every consumer (fold concatenates rows verbatim,
+    // no aggregation), so survivors hash-match the uncompacted
+    // semantics. Incoming reuses t103's first two arms: excerpts of
+    // every 10th doc (contained in history → drop) + reversed every
+    // 7th (shingle-disjoint → stay, then the in-batch pass replays).
+    QueryDef(
+      "t133_leaf_compaction",
+      (s, dir) => {
+        import graft.operators.{Maintenance, NearDup}
+        val base = Tables.gatePath(dir, "leafcompact")
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        for (k <- 0 until 3)
+          NearDup.containmentGramIndex(
+            d.filter(col("doc_id") % 3 === k), "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$base/index/batch=$k")
+        val folded =
+          Maintenance.compactLeaves(s, Seq(s"$base/index"))(s"$base/index")
+        require(folded == 2, s"expected 2 leaves folded, got $folded")
+        val idx = s.read.parquet(s"$base/index")
+          .select("doc_id", "gram", "n_grams")
+        val revToks = reverse(split(col("text"), " "))
+        val e1 = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        val f = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            array_join(revToks, " ").as("text"))
+        val (surv, _) = NearDup.dedupByContainmentIncremental(
+          e1.unionByName(f), "doc_id", "text", idx, tau = 0.9)
+        surv.select(col("doc_id"))
+      },
+      Some(
+        s"""WITH inc AS (
+           |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+           |      list_slice(string_split(text, ' '), 1, 14), ' ') AS text
+           |    FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000, array_to_string(
+           |      list_reverse(string_split(text, ' ')), ' ')
+           |    FROM documents WHERE doc_id % 7 = 0),
+           |ti AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM inc),
+           |tor AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM documents),
+           |gi AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM ti WHERE len(sh) > 0),
+           |go AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+           |    unnest(sh) AS gr FROM tor WHERE len(sh) > 0),
+           |histdrop AS (SELECT DISTINCT inid FROM (
+           |  SELECT gi.doc_id AS inid, gi.n, go.doc_id AS exid,
+           |      go.n AS exn, COUNT(*) AS ninter
+           |    FROM gi JOIN go ON gi.gr = go.gr
+           |    GROUP BY 1, 2, 3, 4)
+           |  WHERE round(CAST(ninter AS DOUBLE) / n, 6) >= 0.9
+           |    AND n <= exn),
+           |after AS (SELECT * FROM inc
+           |  WHERE doc_id NOT IN (SELECT inid FROM histdrop)),
+           |ta AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM after),
+           |sza AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM ta
+           |  WHERE len(sh) > 0),
+           |ga AS (SELECT doc_id, unnest(sh) AS gr FROM ta),
+           |ia AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM ga a JOIN ga b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pa AS (SELECT ia.ida, ia.idb, sa.n AS na, sb.n AS nb,
+           |    round(CAST(ia.n_inter AS DOUBLE) / sa.n, 6) AS ca,
+           |    round(CAST(ia.n_inter AS DOUBLE) / sb.n, 6) AS cb
+           |  FROM ia JOIN sza sa ON sa.doc_id = ia.ida
+           |    JOIN sza sb ON sb.doc_id = ia.idb),
+           |bd AS (SELECT DISTINCT CASE
+           |    WHEN ca >= 0.9 AND na < nb THEN ida
+           |    WHEN cb >= 0.9 AND nb < na THEN idb
+           |    WHEN na = nb AND ca >= 0.9 THEN idb END AS doc_id
+           |  FROM pa WHERE ca >= 0.9 OR cb >= 0.9)
+           |SELECT after.doc_id FROM after
+           |WHERE after.doc_id NOT IN (SELECT doc_id FROM bd
+           |  WHERE doc_id IS NOT NULL)""".stripMargin)),
+
+    // UNIGRAM-LM tokenizer ROUND TRIP (t107's sibling for the second
+    // tokenizer family): decode(tokenIds(text)) under the pinned
+    // corpus-trained piece table reconstructs the whitespace-stripped
+    // concatenation for ASCII docs — the trained table force-keeps
+    // every printable-ASCII single, so Viterbi coverage is total and
+    // <unk> never fires on these rows.
+    QueryDef(
+      "t134_unigram_roundtrip",
+      (s, dir) => spread(s, docs(s, dir))
+        .filter(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          graft.functions.Unigram.decode(
+            graft.functions.Unigram.tokenIds(col("text"),
+              graft.functions.Unigram.GatePieces),
+            graft.functions.Unigram.GatePieces).as("decoded")),
+      Some(
+        """SELECT doc_id, array_to_string(
+          |    list_filter(string_split(text, ' '), x -> len(x) > 0),
+          |    '') AS decoded
+          |  FROM documents
+          |  WHERE octet_length(encode(text)) = length(text)"""
+          .stripMargin)),
+
+    // UNIGRAM-LM exact SEGMENTATION (the strong half of the pair):
+    // the per-doc '|'-joined Viterbi token path + token count under
+    // the pinned table, replayed piece by piece by the oracle's
+    // recursive enumeration — same (cost, ntok, path) tie-break,
+    // same left-to-right cost additions, so doubles compare
+    // bit-identically cross-engine. ASCII docs only (non-covered
+    // chars take <unk> steps the SQL enumeration does not model).
+    QueryDef(
+      "t135_unigram_segment",
+      (s, dir) => {
+        import graft.functions.Unigram
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"),
+            array_join(Unigram.tokens(col("text"),
+              Unigram.GatePieces), "|").as("path"),
+            Unigram.tokenCount(col("text"),
+              Unigram.GatePieces).as("n_tokens"))
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |${graft.functions.Unigram.duckSql(
+               graft.functions.Unigram.GatePieces,
+               "documents", "doc_id", "text")}
+           |SELECT d.doc_id, u.path,
+           |  CAST(u.n_tokens AS BIGINT) AS n_tokens
+           |FROM documents d JOIN __ug_doc u ON u.doc_id = d.doc_id
+           |WHERE octet_length(encode(d.text)) = length(d.text)"""
           .stripMargin)),
   )
 

@@ -47,7 +47,19 @@ object Incremental {
     * with a non-empty survivor SUBSET still narrows the leaf — torn
     * parquet appends are the failure class the CommitLog table
     * format's atomic commit exists for; these streams assume the
-    * corpus append is atomic-or-absent. */
+    * corpus append is atomic-or-absent.
+    *
+    * CHECKPOINT/ASSET COUPLING (operational contract): "leaf exists
+    * implies this exact batch ran before" holds only while the
+    * checkpoint directory and the asset directories (corpus, index,
+    * bands, df) live and die TOGETHER. Deleting the checkpoint while
+    * keeping the assets restarts batch ids at 0: new batches collide
+    * with old leaves, and an early batch whose survivors are
+    * legitimately empty would skip its write and retain a STALE leaf
+    * whose doc ids may no longer exist in the new corpus — ghost
+    * index rows that silently drop future genuine documents (the
+    * self-pair guard only protects a doc against its own ghost).
+    * Reset all of the stream's directories as one unit, or none. */
   private def writeLeafReplaySafe(rows: DataFrame, dirPath: String,
       batchId: Long, survivors: DataFrame): Unit = {
     val leaf = s"$dirPath/batch=$batchId"
@@ -358,7 +370,8 @@ object Incremental {
   def containmentStream(spark: SparkSession, bronzeGlob: String,
       corpusPath: String, indexPath: String, checkpoint: String,
       idExpr: String, textExpr: String, tau: Double,
-      maxDf: Int = Int.MaxValue, dfPath: Option[String] = None): Unit = {
+      maxDf: Int = NearDup.ContainmentMaxDfDefault,
+      dfPath: Option[String] = None): Unit = {
     val stream = spark.readStream
       .format("text")
       .load(bronzeGlob)
@@ -390,17 +403,30 @@ object Incremental {
             // per-batch increment leaves (batch=<id>, same replay
             // contract as the index); its read is leaves → sum, a
             // pre-aggregated frame FAR narrower than the (doc, gram)
-            // index the base path would scan twice. An empty asset
-            // (first batch) aggregates the empty index.
-            val exDf = MergeOps.readIfExists(ss, dp)
-              .map(_.select(col("gram.h1").as("h1"),
+            // index the base path would scan twice. A MISSING asset
+            // dir is seeded from the PERSISTED index under the
+            // reserved leaf `batch=-1` (stream batch ids start at 0):
+            // enabling dfPath on an existing stream — or losing just
+            // the df dir — must still cap legacy history, and the
+            // 'leaves sum to containmentGramDf(full index)' invariant
+            // must hold from the first dfPath batch. The seed is
+            // written BEFORE any other leaf of this batch, with
+            // if-absent semantics, so every crash window replays
+            // clean: before-seed → recompute from the same pre-batch
+            // index listing; after-seed → the leaf pins history and
+            // the re-listed index (which may now contain this batch's
+            // own leaf) is never re-aggregated. On a genuinely fresh
+            // stream the index is empty and the seed is an empty
+            // schema-only leaf.
+            if (MergeOps.readIfExists(ss, dp).isEmpty)
+              NearDup.containmentGramDf(exIndex)
+                .write.mode("ignore").parquet(s"$dp/batch=-1")
+            val exDf = ss.read.parquet(dp)
+              .select(col("gram.h1").as("h1"),
                 col("gram.h2").as("h2"), col("df"))
-                .groupBy("h1", "h2").agg(sum("df").as("df"))
-                .select(struct(col("h1"), col("h2")).as("gram"),
-                  col("df")))
-              .getOrElse(NearDup.containmentGramDf(
-                NearDup.containmentGramIndex(incoming.limit(0),
-                  "doc_id", "text")))
+              .groupBy("h1", "h2").agg(sum("df").as("df"))
+              .select(struct(col("h1"), col("h2")).as("gram"),
+                col("df"))
             val (s, _, _) = NearDup.dedupByContainmentIncrementalWithDf(
               fresh, "doc_id", "text", exIndex, exDf, tau, maxDf)
             s

@@ -194,6 +194,21 @@ class Mp3Spec extends AnyFunSuite {
     // trailing NULs strip (common v2.3 writer habit)
     val nulTag = Mp3.buildId3v2(3, Seq("TIT2" -> "Name\u0000"))
     assert(Mp3.id3TextFrames(nulTag).head.text == "Name")
+    // the BUILDER is lossless beyond latin1: v2.4 switches to
+    // encoding 3 (UTF-8) per frame instead of '?'-substituting --
+    // 'caf\u00e9' and 'caf?' must NOT collide in dedup keys built
+    // from synthesized tags; v2.3 (no UTF-8 encoding) refuses loudly
+    val uni = Mp3.buildId3v2(4, Seq("TIT2" -> txt, "TPE1" -> "plain"),
+      Seq("src\u00e9" -> "\u2713ok"))
+    assert(Mp3.id3TextFrames(uni).map(f => (f.frameId, f.description,
+      f.text)) == Seq(("TIT2", "", txt), ("TPE1", "", "plain"),
+      ("TXXX", "src\u00e9", "\u2713ok")))
+    intercept[IllegalArgumentException] {
+      Mp3.buildId3v2(3, Seq("TIT2" -> txt))
+    }
+    intercept[IllegalArgumentException] {
+      Mp3.buildId3v2(3, Nil, Seq("d" -> "\u2713"))
+    }
     // torn tag: partial prefix never throws, yields a prefix of the
     // full parse
     val whole = Mp3.buildId3v2(4, Seq("TIT2" -> "tt", "TPE1" -> "aa"))

@@ -564,6 +564,36 @@ class NearDupSpec extends SparkSpec {
       "capped: the cascade keeps the richer doc instead")
   }
 
+  test("containment default is the FINITE hot-gram cap; exhaustive " +
+    "is an explicit opt-in (the round-11 scale contract)") {
+    import spark.implicits._
+    // the default must be finite and documented — a df² join with no
+    // cap is the family's only superlinear cliff at 100 TB
+    assert(NearDup.ContainmentMaxDfDefault == 500)
+    assert(NearDup.ContainmentExhaustive == Int.MaxValue)
+    // 520 docs share ONE gram (df 520 > default 500) + unique tails:
+    // pairs exist ONLY through the hot gram (cont 1/4 at tau 0.2)
+    val docs = (0 until 520).map(i => (i.toLong, s"p1 p2 p3 x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    // default call: the cap fires with NO maxDf argument
+    assert(NearDup.containmentPairs(docs, "doc_id", "text", 0.2)
+      .count() == 0L, "default run caps the hot gram")
+    // the default IS ContainmentMaxDfDefault, not some other cap
+    assert(NearDup.containmentPairs(docs, "doc_id", "text", 0.2,
+      maxDf = NearDup.ContainmentMaxDfDefault).count() == 0L)
+    // exhaustive opt-in restores the exact (df²) semantics
+    assert(NearDup.containmentPairs(docs, "doc_id", "text", 0.2,
+      maxDf = NearDup.ContainmentExhaustive).count() == 520L * 519 / 2)
+    // dedup rides the same default: under the cap nobody pairs, so
+    // everyone survives; exhaustive keeps exactly one (equal shingle
+    // counts resolve to the min id, chain-free fixture)
+    assert(NearDup.dedupByContainment(docs, "doc_id", "text", 0.2)
+      .count() == 520L)
+    val exact = NearDup.dedupByContainment(docs, "doc_id", "text", 0.2,
+      maxDf = NearDup.ContainmentExhaustive)
+    assert(exact.count() < 520L, "exhaustive opt-in still dedups")
+  }
+
   test("dedupByContainment: excerpts drop, chains keep the root, ties keep min id") {
     import spark.implicits._
     val a = "a b c d e f g h i j k l"   // 10 shingles — the root

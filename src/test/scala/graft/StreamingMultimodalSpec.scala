@@ -608,6 +608,118 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("containmentStream: enabling the df asset on an EXISTING " +
+    "stream seeds history counts from the persisted index (batch=-1 " +
+    "leaf) — legacy grams still cap, leaves still sum to the recount") {
+    import graft.operators.NearDup
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    val root = tmpDir("stream-cont-df-late")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    // day1 runs WITHOUT the asset — history exists only as the index
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, s"$b d1 d2 d3 d4"), line(2, s"$b e1"),
+        line(3, s"$b f1")).mkString("\n").getBytes)
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr,
+      tau = 0.7, maxDf = 2, dfPath = None)
+    // day2 turns the asset ON: the history-side hot set (B-grams at
+    // df 3 > 2) must come from the SEEDED counts, not an empty frame
+    // — X (doc 10) survives history only because its B overlap caps
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(10, s"$b c1 c2 c3"), line(11, "c1 c2 c3"))
+        .mkString("\n").getBytes)
+    Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+      s"$root/index", s"$root/ckpt", idExpr, textExpr,
+      tau = 0.7, maxDf = 2, dfPath = Some(s"$root/gramdf"))
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L, 3L, 10L),
+      "late-enabled asset must cap legacy history grams")
+    // the seed leaf pins day1's counts, so the documented invariant
+    // holds from the first dfPath batch: leaves sum to a recount
+    val summed = spark.read.parquet(s"$root/gramdf")
+      .groupBy("gram").agg(sum("df").as("df"))
+      .select(col("gram.h1"), col("gram.h2"), col("df"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val recount = NearDup.containmentGramDf(
+      spark.read.parquet(s"$root/index")
+        .select("doc_id", "gram", "n_grams"))
+      .select(col("gram.h1"), col("gram.h2"), col("df"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(summed == recount,
+      "late-enabled asset drifted from the index")
+  }
+
+  test("containmentStream: compactLeaves between drains is invisible " +
+    "— a post-compaction batch dedups against the folded history and " +
+    "the df asset still sums to the recount") {
+    import graft.operators.{Maintenance, NearDup}
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    def line(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val idExpr = "CAST(get_json_object(raw_data, '$.id') AS LONG)"
+    val textExpr = "get_json_object(raw_data, '$.text')"
+    val root = tmpDir("stream-cont-compact")
+    val bronzeDir = s"$root/bronze"
+    new java.io.File(bronzeDir).mkdirs()
+    def drain(): Unit =
+      Incremental.containmentStream(spark, bronzeDir, s"$root/corpus",
+        s"$root/index", s"$root/ckpt", idExpr, textExpr,
+        tau = 0.9, dfPath = Some(s"$root/gramdf"))
+    // three drained batches → three leaves per asset (+ the df seed)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day1.jsonl"),
+      Seq(line(1, s"$b d1 d2 d3 d4 d5 d6")).mkString("\n").getBytes)
+    drain()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day2.jsonl"),
+      Seq(line(2, s"e1 e2 e3 e4 e5 e6 e7 e8 e9")).mkString("\n").getBytes)
+    drain()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day3.jsonl"),
+      Seq(line(3, s"f1 f2 f3 f4 f5 f6 f7 f8 f9")).mkString("\n").getBytes)
+    drain()
+    val folded = Maintenance.compactLeaves(spark,
+      Seq(s"$root/index", s"$root/gramdf"))
+    // index: leaves {0,1,2} fold 2; df asset: {-1 seed, 0, 1, 2} fold 3
+    assert(folded(s"$root/index") == 2, folded.toString)
+    assert(folded(s"$root/gramdf") == 3, folded.toString)
+    // a POST-compaction batch must still drop excerpts of the folded
+    // history (doc 1's excerpt) and keep the genuinely new doc
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bronzeDir/day4.jsonl"),
+      Seq(line(10, s"$b d1 d2 d3"),  // excerpt of folded doc 1: drops
+        line(11, "g1 g2 g3 g4 g5")   // fresh: stays
+      ).mkString("\n").getBytes)
+    drain()
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(1L, 2L, 3L, 11L),
+      "post-compaction batch must see the folded history")
+    // invariant survives the fold: asset leaves sum to the recount
+    val summed = spark.read.parquet(s"$root/gramdf")
+      .groupBy("gram").agg(sum("df").as("df"))
+      .select(col("gram.h1"), col("gram.h2"), col("df"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val recount = NearDup.containmentGramDf(
+      spark.read.parquet(s"$root/index")
+        .select("doc_id", "gram", "n_grams"))
+      .select(col("gram.h1"), col("gram.h2"), col("df"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(summed == recount, "asset drifted across compaction")
+  }
+
   test("neardupStream: fully-committed batch replay (commit lost) " +
     "skips the band-leaf overwrite — the same contract as containment") {
     import graft.operators.NearDup
