@@ -6230,6 +6230,203 @@ object TrainingQueries {
            |FROM documents d JOIN __ug_doc u ON u.doc_id = d.doc_id
            |WHERE octet_length(encode(d.text)) = length(d.text)"""
           .stripMargin)),
+
+    // BASELINE JPEG GRAY ROUND TRIP (the t105 fixture through a real
+    // lossy compressed format): ASCII doc prefixes become 8x8 tiles,
+    // encoded as baseline JPEG (T.81 SOF0, Annex K tables) and
+    // decoded back. The entropy layer is exact transport, so the
+    // oracle replays ONLY the arithmetic chain — Q13 integer DCT
+    // (kernel literals embedded), floor-div descale, round-half-up
+    // quantize, clamp — and must match the decoder pixel for pixel.
+    QueryDef(
+      "t136_jpeg_gray_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Jpeg
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 64)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val tile = text.substring(0, 64).getBytes("US-ASCII")
+              .map(_.toInt)
+            val img = Jpeg.decode(Jpeg.encodeGray(tile, 8, 8)).get
+            img.pixels.zipWithIndex.map { case (p, i) =>
+              (id, i, p.toLong)
+            }
+          }.toDF("doc_id", "xy", "px")
+      },
+      Some(
+        s"""WITH imgs AS (SELECT doc_id, substr(text, 1, 64) AS s
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 64),
+           |tiles AS (SELECT doc_id, CAST(r.i AS INT) AS xy,
+           |    ord(substr(s, CAST(r.i AS INT) + 1, 1)) AS p
+           |  FROM imgs, range(64) r(i)),
+           |${graft.multimodal.Jpeg.duckKernelSql()},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+               graft.multimodal.Jpeg.StdQuantLuma)},
+           |${graft.multimodal.Jpeg.duckChainSql("__jp", "tiles",
+               "doc_id", "__jp_q")}
+           |SELECT doc_id, CAST(xy AS INT) AS xy,
+           |  CAST(px AS BIGINT) AS px
+           |FROM __jp_r""".stripMargin)),
+
+    // BASELINE JPEG 4:2:0 COLOR (t136 + the full color pipeline):
+    // deterministic 16x16 RGB tiles from doc text, through YCbCr
+    // (Q8 fixed point), 2x2-mean chroma downsample, per-plane DCT
+    // chains (4 luma blocks + 1 each chroma), REPLICATED upsample
+    // and the inverse color transform. The oracle replays every
+    // stage; the decoder's output must match to the last clamp.
+    QueryDef(
+      "t137_jpeg_420_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Jpeg
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 64)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val s64 = text.substring(0, 64)
+            val rgb = new Array[Int](256 * 3)
+            var i = 0
+            while (i < 256) {
+              rgb(3 * i) = s64.charAt(i % 64).toInt
+              rgb(3 * i + 1) = (i * 5) % 256
+              rgb(3 * i + 2) = (s64.charAt((i + 7) % 64).toInt + i) % 256
+              i += 1
+            }
+            val img = Jpeg.decode(Jpeg.encodeColor420(rgb, 16, 16)).get
+            (0 until 256).map(j => (id, j, img.pixels(3 * j).toLong,
+              img.pixels(3 * j + 1).toLong, img.pixels(3 * j + 2).toLong))
+          }.toDF("doc_id", "i", "r", "g", "b")
+      },
+      Some(
+        s"""WITH imgs AS (SELECT doc_id, substr(text, 1, 64) AS s
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 64),
+           |rgb AS (SELECT doc_id, CAST(r0.i AS INT) AS i,
+           |    ord(substr(s, (CAST(r0.i AS INT) % 64) + 1, 1)) AS r,
+           |    (CAST(r0.i AS INT) * 5) % 256 AS g,
+           |    (ord(substr(s, ((CAST(r0.i AS INT) + 7) % 64) + 1, 1))
+           |      + CAST(r0.i AS INT)) % 256 AS b
+           |  FROM imgs, range(256) r0(i)),
+           |ycc AS (SELECT doc_id, i, i % 16 AS x, i // 16 AS y,
+           |    CAST(floor((77 * r + 150 * g + 29 * b) / 256.0)
+           |      AS BIGINT) AS yy,
+           |    CAST(floor((-43 * r - 85 * g + 128 * b) / 256.0)
+           |      AS BIGINT) + 128 AS cb,
+           |    CAST(floor((128 * r - 107 * g - 21 * b) / 256.0)
+           |      AS BIGINT) + 128 AS cr
+           |  FROM rgb),
+           |ytiles AS (SELECT doc_id, (y // 8) * 2 + (x // 8) AS blk,
+           |    (y % 8) * 8 + (x % 8) AS xy, yy AS p FROM ycc),
+           |cbt AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS xy,
+           |    (SUM(cb) + 2) // 4 AS p FROM ycc GROUP BY 1, 2),
+           |crt AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS xy,
+           |    (SUM(cr) + 2) // 4 AS p FROM ycc GROUP BY 1, 2),
+           |${graft.multimodal.Jpeg.duckKernelSql()},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+               graft.multimodal.Jpeg.StdQuantLuma)},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_qc",
+               graft.multimodal.Jpeg.StdQuantChroma)},
+           |${graft.multimodal.Jpeg.duckChainSql("__jy", "ytiles",
+               "doc_id, blk", "__jp_q")},
+           |${graft.multimodal.Jpeg.duckChainSql("__jcb", "cbt",
+               "doc_id", "__jp_qc")},
+           |${graft.multimodal.Jpeg.duckChainSql("__jcr", "crt",
+               "doc_id", "__jp_qc")}
+           |SELECT g.doc_id, CAST(g.i AS INT) AS i,
+           |  LEAST(255, GREATEST(0, yv.px + CAST(floor(
+           |    359 * (cbv2.px2 - 128) / 256.0) AS BIGINT))) AS r,
+           |  LEAST(255, GREATEST(0, yv.px - CAST(floor(
+           |    (88 * (cbv.px - 128) + 183 * (cbv2.px2 - 128)) / 256.0)
+           |    AS BIGINT))) AS g,
+           |  LEAST(255, GREATEST(0, yv.px + CAST(floor(
+           |    454 * (cbv.px - 128) / 256.0) AS BIGINT))) AS b
+           |FROM ycc g
+           |JOIN __jy_r yv ON yv.doc_id = g.doc_id
+           |  AND yv.blk = (g.y // 8) * 2 + (g.x // 8)
+           |  AND yv.xy = (g.y % 8) * 8 + (g.x % 8)
+           |JOIN __jcb_r cbv ON cbv.doc_id = g.doc_id
+           |  AND cbv.xy = (g.y // 2) * 8 + (g.x // 2)
+           |JOIN (SELECT doc_id, xy, px AS px2 FROM __jcr_r) cbv2
+           |  ON cbv2.doc_id = g.doc_id
+           |  AND cbv2.xy = (g.y // 2) * 8 + (g.x // 2)""".stripMargin)),
+
+    // dHash THROUGH the JPEG codec (t72 composed on a lossy format):
+    // the same 9x8 ASCII tiles, but round-tripped through baseline
+    // JPEG before hashing — the production shape, where near-dup
+    // signatures are computed on DECODED frames, not source pixels.
+    // Width 9 pads to two blocks with edge replication (block 1 is
+    // column 8 replicated 8x — the oracle replays the pad, both DCT
+    // chains, the crop, and the gradient-sign hash over the DECODED
+    // pixels).
+    QueryDef(
+      "t138_jpeg_dhash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Jpeg
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 72 && col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val tile = text.substring(0, 72).getBytes("US-ASCII")
+              .map(_.toInt)
+            val (_, _, g) =
+              Jpeg.decodeLuma(Jpeg.encodeGray(tile, 9, 8)).get
+            (id, g)
+          }.toDF("doc_id", "gray")
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("doc_id"),
+            shiftrightunsigned(col("dhash"), 32).as("h_hi"),
+            col("dhash").bitwiseAND(lit(0xffffffffL)).as("h_lo"))
+      },
+      Some {
+        def half(lo: Int, hi: Int, shift: Int): String =
+          (lo until hi).map { i =>
+            val r = i / 8
+            val c = i % 8
+            val w = 1L << (i - shift)
+            s"(CASE WHEN d.g${r * 9 + c + 1} > d.g${r * 9 + c} " +
+              s"THEN ${w} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+        val gcols = (0 until 72).map { j =>
+          val x = j % 9
+          val y = j / 9
+          val blk = x / 8
+          val xy = (y % 8) * 8 + (x % 8)
+          s"MAX(CASE WHEN r.blk = $blk AND r.xy = $xy THEN r.px END)" +
+            s" AS g$j"
+        }.mkString(",\n           |    ")
+        s"""WITH imgs AS (SELECT doc_id, substr(text, 1, 72) AS s
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 72 AND doc_id % 3 = 1),
+           |tiles AS (SELECT doc_id, CAST(b.blk AS INT) AS blk,
+           |    CAST(r0.i AS INT) AS xy,
+           |    ord(substr(s,
+           |      (CAST(r0.i AS INT) // 8) * 9 +
+           |        LEAST(CAST(b.blk AS INT) * 8 +
+           |          (CAST(r0.i AS INT) % 8), 8) + 1, 1)) AS p
+           |  FROM imgs, range(2) b(blk), range(64) r0(i)),
+           |${graft.multimodal.Jpeg.duckKernelSql()},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+               graft.multimodal.Jpeg.StdQuantLuma)},
+           |${graft.multimodal.Jpeg.duckChainSql("__jp", "tiles",
+               "doc_id, blk", "__jp_q")},
+           |dec AS (SELECT doc_id,
+           |    $gcols
+           |  FROM __jp_r r GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CAST(${half(32, 64, 32)} AS BIGINT) AS h_hi,
+           |  CAST(${half(0, 32, 0)} AS BIGINT) AS h_lo
+           |FROM dec d""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

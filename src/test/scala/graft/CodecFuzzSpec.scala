@@ -50,6 +50,10 @@ class CodecFuzzSpec extends SparkSpec {
   private def validAvi = Multimodal.aviMjpeg(
     Seq(Multimodal.solidJpeg(50, 8, 8), Multimodal.solidJpeg(90, 8, 8)),
     8, 8)
+  private def validJpeg = graft.multimodal.Jpeg.encodeGray(
+    Array.tabulate(256)(i => (i * 13) % 256), 16, 16)
+  private def validJpegColor = graft.multimodal.Jpeg.encodeColor420(
+    Array.tabulate(768)(i => (i * 7) % 256), 16, 16)
   private def validY4m = Multimodal.y4mVideo(
     Seq(Array.tabulate(64)(i => i * 3), Array.fill(64)(128)), 8, 8)
   private def validTar: Array[Byte] = {
@@ -115,6 +119,8 @@ class CodecFuzzSpec extends SparkSpec {
       "Mp3.streamInfo" -> (b => graft.multimodal.Mp3.streamInfo(b)),
       "Mp3.id3TextFrames" ->
         (b => graft.multimodal.Mp3.id3TextFrames(b)),
+      "Jpeg.decode" -> (b => graft.multimodal.Jpeg.decode(b)),
+      "Jpeg.decodeLuma" -> (b => graft.multimodal.Jpeg.decodeLuma(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
@@ -126,7 +132,8 @@ class CodecFuzzSpec extends SparkSpec {
       () => graft.multimodal.Flac.withVorbisComments(validFlac,
         "fuzz vendor", Seq("TITLE" -> "fuzz", "SRC" -> "s=1")),
       () => Multimodal.withRiffInfo(validWav,
-        Seq("INAM" -> "fuzz", "ICMT" -> "x")))
+        Seq("INAM" -> "fuzz", "ICMT" -> "x")),
+      () => validJpeg, () => validJpegColor)
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =
