@@ -6427,6 +6427,69 @@ object TrainingQueries {
            |  CAST(${half(0, 32, 0)} AS BIGINT) AS h_lo
            |FROM dec d""".stripMargin
       }),
+
+    // SEQUENCE PACKING over UNIGRAM ids (t49's consumer loop closed
+    // for the second tokenizer family): the same packer, fed by
+    // Viterbi token ids under the pinned piece table. The oracle
+    // rebuilds per-word Viterbi paths (the t135 recursive
+    // enumeration), explodes them to per-token ids in document order,
+    // prefix-sums the global offset, and re-derives every 512-token
+    // sequence's md5 — tokenizer and packer verified END TO END.
+    QueryDef(
+      "t139_unigram_pack",
+      (s, dir) => graft.operators.Pack.packSequences(
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"),
+            graft.functions.Unigram.tokenIds(col("text"),
+              graft.functions.Unigram.GatePieces).as("ids")),
+        "doc_id", "ids", seqLen = 512, nBuckets = 7)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(concat_ws(",",
+            transform(col("token_ids"), i => i.cast("string"))))
+            .as("seq_md5")),
+      Some {
+        val vl = graft.functions.Unigram
+          .vocab(graft.functions.Unigram.GatePieces)
+          .map(v => "'" + v.replace("'", "''") + "'")
+          .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE
+           |da AS (SELECT doc_id, text FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)),
+           |${graft.functions.Unigram.duckSql(
+               graft.functions.Unigram.GatePieces,
+               "da", "doc_id", "text")},
+           |dw AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+           |      AS ws
+           |  FROM da),
+           |dwx AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+           |    unnest(ws) AS w FROM dw),
+           |tok AS (SELECT doc_id, wi,
+           |    generate_subscripts(ps, 1) AS si, unnest(ps) AS sym
+           |  FROM (SELECT dwx.doc_id, dwx.wi,
+           |      string_split(b.path, '|') AS ps
+           |    FROM dwx JOIN __ug_best b ON b.w = dwx.w)),
+           |idsx AS (SELECT doc_id,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY wi, si) - 1 AS ti,
+           |    coalesce(nullif(list_position($vl, sym), 0), 2) - 1
+           |      AS id
+           |  FROM tok),
+           |n AS (SELECT doc_id, COUNT(*) AS nt FROM idsx GROUP BY 1),
+           |off AS (SELECT doc_id,
+           |    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS o
+           |  FROM n),
+           |gp AS (SELECT i.doc_id, o.o + i.ti AS g, i.id
+           |  FROM idsx i JOIN off o USING (doc_id))
+           |SELECT CAST(g // 512 AS BIGINT) AS seq_id,
+           |  CAST(COUNT(*) AS INT) AS n_tokens,
+           |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY g))
+           |    AS seq_md5
+           |FROM gp GROUP BY 1""".stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same
