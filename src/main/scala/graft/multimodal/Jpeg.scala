@@ -214,6 +214,24 @@ object Jpeg {
     0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  /** Quality-scaled quantization table (the standard libjpeg-style
+    * linear scaling, public arithmetic): quality 1..100 maps to
+    * `scale = q < 50 ? 5000/q : 200 − 2q` percent and each base entry
+    * becomes `clamp((base·scale + 50) / 100, 1, 255)` (integer floor
+    * division — q=50 reproduces the base table exactly, 100 is
+    * all-ones ≈ near-lossless, low q coarsens). Deterministic, so a
+    * gate pinning a quality level replays the scaled table the same
+    * way both engines see it. */
+  def qualityQuant(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality 1..100: $quality")
+    require(base.length == 64)
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map { b =>
+      val v = (b * scale + 50) / 100
+      if (v < 1) 1 else if (v > 255) 255 else v
+    }
+  }
+
   /** Zigzag scan: position k → natural index (row*8 + col). Derived
     * by the anti-diagonal walk, not transcribed. */
   val ZigZag: Array[Int] = {

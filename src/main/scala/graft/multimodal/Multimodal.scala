@@ -658,6 +658,28 @@ object Multimodal {
     }
   }
 
+  /** JPEG images through OUR clean-room decoder
+    * ([[graft.multimodal.Jpeg.decodeLuma]]) instead of javax.imageio
+    * — same partition-local shape as [[decodeImageGray]] (payload
+    * bytes never shuffled), but every decoded pixel is REPLAYABLE
+    * arithmetic (the t136 chain), so downstream signatures over
+    * LOSSY media verify cross-engine exactly (t141) where the
+    * ImageIO path can only promise DC-exactness on solid frames
+    * (t63). Gray JPEGs yield the luma plane verbatim; color ones the
+    * reconstructed Y. Undecodable payloads fail the task loudly, as
+    * [[grayPixelsOf]] does. */
+  def decodeJpegGray(media: Dataset[MediaRecord]): Dataset[ImagePixels] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { r =>
+        val (w, h, g) = Jpeg.decodeLuma(r.data).getOrElse(
+          throw new IllegalArgumentException(
+            s"undecodable JPEG payload (media ${r.media_id})"))
+        ImagePixels(r.media_id, w, h, g)
+      }
+    }
+  }
+
   /** Encode row-major gray values as a REAL (lossless) PNG — the
     * synthesis half that lets specs and gates drive
     * [[decodeImageGray]] through an actual codec with known pixels,

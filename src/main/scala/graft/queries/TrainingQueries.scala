@@ -6490,6 +6490,140 @@ object TrainingQueries {
            |    AS seq_md5
            |FROM gp GROUP BY 1""".stripMargin
       }),
+
+    // FULL-CONTENT MJPEG video through OUR decoder (t63's successor
+    // unlocked by the clean-room codec): t63 had to use solid-gray
+    // frames because javax.imageio's JPEG round trip is only
+    // DC-exact; graft.multimodal.Jpeg is bit-exact end to end, so
+    // every frame can carry real content and the oracle replays the
+    // whole pipeline — AVI split (MjpegCodec's SOI/EOI scan over our
+    // byte-stuffed streams), per-frame decode, per-pixel values —
+    // with the t136 arithmetic chain keyed by (doc, frame).
+    QueryDef(
+      "t140_mjpeg_content",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, Multimodal => mm}
+        spread(s, docs(s, dir))
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 64 && col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val s64 = text.substring(0, 64)
+            val nf = (id % 4 + 2).toInt
+            val frames = (0 until nf).map { i =>
+              Jpeg.encodeGray(Array.tabulate(64)(j =>
+                s64.charAt((j + i) % 64).toInt), 8, 8)
+            }
+            val avi = mm.aviMjpeg(frames, 8, 8)
+            mm.MjpegCodec.frames(avi).zipWithIndex.flatMap {
+              case (fb, fi) =>
+                val (_, _, g) = Jpeg.decodeLuma(fb).get
+                g.zipWithIndex.map { case (p, xy) =>
+                  (id, fi, xy, p.toLong)
+                }
+            }
+          }.toDF("doc_id", "fi", "xy", "px")
+      },
+      Some(
+        s"""WITH imgs AS (SELECT doc_id, substr(text, 1, 64) AS s,
+           |    doc_id % 4 + 2 AS nf
+           |  FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)
+           |    AND length(text) >= 64 AND doc_id % 3 = 0),
+           |tiles AS (SELECT doc_id, CAST(fr.fi AS INT) AS fi,
+           |    CAST(r0.i AS INT) AS xy,
+           |    ord(substr(s,
+           |      ((CAST(r0.i AS INT) + CAST(fr.fi AS INT)) % 64) + 1,
+           |      1)) AS p
+           |  FROM imgs, range(64) r0(i), range(6) fr(fi)
+           |  WHERE fr.fi < imgs.nf),
+           |${graft.multimodal.Jpeg.duckKernelSql()},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+               graft.multimodal.Jpeg.StdQuantLuma)},
+           |${graft.multimodal.Jpeg.duckChainSql("__jp", "tiles",
+               "doc_id, fi", "__jp_q")}
+           |SELECT doc_id, CAST(fi AS INT) AS fi,
+           |  CAST(xy AS INT) AS xy, CAST(px AS BIGINT) AS px
+           |FROM __jp_r""".stripMargin)),
+
+    // IMAGE NEAR-DUP THROUGH LOSSY JPEG (t73 composed on a real
+    // compressed format): the same id-derived 9x8 family tiles, but
+    // encoded with OUR baseline JPEG, decoded with OUR decoder
+    // (Multimodal.decodeJpegGray — partition-local, replayable),
+    // dHash over the DECODED pixels, then the paired-block banding /
+    // hamming-3 verify / smaller-id survivor machinery. The oracle
+    // replays the codec chain per doc (two padded blocks), rebuilds
+    // every decoded pixel, brute-forces pairwise hammings, and
+    // derives the survivor set — quantization noise shifts hash bits
+    // relative to t73 and BOTH engines must agree on exactly how.
+    QueryDef(
+      "t141_jpeg_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, Multimodal => mm}
+        val media = spread(s, docs(s, dir))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fam = id / 3
+              val mem = id % 3
+              val gray = Array.tabulate(72) { j =>
+                if (j == 71) ((fam * 37 + 71 * 71 + mem * 97) % 251).toInt
+                else ((fam * 37 + j.toLong * j) % 251).toInt
+              }
+              mm.MediaRecord(id, "image", "image/jpeg", 9, 8, 0L,
+                Jpeg.encodeGray(gray, 9, 8))
+            }
+          }
+        val sigs = mm.decodeJpegGray(media).toDF()
+          .withColumn("dhash", graft.functions.ImageOps.dHash("gray"))
+          .select(col("media_id").as("doc_id"), col("dhash"))
+        graft.operators.NearDup.dedupBySignature(sigs, "doc_id",
+          "dhash", maxHamming = 3)
+          .select(col("doc_id"))
+      },
+      Some {
+        val g = "CASE WHEN j = 71 THEN (fam * 37 + 5041 + mem * 97) % 251 " +
+          "ELSE (fam * 37 + j * j) % 251 END"
+        s"""WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+           |    doc_id % 3 AS mem FROM documents),
+           |pix AS (SELECT doc_id, CAST(jj.j AS INT) AS j, $g AS gv
+           |  FROM d, (SELECT unnest(range(72)) AS j) jj),
+           |tiles AS (SELECT p.doc_id, CAST(b.blk AS INT) AS blk,
+           |    CAST(r0.i AS INT) AS xy, p.gv AS p
+           |  FROM (SELECT unnest(range(2)) AS blk) b,
+           |       (SELECT unnest(range(64)) AS i) r0,
+           |       pix p
+           |  WHERE p.j = (CAST(r0.i AS INT) // 8) * 9 +
+           |    LEAST(CAST(b.blk AS INT) * 8 +
+           |      (CAST(r0.i AS INT) % 8), 8)),
+           |${graft.multimodal.Jpeg.duckKernelSql()},
+           |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+               graft.multimodal.Jpeg.StdQuantLuma)},
+           |${graft.multimodal.Jpeg.duckChainSql("__jp", "tiles",
+               "doc_id, blk", "__jp_q")},
+           |jm AS (SELECT CAST(j AS INT) AS j, (j % 9) // 8 AS blk,
+           |    (j // 9) * 8 + (j % 9) % 8 AS xy
+           |  FROM (SELECT unnest(range(72)) AS j)),
+           |dec AS (SELECT r.doc_id, m.j, r.px
+           |  FROM __jp_r r JOIN jm m ON m.blk = r.blk AND m.xy = r.xy),
+           |bits AS (SELECT p1.doc_id, t.i,
+           |    CASE WHEN p2.px > p1.px THEN 1 ELSE 0 END AS b
+           |  FROM (SELECT unnest(range(64)) AS i) t
+           |  JOIN dec p1 ON p1.j = (t.i // 8) * 9 + (t.i % 8)
+           |  JOIN dec p2 ON p2.doc_id = p1.doc_id
+           |    AND p2.j = (t.i // 8) * 9 + (t.i % 8) + 1),
+           |ham AS (SELECT x.doc_id AS hi_id, y.doc_id AS lo_id,
+           |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS h
+           |  FROM bits x JOIN bits y ON x.i = y.i
+           |    AND x.doc_id > y.doc_id
+           |  GROUP BY 1, 2),
+           |removed AS (SELECT DISTINCT hi_id FROM ham WHERE h <= 3)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same

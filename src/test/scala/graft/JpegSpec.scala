@@ -159,6 +159,43 @@ class JpegSpec extends AnyFunSuite {
       .get.pixels.toSeq)
   }
 
+  test("qualityQuant: q=50 is the base table, scaling is monotone, " +
+    "and the codec accepts any level") {
+    assert(Jpeg.qualityQuant(Jpeg.StdQuantLuma, 50).toSeq ==
+      Jpeg.StdQuantLuma.toSeq)
+    val q90 = Jpeg.qualityQuant(Jpeg.StdQuantLuma, 90)
+    val q10 = Jpeg.qualityQuant(Jpeg.StdQuantLuma, 10)
+    // higher quality → finer (smaller) steps, everywhere
+    Jpeg.StdQuantLuma.indices.foreach { i =>
+      assert(q90(i) <= Jpeg.StdQuantLuma(i))
+      assert(q10(i) >= Jpeg.StdQuantLuma(i))
+    }
+    assert(Jpeg.qualityQuant(Jpeg.StdQuantLuma, 100).forall(_ == 1))
+    assert(q10.forall(v => v >= 1 && v <= 255))
+    // a q90 stream round-trips closer than q10 on a gradient tile
+    val grad = Array.tabulate(64)(i => 40 + (i % 8) * 20)
+    def err(q: Array[Int]): Int = {
+      val rt = Jpeg.decode(Jpeg.encodeGray(grad, 8, 8, q)).get.pixels
+      grad.indices.map(i => math.abs(rt(i) - grad(i))).max
+    }
+    assert(err(q90) <= err(Jpeg.StdQuantLuma))
+    assert(err(q10) >= err(Jpeg.StdQuantLuma))
+    // arithmetic-chain equivalence holds at every quality (the
+    // bitstream is exact transport regardless of the table)
+    for (q <- Seq(q10, q90)) {
+      val px = Array.tabulate(64)(i => (i * 29 + 5) % 256)
+      val predicted = Jpeg.dequantIdct(Jpeg.fdctQuant(px, q), q)
+      assert(Jpeg.decode(Jpeg.encodeGray(px, 8, 8, q)).get
+        .pixels.toSeq == predicted.toSeq)
+    }
+    // and the JDK still accepts the stream
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Jpeg.encodeGray(grad, 8, 8, q90)))
+    assert(jdk != null && jdk.getWidth == 8)
+    intercept[IllegalArgumentException](
+      Jpeg.qualityQuant(Jpeg.StdQuantLuma, 0))
+  }
+
   test("torn and malformed inputs return None, never throw") {
     val px = Array.tabulate(64 * 4)(i => (i * 13) % 256)
     val whole = Jpeg.encodeGray(px, 16, 16)
