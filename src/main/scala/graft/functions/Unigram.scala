@@ -174,10 +174,12 @@ object Unigram {
 
   /** Train a `vocabSize`-piece table from the corpus word dictionary.
     * `vocabSize` counts pieces only (specials <pad>/<unk> live in the
-    * id space, not the table). */
+    * id space, not the table). `soft = true` switches the E-step
+    * from hard (Viterbi-path) counts to forward-backward EXPECTED
+    * counts — Kudo's actual EM; see [[trainLocal]]. */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       maxWords: Int = 50000, maxPieceLen: Int = 8,
-      emIters: Int = 4): Seq[(String, Double)] = {
+      emIters: Int = 4, soft: Boolean = false): Seq[(String, Double)] = {
     require(vocabSize > 0 && maxWords > 0)
     val dict = df
       .select(explode(split(col(textCol), " ")).as("__w"))
@@ -187,13 +189,27 @@ object Unigram {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainLocal(dict, vocabSize, maxPieceLen, emIters)
+    trainLocal(dict, vocabSize, maxPieceLen, emIters, soft)
   }
 
   /** The local EM loop over a (word, freq) dictionary — exposed for
-    * spec-level verification against hand-computed examples. */
+    * spec-level verification against hand-computed examples.
+    *
+    * `soft = false` (the pinned-gate default) is hard EM: the E-step
+    * segments each word on its single best Viterbi path (the apply
+    * kernel itself, so train-time and apply-time segmentation cannot
+    * drift) and counts pieces on that path. `soft = true` is Kudo's
+    * forward-backward EM: the E-step accumulates each piece's
+    * POSTERIOR expected count over ALL segmentations of each word
+    * (log-domain alpha/beta over the segmentation lattice, fixed
+    * traversal order → deterministic doubles) — pieces that lose the
+    * argmax but carry probability mass keep nonzero counts, so soft
+    * EM retains competitive sub-pieces that hard EM starves to zero
+    * (UnigramSpec pins an example). Both modes share the seed, the
+    * smoothing, and the (count desc, piece asc) prune. */
   def trainLocal(dict: Seq[(String, Long)], vocabSize: Int,
-      maxPieceLen: Int = 8, emIters: Int = 4): Seq[(String, Double)] = {
+      maxPieceLen: Int = 8, emIters: Int = 4,
+      soft: Boolean = false): Seq[(String, Double)] = {
     require(vocabSize > 0 && maxPieceLen >= 2 && emIters >= 1)
     // always-kept singles: printable ASCII + every dictionary char,
     // sorted by code point — total coverage of the training charset.
@@ -204,7 +220,6 @@ object Unigram {
       ((32 to 126).map(_.toChar) ++ dict.flatMap(_._1.toCharArray))
         .distinct.filterNot(c => c == ' ' || c == '|')
         .sorted.map(String.valueOf)
-    val singleSet = singles.toSet
     // seed multis: substring counts, freq-weighted, all occurrences
     val seedCounts = new java.util.HashMap[String, Long]()
     dict.foreach { case (w, n) =>
@@ -236,14 +251,17 @@ object Unigram {
       m.forEach((k, v) => buf += (k -> v))
       buf.result()
     }
-    var usage: Map[String, Long] =
-      charCounts ++ multis.map(p => p -> seedCounts.get(p)).toMap
+    var usage: Map[String, Double] =
+      (charCounts ++ multis.map(p =>
+        p -> seedCounts.get(p)).toMap).map { case (k, v) =>
+        k -> v.toDouble
+      }
     val keepMultis = math.max(0, vocabSize - singles.size)
 
     def toCosts(pieces: Seq[String],
-        use: Map[String, Long]): Seq[(String, Double)] = {
+        use: Map[String, Double]): Seq[(String, Double)] = {
       val smoothed = pieces.map(p =>
-        p -> (use.getOrElse(p, 0L) + 0.5))
+        p -> (use.getOrElse(p, 0.0) + 0.5))
       val total = smoothed.map(_._2).sum
       smoothed.map { case (p, s) => (p, math.log(total) - math.log(s)) }
     }
@@ -251,19 +269,92 @@ object Unigram {
     var table: Seq[(String, Double)] = toCosts(singles ++ multis, usage)
     var it = 0
     while (it < emIters) {
-      // E-step: Viterbi usage under current costs (the apply kernel
-      // itself, so train-time and apply-time segmentation can't drift)
-      val kernel = UnigramKernel.forPieces(table)
-      val em = new java.util.HashMap[String, Long]()
-      dict.foreach { case (w, n) =>
-        kernel.applyWord(w).foreach(t => em.merge(t, n, _ + _))
+      val em = new java.util.HashMap[String, java.lang.Double]()
+      if (!soft) {
+        // HARD E-step: Viterbi usage under current costs (the apply
+        // kernel itself — train and apply cannot drift)
+        val kernel = UnigramKernel.forPieces(table)
+        dict.foreach { case (w, n) =>
+          kernel.applyWord(w).foreach(t =>
+            em.merge(t, java.lang.Double.valueOf(n.toDouble),
+              (a, b) => java.lang.Double.valueOf(a + b)))
+        }
+      } else {
+        // SOFT E-step: forward-backward posterior counts over the
+        // segmentation lattice, log domain, fixed traversal order
+        val costs = new java.util.HashMap[String, java.lang.Double]()
+        table.foreach { case (p2, c2) =>
+          if (!costs.containsKey(p2))
+            costs.put(p2, java.lang.Double.valueOf(c2))
+        }
+        val maxLen = table.iterator.map(_._1.length).max
+        val unkCost = table.iterator.map(_._2).max + 10.0
+        def lse(a: Double, b: Double): Double =
+          if (a == Double.NegativeInfinity) b
+          else if (b == Double.NegativeInfinity) a
+          else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+        dict.foreach { case (w, n) =>
+          val L = w.length
+          val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+          val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+          alpha(0) = 0.0
+          var j = 1
+          while (j <= L) {
+            var from = math.max(0, j - maxLen)
+            while (from < j) {
+              val piece = w.substring(from, j)
+              val c: java.lang.Double = costs.get(piece)
+              if (c != null || j - from == 1) {
+                val lp = -(if (c != null) c.doubleValue() else unkCost)
+                alpha(j) = lse(alpha(j), alpha(from) + lp)
+              }
+              from += 1
+            }
+            j += 1
+          }
+          beta(L) = 0.0
+          var i0 = L - 1
+          while (i0 >= 0) {
+            var to = math.min(L, i0 + maxLen)
+            while (to > i0) {
+              val piece = w.substring(i0, to)
+              val c: java.lang.Double = costs.get(piece)
+              if (c != null || to - i0 == 1) {
+                val lp = -(if (c != null) c.doubleValue() else unkCost)
+                beta(i0) = lse(beta(i0), lp + beta(to))
+              }
+              to -= 1
+            }
+            i0 -= 1
+          }
+          val z = alpha(L)
+          if (!z.isNegInfinity) {
+            var jj = 1
+            while (jj <= L) {
+              var from = math.max(0, jj - maxLen)
+              while (from < jj) {
+                val piece = w.substring(from, jj)
+                val c: java.lang.Double = costs.get(piece)
+                if (c != null) { // unk edges carry mass, not counts
+                  val post = math.exp(
+                    alpha(from) - c.doubleValue() + beta(jj) - z)
+                  em.merge(piece,
+                    java.lang.Double.valueOf(n * post),
+                    (a, b) => java.lang.Double.valueOf(a + b))
+                }
+                from += 1
+              }
+              jj += 1
+            }
+          }
+        }
       }
-      val buf = Map.newBuilder[String, Long]
-      em.forEach((k, v) => buf += (k -> v))
+      val buf = Map.newBuilder[String, Double]
+      em.forEach((k, v) => buf += (k -> v.doubleValue()))
       usage = buf.result()
       // prune multis to the vocab budget by (usage desc, piece asc)
-      multis = multis.map(p => (p, usage.getOrElse(p, 0L)))
-        .filter(_._2 > 0L)
+      multis = multis.map(p => (p, usage.getOrElse(p, 0.0)))
+        .filter(_._2 > 0.0)
         .sortBy { case (p, n) => (-n, p) }
         .take(keepMultis).map(_._1)
       table = toCosts(singles ++ multis, usage)

@@ -71,6 +71,33 @@ class UnigramSpec extends SparkSpec {
       "EM kept no multi-char piece")
   }
 
+  test("soft (forward-backward) EM retains mass-bearing pieces hard " +
+    "EM starves, stays deterministic, and its table drives the same " +
+    "kernel") {
+    val dict = Seq(("join", 964L), ("hash", 947L), ("row", 943L),
+      ("batch", 937L), ("customer", 934L), ("column", 934L),
+      ("the", 900L), ("agg", 901L))
+    // 93 forced singles leave 27 multi slots at vocabSize 120 —
+    // room for all 8 whole words plus competitive sub-pieces
+    val hard = Unigram.trainLocal(dict, 120)
+    val soft = Unigram.trainLocal(dict, 120, soft = true)
+    assert(soft == Unigram.trainLocal(dict, 120, soft = true),
+      "soft EM must be deterministic")
+    def multis(t: Seq[(String, Double)]): Set[String] =
+      t.map(_._1).filter(_.length > 1).toSet
+    // posterior mass keeps every whole word alive under soft EM;
+    // hard EM's winner-take-all starves the longer words' competitors
+    // to zero and (on this tiny dict) collapses deep
+    assert(multis(soft).size >= multis(hard).size)
+    assert(dict.map(_._1).toSet.subsetOf(multis(soft)),
+      s"soft EM should retain all whole words, got ${multis(soft)}")
+    // the soft table applies through the same Viterbi kernel: whole
+    // words (cheapest pieces by construction) segment as themselves
+    val k = UnigramKernel.forPieces(soft)
+    assert(k.applyWord("customer").toSeq == Seq("customer"))
+    assert(k.applyWord("join").toSeq == Seq("join"))
+  }
+
   test("apply/decode round trip via Spark expressions; count " +
     "matches tokens length") {
     import spark.implicits._
