@@ -26,6 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * one char as an `<unk>` step at [[UnigramKernel.unkCost]] — a
   * table-derived constant, max piece cost + 10, so unk is never
   * preferred over any real piece.
+  *
+  * RESIDUAL FP CAVEAT: the DP keeps ONE best prefix per position
+  * under (cost, ntok, path). IEEE addition is only weakly monotone,
+  * so two prefixes with strictly different costs can in principle
+  * round to the SAME total after an identical suffix — an exhaustive
+  * enumerator would then tie-break on (ntok, path) over a prefix
+  * this DP already discarded. The divergence requires a table whose
+  * cost sums collide to the bit after differing at a prefix —
+  * unobserved under the trained (log-ratio) tables the gates use,
+  * and impossible when all piece costs are exactly representable
+  * multiples of 2^-k (use such tables where bit-exact cross-engine
+  * replay of hand-built vocabularies matters).
   */
 final class UnigramKernel private (pieceList: Array[String],
     costList: Array[Double]) extends Serializable {
@@ -206,12 +218,26 @@ object UnigramKernel {
     (Seq[String], Seq[Double]), UnigramKernel]()
 
   def forPieces(pieces: Seq[(String, Double)]): UnigramKernel = {
+    validate(pieces)
+    forLists(pieces.map(_._1).toArray, pieces.map(_._2).toArray)
+  }
+
+  /** Non-pooled kernel for short-lived tables. The trainer's E-step
+    * builds a fresh table per EM iteration; interning those in the
+    * JVM-global pool would pin one kernel (each with an up-to-2^20
+    * entry word cache) per iteration per training call forever. */
+  private[graft] def ephemeral(
+      pieces: Seq[(String, Double)]): UnigramKernel = {
+    validate(pieces)
+    new UnigramKernel(pieces.map(_._1).toArray,
+      pieces.map(_._2).toArray)
+  }
+
+  private def validate(pieces: Seq[(String, Double)]): Unit =
     require(pieces.forall { case (p, c) =>
       p.nonEmpty && !p.contains(" ") && !p.contains("|") &&
         java.lang.Double.isFinite(c)
     }, "unigram pieces must be non-empty, space/pipe-free, finite-cost")
-    forLists(pieces.map(_._1).toArray, pieces.map(_._2).toArray)
-  }
 
   private[expressions] def forLists(pieces: Array[String],
       costs: Array[Double]): UnigramKernel =

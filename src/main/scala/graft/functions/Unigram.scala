@@ -272,8 +272,10 @@ object Unigram {
       val em = new java.util.HashMap[String, java.lang.Double]()
       if (!soft) {
         // HARD E-step: Viterbi usage under current costs (the apply
-        // kernel itself — train and apply cannot drift)
-        val kernel = UnigramKernel.forPieces(table)
+        // kernel itself — train and apply cannot drift). Ephemeral:
+        // one fresh table per iteration must not intern into the
+        // JVM-global kernel pool.
+        val kernel = UnigramKernel.ephemeral(table)
         dict.foreach { case (w, n) =>
           kernel.applyWord(w).foreach(t =>
             em.merge(t, java.lang.Double.valueOf(n.toDouble),

@@ -53,6 +53,11 @@ object Jpeg {
   val DctShift = 13
   private val DctHalf = 1 << (DctShift - 1)
 
+  /** Max w·h a decode will allocate for (4096×4096). Headers can
+    * claim up to 65535×65535, which would overflow Int math and
+    * demand multi-GB plane buffers from a few bytes of input. */
+  val MaxDecodePixels: Long = 1L << 24
+
   /** Q13 DCT basis, indexed `[(v*8 + u) * 64 + (y*8 + x)]`. Shared by
     * the forward and inverse transforms (the 2D DCT-II/III pair use
     * the same a(u)a(v)/4·cos·cos kernel). */
@@ -698,6 +703,12 @@ object Jpeg {
             nc = bytes(seg + 5) & 0xff
             if (w == 0 || h == 0 || (nc != 1 && nc != 3) ||
                 segLen < 6 + 3 * nc) return None
+            // Allocation guard: plane arrays are ~w*h ints each and
+            // the RGB output is w*h*3; a 16-byte header claiming
+            // 65535x65535 would demand multi-GB buffers (and
+            // w*h as Int can overflow). Reject anything above a
+            // 2^24-pixel budget (4096x4096) before allocating.
+            if (w.toLong * h > MaxDecodePixels) return None
             comps = (0 until nc).map { i =>
               val o = seg + 6 + 3 * i
               val id = bytes(o) & 0xff
@@ -727,10 +738,15 @@ object Jpeg {
               val cid = bytes(seg + 1 + 2 * i) & 0xff
               val tt = bytes(seg + 2 + 2 * i) & 0xff
               val ci = comps.indexWhere(_._1 == cid)
-              if (ci < 0) ok = false
+              // Td/Ta are 4-bit on the wire but dcTabs/acTabs only
+              // hold baseline ids 0..3; a repeated cid would leave
+              // another scanTabs slot null — both must reject, not
+              // throw (never-throw decode contract).
+              if (ci < 0 || ((tt >> 4) & 0x0f) > 3 ||
+                  (tt & 0x0f) > 3 || scanTabs(ci) != null) ok = false
               else scanTabs(ci) = ((tt >> 4) & 0x0f, tt & 0x0f)
             }
-            if (!ok) return None
+            if (!ok || scanTabs.exists(_ == null)) return None
             return decodeScan(bytes, p + 2 + len, w, h, comps,
               scanTabs, quants, dcTabs, acTabs, restartInterval)
           case _ => () // APPn, COM, others: skip

@@ -4438,8 +4438,12 @@ object TrainingQueries {
             array_join(slice(revToks, 1, 14), " ").as("text"))
         val incoming = e1.unionByName(f).unionByName(fe)
         val idx = NearDup.containmentGramIndex(d, "doc_id", "text")
+        // Exhaustive opt-in: this gate pins the INCREMENTAL drop
+        // semantics and its oracle replays the full gram join; the
+        // hot-gram cap's oracle contract lives in t100/t101.
         val (surv, _) = NearDup.dedupByContainmentIncremental(
-          incoming, "doc_id", "text", idx, tau = 0.9)
+          incoming, "doc_id", "text", idx, tau = 0.9,
+          maxDf = NearDup.ContainmentExhaustive)
         surv.select(col("doc_id"))
       },
       Some(
@@ -6122,8 +6126,11 @@ object TrainingQueries {
         val f = d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             array_join(revToks, " ").as("text"))
+        // Exhaustive opt-in: oracle replays the full gram join (the
+        // hot-gram cap's contract is gated by t100/t101).
         val (surv, _) = NearDup.dedupByContainmentIncremental(
-          e1.unionByName(f), "doc_id", "text", idx, tau = 0.9)
+          e1.unionByName(f), "doc_id", "text", idx, tau = 0.9,
+          maxDf = NearDup.ContainmentExhaustive)
         surv.select(col("doc_id"))
       },
       Some(

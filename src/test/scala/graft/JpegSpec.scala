@@ -238,4 +238,51 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(Array[Byte]()).isEmpty)
     assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
+
+  test("hostile headers reject cleanly: bad SOS table ids, duplicate " +
+      "scan component, allocation-bomb dimensions") {
+    val px = Array.tabulate(64)(i => (i * 13) % 256)
+    val whole = Jpeg.encodeGray(px, 8, 8)
+    def findMarker(m: Int): Int = {
+      var i = 2
+      while (i + 1 < whole.length) {
+        if ((whole(i) & 0xff) == 0xff && (whole(i + 1) & 0xff) == m)
+          return i
+        i += 1
+      }
+      -1
+    }
+    // SOS layout: ff da | len(2) | ns | (cid, TdTa)*ns | ...
+    val sos = findMarker(0xda)
+    assert(sos > 0)
+    // Td/Ta are 4-bit on the wire but only 0..3 are baseline-legal;
+    // 0x44 would index past dcTabs/acTabs(4) — must be None, not AIOOBE
+    val badTab = whole.clone()
+    badTab(sos + 6) = 0x44.toByte
+    assert(Jpeg.decode(badTab).isEmpty)
+    // SOF layout: ff c0 | len(2) | prec | h(2) | w(2) | nc | ...
+    val sof = findMarker(0xc0)
+    assert(sof > 0)
+    // 65535x65535 from a tiny stream: w*h overflows Int and the
+    // plane allocation would be multi-GB — must reject pre-alloc
+    val bomb = whole.clone()
+    bomb(sof + 5) = 0xff.toByte; bomb(sof + 6) = 0xff.toByte
+    bomb(sof + 7) = 0xff.toByte; bomb(sof + 8) = 0xff.toByte
+    assert(Jpeg.decode(bomb).isEmpty)
+    // duplicate component id in a 3-component SOS leaves a scanTabs
+    // slot null — must be None, not NPE on destructuring
+    val pxc = Array.tabulate(8 * 8 * 3)(i => (i * 7) % 256)
+    val color = Jpeg.encodeColor420(pxc, 8, 8)
+    var i = 2
+    var csos = -1
+    while (csos < 0 && i + 1 < color.length) {
+      if ((color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xda)
+        csos = i
+      else i += 1
+    }
+    assert(csos > 0 && (color(csos + 4) & 0xff) == 3)
+    val dup = color.clone()
+    dup(csos + 7) = dup(csos + 5) // second scan cid := first cid
+    assert(Jpeg.decode(dup).isEmpty)
+  }
 }
