@@ -1660,8 +1660,171 @@ object NearDup {
   def dedupByContainment(docs: DataFrame, idCol: String,
       textCol: String, tau: Double,
       maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    docs.join(
+      containmentWitnessDropIds(docs, idCol, textCol, tau, maxDf),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The r11 pair-materializing form of [[dedupByContainment]] —
+    * identical survivor set (ContainmentWitnessSpec asserts the
+    * equality on randomized corpora), kept as the equivalence
+    * reference for the witness path. Pays the full capped gram
+    * self-join (Σ df² below the cap), which under replication-style
+    * corpus growth is the family's one superlinear cost. */
+  private[graft] def dedupByContainmentViaPairs(docs: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
     val pairs = containmentPairs(docs, idCol, textCol, tau, maxDf)
     docs.join(containmentDropIds(pairs, idCol, tau), Seq(idCol),
       "left_anti")
+  }
+
+  /** WITNESS-SEARCH core of [[dedupByContainment]]: the drop-id set,
+    * computed candidate-first instead of through the capped gram
+    * self-join. Output-equal to [[containmentDropIds]] over
+    * [[containmentPairs]] at the same (tau, maxDf) — proved below,
+    * spec-asserted (ContainmentWitnessSpec), and oracle-gated (t101,
+    * t144 replay the pair-materializing SQL).
+    *
+    * Why: the pair path prices Σ df² join rows over every gram below
+    * the cap. Under replication-style growth every natural gram's df
+    * scales with N, so 10× data costs ~100× join rows (BENCH_SF1 r11:
+    * t101 18× at 10×) even though the DROP SET only needs one
+    * verified container ("witness") per dropped doc. This path makes
+    * candidate generation track rare-gram collisions and verification
+    * track candidate count — both ~linear in true duplication work:
+    *
+    *  1. PROBE SELECTION (the deterministic form of a bottom-k gram
+    *     sketch — ranked by corpus rarity instead of hash order): for
+    *     each doc x, take its r(x) RAREST uncapped grams, where
+    *     r(x) = uncapped(x) − m_min(x) + 1 and m_min(x) =
+    *     max(1, ⌈tau·n_x⌉ − 1) (the −1 absorbs the round(·,6)
+    *     boundary). PIGEONHOLE COMPLETENESS: a killer y has uncapped
+    *     intersection ≥ m_min(x), so at most
+    *     uncapped(x) − m_min(x) = r(x) − 1 of x's uncapped grams miss
+    *     y — probing r(x)+1 grams therefore guarantees TWO hits, and
+    *     the candidate stage keeps only pairs with ≥ 2 co-hits (see
+    *     the probe-budget comment: the 2-hit threshold is what keeps
+    *     shared-vocabulary collisions from flooding the verify stage;
+    *     truncated probe sets lower the per-doc threshold so
+    *     completeness is never traded). Docs with uncapped(x) <
+    *     m_min(x) can never reach the tau numerator and are skipped
+    *     outright.
+    *     Unlike a hashed bottom-k sketch this probe set is exhaustive
+    *     BY CONSTRUCTION — recall 1.0, not a measured floor. With
+    *     tau = 0.9 the budget is ~0.1·n_x + 2 probes per doc.
+    *  2. CANDIDATE JOIN: probe rows ⋈ the uncapped gram index, kept
+    *     only when the partner could kill (n_y > n_x, or equal sizes
+    *     with id_y < id_x). Cost Σ_probe df(g) ≤ maxDf·r̄·N — linear
+    *     in N at ANY df profile (the cap bounds the per-probe fanout;
+    *     the probe count per doc is ~(1−tau)·n̄, constant). Rarest-
+    *     first ranking makes the practical fanout the df of a doc's
+    *     most distinctive grams, far below the cap.
+    *  3. VERIFY: the exact uncapped intersection count, computed ONLY
+    *     for candidate pairs by replicating x's gram rows per
+    *     candidate partner and joining on (y, gram) — a DOC-KEYED
+    *     join with no df amplification; cost Σ_cand n_x. (This is
+    *     where the r9 PPJoin attempt lost 17× — it shuffled full
+    *     shingle ARRAYS to verify; this join moves only the flat
+    *     long gram keys it would have moved anyway.)
+    *
+    * Drop policy replayed exactly: x drops iff some verified y has
+    * round(n_inter/n_x, 6) ≥ tau and (n_y > n_x, or n_y == n_x with
+    * id_y < id_x) — the same keep-largest/min-id-tie set
+    * [[containmentDropIds]] extracts from the pair frame (equal-size
+    * pairs have cont_a == cont_b, so the pair form's one-sided check
+    * is the same predicate). n_x stays the FULL shingle count while
+    * intersections count uncapped grams only — the hot-gram guard's
+    * lower-bound contract, unchanged. */
+  private def containmentWitnessDropIds(docs: DataFrame, idCol: String,
+      textCol: String, tau: Double, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = containmentShingleFrame(docs, idCol, textCol)
+    // full hashed gram rows — feed the df aggregate, the probe
+    // ranking, the candidate index side, and both verify sides.
+    // EVERYTHING downstream derives from this one persisted frame:
+    // doc sizes come from a groupBy over it (shingle rows are
+    // distinct per doc, so count(*) IS n_grams), never from a second
+    // tokenize+shingle pass — re-deriving the text stage per
+    // consumer was a measured ~3-4 s/stage floor at SF1.
+    val grams = graft.CacheRegistry.track(
+      pre.select(col("doc_id").as("__id"),
+          explode(col("__sh")).as("__gt"))
+        .select(col("__id"), xxhash64(col("__gt")).as("__g1"),
+          xxhash64(lit(GramKeySalt), col("__gt")).as("__g2"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dfTab = grams.groupBy("__g1", "__g2")
+      .agg(count(lit(1)).as("__df"))
+    val withDf = grams.join(dfTab, Seq("__g1", "__g2"))
+    val unc = graft.CacheRegistry.track(
+      (if (maxDf == ContainmentExhaustive) withDf
+       else withDf.filter(col("__df") <= maxDf))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // (full size, uncapped count) per doc in ONE aggregation over the
+    // already-hashed rows; a narrow N-row frame every later join
+    // broadcasts
+    val stats = graft.CacheRegistry.track(
+      withDf.groupBy("__id").agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("__df") <= maxDf || lit(maxDf == ContainmentExhaustive),
+          1L).otherwise(0L)).as("__nunc"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = stats.select(col("__id"), col("__n"))
+    // Probe budget per doc, OVERSAMPLED BY ONE: r(x) probes guarantee
+    // one hit on a true killer; r(x)+1 guarantee TWO. The 2-hit
+    // candidate threshold is what keeps false candidates out — on a
+    // shared-vocabulary corpus even a doc's rarest grams collide with
+    // ~dozens of unrelated docs, and a 1-hit candidate set would send
+    // each such pair through a full-n_x verify (measured 475M verify
+    // rows at SF1 vs 17.7M with the threshold). When a doc has fewer
+    // than r+1 uncapped grams the probe set truncates to all of them
+    // and the guaranteed hit count degrades to m_min — __thr carries
+    // the per-doc guarantee, clamped to [1, 2], so completeness is
+    // never traded (tiny-doc edge: n_x == 1 at low tau has m_min == 1
+    // and must keep the 1-hit threshold).
+    val budget = stats
+      .filter(col("__nunc") > 0L)
+      .withColumn("__mmin", greatest(lit(1L),
+        ceil(col("__n") * tau).cast("long") - 1L))
+      .withColumn("__r", col("__nunc") - col("__mmin") + 1L)
+      .filter(col("__r") >= 1L)
+      .withColumn("__np", least(col("__r") + 1L, col("__nunc")))
+      .withColumn("__thr", greatest(lit(1L), least(lit(2L),
+        col("__np") - col("__nunc") + col("__mmin"))))
+      .select(col("__id"), col("__np"), col("__thr"))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__df").asc, col("__g1").asc, col("__g2").asc)
+    val probes = unc.withColumn("__rk", row_number().over(w))
+      .join(budget, Seq("__id"))
+      .filter(col("__rk") <= col("__np"))
+      .select(col("__id").as("__x"), col("__g1"), col("__g2"),
+        col("__thr"))
+    val cand = probes
+      .join(unc.select(col("__id").as("__y"), col("__g1"),
+        col("__g2")), Seq("__g1", "__g2"))
+      .filter(col("__x") =!= col("__y"))
+      .groupBy("__x", "__y")
+      .agg(count(lit(1)).as("__m"), first(col("__thr")).as("__thr"))
+      .filter(col("__m") >= col("__thr"))
+      .join(sizes.select(col("__id").as("__x"), col("__n").as("__nx")),
+        Seq("__x"))
+      .join(sizes.select(col("__id").as("__y"), col("__n").as("__ny")),
+        Seq("__y"))
+      .filter(col("__ny") > col("__nx") ||
+        (col("__ny") === col("__nx") && col("__y") < col("__x")))
+      .select("__x", "__y")
+    val inter = unc.select(col("__id").as("__x"), col("__g1"),
+        col("__g2"))
+      .join(cand, Seq("__x"))
+      .join(unc.select(col("__id").as("__y"), col("__g1"),
+        col("__g2")), Seq("__y", "__g1", "__g2"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__ninter"))
+    inter
+      .join(sizes.select(col("__id").as("__x"), col("__n").as("__nx")),
+        Seq("__x"))
+      .filter(round(col("__ninter") / col("__nx"), 6) >= tau)
+      .select(col("__x").as(idCol)).distinct()
   }
 }

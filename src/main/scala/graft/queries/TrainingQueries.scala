@@ -6631,6 +6631,62 @@ object TrainingQueries {
            |WHERE doc_id NOT IN (SELECT hi_id FROM removed)"""
           .stripMargin
       }),
+
+    // WITNESS/PAIRS equivalence, oracle-side: t101 now runs the
+    // candidate+verify witness path (deterministic rarest-probe
+    // pigeonhole — complete by construction, so the SAME pair-replay
+    // SQL stays its oracle). This gate keeps the r11 pair-
+    // materializing reference path oracle-gated too: both paths
+    // replay one SQL, so a drift in EITHER goes red, and the
+    // ContainmentWitnessSpec equality assertion has a driver-side
+    // anchor. Corpus identical to t101's.
+    QueryDef(
+      "t144_containment_pairs_path",
+      (s, dir) => {
+        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        val ex = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 14), " ")
+              .as("text"))
+        graft.operators.NearDup.dedupByContainmentViaPairs(
+          d.unionByName(ex), "doc_id", "text", tau = 0.9)
+          .select(col("doc_id"))
+      },
+      Some(
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 14),
+           |      ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id,
+           |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
+           |  FROM u),
+           |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM t
+           |  WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+           |hot AS (SELECT gr FROM g GROUP BY gr
+           |  HAVING COUNT(*) > ${graft.operators.NearDup.ContainmentMaxDfDefault}),
+           |gk AS (SELECT doc_id, gr FROM g
+           |  WHERE gr NOT IN (SELECT gr FROM hot)),
+           |i AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    COUNT(*) AS n_inter
+           |  FROM gk a JOIN gk b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |p AS (SELECT i.ida, i.idb, sa.n AS na, sb.n AS nb,
+           |    round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS ca,
+           |    round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS cb
+           |  FROM i JOIN sz sa ON sa.doc_id = i.ida
+           |    JOIN sz sb ON sb.doc_id = i.idb),
+           |d AS (SELECT DISTINCT CASE
+           |    WHEN ca >= 0.9 AND na < nb THEN ida
+           |    WHEN cb >= 0.9 AND nb < na THEN idb
+           |    WHEN na = nb AND ca >= 0.9 THEN idb END AS doc_id
+           |  FROM p WHERE ca >= 0.9 OR cb >= 0.9)
+           |SELECT u.doc_id FROM u
+           |WHERE u.doc_id NOT IN (SELECT doc_id FROM d
+           |  WHERE doc_id IS NOT NULL)""".stripMargin)),
   )
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same
