@@ -6687,7 +6687,225 @@ object TrainingQueries {
            |SELECT u.doc_id FROM u
            |WHERE u.doc_id NOT IN (SELECT doc_id FROM d
            |  WHERE doc_id IS NOT NULL)""".stripMargin)),
+
+    // MOTION-PREDICTED VIDEO (MPEG-1-style I/P arithmetic, clean-room
+    // — see Mpv.scala's boundary note): 3-frame GOPs (I, P, P) of
+    // 32x32 luma synthesized per doc, per-macroblock forward motion
+    // vectors from doc_id arithmetic, DCT-coded clamped residuals
+    // with CLOSED-LOOP prediction. The oracle replays the whole
+    // prediction chain pixel by pixel: I-frame through the shared
+    // JPEG DCT kernel SQL, then per P-frame motion compensation of
+    // the PREVIOUS RECONSTRUCTION, the [-128,127] residual clamp, the
+    // same DCT chain over residual+128 tiles, and the final [0,255]
+    // reconstruction clamp. Decode is exercised end-to-end: the gate
+    // emits the DECODER's pixels, not the encoder's.
+    QueryDef(
+      "t142_mpeg_video",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Mpv
+        spread(s, docs(s, dir))
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val w = 32
+            val h = 32
+            def target(k: Int): Array[Int] = Array.tabulate(w * h)(i =>
+              ((id * 31 + k * 57 + (i / w) * 37 + (i % w) * 13) % 251)
+                .toInt)
+            def mvs(k: Int): Array[(Int, Int)] = Array.tabulate(4) { mb =>
+              val bx = mb % 2
+              val byy = mb / 2
+              val dx = ((id + k + bx) % 3).toInt
+              val dy = ((id + k + byy) % 3).toInt
+              (if (bx == 0) dx else -dx, if (byy == 0) dy else -dy)
+            }
+            val bytes = Mpv.encode(
+              Seq(target(0), target(1), target(2)), w, h,
+              Seq(mvs(1), mvs(2)))
+            val v = Mpv.decode(bytes).get
+            v.frames.zipWithIndex.flatMap { case (f, fi) =>
+              f.zipWithIndex.map { case (p, xy) => (id, fi, xy, p.toLong) }
+            }
+          }.toDF("doc_id", "fi", "xy", "px")
+      },
+      Some(mpvOracleSql())),
+
+    // OGG CONTAINER WALK (RFC 3533) — the declared Ogg/Vorbis stub
+    // closed at the container level (Vorbis DSP stays behind the
+    // Mp3-style clean-room boundary; see Ogg.scala): per doc a
+    // 4-page Vorbis-shaped stream — BOS identification header,
+    // comment header, an audio page with multi-lacing (a 260+ byte
+    // packet) and a page-SPANNING packet (255-byte head, continued
+    // flag + tail on the EOS page). The oracle rebuilds every page's
+    // BYTE LIST from the same arithmetic and replays the Ogg CRC
+    // (non-reflected 0x04c11db7, init 0, no xor-out) with a
+    // list_reduce fold over the inlined 256-entry table — page CRC
+    // and granule arithmetic both oracle-pinned.
+    QueryDef(
+      "t143_ogg_pages",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Ogg
+        spread(s, docs(s, dir))
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val channels = (1 + id % 2).toInt
+            val rate = 8000L + (id % 4) * 4000L
+            val ident = Ogg.vorbisIdentPacket(channels, rate)
+            val comment = Ogg.vorbisCommentPacket("graft",
+              Seq("TITLE" -> s"doc$id"))
+            def audio(j: Int, n: Int): Array[Byte] =
+              Array.tabulate(n)(i => ((id * 3 + j * 7 + i) % 256).toByte)
+            val a1 = audio(1, (40 + id % 30).toInt)
+            val a2 = audio(2, (260 + id % 40).toInt)
+            val a3 = audio(3, (285 + id % 20).toInt)
+            val stream =
+              Ogg.page(0x02, 0L, id, 0L, Seq((ident, true))) ++
+                Ogg.page(0x00, 0L, id, 1L, Seq((comment, true))) ++
+                Ogg.page(0x00, 256L, id, 2L, Seq((a1, true), (a2, true),
+                  (a3.take(255), false))) ++
+                Ogg.page(0x05, 384L, id, 3L, Seq((a3.drop(255), true)))
+            Ogg.pages(stream).map(p =>
+              (id, p.seq, p.headerType, p.granule, p.nSegments,
+                p.payloadLen, p.nCompletePackets, p.crcStored,
+                if (p.crcOk) 1 else 0))
+          }.toDF("doc_id", "seq", "header_type", "granule",
+            "n_segments", "payload_len", "n_packets", "crc", "crc_ok")
+      },
+      Some(oggOracleSql())),
   )
+
+  /** DuckDB replay of the t143 Ogg fixture: page byte lists rebuilt
+    * from the same doc_id arithmetic, CRC folded over the inlined
+    * table, lacing/granule/packet counts recomputed. */
+  private def oggOracleSql(): String = {
+    def le(expr: String, n: Int): String =
+      s"list_transform(range($n), i -> ($expr >> (8 * i)) & 255)"
+    val identList =
+      "[1,118,111,114,98,105,115, 0,0,0,0, ch, " +
+        "rate % 256, (rate // 256) % 256, (rate // 65536) % 256, " +
+        "(rate // 16777216) % 256, " +
+        "0,0,0,0,0,0,0,0,0,0,0,0, 184, 1]"
+    // "graft" and "TITLE=doc" as byte literals
+    val graftB = "graft".getBytes("UTF-8").map(_.toInt)
+      .mkString("[", ",", "]")
+    val titleB = "TITLE=doc".getBytes("UTF-8").map(_.toInt)
+      .mkString("[", ",", "]")
+    val commentList =
+      s"[3,118,111,114,98,105,115] || ${le("5", 4)} || $graftB || " +
+        s"${le("1", 4)} || ${le("(9 + length(ds))", 4)} || $titleB || " +
+        "list_transform(range(length(ds)), " +
+        "i -> ord(substr(ds, CAST(i + 1 AS INT), 1))) || [1]"
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |${graft.multimodal.Ogg.duckCrcTableSql()},
+       |par AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+       |    8000 + (doc_id % 4) * 4000 AS rate,
+       |    CAST(doc_id AS VARCHAR) AS ds,
+       |    40 + doc_id % 30 AS n1, 260 + doc_id % 40 AS n2,
+       |    285 + doc_id % 20 AS n3
+       |  FROM d),
+       |pk AS (SELECT doc_id, $identList AS ident,
+       |    $commentList AS cmt,
+       |    list_transform(range(n1), i -> (doc_id * 3 + 7 + i) % 256) AS a1,
+       |    list_transform(range(n2), i -> (doc_id * 3 + 14 + i) % 256) AS a2,
+       |    list_transform(range(n3), i -> (doc_id * 3 + 21 + i) % 256) AS a3,
+       |    n1, n2, n3
+       |  FROM par),
+       |pg AS (
+       |  SELECT doc_id, 0 AS seq, 2 AS ht, 0 AS gr,
+       |      [30] AS lacing, ident AS payload FROM pk
+       |  UNION ALL SELECT doc_id, 1, 0, 0, [len(cmt)], cmt FROM pk
+       |  UNION ALL SELECT doc_id, 2, 0, 256,
+       |      [n1, 255, n2 - 255, 255],
+       |      a1 || a2 || list_slice(a3, 1, 255) FROM pk
+       |  UNION ALL SELECT doc_id, 3, 5, 384, [n3 - 255],
+       |      list_slice(a3, 256, n3) FROM pk),
+       |fullpg AS (SELECT doc_id, seq, ht, gr,
+       |    [79,103,103,83,0,ht] || ${le("gr", 8)} ||
+       |      ${le("doc_id", 4)} || ${le("seq", 4)} ||
+       |      [0,0,0,0] || [len(lacing)] || lacing || payload AS bytes,
+       |    len(lacing) AS nseg, len(payload) AS plen,
+       |    len(list_filter(lacing, l -> l < 255)) AS npk
+       |  FROM pg)
+       |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+       |  CAST(ht AS INT) AS header_type, CAST(gr AS BIGINT) AS granule,
+       |  CAST(nseg AS INT) AS n_segments, CAST(plen AS INT) AS payload_len,
+       |  CAST(npk AS INT) AS n_packets,
+       |  ${graft.multimodal.Ogg.duckCrcFoldSql("bytes")} AS crc,
+       |  CAST(1 AS INT) AS crc_ok
+       |FROM fullpg, __ogg_crc""".stripMargin
+  }
+
+  /** DuckDB replay of the t142 motion-predicted GOP: the I-frame DCT
+    * chain, then per P-frame MC(previous reconstruction) + clamped
+    * residual through the same chain. Generated per frame index so
+    * the CTE stack stays mechanical. */
+  private def mpvOracleSql(): String = {
+    def chain(pfx: String, tiles: String): String =
+      graft.multimodal.Jpeg.duckChainSql(pfx, tiles, "doc_id, blk",
+        "__jp_q")
+    def toTiles(name: String, from: String): String =
+      s"""$name AS (SELECT doc_id,
+         |    (y // 8) * 4 + (x // 8) AS blk,
+         |    (y % 8) * 8 + (x % 8) AS xy, p
+         |  FROM $from)""".stripMargin
+    def fromTiles(alias: String): (String, String) =
+      (s"CAST(($alias.blk // 4) * 8 + ($alias.xy // 8) AS INT)",
+        s"CAST(($alias.blk % 4) * 8 + ($alias.xy % 8) AS INT)")
+    val pFrames = (1 to 2).map { k =>
+      val (ry, rx) = fromTiles("rr")
+      s"""t$k AS (SELECT doc_id, x, y,
+         |    (doc_id * 31 + $k * 57 + y * 37 + x * 13) % 251 AS p
+         |  FROM px),
+         |mv$k AS (SELECT d.doc_id, CAST(rbx.b AS INT) AS mbx,
+         |    CAST(rby.b AS INT) AS mby,
+         |    CASE WHEN rbx.b = 0 THEN (d.doc_id + $k + rbx.b) % 3
+         |         ELSE -((d.doc_id + $k + rbx.b) % 3) END AS dx,
+         |    CASE WHEN rby.b = 0 THEN (d.doc_id + $k + rby.b) % 3
+         |         ELSE -((d.doc_id + $k + rby.b) % 3) END AS dy
+         |  FROM d, range(2) rbx(b), range(2) rby(b)),
+         |pred$k AS (SELECT p.doc_id, p.x, p.y, r.px AS pred
+         |  FROM px p
+         |  JOIN mv$k m ON m.doc_id = p.doc_id
+         |    AND m.mbx = p.x // 16 AND m.mby = p.y // 16
+         |  JOIN r${k - 1} r ON r.doc_id = p.doc_id
+         |    AND r.x = p.x + m.dx AND r.y = p.y + m.dy),
+         |res$k AS (SELECT t.doc_id, t.x, t.y, pr.pred,
+         |    LEAST(127, GREATEST(-128, t.p - pr.pred)) + 128 AS p
+         |  FROM t$k t JOIN pred$k pr ON pr.doc_id = t.doc_id
+         |    AND pr.x = t.x AND pr.y = t.y),
+         |${toTiles(s"p${k}_tiles", s"res$k")},
+         |${chain(s"f$k", s"p${k}_tiles")},
+         |r$k AS (SELECT rr.doc_id, $ry AS y, $rx AS x,
+         |    LEAST(255, GREATEST(0, rs.pred + rr.px - 128)) AS px
+         |  FROM f${k}_r rr JOIN res$k rs ON rs.doc_id = rr.doc_id
+         |    AND rs.x = $rx AND rs.y = $ry)""".stripMargin
+    }.mkString(",\n")
+    val (r0y, r0x) = fromTiles("f0_r")
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+       |px AS (SELECT doc_id, CAST(rx.x AS INT) AS x,
+       |    CAST(ry.y AS INT) AS y
+       |  FROM d, range(32) rx(x), range(32) ry(y)),
+       |${graft.multimodal.Jpeg.duckKernelSql()},
+       |${graft.multimodal.Jpeg.duckQuantSql("__jp_q",
+           graft.multimodal.Jpeg.StdQuantLuma)},
+       |t0 AS (SELECT doc_id, x, y,
+       |    (doc_id * 31 + y * 37 + x * 13) % 251 AS p FROM px),
+       |${toTiles("i_tiles", "t0")},
+       |${chain("f0", "i_tiles")},
+       |r0 AS (SELECT f0_r.doc_id, $r0y AS y, $r0x AS x, f0_r.px
+       |  FROM f0_r),
+       |$pFrames
+       |SELECT doc_id, CAST(0 AS INT) AS fi,
+       |  CAST(y * 32 + x AS INT) AS xy, CAST(px AS BIGINT) AS px FROM r0
+       |UNION ALL SELECT doc_id, CAST(1 AS INT),
+       |  CAST(y * 32 + x AS INT), CAST(px AS BIGINT) FROM r1
+       |UNION ALL SELECT doc_id, CAST(2 AS INT),
+       |  CAST(y * 32 + x AS INT), CAST(px AS BIGINT) FROM r2"""
+      .stripMargin
+  }
 
   /** DuckDB CTE chain mirroring Retrieval.bm25 term by term: same
     * corpus stats, same per-term expression tree, same left-assoc sum

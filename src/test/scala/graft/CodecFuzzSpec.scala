@@ -121,6 +121,11 @@ class CodecFuzzSpec extends SparkSpec {
         (b => graft.multimodal.Mp3.id3TextFrames(b)),
       "Jpeg.decode" -> (b => graft.multimodal.Jpeg.decode(b)),
       "Jpeg.decodeLuma" -> (b => graft.multimodal.Jpeg.decodeLuma(b)),
+      "Mpv.decode" -> (b => graft.multimodal.Mpv.decode(b)),
+      "Ogg.pages" -> (b => graft.multimodal.Ogg.pages(b)),
+      "Ogg.quickInfo" -> (b => graft.multimodal.Ogg.quickInfo(b)),
+      "Ogg.vorbisComments" ->
+        (b => graft.multimodal.Ogg.vorbisComments(b)),
       "parseUstar" -> (b => TarShards.parseUstar(b, "fuzz").toList))
     val seeds: Seq[() => Array[Byte]] = Seq(
       () => validWav, () => validUlaw, () => validAdpcm,
@@ -133,7 +138,15 @@ class CodecFuzzSpec extends SparkSpec {
         "fuzz vendor", Seq("TITLE" -> "fuzz", "SRC" -> "s=1")),
       () => Multimodal.withRiffInfo(validWav,
         Seq("INAM" -> "fuzz", "ICMT" -> "x")),
-      () => validJpeg, () => validJpegColor)
+      () => validJpeg, () => validJpegColor,
+      () => graft.multimodal.Mpv.encode(
+        Seq(Array.tabulate(256)(i => i % 251),
+          Array.tabulate(256)(i => (i * 3) % 251)), 16, 16,
+        Seq(Array((0, 0)))),
+      () => graft.multimodal.Ogg.page(0x02, 0L, 1L, 0L,
+        Seq((graft.multimodal.Ogg.vorbisIdentPacket(1, 8000L), true))) ++
+        graft.multimodal.Ogg.page(0x04, 128L, 1L, 1L,
+          Seq((Array.tabulate(60)(i => (i * 7).toByte), true))))
     var ran = 0
     for (_ <- 0 until 60) {
       val payload =
