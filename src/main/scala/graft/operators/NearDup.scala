@@ -1223,6 +1223,41 @@ object NearDup {
       tau: Double, maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    // Candidate+verify since r12 (the witness-search machinery with
+    // the killer size-filter OFF — every doc probes as a potential
+    // CONTAINED side, so any pair with either direction at tau is
+    // surfaced by its high direction's probes and verified exactly;
+    // output equal to the materialized join by the same pigeonhole,
+    // spec-asserted and t100-gated). The join-materializing form
+    // stays as [[containmentPairsViaJoin]], gated by t144's sibling
+    // path.
+    val verified = containmentVerifiedCandidates(docs, idCol, textCol,
+      tau, maxDf, killersOnly = false)
+    verified
+      .select(
+        least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"),
+        col("__ninter").as("n_inter"),
+        when(col("__x") < col("__y"), col("__nx"))
+          .otherwise(col("__ny")).as("n_a"),
+        when(col("__x") < col("__y"), col("__ny"))
+          .otherwise(col("__nx")).as("n_b"))
+      .distinct() // a pair found from both directions collapses
+      .withColumn("cont_a", round(col("n_inter") / col("n_a"), 6))
+      .withColumn("cont_b", round(col("n_inter") / col("n_b"), 6))
+      .filter(col("cont_a") >= tau || col("cont_b") >= tau)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("cont_a"), col("cont_b"))
+  }
+
+  /** The r11 join-materializing form of [[containmentPairs]] —
+    * identical output (ContainmentWitnessSpec asserts it), kept as
+    * the equivalence reference; prices Σ df² below the cap. */
+  private[graft] def containmentPairsViaJoin(docs: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     // ONE definition of "a document's shingle rows" for the whole
     // containment family (shared pre-explode helper) — batch and
     // incremental paths cannot drift, and sizes come off the arrays
@@ -1676,7 +1711,7 @@ object NearDup {
   private[graft] def dedupByContainmentViaPairs(docs: DataFrame,
       idCol: String, textCol: String, tau: Double,
       maxDf: Int = ContainmentMaxDfDefault): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, tau, maxDf)
+    val pairs = containmentPairsViaJoin(docs, idCol, textCol, tau, maxDf)
     docs.join(containmentDropIds(pairs, idCol, tau), Seq(idCol),
       "left_anti")
   }
@@ -1739,7 +1774,24 @@ object NearDup {
     * intersections count uncapped grams only — the hot-gram guard's
     * lower-bound contract, unchanged. */
   private def containmentWitnessDropIds(docs: DataFrame, idCol: String,
-      textCol: String, tau: Double, maxDf: Int): DataFrame = {
+      textCol: String, tau: Double, maxDf: Int): DataFrame =
+    containmentVerifiedCandidates(docs, idCol, textCol, tau, maxDf,
+      killersOnly = true)
+      .filter(round(col("__ninter") / col("__nx"), 6) >= tau)
+      .select(col("__x").as(idCol)).distinct()
+
+  /** Shared candidate+verify core of [[containmentWitnessDropIds]]
+    * and the pruned [[containmentPairs]]: exact uncapped intersection
+    * counts for every surfaced directional candidate, as
+    * (__x probe side, __y partner, __ninter, __nx, __ny).
+    * `killersOnly` applies the keep-largest eligibility filter
+    * (n_y > n_x, or equal sizes with id_y < id_x) BEFORE the verify
+    * join — the dedup path verifies only potential killers, the pair
+    * path verifies every candidate so both directions' tau checks
+    * see exact counts. */
+  private def containmentVerifiedCandidates(docs: DataFrame,
+      idCol: String, textCol: String, tau: Double, maxDf: Int,
+      killersOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pre = containmentShingleFrame(docs, idCol, textCol)
     // full hashed gram rows — feed the df aggregate, the probe
@@ -1801,7 +1853,7 @@ object NearDup {
       .filter(col("__rk") <= col("__np"))
       .select(col("__id").as("__x"), col("__g1"), col("__g2"),
         col("__thr"))
-    val cand = probes
+    val candAll = probes
       .join(unc.select(col("__id").as("__y"), col("__g1"),
         col("__g2")), Seq("__g1", "__g2"))
       .filter(col("__x") =!= col("__y"))
@@ -1812,19 +1864,20 @@ object NearDup {
         Seq("__x"))
       .join(sizes.select(col("__id").as("__y"), col("__n").as("__ny")),
         Seq("__y"))
-      .filter(col("__ny") > col("__nx") ||
-        (col("__ny") === col("__nx") && col("__y") < col("__x")))
-      .select("__x", "__y")
+    val cand =
+      (if (killersOnly)
+        candAll.filter(col("__ny") > col("__nx") ||
+          (col("__ny") === col("__nx") && col("__y") < col("__x")))
+      else candAll)
+        .select("__x", "__y", "__nx", "__ny")
     val inter = unc.select(col("__id").as("__x"), col("__g1"),
         col("__g2"))
-      .join(cand, Seq("__x"))
+      .join(cand.select("__x", "__y"), Seq("__x"))
       .join(unc.select(col("__id").as("__y"), col("__g1"),
         col("__g2")), Seq("__y", "__g1", "__g2"))
       .groupBy("__x", "__y").agg(count(lit(1)).as("__ninter"))
-    inter
-      .join(sizes.select(col("__id").as("__x"), col("__n").as("__nx")),
-        Seq("__x"))
-      .filter(round(col("__ninter") / col("__nx"), 6) >= tau)
-      .select(col("__x").as(idCol)).distinct()
+    inter.join(cand, Seq("__x", "__y"))
+      .select(col("__x"), col("__y"), col("__ninter"), col("__nx"),
+        col("__ny"))
   }
 }

@@ -26,12 +26,29 @@ class ContainmentWitnessSpec extends SparkSpec {
     out.select("doc_id").collect().map(_.getLong(0)).toSet
   }
 
+  private def pairRows(df: DataFrame, tau: Double, maxDf: Int,
+      viaJoin: Boolean): Set[(Long, Long, Long, Long, Long, Double, Double)] = {
+    val out =
+      if (viaJoin)
+        NearDup.containmentPairsViaJoin(df, "doc_id", "text", tau, maxDf)
+      else NearDup.containmentPairs(df, "doc_id", "text", tau, maxDf)
+    out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+  }
+
   private def assertEqual(docs: Seq[(Long, String)], tau: Double,
       maxDf: Int = NearDup.ContainmentMaxDfDefault): Unit = {
     val df = docs.toDF("doc_id", "text")
     val w = survivors(df, tau, maxDf, viaPairs = false)
     val p = survivors(df, tau, maxDf, viaPairs = true)
     assert(w == p, s"witness $w != pairs $p (tau=$tau, maxDf=$maxDf)")
+    // and the PAIR surface: pruned candidate+verify emits the exact
+    // frame the materialized join emits — ids, counts, both ratios
+    val pp = pairRows(df, tau, maxDf, viaJoin = false)
+    val pj = pairRows(df, tau, maxDf, viaJoin = true)
+    assert(pp == pj,
+      s"pruned pairs ${pp.size} != join pairs ${pj.size} " +
+        s"(tau=$tau, maxDf=$maxDf): diff ${(pp diff pj) ++ (pj diff pp)}")
   }
 
   private def words(prefix: String, n: Int): String =
