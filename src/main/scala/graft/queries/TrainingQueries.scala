@@ -6643,7 +6643,14 @@ object TrainingQueries {
     QueryDef(
       "t144_containment_pairs_path",
       (s, dir) => {
-        val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
+        // a THIRD of t101's corpus: this gate pins the reference
+        // path's SEMANTICS (same SQL as t101), not its scale — the
+        // family's scaled rows are t100/t101 on the pruned paths, and
+        // the join form's Σdf² would otherwise tax every bench run
+        // quadratically for a pure equivalence pin
+        val d = spread(s, docs(s, dir))
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
         val ex = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             array_join(slice(split(col("text"), " "), 1, 14), " ")
@@ -6654,12 +6661,12 @@ object TrainingQueries {
       },
       Some(
         s"""WITH u AS (
-           |  SELECT doc_id, text FROM documents
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
            |  UNION ALL
            |  SELECT doc_id + 100000 AS doc_id,
            |    array_to_string(list_slice(string_split(text, ' '), 1, 14),
            |      ' ') AS text
-           |  FROM documents WHERE doc_id % 10 = 0),
+           |  FROM documents WHERE doc_id % 30 = 0),
            |t AS (SELECT doc_id,
            |    ${DuckSql.shingles3("string_split(text, ' ')")} AS sh
            |  FROM u),
