@@ -142,7 +142,13 @@ object DeltaExport {
       parts.map { st =>
         val rel = st.getPath.toUri.getPath
           .stripPrefix(rootUri).stripPrefix("/")
-        s"""{"add":{"path":"${esc(rel)}",""" +
+        // PROTOCOL.md: add.path is URI-percent-encoded — readers
+        // decode it before touching the filesystem. The multi-arg URI
+        // constructor quotes every illegal char AND '%' itself, so a
+        // hive-escaped dir like part=p%3Ab exports as part=p%253Ab
+        // and decodes back to the literal on-disk name.
+        val uriPath = new java.net.URI(null, null, rel, null).getRawPath
+        s"""{"add":{"path":"${esc(uriPath)}",""" +
           s""""partitionValues":${partitionValues(rel)},""" +
           s""""size":${st.getLen},""" +
           s""""modificationTime":${st.getModificationTime},""" +

@@ -6782,6 +6782,56 @@ object TrainingQueries {
             "n_segments", "payload_len", "n_packets", "crc", "crc_ok")
       },
       Some(oggOracleSql())),
+
+    // DELTA-PROTOCOL IMPORT under the oracle — the read HALF of the
+    // interop contract (t65/export is the write half): a commit-log
+    // table built from documents (v1 = doc_id%3=0; v2 adds %3=1 and
+    // re-counts %6=0) exports BOTH versions as Delta tables
+    // partitioned by lang (hive layout + URI-encoded add paths +
+    // partitionValues), and DeltaImport replays each _delta_log back
+    // to a DataFrame. The oracle recomputes both version states from
+    // documents directly — hash-equality proves log replay, path
+    // decoding and partition-column reattachment are lossless.
+    QueryDef(
+      "t145_delta_import",
+      (s, dir) => {
+        val cl = graft.operators.CommitLogTableFormat
+        val base = Tables.gatePath(dir, "dimport")
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val table = s"$base/table"
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+        val b1 = d.filter(col("doc_id") % 3 === 0)
+          .withColumn("ver", lit(1L))
+        val b2 = d.filter(col("doc_id") % 3 === 1)
+          .unionByName(d.filter(col("doc_id") % 6 === 0)
+            .withColumn("n_chars", col("n_chars") + lit(1000L)))
+          .withColumn("ver", lit(2L))
+        cl.upsert(s, b1, table, Seq("doc_id"), "ver")
+        cl.upsert(s, b2, table, Seq("doc_id"), "ver")
+        graft.operators.DeltaExport.exportDeltaSnapshot(
+          s, table, 1L, s"$base/v1", partitionCols = Seq("lang"))
+        graft.operators.DeltaExport.exportDeltaSnapshot(
+          s, table, 2L, s"$base/v2", partitionCols = Seq("lang"))
+        val v1 = graft.operators.DeltaImport.read(s, s"$base/v1")
+          .withColumn("version", lit(1))
+        val v2 = graft.operators.DeltaImport.read(s, s"$base/v2")
+          .withColumn("version", lit(2))
+        v1.unionByName(v2).select(col("version"), col("doc_id"),
+          col("lang"), col("source"), col("n_chars"))
+      },
+      Some(
+        """SELECT CAST(1 AS INT) AS version, doc_id, lang, source,
+          |  CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id % 3 = 0
+          |UNION ALL
+          |SELECT CAST(2 AS INT) AS version, doc_id, lang, source,
+          |  CAST(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+          |    ELSE n_chars END AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin)),
   )
 
   /** DuckDB replay of the t143 Ogg fixture: page byte lists rebuilt

@@ -62,7 +62,9 @@ class DeltaExportSpec extends SparkSpec {
     val fs = new Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     adds.foreach { a =>
-      val f = new Path(s"$out/${a.get("path").asText}")
+      // paths are URI-encoded per PROTOCOL.md; a reader decodes first
+      val f = new Path(
+        s"$out/${graft.operators.DeltaImport.decodePath(a.get("path").asText)}")
       assert(fs.exists(f), s"add path missing: $f")
       assert(fs.getFileStatus(f).getLen == a.get("size").asLong)
       assert(a.get("dataChange").asBoolean)
@@ -72,7 +74,8 @@ class DeltaExportSpec extends SparkSpec {
     // the transactional contract: reading EXACTLY the add list
     // reproduces the committed snapshot (no stray files counted)
     val readBack = spark.read.schema(schema).parquet(
-      adds.map(a => s"$out/${a.get("path").asText}"): _*)
+      adds.map(a => s"$out/${graft.operators.DeltaImport
+        .decodePath(a.get("path").asText)}"): _*)
     assert(readBack.select("k", "v").collect().map(r =>
       (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "b")))
@@ -107,16 +110,18 @@ class DeltaExportSpec extends SparkSpec {
     // that file's partitionValues
     val rows = adds.flatMap { a =>
       val pv = a.get("partitionValues").get("part").asText
-      spark.read.parquet(s"$out/${a.get("path").asText}")
+      spark.read.parquet(s"$out/${graft.operators.DeltaImport
+        .decodePath(a.get("path").asText)}")
         .select("k", "v").collect()
         .map(r => (r.getLong(0), r.getString(1), pv))
     }.toSet
     assert(rows == Set((1L, "x=1 space", "p a"), (2L, "bee", "p a"),
       (3L, "cee", "p:b")))
-    // Spark's hive encoder leaves spaces literal but %XX-escapes the
-    // special set (':' here); the log carries decoded values for both
-    assert(adds.exists(_.get("path").asText.contains("part=p a")))
-    assert(adds.exists(_.get("path").asText.contains("part=p%3Ab")))
+    // add.path is URI-encoded per PROTOCOL.md: hive leaves the space
+    // literal on disk (→ %20 in the log) and %XX-escapes ':' on disk
+    // (→ the '%' re-encodes as %25); partitionValues stay DECODED
+    assert(adds.exists(_.get("path").asText.contains("part=p%20a")))
+    assert(adds.exists(_.get("path").asText.contains("part=p%253Ab")))
   }
 
   test("missing or vacuumed version raises the typed exception") {
