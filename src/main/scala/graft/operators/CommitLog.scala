@@ -77,7 +77,7 @@ object CommitLogTableFormat extends TableFormat {
 
   private def logDir(root: Path) = new Path(root, "_log")
 
-  private def manifestPath(root: Path, version: Long) =
+  private[graft] def manifestPath(root: Path, version: Long) =
     new Path(logDir(root), f"$version%020d.json")
 
   /** Highest committed version, or None. Only fully committed
@@ -113,7 +113,7 @@ object CommitLogTableFormat extends TableFormat {
     * (tab-separated, see [[statsSuffix]]) are stripped so every
     * reader/vacuum path resolves files identically whether or not the
     * committing writer recorded stats. */
-  private def readManifest(f: FileSystem, root: Path,
+  private[graft] def readManifest(f: FileSystem, root: Path,
       version: Long): Seq[String] =
     readManifestLines(f, root, version).map(_.split('\t').head)
 

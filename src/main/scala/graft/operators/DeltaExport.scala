@@ -23,9 +23,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * The export is a DERIVED artifact of one immutable snapshot
   * (re-derivable from the commit-log manifest at any time): the log
   * always has exactly one commit, version 0. Continuous Delta
-  * publishing (appending commits as the source table evolves) is a
-  * mirroring concern, not a snapshot-export concern, and stays out of
-  * scope — the commit log itself is this engine's transaction system.
+  * publishing — appending commits as the source table evolves — is
+  * the separate [[mirror]] entry point, which writes a multi-commit
+  * `_delta_log` into the commit-log table root itself, zero-copy.
   *
   * Scale: the data movement is one distributed parquet write of the
   * snapshot; the log write is driver-side string IO over the part
@@ -74,14 +74,6 @@ object DeltaExport {
       }
     val parts = walk(root).sortBy(_.getPath.toString)
     val rootUri = root.toUri.getPath.stripSuffix("/")
-
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
 
     // partitionValues from the relative path's k=v segments — the
     // inverse of Spark's hive-layout encoder. That encoder escapes
@@ -147,8 +139,7 @@ object DeltaExport {
         // constructor quotes every illegal char AND '%' itself, so a
         // hive-escaped dir like part=p%3Ab exports as part=p%253Ab
         // and decodes back to the literal on-disk name.
-        val uriPath = new java.net.URI(null, null, rel, null).getRawPath
-        s"""{"add":{"path":"${esc(uriPath)}",""" +
+        s"""{"add":{"path":"${esc(uriEncode(rel))}",""" +
           s""""partitionValues":${partitionValues(rel)},""" +
           s""""size":${st.getLen},""" +
           s""""modificationTime":${st.getModificationTime},""" +
@@ -169,6 +160,156 @@ object DeltaExport {
       throw new java.io.IOException(s"delta log rename failed: $commit")
     parts.size
   }
+
+  /** CONTINUOUS Delta mirroring — the zero-copy completion of the
+    * snapshot export: write a `_delta_log` INSIDE the commit-log
+    * table root (beside `_log/` and `data/`), one Delta commit per
+    * commit-log version, referencing the SAME immutable parquet
+    * files. No data moves, ever: commit-log manifests and Delta adds
+    * are two views of one file set, so the table is simultaneously a
+    * commit-log table and a Delta table, and [[DeltaImport]] (or any
+    * external Delta reader) time-travels it version by version.
+    *
+    * Mirroring is incremental and resumable: the already-mirrored
+    * state is recovered by replaying the existing `_delta_log`
+    * (never from memory), each new commit-log version becomes Delta
+    * version `last+1` with file-level `remove`/`add` diffs against
+    * that state, and each commit file publishes atomically
+    * (write-then-rename, existing commits never rewritten) — a crash
+    * mid-mirror leaves a valid shorter mirror the next call
+    * completes. `commitInfo.operationParameters.clVersion` records
+    * the source version of every Delta commit.
+    *
+    * Caveats, both inherited from the formats themselves: commit-log
+    * versions vacuumed before ever being mirrored are skipped (the
+    * next mirrored commit carries the cumulative diff — vacuum
+    * already declared that history expendable), and vacuuming data
+    * files breaks Delta time travel to the versions that referenced
+    * them, exactly as Delta's own VACUUM does.
+    *
+    * Scale: O(changed files) per mirrored version (one manifest read,
+    * one file-status per new file, one parquet-footer schema probe),
+    * plus the O(active files) log replay for resume state — driver
+    * work in the same class as the commit protocol itself.
+    *
+    * Returns the number of newly mirrored commit-log versions. */
+  def mirror(spark: SparkSession, tablePath: String): Int = {
+    val clVersions = CommitLogTableFormat.versions(spark, tablePath)
+    if (clVersions.isEmpty) return 0
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+
+    // resume state: replay our own mirror log (absent OR empty log
+    // dir — e.g. a crash between mkdirs and the first commit — is a
+    // fresh mirror)
+    val hasCommits = fs.exists(logDir) &&
+      fs.listStatus(logDir).exists(
+        _.getPath.getName.matches("""\d{20}\.json"""))
+    val prior: Option[DeltaImport.DeltaSnapshot] =
+      if (hasCommits) Some(DeltaImport.snapshot(spark, tablePath))
+      else None
+    val lastCl: Long = prior.map { _ =>
+      // the clVersion stamp of the LAST mirrored commit
+      val last = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("""\d{20}\.json""") => n }
+        .max
+      val in = fs.open(new Path(logDir, last))
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      text.split('\n').filter(_.nonEmpty).iterator.map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(ci => Option(ci.get("operationParameters")))
+        .flatMap(op => Option(op.get("clVersion")))
+        .map(_.asText.toLong).toSeq.headOption.getOrElse(
+          throw new DeltaImport.DeltaProtocolException(
+            s"$tablePath: _delta_log exists but carries no clVersion " +
+              "stamp — not a mirror log; refusing to extend it"))
+    }.getOrElse(-1L)
+
+    val todo = clVersions.filter(_ > lastCl)
+    if (todo.isEmpty) return 0
+    fs.mkdirs(logDir)
+
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      tablePath.getBytes("UTF-8")).toString
+    var deltaV: Long = prior.map(_.version + 1).getOrElse(0L)
+    var liveSet: Set[String] =
+      prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    var priorSchemaJson: Option[String] = prior.map(_.schema.json)
+
+    todo.foreach { clV =>
+      val files = CommitLogTableFormat.readManifest(fs, root, clV).toSet
+      val added = (files -- liveSet).toSeq.sorted
+      val removed = (liveSet -- files).toSeq.sorted
+      val schemaJson =
+        if (files.isEmpty) priorSchemaJson.getOrElse(
+          org.apache.spark.sql.types.StructType(Nil).json)
+        else spark.read.parquet(
+          files.toSeq.sorted.map(r => new Path(root, r).toString): _*)
+          .schema.json
+      val now = fs.getFileStatus(
+        CommitLogTableFormat.manifestPath(root, clV)).getModificationTime
+
+      val metaActions =
+        if (deltaV == 0L || !priorSchemaJson.contains(schemaJson)) Seq(
+          s"""{"metaData":{"id":"$tableId",""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${jsonString(schemaJson)},""" +
+            s""""partitionColumns":[],"configuration":{},""" +
+            s""""createdTime":$now}}""")
+        else Nil
+      val protoActions =
+        if (deltaV == 0L)
+          Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        else Nil
+      val actions =
+        Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE",""" +
+          s""""operationParameters":{"clVersion":"$clV"},""" +
+          s""""engineInfo":"graft-commitlog-mirror"}}""") ++
+        protoActions ++ metaActions ++
+        removed.map(r =>
+          s"""{"remove":{"path":"${esc(uriEncode(r))}",""" +
+            s""""deletionTimestamp":$now,"dataChange":true}}""") ++
+        added.map { r =>
+          val st = fs.getFileStatus(new Path(root, r))
+          s"""{"add":{"path":"${esc(uriEncode(r))}",""" +
+            s""""partitionValues":{},"size":${st.getLen},""" +
+            s""""modificationTime":${st.getModificationTime},""" +
+            s""""dataChange":true}}"""
+        }
+
+      val commit = new Path(logDir, f"$deltaV%020d.json")
+      if (!fs.exists(commit)) { // idempotent resume: never rewrite
+        val tmp = new Path(logDir, f"$deltaV%020d.json__tmp")
+        val out = fs.create(tmp, true)
+        try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, commit))
+          throw new java.io.IOException(
+            s"delta mirror rename failed: $commit")
+      }
+      liveSet = files
+      priorSchemaJson = Some(schemaJson)
+      deltaV += 1
+    }
+    todo.size
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** PROTOCOL.md path encoding (see the add-path note in
+    * [[writeDeltaTable]]). */
+  private def uriEncode(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
 
   /** JSON-encode a string that is ITSELF a JSON document
     * (schemaString is a string field whose value is the schema

@@ -6832,6 +6832,64 @@ object TrainingQueries {
           |  CAST(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
           |    ELSE n_chars END AS BIGINT) AS n_chars
           |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin)),
+
+    // CONTINUOUS DELTA MIRROR under the oracle — t145 proves one
+    // snapshot's log replays; this proves the MULTI-COMMIT form: a
+    // zero-copy `_delta_log` written INTO the commit-log table root
+    // (one Delta commit per upsert, file-level remove/add diffs
+    // against the mirror's own replayed state), then DeltaImport
+    // time-travels all three Delta versions. The oracle recomputes
+    // each version's state from documents — hash-equality pins the
+    // whole chain: diff computation, remove/add replay ordering, and
+    // version mapping.
+    QueryDef(
+      "t146_delta_mirror",
+      (s, dir) => {
+        val cl = graft.operators.CommitLogTableFormat
+        val base = Tables.gatePath(dir, "dmirror")
+        val fsPath = new org.apache.hadoop.fs.Path(base)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true) // deterministic rebuild per run
+        val table = s"$base/table"
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+        val b1 = d.filter(col("doc_id") % 4 === 0)
+          .withColumn("ver", lit(1L))
+        val b2 = d.filter(col("doc_id") % 4 === 1)
+          .unionByName(d.filter(col("doc_id") % 8 === 0)
+            .withColumn("n_chars", col("n_chars") + lit(1000L)))
+          .withColumn("ver", lit(2L))
+        val b3 = d.filter(col("doc_id") % 4 === 2)
+          .unionByName(d.filter(col("doc_id") % 8 === 1)
+            .withColumn("n_chars", col("n_chars") + lit(2000L)))
+          .withColumn("ver", lit(3L))
+        cl.upsert(s, b1, table, Seq("doc_id"), "ver")
+        cl.upsert(s, b2, table, Seq("doc_id"), "ver")
+        cl.upsert(s, b3, table, Seq("doc_id"), "ver")
+        graft.operators.DeltaExport.mirror(s, table)
+        (0L to 2L).map { dv =>
+          graft.operators.DeltaImport.read(s, table, Some(dv))
+            .withColumn("version", lit((dv + 1).toInt))
+        }.reduce(_.unionByName(_))
+          .select(col("version"), col("doc_id"), col("lang"),
+            col("n_chars"))
+      },
+      Some(
+        """SELECT CAST(1 AS INT) AS version, doc_id, lang,
+          |  CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id % 4 = 0
+          |UNION ALL
+          |SELECT CAST(2 AS INT) AS version, doc_id, lang,
+          |  CAST(CASE WHEN doc_id % 8 = 0 THEN n_chars + 1000
+          |    ELSE n_chars END AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id % 4 IN (0, 1)
+          |UNION ALL
+          |SELECT CAST(3 AS INT) AS version, doc_id, lang,
+          |  CAST(CASE WHEN doc_id % 8 = 0 THEN n_chars + 1000
+          |    WHEN doc_id % 8 = 1 THEN n_chars + 2000
+          |    ELSE n_chars END AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id % 4 IN (0, 1, 2)""".stripMargin)),
   )
 
   /** DuckDB replay of the t143 Ogg fixture: page byte lists rebuilt

@@ -40,7 +40,7 @@ class GateRegistrySpec extends AnyFunSuite {
     "t129_containment_df_asset", "t130_id3v2_text",
     // round-12 additions
     "t142_mpeg_video", "t143_ogg_pages", "t144_containment_pairs_path",
-    "t145_delta_import",
+    "t145_delta_import", "t146_delta_mirror",
     "t131_vorbis_comment", "t132_riff_info",
     "t13_embedding_stats", "t14_embedding_neardup", "t15_ann_ivf_cells", "t16_neardup_survivors",
     "t17_ann_ivf_search", "t18_simhash_survivors", "t19_curate_survivors", "t20_embedding_dedup",
