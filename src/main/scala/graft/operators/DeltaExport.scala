@@ -190,10 +190,18 @@ object DeltaExport {
     * Scale: O(changed files) per mirrored version (one manifest read,
     * one file-status per new file, one parquet-footer schema probe),
     * plus the O(active files) log replay for resume state — driver
-    * work in the same class as the commit protocol itself.
+    * work in the same class as the commit protocol itself. A classic
+    * CHECKPOINT (parquet action rows + `_last_checkpoint`) is written
+    * after every `checkpointInterval` commits — Delta's own answer to
+    * unbounded log replay — so both external readers and this
+    * mirror's resume replay at most `checkpointInterval - 1` JSON
+    * commits past the checkpoint base, however long the history.
     *
     * Returns the number of newly mirrored commit-log versions. */
-  def mirror(spark: SparkSession, tablePath: String): Int = {
+  def mirror(spark: SparkSession, tablePath: String,
+      checkpointInterval: Int = 10): Int = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     val clVersions = CommitLogTableFormat.versions(spark, tablePath)
     if (clVersions.isEmpty) return 0
     val root = new Path(tablePath)
@@ -293,9 +301,69 @@ object DeltaExport {
       }
       liveSet = files
       priorSchemaJson = Some(schemaJson)
+      if ((deltaV + 1) % checkpointInterval == 0)
+        writeCheckpoint(spark, fs, logDir, root, deltaV, tableId,
+          schemaJson, liveSet)
       deltaV += 1
     }
     todo.size
+  }
+
+  /** Classic checkpoint at Delta version `deltaV`: one parquet file
+    * of action rows (the live `add` set + current `metaData` +
+    * `protocol`, plus a null `remove` column so readers that project
+    * it find the field) named `%020d.checkpoint.parquet`, then the
+    * `_last_checkpoint` pointer. Idempotent: an existing checkpoint
+    * file is never rewritten (resume re-entry). The file itself
+    * publishes by rename; `_last_checkpoint` is an advisory pointer
+    * external readers use to skip the directory listing, written
+    * last — a crash between the two leaves a valid log either way. */
+  private def writeCheckpoint(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path, root: Path,
+      deltaV: Long, tableId: String, schemaJson: String,
+      liveSet: Set[String]): Unit = {
+    val ck = new Path(logDir, f"$deltaV%020d.checkpoint.parquet")
+    if (!fs.exists(ck)) {
+      val s = spark
+      import s.implicits._
+      val adds = liveSet.toSeq.sorted.map { r =>
+        val st = fs.getFileStatus(new Path(root, r))
+        (uriEncode(r), st.getLen, st.getModificationTime)
+      }
+      val rows =
+        adds.map(a => (Some(a),
+          None: Option[(String, String)], None: Option[Int])) ++
+        Seq((None, Some((tableId, schemaJson)), None),
+          (None, None, Some(1)))
+      val df = rows.toDF("add_t", "meta_t", "proto_t").selectExpr(
+        "named_struct('path', add_t._1, " +
+          "'partitionValues', cast(map() as map<string,string>), " +
+          "'size', add_t._2, 'modificationTime', add_t._3, " +
+          "'dataChange', false) AS add",
+        "cast(null as struct<path:string,deletionTimestamp:bigint>) " +
+          "AS remove",
+        "named_struct('id', meta_t._1, 'schemaString', meta_t._2, " +
+          "'partitionColumns', cast(array() as array<string>), " +
+          "'configuration', cast(map() as map<string,string>)) " +
+          "AS metaData",
+        "named_struct('minReaderVersion', proto_t, " +
+          "'minWriterVersion', if(proto_t is null, " +
+          "cast(null as int), 2)) AS protocol")
+      val tmpDir = new Path(logDir, f"__ckpt_tmp_$deltaV%020d")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).toSeq
+        .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
+          throw new java.io.IOException(
+            s"checkpoint write produced no parquet part: $tmpDir"))
+      if (!fs.rename(part.getPath, ck))
+        throw new java.io.IOException(s"checkpoint rename failed: $ck")
+      fs.delete(tmpDir, true)
+    }
+    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":$deltaV,"size":${liveSet.size + 2}}\n"""
+        .getBytes("UTF-8"))
+    finally lc.close()
   }
 
   private def esc(s: String): String =

@@ -6867,7 +6867,12 @@ object TrainingQueries {
         cl.upsert(s, b1, table, Seq("doc_id"), "ver")
         cl.upsert(s, b2, table, Seq("doc_id"), "ver")
         cl.upsert(s, b3, table, Seq("doc_id"), "ver")
-        graft.operators.DeltaExport.mirror(s, table)
+        // interval 2 ⇒ a classic checkpoint lands at Delta version 1,
+        // so the three reads below resolve through all three paths:
+        // pure commits (v0), pure checkpoint (v1), checkpoint + tail
+        // commit (v2) — each hash-checked against the oracle
+        graft.operators.DeltaExport.mirror(s, table,
+          checkpointInterval = 2)
         (0L to 2L).map { dv =>
           graft.operators.DeltaImport.read(s, table, Some(dv))
             .withColumn("version", lit((dv + 1).toInt))

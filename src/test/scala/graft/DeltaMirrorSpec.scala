@@ -10,7 +10,8 @@ import org.apache.hadoop.fs.Path
   * would — to the SAME state as `readAt`, at every version, whether
   * the mirror ran once at the end or incrementally after each commit;
   * plus resume idempotence, vacuum interplay, schema-change metaData
-  * re-emission, and the non-mirror-log refusal.
+  * re-emission, classic checkpoint writing (bounded replay with the
+  * commit prefix gone), and the non-mirror-log refusal.
   */
 class DeltaMirrorSpec extends SparkSpec {
   import spark.implicits._
@@ -115,6 +116,40 @@ class DeltaMirrorSpec extends SparkSpec {
     val t1 = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     assert(t1.contains("\"metaData\""))
+  }
+
+  test("checkpointInterval writes classic checkpoints the import " +
+      "resolves through, even with the commit prefix deleted") {
+    val table = tmpDir("dm6") + "/t"
+    commitAll(table)
+    assert(DeltaExport.mirror(spark, table, checkpointInterval = 2) == 3)
+    val ck = new Path(s"$table/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(fs.exists(ck), "checkpoint at Delta version 1 missing")
+    assert(fs.getFileStatus(ck).isFile, "checkpoint must be ONE file")
+    // _last_checkpoint points at it
+    val in = fs.open(new Path(s"$table/_delta_log/_last_checkpoint"))
+    val lc = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(lc.contains("\"version\":1"))
+    // delete the pre-checkpoint commits: replay must come from the
+    // checkpoint base + the tail commit
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000001.json"), false)
+    assert(rows(DeltaImport.read(spark, table, Some(1L))) ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))           // pure checkpoint
+    assert(rows(DeltaImport.read(spark, table)) ==
+      Set((1L, "a3"), (2L, "b2"), (3L, "c")))          // checkpoint + tail
+    intercept[DeltaProtocolException](                  // truncated prefix
+      DeltaImport.read(spark, table, Some(0L)))
+    // resume keeps extending from the checkpointed state
+    clf.upsert(spark, Seq((4L, "d", 4L)).toDF("k", "v", "ver"),
+      table, Seq("k"), "ver")
+    assert(DeltaExport.mirror(spark, table, checkpointInterval = 2) == 1)
+    assert(rows(DeltaImport.read(spark, table)) ==
+      Set((1L, "a3"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // interval 2 ⇒ the new head (Delta version 3) checkpoints too
+    assert(fs.exists(new Path(
+      s"$table/_delta_log/00000000000000000003.checkpoint.parquet")))
   }
 
   test("a _delta_log without clVersion stamps is not a mirror log: " +
