@@ -168,6 +168,57 @@ class DeltaImportSpec extends SparkSpec {
       DeltaImport.read(spark, tmpDir("dirnone") + "/nope"))
   }
 
+  test("log fuzz totality: byte-mutated and garbage commits terminate " +
+      "in an exception or a truthful subset read — never a hang, " +
+      "never fabricated rows") {
+    val out = tmpDir("difz") + "/delta"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    DeltaExport.writeDeltaTable(spark, df, out)
+    val truth = Set((1L, "a"), (2L, "b"), (3L, "c"))
+    val commit = new Path(s"$out/_delta_log/00000000000000000000.json")
+    val orig = {
+      val in = fs.open(commit)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    val rnd = new scala.util.Random(0xD1F2)
+    var okReads = 0
+    var raised = 0
+    (0 until 40).foreach { _ =>
+      val b = orig.clone()
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      writeText(commit.toString, new String(b, "UTF-8"))
+      val got: Option[Set[(Long, String)]] =
+        try Some(DeltaImport.read(spark, out).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet)
+        catch { case _: Exception => None }
+      got match {
+        case Some(g) =>
+          // a surviving read may have LOST an action (mutated key name
+          // ignored) but can never invent rows the data files don't hold
+          assert(g.subsetOf(truth), s"fabricated rows: ${g -- truth}")
+          okReads += 1
+        case None => raised += 1
+      }
+    }
+    // pure-garbage commit: must be the typed error, not a hang
+    writeText(commit.toString,
+      new String(Array.fill(256)(rnd.nextInt(256).toByte), "UTF-8"))
+    intercept[DeltaProtocolException](DeltaImport.read(spark, out))
+    writeText(commit.toString, new String(orig, "UTF-8")) // restore
+    assert(rows(DeltaImport.read(spark, out)) == truth)
+    assert(okReads + raised == 40)
+  }
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
   /** JSON-encode a string value (the schemaString embed). */
   private def jstr(s: String): String =
     "\"" + s.flatMap {
