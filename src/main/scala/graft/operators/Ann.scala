@@ -22,6 +22,60 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexpr}
+  import graft.expressions.{NearestCell, PqCodes}
+
+  // ---- r12-optimization: row-local assignment kernels ---------------
+  //
+  // Centroid and codebook tables are SMALL BY CONTRACT everywhere in
+  // this module (every pre-r12 call site broadcast them), so nearest-
+  // centroid assignment is a pure row-local function of the vector.
+  // The collect-then-embed helpers below replace the old
+  // crossJoin(broadcast) → min(struct) → join-vector-back plan shape:
+  // per assignment pass they remove the n × ncents row expansion, one
+  // Exchange of (id, cell, d2), and one Exchange of the corpus join-
+  // back (guide §2.4 "remove shuffles outright" / §8 "move heavy rows
+  // once") — per Lloyd iteration, per encode, per index build.
+  // Argmin semantics (tie on smallest id, sequential widened fold)
+  // are bit-identical to the join form — see AnnKernels.scala; every
+  // ANN oracle gate replays them unchanged.
+
+  /** Driver-collect a centroid frame into the (ids, vectors) table
+    * [[graft.expressions.NearestCell]] embeds — sorted by id (the
+    * argmin tie-break order), vectors widened to double exactly as
+    * the sqDist kernel widens floats. */
+  private def collectCentroidTable(centroids: DataFrame,
+      centIdCol: String, centVecCol: String)
+      : (IndexedSeq[Long], IndexedSeq[IndexedSeq[Double]]) = {
+    val rows = centroids
+      .select(col(centIdCol).cast("long"),
+        col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    (rows.map(_._1).toIndexedSeq, rows.map(_._2).toIndexedSeq)
+  }
+
+  /** Driver-collect a (sub, code, cv) codebook frame into the
+    * per-subspace table [[graft.expressions.PqCodes]] embeds —
+    * subspaces ascending, codes ascending within each. */
+  private def collectBookTable(books: DataFrame)
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] =
+    books.select(col("sub").cast("int"), col("code").cast("int"),
+      col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toIndexedSeq)
+
+  private def nearestCellCol(vec: Column, ids: IndexedSeq[Long],
+      cents: IndexedSeq[IndexedSeq[Double]]): Column =
+    kcol(NearestCell(kexpr(vec), ids, cents))
+
+  private def pqCodesCol(vec: Column,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]]): Column =
+    kcol(PqCodes(kexpr(vec), books))
+
   /** Distributed k-means (Lloyd) training for the IVF coarse quantizer
     * — the missing half of [[ivfSearch]]: a quantizer is only as good
     * as its centroids, and seed vectors are not centroids.
@@ -51,34 +105,49 @@ object Ann {
     require(nlist > 0 && iters >= 0)
     val spark = vectors.sparkSession
     import spark.implicits._
-    var cents = vectors.orderBy(col(idCol).asc).limit(nlist)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+    if (iters == 0)
+      // pre-r12 zero-iteration contract: seed vectors, ORIGINAL
+      // element type (float inputs stay float)
+      return vectors.orderBy(col(idCol).asc).limit(nlist)
+        .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+    // r12 shape: centroids live on the driver between iterations
+    // (nlist × dims doubles — the same thing the old collect held);
+    // each iteration is ONE job — row-local assign, posexplode, one
+    // narrow (cell, pos) aggregate — instead of assign-shuffle +
+    // corpus join-back + mean shuffle + driver join. The empty-cell
+    // carry-forward is a driver-side merge (means has ≤ nlist rows).
+    var cents: IndexedSeq[(Long, IndexedSeq[Double])] =
+      vectors.orderBy(col(idCol).asc).limit(nlist)
+        .select(col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
     for (_ <- 0 until iters) {
-      val rows = lloydStep(vectors, idCol, vecCol, cents).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      cents = rows.toSeq.toDF("cent_id", "cv")
+      val ids = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val means = vectors
+        .select(nearestCellCol(col(vecCol), ids, cvs)
+          .getField("cell").as("cent_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(sum(floor(col("x") * lit(1e6))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cent_id"), col("pos"),
+          (col("s").cast("double") / (lit(1e6) * col("n"))).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+      cents = cents.map { case (id, old) =>
+        means.get(id) match {
+          case Some(rows) =>
+            (id, rows.sortBy(_._2).map(_._3).toIndexedSeq)
+          case None => (id, old) // empty cell keeps its centroid
+        }
+      }
     }
-    cents
-  }
-
-  /** One Lloyd iteration: assign → per-cell integer-exact mean →
-    * new (cent_id, cv), previous centroid kept for empty cells. */
-  private def lloydStep(vectors: DataFrame, idCol: String,
-      vecCol: String, cents: DataFrame): DataFrame = {
-    val means = ivfAssign(vectors, idCol, vecCol, cents, "cent_id", "cv")
-      .select(col("cell").as("cent_id"),
-        posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cent_id", "pos")
-      .agg(sum(floor(col("x") * lit(1e6))).as("s"),
-        count(lit(1)).as("n"))
-      .withColumn("m", col("s").cast("double") / (lit(1e6) * col("n")))
-      .groupBy("cent_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("cv_new"))
-    cents.join(means, Seq("cent_id"), "left")
-      .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+    cents.map { case (id, cv) => (id, cv: Seq[Double]) }
+      .toDF("cent_id", "cv")
   }
 
   /** Sum of squared distances to the assigned centroid — the k-means
@@ -93,41 +162,48 @@ object Ann {
 
   /** Assign each (id, vec) row to its nearest centroid (squared-L2).
     * Output: (idCol, vec, cell). `centroids` must be small — it is
-    * broadcast and cross-joined.
+    * driver-collected and embedded in the plan (the same size
+    * contract under which the pre-r12 form broadcast it).
     *
-    * The argmin is a `min(struct(d2, cent_id))` aggregate, NOT a
-    * row_number window: struct ordering gives exactly the
-    * (d2 asc, cent_id asc) tie-break, and an aggregate combines
-    * MAP-SIDE over a NARROW fixed-width buffer (fully codegen'd
-    * HashAggregate — carrying the vector in the struct would demote
-    * the whole stage to ObjectHashAggregate, measured 3.7× slower),
-    * so the shuffle carries n narrow (id, d2, cell) rows instead of
-    * the n × ncells expanded frame WITH vectors a window would move —
-    * at nlist = 1024 that is a ~1000× shuffle-volume difference on
-    * the corpus-sized stage every Lloyd iteration repeats. The vector
-    * column rides back in by a unique-id equi-join (one narrow
-    * shuffle of ids + cells; the corpus side shuffles once, which the
-    * window shape also paid). */
+    * The argmin is the row-local [[graft.expressions.NearestCell]]
+    * kernel: (d2 asc, cent_id asc) tie-break bit-identical to the old
+    * `min(struct(d2, cent_id))` aggregate, but with ZERO exchanges —
+    * the old shape paid the n × ncents expansion through a
+    * HashAggregate, one narrow shuffle for the argmin, and one more
+    * shuffle to join the vector column back; all three are gone, and
+    * the assignment fuses into whatever codegen stage reads the
+    * vectors. A NULL or dimension-mismatched vector now yields a NULL
+    * cell (the join form emitted a degenerate all-null-distance row);
+    * no gated corpus contains one. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String,
-      centVecCol: String): DataFrame =
-    vectors.join(
-      ivfAssignCells(vectors, idCol, vecCol, centroids, centIdCol,
-        centVecCol).drop("d2"),
-      Seq(idCol))
-      .select(col(idCol), col(vecCol), col("cell"))
+      centVecCol: String): DataFrame = {
+    val (ids, cents) = collectCentroidTable(centroids, centIdCol,
+      centVecCol)
+    if (ids.isEmpty)
+      // empty table: the old crossJoin produced no rows
+      return vectors.filter(lit(false))
+        .select(col(idCol), col(vecCol), lit(null).cast("long").as("cell"))
+    vectors.select(col(idCol), col(vecCol),
+      nearestCellCol(col(vecCol), ids, cents).getField("cell").as("cell"))
+  }
 
   /** Narrow assignment — (idCol, cell, d2) without the vector column:
     * the core of [[ivfAssign]], and the right call for consumers that
-    * only need cell statistics (histograms, objective sums) — they
-    * skip the vector join-back entirely. */
+    * only need cell statistics (histograms, objective sums). Same
+    * row-local kernel, zero exchanges. */
   def ivfAssignCells(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String,
       centVecCol: String): DataFrame = {
-    val d2: Column = VectorOps.sqDist(col(vecCol), col(centVecCol))
-    vectors.crossJoin(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(min(struct(d2.as("d2"), col(centIdCol).as("cell"))).as("__b"))
+    val (ids, cents) = collectCentroidTable(centroids, centIdCol,
+      centVecCol)
+    if (ids.isEmpty)
+      return vectors.filter(lit(false))
+        .select(col(idCol), lit(null).cast("long").as("cell"),
+          lit(null).cast("double").as("d2"))
+    vectors
+      .select(col(idCol),
+        nearestCellCol(col(vecCol), ids, cents).as("__b"))
       .select(col(idCol), col("__b.cell").as("cell"), col("__b.d2").as("d2"))
   }
 
@@ -152,18 +228,21 @@ object Ann {
         s => slice(col(vecCol), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
 
   /** Assign every sub-vector to its nearest code in its subspace.
-    * Output: (idCol, sub, code). Same narrow map-side-combined argmin
-    * as [[ivfAssignCells]] — the shuffle carries (id, sub, code), never
-    * the sub-vectors, and `books` (m × ksub rows) is broadcast. */
+    * Output: (idCol, sub, code). Row-local since r12: the
+    * [[graft.expressions.PqCodes]] kernel computes all m codes in one
+    * pass over the vector (same (d2 asc, code asc) argmin the old
+    * min(struct) aggregate took), so the old explode → broadcast join
+    * → argmin shuffle is now a zero-exchange projection. */
   def pqAssign(vectors: DataFrame, idCol: String, vecCol: String,
       books: DataFrame, m: Int, dsub: Int): DataFrame = {
-    val d2: Column = VectorOps.sqDist(col("sv"), col("cv"))
-    subvectors(vectors, idCol, vecCol, m, dsub)
-      .join(broadcast(books.select(col("sub"), col("code"), col("cv"))),
-        Seq("sub"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(d2.as("d2"), col("code").as("code"))).as("__b"))
-      .select(col(idCol), col("sub"), col("__b.code").as("code"))
+    val b = collectBookTable(books)
+    if (b.isEmpty)
+      return vectors.filter(lit(false))
+        .select(col(idCol), lit(null).cast("int").as("sub"),
+          lit(null).cast("int").as("code"))
+    vectors
+      .select(col(idCol),
+        posexplode(pqCodesCol(col(vecCol), b)).as(Seq("sub", "code")))
   }
 
   /** Per-subspace distributed k-means — [[trainCentroids]] run over all
@@ -183,34 +262,63 @@ object Ann {
     require(m > 0 && dsub > 0 && ksub > 0 && iters >= 0)
     val spark = vectors.sparkSession
     import spark.implicits._
-    val subs = subvectors(vectors, idCol, vecCol, m, dsub)
-    var books = subs
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("sub").orderBy(col(idCol).asc)))
-      .filter(col("__rn") <= ksub)
-      .select(col("sub"), (col("__rn") - 1).cast("int").as("code"),
-        col("sv").as("cv"))
+    if (iters == 0)
+      // pre-r12 zero-iteration contract: seed slices, ORIGINAL
+      // element type, via the window-rank init
+      return subvectors(vectors, idCol, vecCol, m, dsub)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("sub").orderBy(col(idCol).asc)))
+        .filter(col("__rn") <= ksub)
+        .select(col("sub"), (col("__rn") - 1).cast("int").as("code"),
+          col("sv").as("cv"))
+    // r12 shape (mirrors trainCentroids): books live on the driver
+    // between iterations. Init — code c of subspace s is the c-th
+    // smallest-id vector's slice s — comes off ONE limit(ksub)
+    // collect instead of a corpus-wide explode + window rank; each
+    // iteration is ONE job: row-local PqCodes assign, posexplode of
+    // the raw vector (sub = pos / dsub), one narrow (sub, code, pos)
+    // aggregate. The old loop paid, per iteration, the explode +
+    // broadcast join + argmin shuffle of pqAssign PLUS a corpus-wide
+    // (id, sub) join of sub-vectors with assignments.
+    val seed = vectors.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    var books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] =
+      IndexedSeq.tabulate(m) { s =>
+        seed.zipWithIndex.map { case (v, c) =>
+          (c, v.slice(s * dsub, s * dsub + dsub))
+        }.toIndexedSeq
+      }
     for (_ <- 0 until iters) {
-      val assigned = pqAssign(vectors, idCol, vecCol, books, m, dsub)
-      val means = subs.join(assigned, Seq(idCol, "sub"))
-        .select(col("sub"), col("code"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
+      val means = vectors
+        .select(pqCodesCol(col(vecCol), books).as("__codes"),
+          posexplode(col(vecCol)).as(Seq("__p", "x")))
+        .filter(col("__p") < m * dsub)
+        .select((col("__p") / lit(dsub)).cast("int").as("sub"),
+          element_at(col("__codes"),
+            (col("__p") / lit(dsub)).cast("int") + 1).as("code"),
+          (col("__p") % lit(dsub)).as("pos"), col("x"))
         .groupBy("sub", "code", "pos")
         .agg(sum(floor(col("x") * lit(1e6))).as("s"), count(lit(1)).as("n"))
-        .withColumn("mv", col("s").cast("double") / (lit(1e6) * col("n")))
-        .groupBy("sub", "code")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv")).as("cv_new"))
-      val rows = books.join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("cv_new"), col("cv")).as("cv"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("s").cast("double") / (lit(1e6) * col("n"))).as("mv"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .sortBy(t => (t._1, t._2))
-      books = rows.toSeq.toDF("sub", "code", "cv")
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2))
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { case (code, old) =>
+          means.get((s, code)) match {
+            case Some(rows) =>
+              (code, rows.sortBy(_._3).map(_._4).toIndexedSeq)
+            case None => (code, old) // empty code keeps its codeword
+          }
+        }
+      }
     }
-    books
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (code, cv) => (s, code, cv: Seq[Double]) }
+    }.toDF("sub", "code", "cv")
   }
 
   /** PQ-encode the corpus: (idCol, codes) where `codes[s]` is the
@@ -218,12 +326,20 @@ object Ann {
     * representation — 8 + m bytes per vector — that downstream ADC
     * search scans instead of the raw corpus. */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-      books: DataFrame, m: Int, dsub: Int): DataFrame =
-    pqAssign(vectors, idCol, vecCol, books, m, dsub)
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+      books: DataFrame, m: Int, dsub: Int): DataFrame = {
+    // r12: one zero-exchange projection — the old path exploded m
+    // rows per vector, broadcast-joined the books, argmin-shuffled,
+    // then re-assembled the codes array with a second shuffle
+    val b = collectBookTable(books)
+    if (b.isEmpty)
+      return vectors.filter(lit(false))
+        .select(col(idCol), lit(null).cast("array<int>").as("codes"))
+    vectors
+      .select(col(idCol), pqCodesCol(col(vecCol), b).as("codes"))
+      // a NULL / mis-sized vector encoded to no rows in the explode
+      // form; match it (the kernel yields NULL codes there)
+      .filter(col("codes").isNotNull)
+  }
 
   /** Asymmetric-distance (ADC) top-k search over a PQ-encoded corpus:
     * for each probe, distance ≈ Σ_s LUT[s][codes[s]] where LUT[s][c] =

@@ -28,29 +28,49 @@ import org.apache.spark.sql.functions._
 object Chunk {
 
   /** Boundary predicate: md5 of the `w`-char window ending at 1-based
-    * position `i`, folded to a long, ≡ 0 mod `modulus`. */
-  private def isBoundary(text: Column, i: Column, w: Int,
+    * position `i`, folded to a long, ≡ 0 mod `modulus`. This is the
+    * HOF REFERENCE FORM of [[graft.expressions.Md5Bounds]] — kept so
+    * ChunkSpec can pin position-for-position equality between the two
+    * (the r12-optimization contract: the native kernel changed the
+    * cost per position, never a boundary). */
+  private[graft] def isBoundary(text: Column, i: Column, w: Int,
       modulus: Int): Column =
     conv(substring(md5(substring(text, i - (w - 1), lit(w))), 1, 8),
       16, 10).cast("long") % modulus === 0
+
+  /** [[contentDefinedChunks]]'s boundary array in the original HOF
+    * form — spec-pinned against the native kernel. */
+  private[graft] def md5BoundsHof(textCol: String, window: Int,
+      modulus: Int): Column = {
+    val text = col(textCol)
+    val len = length(text)
+    when(len > window,
+      filter(sequence(lit(window), len - 1),
+        i => isBoundary(text, i, window, modulus)))
+      .otherwise(array().cast("array<int>"))
+  }
 
   /** Split each document into content-defined chunks:
     * (idCol, chunk_idx, chunk) with chunk_idx from 0 in document
     * order; concat of chunks re-assembles the text exactly. Documents
     * shorter than `window` (including empty) are one whole-text chunk;
     * zero-length texts yield no rows. Expected chunk length ≈
-    * `modulus` characters. */
+    * `modulus` characters.
+    *
+    * Boundary END positions are i in [window, len-1] with the window
+    * hash ≡ 0 — a boundary AT len would only split off an empty tail.
+    * Since r12 the md5-window predicate runs as the codegen'd
+    * [[graft.expressions.Md5Bounds]] kernel (digest over the byte
+    * slice, no hex round-trip, no per-position interpreted lambda);
+    * positions are bit-identical to [[md5BoundsHof]] (ChunkSpec pins
+    * it) and the t45 oracle replays them unchanged. */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, modulus: Int = 64): DataFrame = {
     require(window >= 1 && modulus >= 1)
-    val text = col(textCol)
-    val len = length(text)
-    // boundary END positions: i in [window, len-1] with the window
-    // hash ≡ 0 — a boundary AT len would only split off an empty tail
-    val bnds = when(len > window,
-      filter(sequence(lit(window), len - 1),
-        i => isBoundary(text, i, window, modulus)))
-      .otherwise(array().cast("array<int>"))
+    val bnds = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Md5Bounds(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        window, modulus))
     sliceByBounds(df, idCol, textCol, bnds)
   }
 

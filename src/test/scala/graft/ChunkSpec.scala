@@ -89,6 +89,49 @@ class ChunkSpec extends SparkSpec {
     assert(n16 > n64, s"modulus 16 gave $n16 chunks vs 64 -> $n64")
   }
 
+  test("md5_bounds native kernel equals the HOF reference, position for position") {
+    import spark.implicits._
+    // the r12 optimization replaced the interpreted filter/md5/conv
+    // pipeline with expressions.Md5Bounds — boundary POSITIONS must be
+    // bit-identical (t45's oracle replays them literally). Cover:
+    // ASCII, multi-byte UTF-8 (code-point counting), len == window,
+    // len == window+1, empty, and several moduli.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 5,
+      "exactly8!", // len = 9 -> single candidate position 8
+      "12345678",  // len = window -> no boundaries
+      "",          // empty -> no boundaries
+      "héllo wörld ünïcode çhàrs repeated häre " * 6, // 2-byte chars
+      "日本語のテキストが続く何度も何度も繰り返される " * 8, // 3-byte chars
+      (0 until 300).map(i => s"t$i").mkString(" "))
+    for (m <- Seq(4, 16, 64)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.Md5Bounds(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+            8, m)).as("b"))
+      val hof = df.select(col("doc_id"),
+        Chunk.md5BoundsHof("text", 8, m).as("b"))
+      val n = native.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val h = hof.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(n == h, s"modulus $m: native $n vs hof $h")
+      // non-degenerate: at least one text must actually split at m=4
+      if (m == 4) assert(n.values.exists(_.nonEmpty))
+    }
+    // the kernel is in the executed plan (codegen'd, not a UDF)
+    val ranged = Chunk.contentDefinedChunks(
+      spark.range(10).select(col("id").as("doc_id"),
+        concat(lit("some text payload repeated here "), col("id"))
+          .as("text")),
+      "doc_id", "text", 8, 16)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("md5_bounds"), plan.take(300))
+  }
+
   test("chunkDupStats: shared boilerplate fragment is flagged") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter for updates " * 3
