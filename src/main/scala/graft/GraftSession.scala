@@ -43,7 +43,18 @@ object GraftSession {
     "spark.shuffle.sort.bypassMergeThreshold" -> "1",
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+    // Whole-stage-codegen compile cache (STATIC conf, default 100
+    // entries). Task threads serialize behind CodeGenerator.compile's
+    // per-source KeyLock; a multi-stage query has 50-150 codegen units,
+    // so at the default size re-running a query evicts its own entries
+    // and EVERY stage recompiles with all its tasks parked on the lock
+    // (thread dumps: 31/33 task threads in KeyLock.acquireLock under
+    // CodeGenerator.compile). 5000 entries lets repeated plans (bench
+    // reps, incremental batches, long-lived executors re-running the
+    // same pipelines) hit the cache; generated source is id-free with
+    // spark.sql.codegen.comments off, so identical plans share entries.
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
 
   def builder(cores: Int = 4): SparkSession.Builder =
     perfConfs.foldLeft(

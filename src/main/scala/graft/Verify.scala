@@ -43,6 +43,12 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] start $name")
+      // drain operator-persisted frames between queries (the Bench
+      // inter-rep discipline): r12 QueryDefs persist their repeatedly
+      // scanned inputs, and 198 queries' worth of leftover cache
+      // blocks would otherwise pin executor storage for the whole run
+      CacheRegistry.release()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)

@@ -115,17 +115,37 @@ object Jpeg {
   /** Dequantize + inverse DCT: 64 quantized coefficients (natural
     * order) → 64 pixels (row-major, clamped 0..255). */
   def dequantIdct(coefs: Array[Int], quant: Array[Int]): Array[Int] = {
+    // r12 perf: real blocks are SPARSE after quantization (typically
+    // a handful of nonzero coefficients out of 64) — gather the
+    // nonzero (index, value) pairs once and run the per-pixel fold
+    // over just those. Zero terms contribute exactly 0 to the integer
+    // accumulator, so the sum — and every decoded pixel — is
+    // bit-identical to the dense fold (JpegSpec's oracle replays pin
+    // it); the work drops from 64 to nnz multiply-adds per pixel.
     val d = new Array[Long](64)
+    val nzIdx = new Array[Int](64)
+    var nnz = 0
     var i = 0
-    while (i < 64) { d(i) = coefs(i).toLong * quant(i); i += 1 }
+    while (i < 64) {
+      val v = coefs(i).toLong * quant(i)
+      if (v != 0L) { d(nnz) = v; nzIdx(nnz) = i * 64; nnz += 1 }
+      i += 1
+    }
     val out = new Array[Int](64)
+    if (nnz == 1 && nzIdx(0) == 0) {
+      // DC-only block: every pixel shares one value
+      val p = Math.floorDiv(DctK(0) * d(0) + DctHalf, 1L << DctShift) + 128
+      val pv = if (p < 0) 0 else if (p > 255) 255 else p.toInt
+      java.util.Arrays.fill(out, pv)
+      return out
+    }
     var xy = 0
     while (xy < 64) {
       var acc = 0L
-      var uv = 0
-      while (uv < 64) {
-        acc += DctK(uv * 64 + xy) * d(uv)
-        uv += 1
+      var k = 0
+      while (k < nnz) {
+        acc += DctK(nzIdx(k) + xy) * d(k)
+        k += 1
       }
       val p = Math.floorDiv(acc + DctHalf, 1L << DctShift) + 128
       out(xy) = if (p < 0) 0 else if (p > 255) 255 else p.toInt

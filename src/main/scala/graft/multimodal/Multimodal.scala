@@ -635,18 +635,18 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable $label payload (media $id)")
     val (w, h) = (img.getWidth, img.getHeight)
+    // r12 perf: ONE bulk getRGB (same sRGB conversion path as the
+    // per-pixel call, value-identical) instead of w*h virtual
+    // dispatches through the ColorModel per pixel
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
     val gray = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        gray(y * w + x) =
-          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < w * h) {
+      val rgb = rgbs(i)
+      gray(i) =
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      i += 1
     }
     ImagePixels(id, w, h, gray)
   }
@@ -686,9 +686,27 @@ object Multimodal {
     * the [[wavPcm16]]/[[aviMjpeg]] pattern for images. */
   def grayPng(gray: Array[Int], width: Int, height: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(grayImage(gray, width, height), "png", baos)
+    // r12 perf: reuse one PNG ImageWriter per thread — ImageIO.write
+    // re-scans the service registry and instantiates a fresh writer
+    // per call, which dominates encode time for small tiles. Same
+    // writer class, default params → byte-identical PNG output.
+    val w = pngWriterTl.get()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      w.write(grayImage(gray, width, height))
+    } finally {
+      w.setOutput(null)
+      ios.close()
+    }
     baos.toByteArray
   }
+
+  private val pngWriterTl =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    }
 
   /** Row-major gray values → RGB BufferedImage (shared by the PNG and
     * GIF synthesis writers). Gray-only content has ≤256 distinct
@@ -698,16 +716,16 @@ object Multimodal {
     require(gray.length == width * height)
     import java.awt.image.BufferedImage
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val g = gray(y * width + x) & 0xff
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-        x += 1
-      }
-      y += 1
+    // r12 perf: one bulk setRGB (value-identical to the per-pixel
+    // loop it replaces; TYPE_INT_RGB stores the ints verbatim)
+    val rgbs = new Array[Int](width * height)
+    var i = 0
+    while (i < width * height) {
+      val g = gray(i) & 0xff
+      rgbs(i) = (g << 16) | (g << 8) | g
+      i += 1
     }
+    img.setRGB(0, 0, width, height, rgbs, 0, width)
     img
   }
 

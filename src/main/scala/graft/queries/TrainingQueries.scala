@@ -636,8 +636,13 @@ object TrainingQueries {
     QueryDef(
       "t23_ivf_train",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         graft.operators.Ann.trainCentroids(e, "vec_id", "v",
           nlist = 8, iters = 2)
           .select(col("cent_id") +:
@@ -656,8 +661,13 @@ object TrainingQueries {
     QueryDef(
       "t17_ann_ivf_search",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
           nlist = 8, iters = 2)
         val probes = Tables(s, dir, "embeddings")
@@ -938,8 +948,13 @@ object TrainingQueries {
     QueryDef(
       "t28_pq_encode",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
           PqM, PqDsub, PqKsub, PqIters)
         graft.operators.Ann.pqEncode(e, "vec_id", "v", books, PqM, PqDsub)
@@ -968,8 +983,13 @@ object TrainingQueries {
     QueryDef(
       "t29_pq_search",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
           PqM, PqDsub, PqKsub, PqIters)
         val codes = graft.operators.Ann.pqEncode(e, "vec_id", "v",
@@ -1140,8 +1160,13 @@ object TrainingQueries {
     QueryDef(
       "t34_ivfpq_search",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
           nlist = 8, iters = 2)
         val books = graft.operators.Ann.trainPq(e, "vec_id", "v",
@@ -1204,8 +1229,13 @@ object TrainingQueries {
     QueryDef(
       "t35_ivfpq_residual",
       (s, dir) => {
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cents = graft.operators.Ann.trainCentroids(e, "vec_id", "v",
           nlist = 8, iters = 2)
         val books = graft.operators.Ann.trainPqResidual(e, "vec_id", "v",
@@ -2504,8 +2534,13 @@ object TrainingQueries {
       "t66_ivfpq_append",
       (s, dir) => {
         val ann = graft.operators.Ann
-        val all = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned ~8× across training/encode/append — persist
+        // once (see t69's note)
+        val all = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val existing = all.filter(col("vec_id") % 2 === 0)
         val delta = all.filter(col("vec_id") % 2 === 1)
         val cents = ann.trainCentroids(existing, "vec_id", "v",
@@ -2731,8 +2766,17 @@ object TrainingQueries {
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
         val table = s"$base/ivfpq"
-        val all = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: the projected corpus is scanned ~14× (two full
+        // trainings × (init + 2 Lloyd iterations + PQ init + 2 PQ
+        // iterations) + two index encodes) — persist it once instead
+        // of re-reading parquet + re-widening per pass (guide §5
+        // "reused AND recomputing is more expensive"); released by
+        // Bench/Verify via CacheRegistry between queries.
+        val all = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val existing = all.filter(col("vec_id") % 2 === 0)
         // version 1: the drifting deployment (evens only)
         val cents0 = ann.trainCentroids(existing, "vec_id", "v",
@@ -5582,8 +5626,13 @@ object TrainingQueries {
       "t126_ivfpq_search_refined",
       (s, dir) => {
         val ann = graft.operators.Ann
-        val e = spread(s, Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        // r12: scanned repeatedly by training + encode + search —
+        // persist once (see t69's note)
+        val e = graft.CacheRegistry.track(
+          spread(s, Tables(s, dir, "embeddings"))
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cents = ann.trainCentroids(e, "vec_id", "v",
           nlist = 8, iters = 2)
         val books = ann.trainPq(e, "vec_id", "v",
@@ -5861,7 +5910,14 @@ object TrainingQueries {
           array_join(slice(split(col("text"), " "), 1, 14), " ")
             .as("text"))
         val incoming = e1.unionByName(f).unionByName(fe)
-        val idx = NearDup.containmentGramIndex(hist, "doc_id", "text")
+        // r12: the gate derives BOTH assets inline (production reads
+        // them from disk) — without a persist the history corpus is
+        // tokenized+shingled twice, once under the index reference and
+        // once under the df-asset aggregate. Persist the index once;
+        // released by Bench/Verify between queries.
+        val idx = graft.CacheRegistry.track(
+          NearDup.containmentGramIndex(hist, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val dfAsset = NearDup.containmentGramDf(idx)
         val (surv, _, _) = NearDup.dedupByContainmentIncrementalWithDf(
           incoming, "doc_id", "text", idx, dfAsset,
