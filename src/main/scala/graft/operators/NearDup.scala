@@ -773,13 +773,24 @@ object NearDup {
   private def dedupBySignatureIncrementalFrame(incoming: DataFrame,
       sigs: DataFrame, idCol: String, existingBands: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
+    // r13: the signature frame is referenced by reps AND the
+    // identical-twin join, and the band table by the in-batch pass
+    // AND both sides of the cross-candidate pruning — unpersisted,
+    // CollapseProject re-derived the (md5-heavy) signature expression
+    // chain once per reference (3-4 signature evaluations of the
+    // batch per action, measured on t26's stage profile). Both frames
+    // are narrow and batch-bounded; CacheRegistry discipline.
+    val sigsP = graft.CacheRegistry.track(
+      sigs.persist(StorageLevel.MEMORY_AND_DISK))
     // identical in-batch signatures collapse first (see dedupBySimhash)
-    val reps = sigs.groupBy("simhash").agg(min(col(idCol)).as(idCol))
-    val removedIdentical = sigs
+    val reps = sigsP.groupBy("simhash").agg(min(col(idCol)).as(idCol))
+    val removedIdentical = sigsP
       .join(reps.withColumnRenamed(idCol, "__rep"), "simhash")
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
-    val inBands = simhashBandsPaired(reps, idCol, maxHamming)
+    val inBands = graft.CacheRegistry.track(
+      simhashBandsPaired(reps, idCol, maxHamming)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val removedVsIncoming = candidatePairsCarrying(inBands, idCol,
       "simhash", maxBucket)
       .filter(bit_count(col("p1").bitwiseXOR(col("p2"))) <= maxHamming)
@@ -826,13 +837,24 @@ object NearDup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val (shReps, removedExactIn) = collapseExactClasses(inShRaw, idCol)
-      val inBands = minhashBandsFromShingles(shReps, idCol, k, bands)
+      // r13: the band table is referenced by the in-batch candidate
+      // pass AND both sides of the cross-candidate pruning; each
+      // unpersisted reference re-ran the 12-minhash transform over
+      // the batch (t27's stage profile showed the band map stage
+      // repeated). Narrow (id, band_id, band_hash), batch-bounded.
+      val inBands = graft.CacheRegistry.track(
+        minhashBandsFromShingles(shReps, idCol, k, bands)
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val inPairs = candidatePairs(inBands, idCol, maxBucket)
-      // crossPairs fans out into exCand AND the cross verify; measured
-      // (round 5): persisting it does NOT help — ReuseExchange already
-      // shares the banded shuffle between the two consumers
-      val crossPairs = crossCandidates(inBands, existingBands, idCol,
-        maxBucket)
+      // crossPairs fans out into exCand AND the cross verify; the r5
+      // measurement ("persisting does NOT help, ReuseExchange shares
+      // the shuffle") predates AQE stage-level planning — re-measured
+      // r13: each reference re-ran the EXISTING side's banded
+      // signature pipeline; the persisted frame is (in_id, ex_id)
+      // pairs, batch-bounded.
+      val crossPairs = graft.CacheRegistry.track(
+        crossCandidates(inBands, existingBands, idCol, maxBucket)
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
       val inSh = shReps.select(col(idCol).as("in_id"),
         col("__shraw").as("__sh_in_id"))
@@ -1794,13 +1816,12 @@ object NearDup {
       killersOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pre = containmentShingleFrame(docs, idCol, textCol)
-    // full hashed gram rows — feed the df aggregate, the probe
-    // ranking, the candidate index side, and both verify sides.
-    // EVERYTHING downstream derives from this one persisted frame:
-    // doc sizes come from a groupBy over it (shingle rows are
-    // distinct per doc, so count(*) IS n_grams), never from a second
-    // tokenize+shingle pass — re-deriving the text stage per
-    // consumer was a measured ~3-4 s/stage floor at SF1.
+    val exhaustive = maxDf == ContainmentExhaustive
+    // full hashed gram rows — feed the df aggregate and its join-back
+    // (df per gram is an AGGREGATE + join, deliberately NOT a window
+    // over the gram key: ~one row per group makes WindowExec's sort +
+    // per-group iteration strictly worse — measured 34% slower on
+    // t100 at sf0.1)
     val grams = graft.CacheRegistry.track(
       pre.select(col("doc_id").as("__id"),
           explode(col("__sh")).as("__gt"))
@@ -1810,20 +1831,42 @@ object NearDup {
     val dfTab = grams.groupBy("__g1", "__g2")
       .agg(count(lit(1)).as("__df"))
     val withDf = grams.join(dfTab, Seq("__g1", "__g2"))
+    val uncFlag = if (exhaustive) lit(true) else col("__df") <= maxDf
+    // Per-doc stats (full count, uncapped count) and the rarity rank
+    // all ride ONE doc-id window pass — r13 merge of the r12 shape's
+    // separate stats aggregate (which re-derived the df join a second
+    // time), budget join-back and rank window: three exchanges of the
+    // same rows collapsed into the one the rank needed anyway (the
+    // sf0.1 path was stage-latency-bound: 8v32-core ratio 0.80).
+    // Ordering guarantee: every capped row's df exceeds maxDf >=
+    // every uncapped row's df, so ranking ALL rows by (df, g1, g2)
+    // gives uncapped rows ranks 1..nunc — identical to the r12 rank
+    // computed over the uncapped subset alone.
+    val wId = Window.partitionBy("__id")
+      .orderBy(col("__df").asc, col("__g1").asc, col("__g2").asc)
+    val wIdAll = wId.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // The ONE persisted frame everything downstream reads (probe
+    // side, candidate index side, both verify sides): uncapped gram
+    // rows carrying per-doc full size __n, uncapped count __nunc and
+    // rarity rank __rk. Shingle rows are distinct per doc, so the
+    // doc-window count IS n_grams — doc sizes never come from a
+    // second tokenize+shingle pass (a measured ~3-4 s/stage floor at
+    // SF1).
     val unc = graft.CacheRegistry.track(
-      (if (maxDf == ContainmentExhaustive) withDf
-       else withDf.filter(col("__df") <= maxDf))
+      withDf
+        .withColumn("__n", count(lit(1)).over(wIdAll))
+        .withColumn("__nunc", sum(when(uncFlag, 1L).otherwise(0L))
+          .over(wIdAll))
+        .withColumn("__rk", row_number().over(wId))
+        .filter(uncFlag)
+        .select(col("__id"), col("__g1"), col("__g2"), col("__n"),
+          col("__nunc"), col("__rk"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // (full size, uncapped count) per doc in ONE aggregation over the
-    // already-hashed rows; a narrow N-row frame every later join
-    // broadcasts
-    val stats = graft.CacheRegistry.track(
-      withDf.groupBy("__id").agg(
-        count(lit(1)).as("__n"),
-        sum(when(col("__df") <= maxDf || lit(maxDf == ContainmentExhaustive),
-          1L).otherwise(0L)).as("__nunc"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val sizes = stats.select(col("__id"), col("__n"))
+    // (id, full size) — derived from the id-partitioned cache, so the
+    // aggregate is exchange-free; every doc that can appear as a
+    // candidate partner has >= 1 uncapped row and is present here
+    val sizes = unc.groupBy("__id").agg(max(col("__n")).as("__n"))
     // Probe budget per doc, OVERSAMPLED BY ONE: r(x) probes guarantee
     // one hit on a true killer; r(x)+1 guarantee TWO. The 2-hit
     // candidate threshold is what keeps false candidates out — on a
@@ -1835,33 +1878,28 @@ object NearDup {
     // and the guaranteed hit count degrades to m_min — __thr carries
     // the per-doc guarantee, clamped to [1, 2], so completeness is
     // never traded (tiny-doc edge: n_x == 1 at low tau has m_min == 1
-    // and must keep the 1-hit threshold).
-    val budget = stats
-      .filter(col("__nunc") > 0L)
+    // and must keep the 1-hit threshold). Docs with r < 1 (uncapped
+    // count below m_min) can never reach the tau numerator and send
+    // no probes — they stay present on the index/verify sides.
+    val probes = unc
       .withColumn("__mmin", greatest(lit(1L),
         ceil(col("__n") * tau).cast("long") - 1L))
       .withColumn("__r", col("__nunc") - col("__mmin") + 1L)
       .filter(col("__r") >= 1L)
       .withColumn("__np", least(col("__r") + 1L, col("__nunc")))
+      .filter(col("__rk") <= col("__np"))
       .withColumn("__thr", greatest(lit(1L), least(lit(2L),
         col("__np") - col("__nunc") + col("__mmin"))))
-      .select(col("__id"), col("__np"), col("__thr"))
-    val w = Window.partitionBy("__id")
-      .orderBy(col("__df").asc, col("__g1").asc, col("__g2").asc)
-    val probes = unc.withColumn("__rk", row_number().over(w))
-      .join(budget, Seq("__id"))
-      .filter(col("__rk") <= col("__np"))
       .select(col("__id").as("__x"), col("__g1"), col("__g2"),
-        col("__thr"))
+        col("__thr"), col("__n").as("__nx"))
     val candAll = probes
       .join(unc.select(col("__id").as("__y"), col("__g1"),
         col("__g2")), Seq("__g1", "__g2"))
       .filter(col("__x") =!= col("__y"))
       .groupBy("__x", "__y")
-      .agg(count(lit(1)).as("__m"), first(col("__thr")).as("__thr"))
+      .agg(count(lit(1)).as("__m"), first(col("__thr")).as("__thr"),
+        first(col("__nx")).as("__nx"))
       .filter(col("__m") >= col("__thr"))
-      .join(sizes.select(col("__id").as("__x"), col("__n").as("__nx")),
-        Seq("__x"))
       .join(sizes.select(col("__id").as("__y"), col("__n").as("__ny")),
         Seq("__y"))
     val cand =

@@ -232,7 +232,15 @@ object Incremental {
             NearDup.minhashBands(survivors, "doc_id", "text", k, bands),
             bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
-        } finally survivors.unpersist(blocking = false)
+        } finally {
+          survivors.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
@@ -283,7 +291,15 @@ object Incremental {
               tables, planesPerTable),
             bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
-        } finally survivors.unpersist(blocking = false)
+        } finally {
+          survivors.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
@@ -337,7 +353,15 @@ object Incremental {
               maxHamming),
             bandsPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
-        } finally survivors.unpersist(blocking = false)
+        } finally {
+          survivors.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
@@ -453,7 +477,15 @@ object Incremental {
               dp, batchId, sp))
           } finally leafGrams.unpersist(blocking = false)
           sp.write.mode("append").parquet(corpusPath)
-        } finally sp.unpersist(blocking = false)
+        } finally {
+          sp.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
@@ -513,7 +545,15 @@ object Incremental {
               "cent_id", "cv"),
             indexPath, batchId, survivors)
           survivors.write.mode("append").parquet(corpusPath)
-        } finally survivors.unpersist(blocking = false)
+        } finally {
+          survivors.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
@@ -716,7 +756,15 @@ object Incremental {
               ()
             }
           }
-        } finally fresh.unpersist(blocking = false)
+        } finally {
+          fresh.unpersist(blocking = false)
+          // drain operator-tracked per-batch caches (the Bench/Verify
+          // inter-query discipline): the dedup operators register
+          // their batch-bounded persists with CacheRegistry; a
+          // streaming driver that never releases accumulates one set
+          // per micro-batch for the life of the query
+          graft.CacheRegistry.release()
+        }
       }
       .start()
     q.awaitTermination()
