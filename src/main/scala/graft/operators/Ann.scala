@@ -766,8 +766,14 @@ object Ann {
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int, lloydIters: Int, m: Int, dsub: Int, ksub: Int,
       pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val cents = trainCentroids(vectors, idCol, vecCol, nlist, lloydIters)
-    val books = trainPq(vectors, idCol, vecCol, m, dsub, ksub, pqIters)
+    // The coarse quantizer and the PQ codebooks train on the same
+    // frozen corpus with no dependency on each other — run the two
+    // driver-sequenced Lloyd loops concurrently (guide §2.6; the
+    // retrain gate ran FASTER on 8 cores than 32 because the job
+    // stream was serial, not because executors were busy).
+    val (cents, books) = graft.Par.par2(
+      trainCentroids(vectors, idCol, vecCol, nlist, lloydIters),
+      trainPq(vectors, idCol, vecCol, m, dsub, ksub, pqIters))
     val index = ivfPqIndex(vectors, idCol, vecCol, cents, "cent_id",
       "cv", books, m, dsub)
     ivfPqPublish(spark, path, index, cents, books)

@@ -2778,11 +2778,15 @@ object TrainingQueries {
               VectorOps.asDouble(col("embedding")).as("v"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val existing = all.filter(col("vec_id") % 2 === 0)
-        // version 1: the drifting deployment (evens only)
-        val cents0 = ann.trainCentroids(existing, "vec_id", "v",
-          nlist = 8, iters = 2)
-        val books0 = ann.trainPq(existing, "vec_id", "v",
-          PqM, PqDsub, PqKsub, PqIters)
+        // version 1: the drifting deployment (evens only) — coarse
+        // quantizer and codebooks are independent trainings on the
+        // same frozen corpus; submit both driver loops concurrently
+        // (guide §2.6, mirrors ivfPqRetrain's internal shape)
+        val (cents0, books0) = graft.Par.par2(
+          ann.trainCentroids(existing, "vec_id", "v",
+            nlist = 8, iters = 2),
+          ann.trainPq(existing, "vec_id", "v",
+            PqM, PqDsub, PqKsub, PqIters))
         ann.ivfPqPublish(s, table, ann.ivfPqIndex(existing, "vec_id",
           "v", cents0, "cent_id", "cv", books0, PqM, PqDsub),
           cents0, books0)
@@ -6165,10 +6169,13 @@ object TrainingQueries {
         fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(fsPath, true) // deterministic rebuild per run
         val d = spread(s, docs(s, dir)).select(col("doc_id"), col("text"))
-        for (k <- 0 until 3)
+        // three independent batch writes to disjoint leaf dirs —
+        // submit concurrently (guide §2.6); compaction below waits on
+        // all three
+        graft.Par.parN((0 until 3).map(k => () =>
           NearDup.containmentGramIndex(
             d.filter(col("doc_id") % 3 === k), "doc_id", "text")
-            .write.mode("overwrite").parquet(s"$base/index/batch=$k")
+            .write.mode("overwrite").parquet(s"$base/index/batch=$k")))
         val folded =
           Maintenance.compactLeaves(s, Seq(s"$base/index"))(s"$base/index")
         require(folded == 2, s"expected 2 leaves folded, got $folded")
