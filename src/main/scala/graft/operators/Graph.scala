@@ -69,8 +69,18 @@ object Graph {
     require(n > 0, "pageRank on an empty edge set")
     val base = (scale * (dampDen - dampNum) / dampDen) / n
 
-    var ranks = nodes.withColumn("rank", lit(scale / n)).persist()
-    ranks.count() // materialize before the loop truncates lineage
+    // Round state is re-rooted at its own execution RDD each
+    // iteration (GraftPlanBridge.flatten): with nested logical plans
+    // the optimizer re-analyzes one full copy of every previous round
+    // per iteration, so plan size — and per-round planning time —
+    // grew superlinearly with `iters` (21k-line plan at 3 rounds).
+    // The flat form keeps each round's plan O(1) while recompute of a
+    // lost cache block still runs through the original lineage (the
+    // wrapped RDD IS the persisted plan's execution RDD — see the
+    // recoverability note below; this is NOT a localCheckpoint).
+    var ranksCached = nodes.withColumn("rank", lit(scale / n)).persist()
+    ranksCached.count() // materialize before the loop truncates lineage
+    var ranks = org.apache.spark.sql.GraftPlanBridge.flatten(ranksCached)
     for (_ <- 0 until iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -83,8 +93,9 @@ object Graph {
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
         .persist()
       next.count() // force so the previous round can release
-      ranks.unpersist()
-      ranks = next
+      ranksCached.unpersist()
+      ranksCached = next
+      ranks = org.apache.spark.sql.GraftPlanBridge.flatten(next)
     }
     // Release the loop-scoped caches NOW (e is the corpus-sized one)
     // instead of leaking pinned storage for the rest of the session.
