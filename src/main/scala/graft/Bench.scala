@@ -184,6 +184,18 @@ object Bench {
       (name, runs)
     }
     def fmt(v: Double) = f"$v%.3f"
+    // main-line variant: same ms precision, trailing zeros stripped
+    // ("0.150"->"0.15", "2.000"->"2") — the driver captures only the
+    // TAIL of stdout and a main line longer than its window truncates
+    // mid-JSON (r11's did, at 193 queries); every byte shaved off the
+    // per-query map is margin for the line that round-over-round
+    // comparison depends on. The FILE record keeps fixed width.
+    def fmtShort(v: Double) = {
+      val s = f"$v%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    }
     def obj(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -191,6 +203,7 @@ object Bench {
       n -> (if (rs.isEmpty) -1.0 else median(rs.map(_.sec)))
     }
     val qs = obj(med.map { case (n, v) => n -> fmt(v) })
+    val qsShort = obj(med.map { case (n, v) => n -> fmtShort(v) })
     val qmin = obj(results.map { case (n, rs) =>
       n -> fmt(if (rs.isEmpty) -1.0 else rs.map(_.sec).min)
     })
@@ -209,14 +222,17 @@ object Bench {
         "cpu_ms" -> rs.map(_.cpuMs).mkString("[", ",", "]")))
     })
     val total = med.map(_._2).sum
-    println(s"""{"metric":"queries_min","queries_min":$qmin}""")
-    // ms precision is below run-to-run noise; the short fixed width
+    // r13: the queries_min preview line is NOT printed to stdout any
+    // more — at 198 queries it alone nearly filled the driver's tail
+    // window, competing with the main line below for the same bytes.
+    // It lives in the BENCH_LOCAL.json file record (read whole) only.
+    // ms precision is below run-to-run noise; the trailing-zero strip
     // also keeps the MAIN line compact — the driver captures only the
     // TAIL of this process's output, and a line longer than its window
-    // gets truncated mid-JSON and recorded as unparseable (BENCH_r03).
-    // queries_min and the rep detail go to the FILE record instead.
+    // gets truncated mid-JSON and recorded as unparseable (BENCH_r03,
+    // BENCH_r11). queries_min and the rep detail go to the FILE record.
     val mainLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"canary":${fmt(canary)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"canary":${fmt(canary)},"queries":$qsShort,"sf":"$sfDir"}"""
     println(mainLine)
     // The driver captures only the TAIL of stdout, so the queries_min
     // line was lost in r3/r4 ("parsed": null). Persist the full record

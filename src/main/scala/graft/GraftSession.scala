@@ -44,6 +44,18 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
       sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+    // Let AQE re-optimize CACHED plan builds too (default false for
+    // historical compat): the dedup/ANN operators persist their hot
+    // intermediate frames, and with this off every persisted build
+    // keeps the raw shuffle partition count — locally 32 near-empty
+    // partitions per cache, so EVERY downstream cache scan paid 32
+    // task launches per stage (measured: 8-10 zero-work 32-task
+    // stages of ~150 ms each inside one containment query). With it
+    // on, the advisory-size coalescing (above) applies inside cache
+    // builds as well, so cached frames carry right-SIZED partitions
+    // at any scale. Coalesced reads keep their hash-clustering
+    // guarantee, so downstream same-key aggregates stay exchange-free.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     // Whole-stage-codegen compile cache (STATIC conf, default 100
     // entries). Task threads serialize behind CodeGenerator.compile's
     // per-source KeyLock; a multi-stage query has 50-150 codegen units,
