@@ -833,9 +833,17 @@ object NearDup {
     // original policy's verdict — and a mass-duplicated incoming batch
     // (the streaming drain's common pathology) stops cliquing in the
     // band buckets.
-    val inShRaw = rawShingles(incoming, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // r13: registry-tracked instead of try/finally-unpersist + eager
+    // count — the count was a full extra job and a driver BARRIER in
+    // the middle of the operator (nothing after it could be scheduled
+    // until the whole removed-set DAG drained). Tracked caches live
+    // until the caller's action finishes: Bench/Verify release between
+    // queries, streaming drivers at batch end. Still MEMORY_AND_DISK —
+    // a corpus-sized frame spills, never OOMs.
+    val inShRaw = graft.CacheRegistry.track(
+      rawShingles(incoming, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    locally {
       val (shReps, removedExactIn) = collapseExactClasses(inShRaw, idCol)
       // r13: the band table is referenced by the in-batch candidate
       // pass AND both sides of the cross-candidate pruning; each
@@ -893,9 +901,8 @@ object NearDup {
         removedVsExisting.unionByName(removedVsIncoming)
           .unionByName(removedExactIn)
           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-      removed.count() // materialize while the shingle cache is warm
       incoming.join(removed, Seq(idCol), "left_anti")
-    } finally inShRaw.unpersist(blocking = false)
+    }
   }
 
   /** Embedding twin of [[dedupByMinhashIncremental]]: dedup incoming
@@ -964,19 +971,19 @@ object NearDup {
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val sh = rawShingles(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val (shReps, removedExact) = collapseExactClasses(sh, idCol)
-      val removed = graft.CacheRegistry.track(
-        verifiedMinhashPairs(shReps, idCol, threshold, k,
-          bands, maxBucket)
-          .select(col("d2").as(idCol))
-          .unionByName(removedExact).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      removed.count() // materialize while the shingle cache is warm
-      df.join(removed, Seq(idCol), "left_anti")
-    } finally sh.unpersist(blocking = false)
+    // r13: registry-tracked, no eager count (see
+    // dedupByMinhashIncremental — same barrier removal)
+    val sh = graft.CacheRegistry.track(
+      rawShingles(df, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val (shReps, removedExact) = collapseExactClasses(sh, idCol)
+    val removed = graft.CacheRegistry.track(
+      verifiedMinhashPairs(shReps, idCol, threshold, k,
+        bands, maxBucket)
+        .select(col("d2").as(idCol))
+        .unionByName(removedExact).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    df.join(removed, Seq(idCol), "left_anti")
   }
 
   /** Verified (exact-Jaccard >= threshold) near-dup pairs (d1 < d2)
@@ -1102,9 +1109,14 @@ object NearDup {
   def componentsByMinhash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val sh = rawShingles(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // r13: registry-tracked, no eager count (see
+    // dedupByMinhashIncremental — same barrier removal). The returned
+    // plan references only the persisted `mapped` frame, which the
+    // caller's first action materializes while `sh` is still tracked.
+    val sh = graft.CacheRegistry.track(
+      rawShingles(df, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    locally {
       val eligible = sh.filter(col("__ntk") >= 3)
       val reps = eligible.groupBy("__fp").agg(min(col(idCol)).as("__rep"))
       val exactMap = eligible.join(reps, "__fp")
@@ -1116,19 +1128,18 @@ object NearDup {
         bands, maxBucket)
       val comps = connectedComponents(edges, "d1", "d2")
         .select(col("id").as("__rep"), col("component"))
-      // materialize the narrow (id, component) map while the shingle
-      // cache is warm — the returned plan must not re-reference sh
-      // (post-unpersist that would re-shingle the corpus)
+      // the narrow (id, component) map is the only frame the returned
+      // plan references; persisted so repeat actions don't re-run the
+      // component pass
       val mapped = graft.CacheRegistry.track(
         exactMap.join(comps, Seq("__rep"), "left")
           .select(col(idCol),
             coalesce(col("component"), col("__rep")).as("component"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-      mapped.count()
       df.select(col(idCol)).join(mapped, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("component"), col(idCol)).as("component"))
-    } finally sh.unpersist(blocking = false)
+    }
   }
 
   /** Canonical-survivor dedup: per near-dup family keep the BEST
@@ -1163,27 +1174,27 @@ object NearDup {
   def dedupByComponents(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 12, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val sh = rawShingles(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // exact-text members collapse first (see collapseExactClasses);
-      // they join their rep's component by construction, so the
-      // rep-level closure projects the full closure and component
-      // minima coincide (each class min IS its rep)
-      val (shReps, removedExact) = collapseExactClasses(sh, idCol)
-      val edges = verifiedMinhashPairs(shReps, idCol, threshold, k,
-        bands, maxBucket)
-      // connectedComponents checkpoints the edge list up front, while
-      // the shingle cache is warm
-      val comps = connectedComponents(edges, "d1", "d2")
-      val removed = graft.CacheRegistry.track(
-        comps.filter(col("component") < col("id"))
-          .select(col("id").as(idCol))
-          .unionByName(removedExact).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      removed.count()
-      df.join(removed, Seq(idCol), "left_anti")
-    } finally sh.unpersist(blocking = false)
+    // r13: registry-tracked, no eager count (see
+    // dedupByMinhashIncremental — same barrier removal);
+    // connectedComponents still materializes the edge list up front,
+    // inside its own loop, while the shingle cache is live
+    val sh = graft.CacheRegistry.track(
+      rawShingles(df, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // exact-text members collapse first (see collapseExactClasses);
+    // they join their rep's component by construction, so the
+    // rep-level closure projects the full closure and component
+    // minima coincide (each class min IS its rep)
+    val (shReps, removedExact) = collapseExactClasses(sh, idCol)
+    val edges = verifiedMinhashPairs(shReps, idCol, threshold, k,
+      bands, maxBucket)
+    val comps = connectedComponents(edges, "d1", "d2")
+    val removed = graft.CacheRegistry.track(
+      comps.filter(col("component") < col("id"))
+        .select(col("id").as(idCol))
+        .unionByName(removedExact).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    df.join(removed, Seq(idCol), "left_anti")
   }
 
   /** DIRECTIONAL shingle containment pairs — the SUBSET-duplication
@@ -1631,9 +1642,19 @@ object NearDup {
       maxDf: Int): (DataFrame, DataFrame) = {
     // the batch's gram rows feed the history join, the in-batch
     // pass, AND the updated index — persist once (CacheRegistry
-    // discipline); batch-sized, never corpus-sized
+    // discipline); batch-sized, never corpus-sized. ROOT THE CACHE AT
+    // A SHUFFLE (r13): scan-rooted, the cache inherits the input's
+    // partition count (96 from t129's three-way union) and every one
+    // of the ~10 downstream cache scans paid 96 task launches for
+    // ~1 MB of gram rows (measured: 96-task stages of 400 ms wall /
+    // <50 ms CPU dominating the query). The REBALANCE shuffle costs
+    // one batch-sized exchange and lets AQE size the cached partitions
+    // by BYTES (advisory conf; splits skewed outputs too), so the same
+    // code carries a 100-row batch in 1 partition and a 100 GB batch
+    // in hundreds — scale-adaptive, not a local[32] constant (§2.2).
     val inc = graft.CacheRegistry.track(
       containmentGramIndex(docs, idCol, textCol)
+        .hint("rebalance")
         .persist(StorageLevel.MEMORY_AND_DISK))
     // cont(incoming → existing) per (incoming, existing) pair: count
     // of shared grams over the INCOMING size — one narrow gram-key
