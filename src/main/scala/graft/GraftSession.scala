@@ -28,11 +28,19 @@ object GraftSession {
     *   removes R file create/close syscalls per task — measured 4×
     *   on per-task shuffle overhead (160 ms → 40 ms run, 85 ms → 12 ms
     *   CPU per task on a 96-task micro shuffle, ext4 local dirs).
-    * - `parallelismFirst=false`: let AQE coalesce post-shuffle
-    *   partitions to the advisory SIZE rather than splitting them to
-    *   keep every core busy — the guide's recommendation; many
-    *   near-empty reduce tasks cost more in fixed per-task overhead
-    *   than their parallelism returns.
+    * - `parallelismFirst=true` (r13 REVERSAL of the r12 `false`, back
+    *   to the Spark default): with `false`, AQE coalesced post-shuffle
+    *   partitions purely by advisory SIZE, which starved compute-dense
+    *   stages — at 10× scale the containment candidate join ran its
+    *   60 s of CPU in 5 tasks on 32 cores. Measured in-JVM A/B
+    *   (false→true): SF1 t100 21.9→12.1 s, t103 95.4→21.4 s; at
+    *   sf0.1 neutral-to-better (t100 2.43→1.67 s, t68 1.13→1.00 s,
+    *   worst regression t69 +10% ≈ noise). `true` keeps the
+    *   parallelism floor when coalescing and only then respects the
+    *   advisory size — scale-adaptive in exactly the way §2.2 asks.
+    *   The near-empty-task overhead `false` was bought for is handled
+    *   by `minPartitionSize` (default 1m) collapsing KB-sized
+    *   exchanges anyway.
     * - advisory partition size is SCALE-DEPENDENT, so it is
     *   env-parameterised (`SPARK_GRAFT_ADVISORY_PARTITION`): the local
     *   default 16m keeps sf0.1/SF1 stages parallel enough on one box
@@ -41,21 +49,20 @@ object GraftSession {
     */
   def perfConfs: Seq[(String, String)] = Seq(
     "spark.shuffle.sort.bypassMergeThreshold" -> "1",
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
       sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
-    // Let AQE re-optimize CACHED plan builds too (default false for
-    // historical compat): the dedup/ANN operators persist their hot
-    // intermediate frames, and with this off every persisted build
-    // keeps the raw shuffle partition count — locally 32 near-empty
-    // partitions per cache, so EVERY downstream cache scan paid 32
-    // task launches per stage (measured: 8-10 zero-work 32-task
-    // stages of ~150 ms each inside one containment query). With it
-    // on, the advisory-size coalescing (above) applies inside cache
-    // builds as well, so cached frames carry right-SIZED partitions
-    // at any scale. Coalesced reads keep their hash-clustering
-    // guarantee, so downstream same-key aggregates stay exchange-free.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+    // canChangeCachedPlanOutputPartitioning stays at the Spark
+    // DEFAULT (false). It was tried this round ("let AQE coalesce
+    // cache builds too", ~neutral at sf0.1) and REVERTED on SF1
+    // evidence: with it on, a persisted frame whose child is an
+    // adaptive plan executed as one NON-FINALIZED monolith — t103's
+    // history pipeline ran its 60 s of CPU inside a single 10-task
+    // no-shuffle stage (RDD name "AdaptiveSparkPlan isFinalPlan=
+    // false"). In-JVM A/B at SF1: t103 23.1 s (true) vs 11.2 s
+    // (false); t100 flat. Cache partition sizing is handled instead
+    // by rooting batch-bounded caches at an explicit repartition
+    // (NearDup.containmentIncrementalCore).
     // Whole-stage-codegen compile cache (STATIC conf, default 100
     // entries). Task threads serialize behind CodeGenerator.compile's
     // per-source KeyLock; a multi-stage query has 50-150 codegen units,

@@ -1647,15 +1647,31 @@ object NearDup {
     // partition count (96 from t129's three-way union) and every one
     // of the ~10 downstream cache scans paid 96 task launches for
     // ~1 MB of gram rows (measured: 96-task stages of 400 ms wall /
-    // <50 ms CPU dominating the query). The REBALANCE shuffle costs
-    // one batch-sized exchange and lets AQE size the cached partitions
-    // by BYTES (advisory conf; splits skewed outputs too), so the same
-    // code carries a 100-row batch in 1 partition and a 100 GB batch
-    // in hundreds — scale-adaptive, not a local[32] constant (§2.2).
+    // <50 ms CPU dominating the query). Hash-repartition by doc id —
+    // a NORMAL shuffle, so AQE coalesces it with the parallelism
+    // floor: a tiny batch collapses to one cached partition, a big
+    // one keeps every core busy. (A REBALANCE hint was measured
+    // instead and rejected: it coalesces purely by advisory size with
+    // NO parallelism floor, which at 10× scale starved the history
+    // join's map side — SF1 t103 22.2 s rebalanced vs 14.3 s without.)
+    // Doc-id hashing also clusters each doc's grams, so the per-doc
+    // aggregates downstream shuffle fewer distinct keys per partition.
     val inc = graft.CacheRegistry.track(
       containmentGramIndex(docs, idCol, textCol)
-        .hint("rebalance")
+        .repartition(col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // Materialize ONCE, at full parallelism, before the fan-out: the
+    // final action's DAG has ~14 INDEPENDENT map stages over this
+    // cache and AQE submits them concurrently — against a cold cache
+    // they convoy on the per-partition block locks (one stage computes
+    // the 60 s-CPU shingle build, the other stages' tasks block
+    // HOLDING TASK SLOTS; measured at SF1: thirteen 10-task stages of
+    // 13 s wall / ~0 CPU). One count() job builds every partition in
+    // parallel and the fan-out then reads a warm cache. (Contrast the
+    // minhash barrier removal: there the count gated the whole
+    // removed-set DAG and consumers were sequential; here it gates
+    // only the cache build and the consumers are concurrent.)
+    inc.count()
     // cont(incoming → existing) per (incoming, existing) pair: count
     // of shared grams over the INCOMING size — one narrow gram-key
     // join, (id, id) counts only, the t100 discipline. PERSISTED:
@@ -1683,6 +1699,12 @@ object NearDup {
         col("__inn") <= col("__exn"))
       .select(col("__inid").as(idCol)).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
+    // convoy guard (see `inc` above): this cache's build contains the
+    // HISTORY-side shingle pipeline (54 s CPU at SF1) and the in-batch
+    // pair core references it transitively from ~15 concurrent AQE
+    // stages — cold, they convoy on its block locks holding task
+    // slots; one count() builds it at full parallelism instead
+    droppedVsHistory.count()
     val afterHistory = docs.join(droppedVsHistory, Seq(idCol), "left_anti")
     // in-batch keep-largest pass from the persisted gram rows (the
     // r9 double-shingle fix): anti-join `inc` down to the docs that
@@ -1849,6 +1871,12 @@ object NearDup {
         .select(col("__id"), xxhash64(col("__gt")).as("__g1"),
           xxhash64(lit(GramKeySalt), col("__gt")).as("__g2"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // materialize before the fan-out: grams feeds the df aggregate AND
+    // the join-back, two map stages AQE runs concurrently — against a
+    // cold cache their tasks convoy on the block locks while ONE
+    // computes the tokenize+shingle build (see the incremental core's
+    // note; measured there at SF1: 13 s of slot-holding waiters)
+    grams.count()
     val dfTab = grams.groupBy("__g1", "__g2")
       .agg(count(lit(1)).as("__df"))
     val withDf = grams.join(dfTab, Seq("__g1", "__g2"))
@@ -1884,6 +1912,9 @@ object NearDup {
         .select(col("__id"), col("__g1"), col("__g2"), col("__n"),
           col("__nunc"), col("__rk"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // same convoy guard: probe side, candidate index side and both
+    // verify sides scan this cache from concurrent AQE stages
+    unc.count()
     // (id, full size) — derived from the id-partitioned cache, so the
     // aggregate is exchange-free; every doc that can appear as a
     // candidate partner has >= 1 uncapped row and is present here

@@ -36,18 +36,24 @@ object StageProfile {
     fn(spark, sfDir).count()
 
     case class St(id: Int, name: String, tasks: Int, wallMs: Long,
-      taskMs: Long, cpuMs: Long, shRead: Long, shWrite: Long)
+      taskMs: Long, cpuMs: Long, shRead: Long, shWrite: Long,
+      rdds: String)
     val stages = ArrayBuffer[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
+        // RDD scope names identify WHAT the stage computes (the stage
+        // name only carries the action callsite) — cached frames show
+        // up as InMemoryTableScan, scans as FileScan etc.
+        val rdds = i.rddInfos.map(_.name).filter(_ != null).distinct
+          .mkString("|").take(120)
         stages += St(i.stageId, i.name.takeWhile(_ != '\n'), i.numTasks,
           (for {s <- i.submissionTime; c <- i.completionTime} yield c - s)
             .getOrElse(-1L),
           m.executorRunTime, m.executorCpuTime / 1000000L,
           m.shuffleReadMetrics.totalBytesRead,
-          m.shuffleWriteMetrics.bytesWritten)
+          m.shuffleWriteMetrics.bytesWritten, rdds)
       }
     })
     graft.CacheRegistry.release(); spark.catalog.clearCache()
@@ -59,7 +65,7 @@ object StageProfile {
     println(f"[stageprofile] $name total ${wall}%.2fs, ${stages.size} stages")
     val sorted = stages.sortBy(-_.wallMs)
     sorted.take(40).foreach { s =>
-      println(f"[stageprofile] id=${s.id}%-4d wall=${s.wallMs}%6dms tasks=${s.tasks}%-4d task=${s.taskMs}%6dms cpu=${s.cpuMs}%6dms shR=${s.shRead / 1024}%8dK shW=${s.shWrite / 1024}%8dK  ${s.name.take(90)}")
+      println(f"[stageprofile] id=${s.id}%-4d wall=${s.wallMs}%6dms tasks=${s.tasks}%-4d task=${s.taskMs}%6dms cpu=${s.cpuMs}%6dms shR=${s.shRead / 1024}%8dK shW=${s.shWrite / 1024}%8dK  ${s.rdds}")
     }
     println(f"[stageprofile] sum wall=${stages.map(_.wallMs).sum}ms over ${stages.size} stages; sum task=${stages.map(_.taskMs).sum}ms cpu=${stages.map(_.cpuMs).sum}ms")
     spark.stop()
