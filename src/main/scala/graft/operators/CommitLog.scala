@@ -830,10 +830,36 @@ object CommitLogTableFormat extends TableFormat {
         case (mn, mx) => !(mx < lo) && !(mn > hi)
       } => new Path(root, rel).toString
     }
-    val pred = col(column) >= lo && col(column) <= hi
-    if (kept.isEmpty)
-      readAt(spark, path, v).get.filter(pred).limit(0)
-    else spark.read.parquet(kept: _*).filter(pred)
+    // Residual predicate TYPED TO THE COLUMN (r13): comparing an
+    // integral column against double bounds makes Catalyst cast the
+    // COLUMN to double, and a cast-wrapped column never reaches
+    // PushedFilters — the t91 plan showed only IsNotNull pushed, so
+    // every kept file was scanned in full and filtered in Spark. With
+    // integral bounds (ceil/floor — identical row set: an integral x
+    // satisfies lo <= x <= hi iff ceil(lo) <= x <= floor(hi)) the
+    // range lands in the parquet scan and row-group/page stats prune
+    // WITHIN the kept files too (§6) — the file-level manifest skip
+    // above plus footer-level skip below, same rows out.
+    def pred(df: DataFrame): Column =
+      df.schema(column).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          val loC = math.ceil(lo)
+          val hiC = math.floor(hi)
+          if (loC > hiC || loC > Long.MaxValue.toDouble
+              || hiC < Long.MinValue.toDouble) lit(false)
+          else col(column) >= loC.toLong && col(column) <= hiC.toLong
+        case _ => col(column) >= lo && col(column) <= hi
+      }
+    if (kept.isEmpty) {
+      val df = readAt(spark, path, v).get
+      df.filter(pred(df)).limit(0)
+    } else {
+      val df = spark.read.parquet(kept: _*)
+      df.filter(pred(df))
+    }
   }
 
   /** Delete manifests outside the retention window and the data files
